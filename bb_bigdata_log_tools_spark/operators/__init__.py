@@ -1,0 +1,7 @@
+from bb_bigdata_log_tools_spark.operators.logops import (  # noqa: F401
+    cat,
+    format_and_sort,
+    grep,
+    multisearch,
+    search,
+)

@@ -1,0 +1,154 @@
+"""General analytics operators: TPC-H-style queries over the star schema
+and windowed event analytics.
+
+These prove the engine is a full query engine (joins, aggregation,
+window functions), not just a scan-filter tool — the capability the
+reference delegates to Pig. Join strategy notes:
+
+- dimension tables (region/nation/supplier/part at any SF) are broadcast
+  explicitly — no shuffle of the fact table for those joins;
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
+  AQE coalesces post-shuffle partitions;
+- top-k uses window rank bounded per partition (map-side partial sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tpch_q1(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape on our schema)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-03-15",
+) -> DataFrame:
+    """Shipping priority: 3-way join + agg + top-10.
+
+    customer is small relative to the facts → broadcast; orders⋈lineitem
+    is the one real shuffle.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut)
+    li = lineitem.filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Local supplier volume: 6-way join, dims broadcast, agg by nation.
+
+    Note the reference-free join order: facts joined once on their keys;
+    every dimension is broadcast (sub-MB at any realistic SF for
+    region/nation/supplier) so the physical plan is a single shuffle for
+    orders⋈lineitem plus broadcast hash joins.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    reg = region.filter(F.col("r_name") == region_name)
+    return (
+        lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionize events per user with an inactivity gap: classic
+    lag-window + cumulative-sum session ids, all JVM-side window exprs.
+
+    One shuffle on user_id; at scale, pre-bucketing the events table by
+    user_id makes this shuffle-free.
+    """
+    order_cols = ["ts"] + (["event_id"] if "event_id" in events.columns else [])
+    w = Window.partitionBy("user_id").orderBy(*order_cols)
+    gap_ms = gap_minutes * 60 * 1000
+    with_gap = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)),
+                F.lit(gap_ms + 1),
+            )
+            > gap_ms
+        ).cast("int"),
+    )
+    sessions = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def events_topk_users(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k users by total value within each event_type (window rank)."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )

@@ -1,0 +1,289 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five variants, all expressed as pure Catalyst column algebra (no Python
+in the hot path) with md5-derived hashing so a SQL oracle reproduces
+them bit-for-bit (see ``functions/hashing.py``):
+
+- :func:`dedup_exact` — content-hash groupBy.
+- :func:`dedup_ngram_jaccard` — word n-gram shingles, inverted-index
+  self-join, exact Jaccard ≥ τ.
+- :func:`dedup_minhash_lsh` — minhash signatures, banded LSH candidate
+  buckets, exact-Jaccard verification of candidates.
+- :func:`dedup_simhash` — 64-bit simhash, 16-bit-chunk pigeonhole
+  blocking, Hamming ≤ k.
+- embedding near-dup lives in ``operators/similarity.py``.
+
+Scale notes (100 TB): the exact-Jaccard self-join is the quadratic
+hazard; minhash-LSH and simhash-chunk blocking bound the join fan-out by
+bucketing (band-hash / chunk equality) — the shuffles key on band/chunk
+signatures, hot buckets are handled by AQE skew-join splitting, and
+everything before the joins is a single scan with map-side column work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import (
+    MERSENNE_31,
+    md5_long,
+    minhash_signature,
+    permutation_params,
+)
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings of a text column."""
+    c = F.col(c) if isinstance(c, str) else c
+    words = F.split(c, " ")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) — distinct md5-int64 hashes of word n-gram shingles."""
+    return documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    ).select("doc_id", md5_long(F.col("shingle")).alias("h"))
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group by content md5; keep the smallest doc_id as the
+    canonical copy. Single shuffle on the 128-bit digest; map-side
+    partial agg makes it cheap even at 100 TB."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard from a (doc_id, h) shingle-hash relation.
+
+    Inverted-index self-join on the shingle hash → count of common
+    shingles per pair; set sizes joined back in; J = common/(|A|+|B|-common).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id2") == F.col("sb.doc_id"))
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.round(
+                F.col("common")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id1", "doc_id2")
+    )
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard ≥ τ.
+
+    Quadratic in the worst case (the inverted-index join fans out on
+    high-document-frequency shingles) — correct baseline for small/mid
+    corpora and the oracle for the LSH variant below, which is the
+    100 TB path.
+    """
+    return jaccard_pairs(doc_shingle_hashes(documents, n), threshold)
+
+
+def minhash_bands(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc_id, band_idx, band_sig) — banded minhash signature.
+
+    band_sig is the md5 of the comma-joined band slice, so the band
+    bucketing is reproducible in any SQL engine.
+    """
+    rows_per_band = num_perm // bands
+    sh = documents.select(
+        "doc_id", word_shingles(F.col("text"), n).alias("shingles")
+    ).select(
+        "doc_id",
+        F.transform(F.col("shingles"), md5_long).alias("hs"),
+    )
+    sig = sh.select("doc_id", minhash_signature(F.col("hs"), num_perm).alias("sig"))
+    band_cols = []
+    for bidx in range(bands):
+        piece = F.concat_ws(
+            ",", *[F.col("sig")[bidx * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+        )
+        band_cols.append(F.struct(F.lit(bidx).alias("band_idx"), F.md5(piece).alias("band_sig")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig"))
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Minhash-LSH near-dup: banded buckets → candidate pairs → exact
+    Jaccard verification ≥ τ.
+
+    The only joins key on (band_idx, band_sig) buckets and on the
+    candidate set — sub-quadratic; this is the scale path for
+    ``dedup_ngram_jaccard``. With 16 bands × 4 rows the S-curve puts
+    ~0.5 collision probability at J≈0.5, so τ=0.6 keeps false negatives
+    negligible while the verification join removes false positives.
+    """
+    bands_df = minhash_bands(documents, n, num_perm, bands)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
+        .distinct()
+    )
+    sh = doc_shingle_hashes(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        candidates.join(x, F.col("doc_id1") == F.col("x.doc_id"))
+        .join(y, (F.col("doc_id2") == F.col("y.doc_id")) & (F.col("x.h") == F.col("y.h")))
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id2") == F.col("sb.doc_id"))
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.round(
+                F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id1", "doc_id2")
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over word-unigram md5 hashes
+    weighted by term frequency.
+
+    bit_i(simhash) = 1 iff Σ_tokens tf·(±1 by bit_i(md5_long(token))) > 0.
+    Computed relationally: explode tokens → tf per (doc, token) → cross
+    the 64 bit positions → signed sums → assemble bits with shifts.
+    """
+    tf = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", md5_long(F.col("tok")).alias("h"), "tf")
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h"),
+        F.col("tf"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("signed"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("signed").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Simhash near-dup pairs with Hamming distance ≤ k.
+
+    Blocking: split the 60-bit hash into 4×15-bit chunks; by pigeonhole
+    any pair with Hamming ≤ 3 shares at least one exact chunk, so the
+    self-join keys on (chunk_idx, chunk_value) buckets instead of the
+    full cross product. The Hamming check on survivors uses
+    ``bit_count(xor)`` (one codegen'd instruction).
+    """
+    sh = simhash64(documents)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_id1", "doc_id2")
+    )

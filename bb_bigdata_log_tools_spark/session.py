@@ -1,0 +1,89 @@
+"""SparkSession factory and test-table loading helpers."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def get_spark(
+    app_name: str = "bb-bigdata-log-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    master comes from the environment and these configs still apply. AQE is
+    on so skewed shuffles (LSH buckets, hot services) re-plan at runtime,
+    and the session timezone is pinned to UTC so timestamp semantics match
+    the oracle (DuckDB) and the reference (epoch-millis arithmetic).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table in ``sf_dir`` that exists."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = table(spark, sf_dir, name)
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table, normalizing timestamp precision.
+
+    Some sources write TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects outright; ``nanosAsLong`` (a runtime SQL conf — set
+    here so any caller-provided session works) reads them as raw
+    nanosecond longs, which we floor to microseconds and rebuild into a
+    proper timestamp — the same ns→µs truncation DuckDB applies, keeping
+    oracle comparisons exact.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Formatting/zone-sensitive exprs must agree with the (tz-naive, UTC)
+    # oracle even when the caller's session wasn't built by get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: ns values exceed double precision (2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,79 @@
+"""Headline-query benchmark.
+
+Runs the flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Timing counts full execution (plan + shuffle + collect-to-count); each
+query's result is forced with a cheap count-style action so we measure
+engine throughput, not driver materialization of wide rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "log_cat",
+    "log_grep",
+    "log_search",
+    "log_multisearch_or",
+    "log_multisearch_and",
+    "log_format_sort",
+    "log_index",
+    "log_stats_hourly",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_sessionize",
+    "events_topk_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bb_bigdata_log_tools_spark.registry import QUERIES
+    from bb_bigdata_log_tools_spark.session import get_spark
+
+    spark = get_spark("bb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once outside timing.
+    QUERIES["log_cat"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: forces full computation of every column JVM-side
+        # (count() would let Catalyst prune; foreach would pay Python
+        # serialization that isn't part of the engine's work).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
