@@ -204,8 +204,11 @@ def simhash64(documents: DataFrame) -> DataFrame:
     weighted by term frequency.
 
     bit_i(simhash) = 1 iff Σ_tokens tf·(±1 by bit_i(md5_long(token))) > 0.
-    Computed relationally: explode tokens → tf per (doc, token) → cross
-    the 64 bit positions → signed sums → assemble bits with shifts.
+
+    Computed as ONE groupBy(doc_id) with 60 signed-sum aggregate
+    expressions (not a 60× bit-explode): the shuffle carries
+    |doc×token| rows once and each bit is a map-side partial sum —
+    the shape that survives a 100 TB corpus.
     """
     tf = (
         documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -214,30 +217,23 @@ def simhash64(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("doc_id", md5_long(F.col("tok")).alias("h"), "tf")
     )
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        F.col("h"),
-        F.col("tf"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-        .otherwise(-F.col("tf"))
-        .alias("signed"),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("signed").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s{i}")
+            for i in range(60)
+        ]
     )
+    hash_expr = None
+    for i in range(60):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return bit_sums.select("doc_id", hash_expr.alias("simhash"))
 
 
 def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:

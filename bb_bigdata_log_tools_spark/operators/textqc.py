@@ -1,0 +1,135 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, fingerprinting — the per-document map stage of an LLM data
+pipeline.
+
+All pure column expressions (codegen, scan-parallel, no shuffle), each
+reproducible in ANSI SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, md5_long
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+# Deterministic tie-break: higher score wins, then alphabetical lang code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "in", "is", "to", "it"],
+    "es": ["el", "los", "las", "de", "y", "es", "un", "que"],
+    "fr": ["le", "la", "les", "et", "est", "un", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or a single
+#: non-space symbol — a word/number/punct split similar to byte-pair
+#: pre-tokenizers.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over whitespace tokens."""
+    toks = _tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        dict_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(dict_arr, t)))
+    return out
+
+
+def text_lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language guess: argmax of stopword-marker hit counts
+    (ties → alphabetically first language; no hits → 'und')."""
+    scores = lang_scores(F.col("text"))
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # max_by over the struct array: sort desc by score, asc by lang.
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["score"].alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Quality features + a composite [0,1] score.
+
+    Features: length saturation, lexical diversity (distinct/total
+    tokens), mean token length band, alpha ratio. Composite is a fixed
+    weighted sum — deterministic and SQL-reproducible.
+    """
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    diversity = n_distinct / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    score = F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * diversity + F.lit(0.3) * alpha_ratio, 4
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(diversity, 4).alias("diversity"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def text_token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    toks = _tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(documents: DataFrame) -> DataFrame:
+    """Two 64-bit-class fingerprints per document:
+
+    - ``content_fp``: md5-int64 of the whitespace-normalized text
+      (exact-dup key);
+    - ``rolling_fp``: order-sensitive polynomial hash over token md5
+      hashes, fp = fold(acc·131 + h mod p) mod p, p = 2^31-1 — the
+      rolling/incremental construction (re-orderings change it while
+      content_fp of a sorted bag would not).
+    """
+    norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
+    toks = _tokens(F.col("text"))
+    tok_hashes = F.transform(toks, lambda t: F.pmod(md5_long(t), F.lit(MERSENNE_31)))
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(131) + h, F.lit(MERSENNE_31)),
+    )
+    return documents.select(
+        "doc_id",
+        md5_long(norm).alias("content_fp"),
+        rolling.alias("rolling_fp"),
+    ).orderBy("doc_id")

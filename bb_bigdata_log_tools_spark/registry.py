@@ -307,6 +307,15 @@ ORDER BY event_type, rank
 # registry assembly
 # --------------------------------------------------------------------------
 
+from bb_bigdata_log_tools_spark.registry_boom import (  # noqa: E402
+    BOOM_ORACLES,
+    BOOM_QUERIES,
+)
+from bb_bigdata_log_tools_spark.registry_pipeline import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
 QUERIES: dict[str, QueryFn] = {
     "log_cat": q_log_cat,
     "log_grep": q_log_grep,
@@ -321,6 +330,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5": q_tpch_q5,
     "events_sessionize": q_events_sessionize,
     "events_topk_users": q_events_topk_users,
+    **PIPELINE_QUERIES,
+    **BOOM_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -337,4 +348,6 @@ ORACLES: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_topk_users": SQL_EVENTS_TOPK_USERS,
+    **PIPELINE_ORACLES,
+    **BOOM_ORACLES,
 }

@@ -1,0 +1,338 @@
+"""Registry part 2: LLM-data-pipeline operators (SURVEY.md §2c) with
+DuckDB oracles.
+
+The minhash/simhash oracles embed the SAME permutation literals the
+Spark side uses (generated from ``permutation_params``), so the entire
+LSH pipeline — shingle hash → signature → band bucket → candidate join →
+exact-Jaccard verify — reproduces bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, permutation_params
+from bb_bigdata_log_tools_spark.operators import dedup, similarity, textqc
+from bb_bigdata_log_tools_spark.session import table
+
+# Shared SQL fragments -----------------------------------------------------
+
+# Distinct word-trigram shingle md5-int64 hashes per document.
+SQL_SHINGLES = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM words
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+SQL_JACCARD_TAIL = """
+common AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS common
+  FROM {cand_sh} a JOIN {cand_sh} b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_id1 = sa.doc_id
+JOIN sizes sb ON doc_id2 = sb.doc_id
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= {tau}
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_ngram_jaccard(table(spark, sf_dir, "documents"), 3, 0.6)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"WITH {SQL_SHINGLES}, " + SQL_JACCARD_TAIL.format(
+    cand_sh="sh", tau=0.6
+)
+
+
+def _perm_values(num_perm: int = 64) -> str:
+    rows = [
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(permutation_params(num_perm))
+    ]
+    return ",\n    ".join(rows)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_lsh(table(spark, sf_dir, "documents"), 3, 64, 16, 0.6)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_SHINGLES},
+perms(pid, a, b) AS (VALUES
+    {_perm_values(64)}
+),
+mh AS (
+  SELECT doc_id, pid,
+         min((a * (h % {MERSENNE_31}) + b) % {MERSENNE_31}) AS mv
+  FROM sh, perms
+  GROUP BY doc_id, pid
+),
+bandsigs AS (
+  SELECT doc_id, pid // 4 AS band_idx,
+         md5(string_agg(mv::VARCHAR, ',' ORDER BY pid)) AS band_sig
+  FROM mh GROUP BY doc_id, pid // 4
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+  FROM bandsigs a
+  JOIN bandsigs b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_id1, c.doc_id2, count(*) AS common
+  FROM candidates c
+  JOIN sh x ON x.doc_id = c.doc_id1
+  JOIN sh y ON y.doc_id = c.doc_id2 AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_id1 = sa.doc_id
+JOIN sizes sb ON doc_id2 = sb.doc_id
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.6
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_simhash(table(spark, sf_dir, "documents"), 3)
+
+
+SQL_DEDUP_SIMHASH = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h, tf FROM tf
+),
+bits AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END AS signed
+  FROM th, generate_series(0, 59) t(bit)
+),
+s AS (SELECT doc_id, bit, sum(signed) AS s FROM bits GROUP BY doc_id, bit),
+simhashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (15 * ci)) & 32767 AS cv
+  FROM simhashes, generate_series(0, 3) t(ci)
+)
+SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.dedup_embedding(table(spark, sf_dir, "embeddings"), 0.3)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+       round(list_dot_product(a.emb, b.emb)
+             / sqrt(list_dot_product(a.emb, a.emb))
+             / sqrt(list_dot_product(b.emb, b.emb)), 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / sqrt(list_dot_product(a.emb, a.emb))
+            / sqrt(list_dot_product(b.emb, b.emb)), 4) >= 0.3
+ORDER BY vec_id1, vec_id2
+"""
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_bruteforce(table(spark, sf_dir, "embeddings"), 20, 10)
+
+
+SQL_ANN_TOPK_BRUTEFORCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_dot_product(q.q_emb, e.emb)
+               / sqrt(list_dot_product(q.q_emb, q.q_emb))
+               / sqrt(list_dot_product(e.emb, e.emb)), 4) AS cos_sim
+  FROM e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.text_lang_id(table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in textqc.LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{markers}], t))) AS INTEGER)"
+        f" AS s_{lang}"
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('de')},
+         {_lang_score_sql('en')},
+         {_lang_score_sql('es')},
+         {_lang_score_sql('fr')},
+         {_lang_score_sql('zh')}
+  FROM t
+),
+g AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_de = best THEN 'de'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS lang_guess,
+       best AS marker_hits
+FROM g
+ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.text_quality(table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS alpha_chars
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+       round(n_distinct_tokens / greatest(n_tokens, 1), 4) AS diversity,
+       round(alpha_chars / greatest(n_chars, 1), 4) AS alpha_ratio,
+       round(0.4 * least(n_chars / 500.0, 1.0)
+             + 0.3 * (n_distinct_tokens / greatest(n_tokens, 1))
+             + 0.3 * (alpha_chars / greatest(n_chars, 1)), 4) AS quality_score
+FROM f
+ORDER BY doc_id
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.text_token_count(table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{textqc.BPE_TOKEN_RE}')) AS INTEGER) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.text_fingerprint(table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), ' +', ' ', 'g') AS norm,
+         list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                        tok -> ('0x' || substring(md5(tok), 1, 15))::BIGINT
+                               % {MERSENNE_31}) AS ths
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substring(md5(norm), 1, 15))::BIGINT AS content_fp,
+       list_reduce(list_prepend(0::BIGINT, ths),
+                   (acc, h) -> (acc * 131 + h) % {MERSENNE_31}) AS rolling_fp
+FROM t
+ORDER BY doc_id
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+PIPELINE_ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+}

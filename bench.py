@@ -32,6 +32,13 @@ BENCH_QUERIES = [
     "tpch_q5",
     "events_sessionize",
     "events_topk_users",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "text_fingerprint",
 ]
 
 
