@@ -20,10 +20,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, permutation_params
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in declared array order (matches SQL list_dot_product)."""
+    """Σ aᵢ·bᵢ in declared array order (matches SQL list_dot_product).
+
+    NOTE: array higher-order functions are interpreted (no codegen) —
+    fine for one-off per-row norms, but pair-join hot loops should use
+    the wide-column form below instead.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,10 +41,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
 
 
+def widen(df: DataFrame, dim: int, keep: list[str]) -> DataFrame:
+    """Explode an embedding array into ``dim`` scalar double columns
+    e0..e{dim-1} plus the row norm.
+
+    Scalar columns keep the dot-product arithmetic inside whole-stage
+    codegen (array lambda functions are interpreted in Spark), which is
+    ~10× on the quadratic pair stage. The left-assoc sum below matches
+    the sequential order of a SQL ``list_dot_product``.
+    """
+    cols = [F.col(c) for c in keep] + [
+        F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)
+    ]
+    out = df.select(*cols)
+    norm = None
+    for i in range(dim):
+        term = F.col(f"e{i}") * F.col(f"e{i}")
+        norm = term if norm is None else norm + term
+    return out.withColumn("norm", F.sqrt(norm))
+
+
+def wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
+    """Left-assoc Σ a.eᵢ·b.eᵢ over widened columns (codegen-friendly)."""
+    acc = None
+    for i in range(dim):
+        term = F.col(f"{prefix_a}.e{i}") * F.col(f"{prefix_b}.e{i}")
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def dedup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.3,
     block_col: str = "label",
+    dim: int = 64,
 ) -> DataFrame:
     """Near-dup vector pairs: cosine ≥ τ within blocking-key groups.
 
@@ -46,21 +82,50 @@ def dedup_embedding(
     the self-join keyed — the 100 TB alternative to an all-pairs cross
     join. Pairs are emitted once (vec_id1 < vec_id2).
     """
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    # Widen to scalar columns (codegen) and hoist per-row norms before
+    # the join: the pair expression is one fused 64-term multiply-add +
+    # two divisions — ~10× over array-lambda dots, identical arithmetic.
+    #
+    # SALTING: a blocking key like ``label`` has few distinct values, so
+    # a plain equi-join caps parallelism at |labels| tasks at ANY scale
+    # (and AQE coalesces the tiny shuffle to one). Salt the left side by
+    # vec_id and replicate the right side across the salt domain — the
+    # pair work then spreads over |labels|·S partitions with each pair
+    # produced exactly once.
+    # Explicit repartition(n, keys) on both inputs: AQE honors a
+    # user-specified partition count (it would otherwise coalesce this
+    # small shuffle to one partition, blind to the join's quadratic
+    # output expansion), and the join reuses the partitioning with no
+    # extra exchange.
+    salts = 8
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    wide = widen(embeddings, dim, ["vec_id", block_col])
+    a = (
+        wide.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(salts)))
+        .repartition(n_part, block_col, "salt")
+        .alias("a")
+    )
+    b = (
+        wide.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .repartition(n_part, block_col, "salt")
+        .alias("b")
+    )
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id1"),
             F.col("b.vec_id").alias("vec_id2"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+            F.round(
+                wide_dot("a", "b", dim) / F.col("a.norm") / F.col("b.norm"), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .orderBy("vec_id1", "vec_id2")
+        .transform(lambda d: small_sort(d, "vec_id1", "vec_id2"))
     )
 
 
@@ -68,6 +133,7 @@ def ann_topk_bruteforce(
     embeddings: DataFrame,
     n_queries: int = 20,
     k: int = 10,
+    dim: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k: the first ``n_queries`` vec_ids against the
     whole corpus.
@@ -76,22 +142,24 @@ def ann_topk_bruteforce(
     + BroadcastNestedLoopJoin + per-query top-k window — no corpus
     shuffle. This is the correctness baseline for any ANN variant.
     """
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
+    wide = widen(embeddings, dim, ["vec_id"])
+    queries = wide.filter(F.col("vec_id") < n_queries)
     scored = (
-        embeddings.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        wide.alias("c")
+        .join(F.broadcast(queries.alias("q")), F.col("c.vec_id") != F.col("q.vec_id"))
         .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("n_id"),
+            F.round(
+                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
+        .transform(lambda d: small_sort(d, "q_id", "rank"))
     )
 
 
@@ -137,11 +205,14 @@ def ann_topk_lsh(
     ``bucket`` instead of crossing with every query. Recall is tunable
     via n_planes (fewer planes → bigger buckets → higher recall).
     """
-    bucketed = ann_lsh_buckets(embeddings, n_planes)
+    bucketed = ann_lsh_buckets(embeddings, n_planes).withColumn(
+        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
     )
     scored = bucketed.join(
         F.broadcast(queries),
@@ -149,11 +220,13 @@ def ann_topk_lsh(
     ).select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding")) / F.col("q_norm") / F.col("norm"), 4
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
+        .transform(lambda d: small_sort(d, "q_id", "rank"))
     )

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, md5_long
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 
 # Marker stopwords per language for the n-gram/stopword heuristic.
 # Deterministic tie-break: higher score wins, then alphabetical lang code.
@@ -67,7 +68,7 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
         "lang",
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
         best["score"].alias("marker_hits"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
 
 
 def text_quality(documents: DataFrame) -> DataFrame:
@@ -96,7 +97,7 @@ def text_quality(documents: DataFrame) -> DataFrame:
         F.round(diversity, 4).alias("diversity"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         score.alias("quality_score"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
 
 
 def text_token_count(documents: DataFrame) -> DataFrame:
@@ -107,7 +108,7 @@ def text_token_count(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.size(toks).alias("ws_tokens"),
         F.size(bpe).alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
 
 
 def text_fingerprint(documents: DataFrame) -> DataFrame:
@@ -132,4 +133,4 @@ def text_fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         md5_long(norm).alias("content_fp"),
         rolling.alias("rolling_fp"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))

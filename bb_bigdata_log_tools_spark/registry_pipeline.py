@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, permutation_params
 from bb_bigdata_log_tools_spark.operators import dedup, similarity, textqc
-from bb_bigdata_log_tools_spark.session import table
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
 
 # Shared SQL fragments -----------------------------------------------------
 
@@ -65,7 +65,7 @@ ORDER BY keep_doc_id
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_ngram_jaccard(table(spark, sf_dir, "documents"), 3, 0.6)
+    return dedup.dedup_ngram_jaccard(ensure_parallelism(table(spark, sf_dir, "documents")), 3, 0.6)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"WITH {SQL_SHINGLES}, " + SQL_JACCARD_TAIL.format(
@@ -81,7 +81,7 @@ def _perm_values(num_perm: int = 64) -> str:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_minhash_lsh(table(spark, sf_dir, "documents"), 3, 64, 16, 0.6)
+    return dedup.dedup_minhash_lsh(ensure_parallelism(table(spark, sf_dir, "documents")), 3, 64, 16, 0.6)
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
@@ -124,7 +124,7 @@ ORDER BY doc_id1, doc_id2
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_simhash(table(spark, sf_dir, "documents"), 3)
+    return dedup.dedup_simhash(ensure_parallelism(table(spark, sf_dir, "documents")), 3)
 
 
 SQL_DEDUP_SIMHASH = """
@@ -162,7 +162,7 @@ ORDER BY doc_id1, doc_id2
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.dedup_embedding(table(spark, sf_dir, "embeddings"), 0.3)
+    return similarity.dedup_embedding(ensure_parallelism(table(spark, sf_dir, "embeddings")), 0.3)
 
 
 SQL_DEDUP_EMBEDDING = """
@@ -180,7 +180,7 @@ ORDER BY vec_id1, vec_id2
 
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ann_topk_bruteforce(table(spark, sf_dir, "embeddings"), 20, 10)
+    return similarity.ann_topk_bruteforce(ensure_parallelism(table(spark, sf_dir, "embeddings")), 20, 10)
 
 
 SQL_ANN_TOPK_BRUTEFORCE = """
@@ -205,7 +205,7 @@ ORDER BY q_id, rank
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textqc.text_lang_id(table(spark, sf_dir, "documents"))
+    return textqc.text_lang_id(ensure_parallelism(table(spark, sf_dir, "documents")))
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -248,7 +248,7 @@ ORDER BY doc_id
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textqc.text_quality(table(spark, sf_dir, "documents"))
+    return textqc.text_quality(ensure_parallelism(table(spark, sf_dir, "documents")))
 
 
 SQL_TEXT_QUALITY = """
@@ -277,7 +277,7 @@ ORDER BY doc_id
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textqc.text_token_count(table(spark, sf_dir, "documents"))
+    return textqc.text_token_count(ensure_parallelism(table(spark, sf_dir, "documents")))
 
 
 SQL_TEXT_TOKEN_COUNT = f"""
@@ -290,7 +290,7 @@ ORDER BY doc_id
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textqc.text_fingerprint(table(spark, sf_dir, "documents"))
+    return textqc.text_fingerprint(ensure_parallelism(table(spark, sf_dir, "documents")))
 
 
 SQL_TEXT_FINGERPRINT = f"""

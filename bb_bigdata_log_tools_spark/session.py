@@ -66,6 +66,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition compute-heavy inputs that arrive under-partitioned.
+
+    A small parquet file scans as one partition, serializing every
+    downstream expression on one core. At real scale inputs already have
+    enough splits, so this is a no-op there (guarded, not unconditional —
+    an unconditional repartition would add a full shuffle at 100 TB).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table, normalizing timestamp precision.
 
