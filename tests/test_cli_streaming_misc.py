@@ -1,0 +1,178 @@
+"""CLI end-to-end (against the reference's own test tree + goldens),
+streaming operators, multimodal plumbing, and hfind."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+REF = "/root/reference/testcases/logsearch"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def golden(name: str) -> list[str]:
+    with open(f"{REF}/reference-files/{name}", encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+@pytest.fixture(scope="module")
+def service_root(tmp_path_factory):
+    """Reference layout: <root>/<dc>/<svc>/<type>/<date>/<hour>/<comp>/data."""
+    root = tmp_path_factory.mktemp("service")
+    src = f"{REF}/logsearch-testservice/logs"
+    dst = root / "99" / "logsearch-testservice" / "logs"
+    shutil.copytree(src, dst)
+    return str(root)
+
+
+def run_tool(tool: str, *args: str) -> str:
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bb_bigdata_log_tools_spark/cli.py"), tool, *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+BASE_ARGS = [
+    "-dc=99",
+    "-svc=logsearch-testservice",
+    "-comp=logsearch-test",
+    "-start=Feb 28, 2012 10:00",
+    "-end=Feb 28, 2012 11:00",
+]
+
+
+def test_cli_logcat_matches_reference_golden(service_root):
+    out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}")
+    assert out.splitlines() == golden("logcat-reference.txt")
+
+
+def test_cli_logsearch_case_insensitive(service_root):
+    out = run_tool(
+        "logsearch", "-string=ЧЕЛовЕК", "--i", *BASE_ARGS, f"-root={service_root}"
+    )
+    lines = out.splitlines()
+    assert len(lines) == 2 and all("человек" in line.lower() for line in lines)
+
+
+def test_cli_missing_args_usage_error(service_root):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bb_bigdata_log_tools_spark/cli.py"), "logsearch", "-dc=99"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert res.returncode == 1
+    assert "NOT ENOUGH ARGUMENTS" in res.stderr
+
+
+def test_stream_grep_and_hourly_stats(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.streaming import stream_grep, stream_hourly_stats
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "2024-01-01T00:10:00 error disk full\n"
+        "2024-01-01T00:20:00 info ok\n"
+        "2024-01-01T01:05:00 error net down\n"
+    )
+    lines = (
+        spark.readStream.format("text")
+        .option("path", str(src))
+        .load()
+        .withColumn("message", F.col("value"))
+        .withColumn(
+            "event_time", F.to_timestamp(F.substring("value", 1, 19))
+        )
+        .withColumn("component", F.split("value", " ").getItem(1))
+    )
+
+    q1 = (
+        stream_grep(lines, "^.*error", case_insensitive=True)
+        .writeStream.format("memory")
+        .queryName("grepped")
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    grepped = spark.sql("SELECT * FROM grepped").collect()
+    q1.stop()
+    assert len(grepped) == 2
+
+    q2 = (
+        stream_hourly_stats(lines, watermark="10 minutes", key_col="component")
+        .writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .start()
+    )
+    q2.processAllAvailable()
+    hourly = {
+        (r["window_start"].hour, r["component"]): r["line_count"]
+        for r in spark.sql("SELECT * FROM hourly").collect()
+    }
+    q2.stop()
+    assert hourly[(0, "error")] == 1
+    assert hourly[(0, "info")] == 1
+    assert hourly[(1, "error")] == 1
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+        media_metadata,
+    )
+    from bb_bigdata_log_tools_spark.session import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    media = attach_media(docs)
+    meta = media_metadata(media).collect()
+    assert len(meta) == 50
+    assert all(r["n_bytes"] > 0 and len(r["content_md5"]) == 32 for r in meta)
+    assert {r["media_type"] for r in meta} == {"image", "audio", "video"}
+
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r["doc_id"]: r for r in feats}
+    # deterministic stub: re-run must produce identical features
+    feats2 = extract_features(media).collect()
+    assert {r["doc_id"]: tuple(r) for r in feats2} == {
+        r["doc_id"]: tuple(r) for r in feats
+    }
+    for r in feats:
+        if r["media_type"] == "image":
+            assert r["width"] >= 64 and r["n_frames"] == 1
+        elif r["media_type"] == "audio":
+            assert r["width"] == 0 and r["n_frames"] >= 1
+
+
+def test_hfind(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.sources.hfind import hfind
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.log").write_text("x" * 100)
+    (tmp_path / "b.txt").write_text("y" * 10)
+    (tmp_path / "sub" / "c.log").write_text("z" * 1000)
+
+    logs = hfind(spark, str(tmp_path), name_glob="*.log", file_type="f").collect()
+    assert sorted(r["name"] for r in logs) == ["a.log", "c.log"]
+    big = hfind(spark, str(tmp_path), min_size=500, file_type="f").collect()
+    assert [r["name"] for r in big] == ["c.log"]
+    dirs = hfind(spark, str(tmp_path), file_type="d").collect()
+    assert [r["name"] for r in dirs] == ["sub"]
+    shallow = hfind(spark, str(tmp_path), max_depth=1, file_type="f").collect()
+    assert sorted(r["name"] for r in shallow) == ["a.log", "b.txt"]
