@@ -194,11 +194,12 @@ def dedup_minhash_lsh(
     negligible while the verification join removes false positives.
     """
     # The shingle-hash relation feeds both the signature path and the
-    # verification join; persist it so the (interpreted higher-order)
-    # shingle construction runs once. At 100 TB-corpus scale prefer
-    # recompute or a checkpointed table over executor memory — here the
-    # relation is |docs|·|shingles| rows of (long, long), tiny.
-    sh = doc_shingle_hashes(documents, n).persist()
+    # verification join. It is recomputed per branch (a scan + map-side
+    # work): at 100 TB recompute is the right default — caching a
+    # corpus-sized relation in executor memory is not — and within one
+    # session repeated ad-hoc calls would otherwise accumulate
+    # never-released cache blocks.
+    sh = doc_shingle_hashes(documents, n)
     bands_df = minhash_bands_from_hashes(sh, num_perm, bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")

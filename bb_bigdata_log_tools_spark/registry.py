@@ -311,6 +311,10 @@ from bb_bigdata_log_tools_spark.registry_boom import (  # noqa: E402
     BOOM_ORACLES,
     BOOM_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_misc import (  # noqa: E402
+    MISC_ORACLES,
+    MISC_QUERIES,
+)
 from bb_bigdata_log_tools_spark.registry_pipeline import (  # noqa: E402
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
@@ -332,6 +336,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_topk_users": q_events_topk_users,
     **PIPELINE_QUERIES,
     **BOOM_QUERIES,
+    **MISC_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -350,4 +355,5 @@ ORACLES: dict[str, str] = {
     "events_topk_users": SQL_EVENTS_TOPK_USERS,
     **PIPELINE_ORACLES,
     **BOOM_ORACLES,
+    **MISC_ORACLES,
 }

@@ -1,0 +1,204 @@
+"""Registry part 4: query_index, multimodal metadata, LSH-bucketed ANN,
+hfind, gzip text read, text→boom round-trip (SURVEY.md §2 rows 9, 10,
+16, 17, 29, 34).
+
+hfind and the boom round-trip are filesystem operators → weak (rows-
+only) oracle by nature; the rest are fully oracle-gated.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import permutation_params
+from bb_bigdata_log_tools_spark.operators import index, similarity
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
+from bb_bigdata_log_tools_spark.sources.logs import EVENTS_AS_LOGS_SQL, events_as_logs
+
+_LOGS_CTE = f"WITH logs AS ({EVENTS_AS_LOGS_SQL})"
+
+# active-at probe instant: 2024-01-15T00:00Z
+ACTIVE_AT_MS = 1705276800000
+
+
+def q_log_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(table(spark, sf_dir, "events")).withColumn(
+        "component", F.split(F.col("message"), " ").getItem(0)
+    )
+    idx = index.log_index(logs, keys=["component"])
+    return index.query_index(idx, service_like="s", active_at_ms=ACTIVE_AT_MS)
+
+
+SQL_LOG_QUERY_INDEX = f"""{_LOGS_CTE},
+idx AS (
+  SELECT string_split(message, ' ')[1] AS component,
+         min(ts) AS start_ts,
+         max(ts) AS end_ts,
+         count(*) AS line_count,
+         CAST(sum(strlen(message)) AS BIGINT) AS total_bytes
+  FROM logs GROUP BY 1
+)
+SELECT * FROM idx
+WHERE contains(component, 's')
+  AND start_ts <= {ACTIVE_AT_MS} AND end_ts >= {ACTIVE_AT_MS}
+ORDER BY component
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        attach_media,
+        media_metadata,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return media_metadata(attach_media(docs)).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return similarity.ann_topk_lsh(emb, n_queries=20, k=10, n_planes=4)
+
+
+def _plane_sql(j: int, dim: int = 64) -> str:
+    params = permutation_params(4 * dim)
+    signs = [1.0 if params[j * dim + i][0] % 2 == 1 else -1.0 for i in range(dim)]
+    arr = "[" + ", ".join(str(s) for s in signs) + "]"
+    return f"CASE WHEN list_dot_product(emb, {arr}) > 0 THEN {1 << j} ELSE 0 END"
+
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+b AS (
+  SELECT vec_id, emb,
+         CAST({' + '.join(_plane_sql(j) for j in range(4))} AS BIGINT) AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, b.vec_id AS n_id,
+         round(list_dot_product(q.q_emb, b.emb)
+               / sqrt(list_dot_product(q.q_emb, q.q_emb))
+               / sqrt(list_dot_product(b.emb, b.emb)), 4) AS cos_sim
+  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
+def q_hfind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak oracle (filesystem op): .parquet files under sf_dir."""
+    from bb_bigdata_log_tools_spark.sources.hfind import hfind
+
+    return hfind(spark, sf_dir, name_glob="*.parquet", file_type="f").select(
+        "name", "size"
+    )
+
+
+REF_TEXT = "/root/reference/testcases/logsearch/logsearch-test-file.txt"
+
+
+def q_gzip_text_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a .gz text file (prepared deterministically from the
+    reference's fixed test corpus) through the text source."""
+    from bb_bigdata_log_tools_spark.sources.gziptext import read_gzip_text
+
+    gz_dir = os.path.join(tempfile.gettempdir(), "bb_gzip_read")
+    os.makedirs(gz_dir, exist_ok=True)
+    gz_path = os.path.join(gz_dir, "logsearch-test-file.txt.gz")
+    if not os.path.exists(gz_path):
+        with open(REF_TEXT, "rb") as f_in, gzip.open(gz_path, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+    return read_gzip_text(spark, gz_path).orderBy("line")
+
+
+def _gzip_oracle() -> str | None:
+    if not os.path.exists(REF_TEXT):
+        return None
+    with open(REF_TEXT, encoding="utf-8") as f:
+        lines = [line.rstrip("\n") for line in f]
+    vals = ",\n  ".join("('" + line.replace("'", "''") + "')" for line in lines)
+    return f"SELECT line FROM (VALUES\n  {vals}\n) AS t(line) ORDER BY line"
+
+
+def q_text_to_boom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: reference text corpus → .bm (distributed write) →
+    boom read. The oracle is the pinned parse of the fixed input."""
+    from bb_bigdata_log_tools_spark.sources.boom import read_boom, text_to_boom
+
+    out_dir = os.path.join(tempfile.gettempdir(), "bb_text_to_boom")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    text_to_boom(spark, REF_TEXT, out_dir)
+    return (
+        read_boom(spark, out_dir)
+        .select("ts", "message")
+        .orderBy("ts", "message")
+    )
+
+
+def _text_to_boom_oracle() -> str | None:
+    if not os.path.exists(REF_TEXT):
+        return None
+    # The parse the converter performs, expressed over the same pinned
+    # input: split at first space, RFC5424-parse the head, keep the tail.
+    with open(REF_TEXT, encoding="utf-8") as f:
+        lines = [line.rstrip("\n") for line in f if line.strip()]
+    vals = ",\n  ".join("('" + line.replace("'", "''") + "')" for line in lines)
+    return f"""
+WITH raw(value) AS (VALUES
+  {vals}
+)
+SELECT epoch_ms(CAST(string_split(value, ' ')[1] AS TIMESTAMP)) AS ts,
+       substring(value, strpos(value, ' ') + 1) AS message
+FROM raw
+WHERE TRY_CAST(string_split(value, ' ')[1] AS TIMESTAMP) IS NOT NULL
+ORDER BY ts, message
+"""
+
+
+MISC_QUERIES = {
+    "log_query_index": q_log_query_index,
+    "multimodal_meta": q_multimodal_meta,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "hfind": q_hfind,
+    "gzip_text_read": q_gzip_text_read,
+    "text_to_boom": q_text_to_boom,
+}
+
+MISC_ORACLES = {
+    k: v
+    for k, v in {
+        "log_query_index": SQL_LOG_QUERY_INDEX,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+        "gzip_text_read": _gzip_oracle(),
+        "text_to_boom": _text_to_boom_oracle(),
+    }.items()
+    if v is not None
+}

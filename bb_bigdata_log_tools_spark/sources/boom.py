@@ -297,3 +297,51 @@ def write_boom_local(
 
     with open(path, "wb") as f:
         f.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# text → boom conversion (convert2bm.pg / TextToBoomConverter parity)
+# ---------------------------------------------------------------------------
+
+
+def text_to_boom(
+    spark: SparkSession, text_path: str, out_dir: str, create_time: int = 0
+) -> int:
+    """Convert raw RFC5424-prefixed text logs into .bm files — the
+    ``pig/convert2bm.pg`` + ``pig/TextToBoomConverter.java`` pipeline.
+
+    Each line is split at the first space (Rfc5424TimestampParser.splitLine
+    semantics), the timestamp parsed to epoch ms, and the remainder kept
+    as the message. One .bm file is written per partition by executors
+    (``foreachPartition``) — distributed, driver never sees the data.
+    Returns the number of lines converted.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.functions.timestamps import parse_rfc5424
+
+    _os.makedirs(out_dir, exist_ok=True)
+    raw = spark.read.text(text_path)
+    parsed = raw.select(
+        parse_rfc5424(F.split_part(F.col("value"), F.lit(" "), F.lit(1))).alias("ts"),
+        F.expr("substring(value, instr(value, ' ') + 1)").alias("message"),
+    ).filter(F.col("ts").isNotNull())
+
+    def write_partition(idx_rows):
+        idx, rows = idx_rows
+        rows = list(rows)
+        if rows:
+            write_boom_local(
+                _os.path.join(out_dir, f"part-{idx:05d}.bm"),
+                [(r["ts"], r["message"], 0) for r in rows],
+                create_time=create_time,
+            )
+        return [len(rows)]
+
+    counts = (
+        parsed.rdd.mapPartitionsWithIndex(lambda i, it: write_partition((i, it)))
+        .collect()
+    )
+    return sum(counts)

@@ -1,0 +1,84 @@
+"""Physical-plan audits: the shapes that matter at 100 TB.
+
+- scan-only ops (cat/grep/search) must push filters to the parquet scan
+  and contain NO shuffle;
+- dimension joins must be broadcast, not shuffled;
+- aggregations must have a partial (map-side) phase.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.operators import analytics, logops
+from bb_bigdata_log_tools_spark.session import table
+from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cat_grep_search_no_shuffle(spark, sf_dir):
+    logs = events_as_logs(table(spark, sf_dir, "events"))
+    for df in [
+        logops.cat(logs, 0, 10**15),
+        logops.grep(logs, "err.*", 0, 10**15),
+        logops.search(logs, "x", 0, 10**15, case_insensitive=True),
+        logops.multisearch(logs, ["a", "b"], match_all=True),
+    ]:
+        plan = plan_of(df)
+        assert "Exchange" not in plan, f"scan-only op shuffled:\n{plan[:800]}"
+
+
+def test_time_filter_pushes_to_scan(spark, sf_dir):
+    """The ts window must reach the parquet relation (where, post
+    nanosAsLong, it lands on the raw ns column as a pushable filter on
+    the scan node)."""
+    ev = table(spark, sf_dir, "events")
+    df = ev.filter(F.col("event_id") > 100).select("event_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]" in plan or (
+        "GreaterThan(event_id" in plan
+    ), plan[:1200]
+    # column pruning: scan must not read every column
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "props" not in m.group(1), m.group(0) if m else plan[:400]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = analytics.tpch_q5(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:1500]
+
+
+def test_aggregations_have_partial_phase(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators.index import log_index
+
+    logs = events_as_logs(table(spark, sf_dir, "events")).withColumn(
+        "component", F.split(F.col("message"), " ").getItem(0)
+    )
+    plan = plan_of(log_index(logs, keys=["component"]))
+    # two HashAggregate nodes (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2, plan[:1200]
+
+
+def test_format_sort_single_shuffle(spark, sf_dir):
+    logs = events_as_logs(table(spark, sf_dir, "events"))
+    plan = plan_of(logops.format_and_sort(logops.cat(logs, 0, 10**15)))
+    # exactly one exchange: the range partitioning for the total order
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "rangepartitioning" in plan.lower(), plan[:1200]

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): timestamp round-trips, minhash
+Jaccard estimation, boom container round-trips."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bb_bigdata_log_tools_spark.sources.boom import (
+    flatten_log_blocks,
+    read_container,
+    write_boom_local,
+)
+
+# millis in [2000-01-01, 2035-01-01)
+TS_MS = st.integers(min_value=946684800000, max_value=2051222400000)
+
+MESSAGES = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TS_MS)
+def test_rfc5424_python_format_parse_roundtrip(ms):
+    """The formatter/parser pair must be inverse on the ms domain —
+    checked via the same strftime contract the Spark exprs implement."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+    s = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ms % 1000:03d}+00:00"
+    parsed = datetime.strptime(s[:23] + "+0000", "%Y-%m-%dT%H:%M:%S.%f%z")
+    back = int(parsed.timestamp()) * 1000 + parsed.microsecond // 1000
+    assert back == ms
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(TS_MS, MESSAGES, st.integers(min_value=0, max_value=2**31 - 1)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_boom_roundtrip_random_lines(tmp_path_factory_lines):
+    lines = tmp_path_factory_lines
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.bm")
+        write_boom_local(path, lines)
+        with open(path, "rb") as f:
+            back = [
+                (r[0], r[1], r[2])
+                for r in flatten_log_blocks(read_container(f.read()))
+            ]
+    assert sorted(back) == sorted(lines)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Minhash signature agreement rate ≈ true Jaccard (64 perms →
+    σ≈0.06; assert within 0.25)."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.dedup import (
+        doc_shingle_hashes,
+        minhash_signature_relational,
+        word_shingles,
+    )
+
+    base = ["w%d" % i for i in range(40)]
+    docs = []
+    # doc pairs with controlled overlap: doc 2k vs 2k+1 share `ov` words
+    for k, ov in enumerate([40, 30, 20, 10, 0]):
+        a = base
+        b = base[:ov] + ["x%d_%d" % (k, i) for i in range(40 - ov)]
+        docs.append((2 * k, " ".join(a)))
+        docs.append((2 * k + 1, " ".join(b)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = doc_shingle_hashes(df, 1)  # unigram shingles → exact expected J
+    sig = minhash_signature_relational(sh, 64).collect()
+    by_id = {r["doc_id"]: [r[f"m{i}"] for i in range(64)] for r in sig}
+    for k, ov in enumerate([40, 30, 20, 10, 0]):
+        a, b = by_id[2 * k], by_id[2 * k + 1]
+        est = sum(1 for x, y in zip(a, b) if x == y) / 64
+        true_j = ov / (80 - ov)
+        assert abs(est - true_j) < 0.25, (k, est, true_j)
+
+
+def test_simhash_hamming_monotone(spark):
+    """More-similar docs must not have larger simhash Hamming distance
+    than very-dissimilar ones (on controlled corpora)."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.dedup import simhash64
+
+    base = ["tok%d" % i for i in range(60)]
+    near = base[:55] + ["alt%d" % i for i in range(5)]
+    far = ["other%d" % i for i in range(60)]
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(near)), (2, " ".join(far))],
+        ["doc_id", "text"],
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    near_d = bin(h[0] ^ h[1]).count("1")
+    far_d = bin(h[0] ^ h[2]).count("1")
+    assert near_d < far_d, (near_d, far_d)
