@@ -152,3 +152,69 @@ def events_topk_users(events: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )
+
+
+def tpch_q6(lineitem: DataFrame) -> DataFrame:
+    """Forecasting revenue change: pure scan + filter + scalar agg —
+    the no-shuffle-but-final-agg baseline (predicates all push down)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def tpch_q10(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """Returned-item reporting: join facts, broadcast dims, top-k
+    customers by lost revenue."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def events_funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered funnel: per user, did signup → click → purchase happen in
+    that temporal order? Window min-timestamps per step, then ordering
+    predicates — one shuffle on user_id."""
+    steps = steps or ["signup", "click", "purchase"]
+    firsts = (
+        events.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .pivot("event_type", steps)
+        .agg(F.min("ts"))
+    )
+    cond_reached = [F.col(steps[0]).isNotNull()]
+    for prev, cur in zip(steps, steps[1:]):
+        cond_reached.append(F.col(cur).isNotNull() & (F.col(cur) > F.col(prev)))
+    out = firsts
+    reached = None
+    for i, c in enumerate(cond_reached):
+        reached = c if reached is None else (reached & c)
+        out = out.withColumn(f"reached_{steps[i]}", reached.cast("int"))
+    return out.select(
+        "user_id", *[f"reached_{s}" for s in steps]
+    ).orderBy("user_id")

@@ -311,6 +311,10 @@ from bb_bigdata_log_tools_spark.registry_boom import (  # noqa: E402
     BOOM_ORACLES,
     BOOM_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_analytics2 import (  # noqa: E402
+    ANALYTICS2_ORACLES,
+    ANALYTICS2_QUERIES,
+)
 from bb_bigdata_log_tools_spark.registry_misc import (  # noqa: E402
     MISC_ORACLES,
     MISC_QUERIES,
@@ -337,6 +341,7 @@ QUERIES: dict[str, QueryFn] = {
     **PIPELINE_QUERIES,
     **BOOM_QUERIES,
     **MISC_QUERIES,
+    **ANALYTICS2_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -356,4 +361,5 @@ ORACLES: dict[str, str] = {
     **PIPELINE_ORACLES,
     **BOOM_ORACLES,
     **MISC_ORACLES,
+    **ANALYTICS2_ORACLES,
 }

@@ -1,0 +1,98 @@
+"""Registry part 5: additional analytics (q6 scan-agg, q10 top-k join,
+ordered funnel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.operators import analytics
+from bb_bigdata_log_tools_spark.session import table
+
+
+def _round4(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 4))
+    return df
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round4(analytics.tpch_q6(table(spark, sf_dir, "lineitem")), ["revenue"])
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = analytics.tpch_q10(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+    )
+    return _round4(out, ["revenue"])
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_funnel(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS signup,
+         min(ts) FILTER (event_type = 'click') AS click,
+         min(ts) FILTER (event_type = 'purchase') AS purchase
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN signup IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS reached_signup,
+       CAST(CASE WHEN signup IS NOT NULL AND click IS NOT NULL
+                      AND click > signup THEN 1 ELSE 0 END AS INTEGER)
+         AS reached_click,
+       CAST(CASE WHEN signup IS NOT NULL AND click IS NOT NULL
+                      AND click > signup AND purchase IS NOT NULL
+                      AND purchase > click THEN 1 ELSE 0 END AS INTEGER)
+         AS reached_purchase
+FROM firsts
+ORDER BY user_id
+"""
+
+
+ANALYTICS2_QUERIES = {
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "events_funnel": q_events_funnel,
+}
+
+ANALYTICS2_ORACLES = {
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q10": SQL_TPCH_Q10,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+}

@@ -345,3 +345,22 @@ def text_to_boom(
         .collect()
     )
     return sum(counts)
+
+
+def compact_boom_dir(spark: SparkSession, in_dir: str, out_path: str) -> int:
+    """LogMaintenance-style compaction: merge a directory of hourly .bm
+    part files into one file, lines re-sorted by (ts, message).
+
+    The reference's LogMaintenance merges per-hour part files before
+    archiving (``admin/LogMaintenance.java``); here the read is
+    distributed and the final single-file write is a driver pass over
+    the (bounded, per-hour) collected lines. Returns the line count.
+    """
+    rows = (
+        read_boom(spark, in_dir)
+        .select("ts", "message", "event_id")
+        .sort("ts", "message")
+        .collect()
+    )
+    write_boom_local(out_path, [(r["ts"], r["message"], r["event_id"]) for r in rows])
+    return len(rows)

@@ -153,3 +153,13 @@ def test_boom_write_roundtrip(tmp_path):
     assert [(r[0], r[1], r[2]) for r in back] == sorted(
         (r[0], r[1], r[2]) for r in rows
     )
+
+
+def test_compact_boom_dir(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.sources.boom import compact_boom_dir
+
+    n = compact_boom_dir(spark, os.path.dirname(BM_FILE), str(tmp_path / "merged.bm"))
+    merged = read_boom_local(str(tmp_path / "merged.bm"))
+    orig = read_boom_local(BM_FILE)
+    assert n == len(orig)
+    assert [(r[0], r[1]) for r in merged] == sorted((r[0], r[1]) for r in orig)
