@@ -346,6 +346,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "log_cat": SQL_LOG_CAT,
+    "log_cat_by_time": SQL_LOG_CAT,
     "log_grep": SQL_LOG_GREP,
     "log_search": SQL_LOG_SEARCH,
     "log_multisearch_or": SQL_LOG_MULTISEARCH_OR,

@@ -182,7 +182,26 @@ ORDER BY ts, message
 """
 
 
+
+
+def q_log_cat_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cat over the partitioned parquet log store (built once per sf_dir
+    in /tmp): the time window prunes (date, hour) partitions — the
+    Catalyst-native replacement for CatByTime's path walking. Same
+    result contract as ``log_cat`` → same oracle."""
+    from bb_bigdata_log_tools_spark.registry import END_MS, START_MS
+    from bb_bigdata_log_tools_spark.sources.logs import cat_by_time, write_log_store
+
+    store = os.path.join(
+        tempfile.gettempdir(), f"bb_log_store_{abs(hash(sf_dir)) % 10**8}"
+    )
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_log_store(events_as_logs(table(spark, sf_dir, "events")), store)
+    return cat_by_time(spark, store, START_MS, END_MS)
+
+
 MISC_QUERIES = {
+    "log_cat_by_time": q_log_cat_by_time,
     "log_query_index": q_log_query_index,
     "multimodal_meta": q_multimodal_meta,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,

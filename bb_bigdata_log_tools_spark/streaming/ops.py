@@ -65,3 +65,85 @@ def stream_hourly_stats(
             "total_bytes",
         )
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session tracking with
+    an inactivity gap, via ``applyInPandasWithState``.
+
+    State per user: (session_start_ms, last_ts_ms, n_events). A batch's
+    events extend the open session or close it and open a new one;
+    closed sessions are emitted as rows (user_id, session_start,
+    session_end, n_events). The event-time watermark bounds state: users
+    idle past the watermark have their final session flushed on timeout.
+
+    This is the streaming analog of ``operators.analytics.
+    events_sessionize`` — state size is O(active users), independent of
+    throughput; the only shuffle keys on user_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = "start_ms LONG, last_ms LONG, n LONG"
+
+    def update(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                closed.append((user_id, start_ms, last_ms, n))
+                state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend(int(t.timestamp() * 1000) for t in pdf[ts_col])
+            ts_list.sort()
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms, last_ms, n = None, None, 0
+            for t in ts_list:
+                if start_ms is None:
+                    start_ms, last_ms, n = t, t, 1
+                elif t - last_ms > gap_ms:
+                    closed.append((user_id, start_ms, last_ms, n))
+                    start_ms, last_ms, n = t, t, 1
+                else:
+                    last_ms, n = t, n + 1
+            if start_ms is not None:
+                state.update((start_ms, last_ms, n))
+                state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "text_quality",
     "text_fingerprint",
+    "tpch_q6",
+    "tpch_q10",
+    "events_funnel",
+    "log_cat_by_time",
+    "ann_lsh_bucketed",
 ]
 
 

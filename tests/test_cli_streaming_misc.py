@@ -176,3 +176,44 @@ def test_hfind(spark, tmp_path):
     assert [r["name"] for r in dirs] == ["sub"]
     shallow = hfind(spark, str(tmp_path), max_depth=1, file_type="f").collect()
     assert sorted(r["name"] for r in shallow) == ["a.log", "b.txt"]
+
+
+def test_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions close when a later
+    event arrives past the gap (append-mode emission)."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    # user 7: two events 5 min apart (one session), then an event 2h
+    # later -> closes session 1; user 8: single event then one 3h later.
+    (src / "a.txt").write_text(
+        "2024-01-01T00:00:00 7\n"
+        "2024-01-01T00:05:00 7\n"
+        "2024-01-01T02:00:00 7\n"
+        "2024-01-01T00:10:00 8\n"
+        "2024-01-01T03:10:00 8\n"
+    )
+    lines = (
+        spark.readStream.format("text")
+        .option("path", str(src))
+        .load()
+        .withColumn("event_time", F.to_timestamp(F.substring("value", 1, 19)))
+        .withColumn("user_id", F.split("value", " ").getItem(1).cast("long"))
+    )
+    q = (
+        stream_sessionize(lines, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {
+        (r["user_id"], r["n_events"]) for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    q.stop()
+    # within one batch: user 7's first session (2 events) closed by the
+    # 02:00 event; user 8's first session (1 event) closed by 03:10.
+    assert (7, 2) in rows
+    assert (8, 1) in rows

@@ -82,3 +82,25 @@ def test_format_sort_single_shuffle(spark, sf_dir):
     # exactly one exchange: the range partitioning for the total order
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "rangepartitioning" in plan.lower(), plan[:1200]
+
+
+def test_log_store_partition_pruning(spark, sf_dir, tmp_path):
+    """The (date, hour) layout must turn a time window into directory
+    pruning: the scan's PartitionFilters carry the date predicate and
+    only matching partitions are read."""
+    from bb_bigdata_log_tools_spark.sources.logs import (
+        cat_by_time,
+        events_as_logs,
+        write_log_store,
+    )
+
+    store = str(tmp_path / "store")
+    write_log_store(events_as_logs(table(spark, sf_dir, "events")), store)
+    df = cat_by_time(spark, store, 1704412800000, 1704499200000)  # one day
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "date#" in plan, plan[:1200]
+    # correctness: rows equal the unpartitioned filter
+    base = events_as_logs(table(spark, sf_dir, "events")).filter(
+        (F.col("ts") >= 1704412800000) & (F.col("ts") < 1704499200000)
+    )
+    assert df.count() == base.count()
