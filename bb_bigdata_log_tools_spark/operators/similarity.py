@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, permutation_params
+from bb_bigdata_log_tools_spark.functions.hashing import permutation_params
 from bb_bigdata_log_tools_spark.operators.util import small_sort
 
 
