@@ -217,3 +217,30 @@ def test_stream_sessionize(spark, tmp_path):
     # 02:00 event; user 8's first session (1 event) closed by 03:10.
     assert (7, 2) in rows
     assert (8, 1) in rows
+
+
+def test_cli_out_dir_and_dateformat(service_root, tmp_path):
+    """--out writes results to a file instead of stdout; --dateFormat
+    switches the line timestamp rendering (RFC3164 zero-padded day)."""
+    out_dir = str(tmp_path / "results")
+    stdout = run_tool(
+        "logcat", *BASE_ARGS, f"-root={service_root}", f"--out={out_dir}",
+        "--dateFormat=RFC3164",
+    )
+    assert stdout.strip() == ""  # data went to the file
+    with open(os.path.join(out_dir, "part-00000"), encoding="utf-8") as f:
+        lines = [line.rstrip("\n") for line in f]
+    assert len(lines) == len(golden("logcat-reference.txt"))
+    assert lines[0].startswith("Feb 28 10:00:01 ")
+
+
+def test_cli_silent_suppresses_markers(service_root):
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bb_bigdata_log_tools_spark/cli.py"),
+         "logcat", *BASE_ARGS, f"-root={service_root}", "--silent"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert res.returncode == 0
+    assert "DATA MARKER" not in res.stderr
+    assert len(res.stdout.splitlines()) == len(golden("logcat-reference.txt"))
