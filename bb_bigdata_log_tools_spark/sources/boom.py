@@ -364,3 +364,56 @@ def compact_boom_dir(spark: SparkSession, in_dir: str, out_path: str) -> int:
     )
     write_boom_local(out_path, [(r["ts"], r["message"], r["event_id"]) for r in rows])
     return len(rows)
+
+
+def write_boom_tree(
+    logs: DataFrame,
+    root: str,
+    dc: str,
+    service: str,
+    log_type: str,
+    component: str,
+    create_time: int = 0,
+) -> int:
+    """Write canonical log lines into the reference's hourly .bm tree:
+    ``<root>/<dc>/<svc>/<type>/<yyyyMMdd>/<HH>/<comp>/data/part-*.bm``
+    — the ``PigBoomHourlyOutputFormat`` / ``BoomHourlyStoreFunc`` role
+    (``mapreduce/boom/PigBoomHourlyOutputFormat.java``).
+
+    Rows are repartitioned by (date, hour) so each executor partition
+    writes whole hourly files; ``root`` must be a filesystem all
+    executors share (local FS in local mode, NFS/fuse mount on a
+    cluster — for object stores prefer ``write_log_store``'s parquet
+    layout). Returns the number of lines written.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    with_dh = logs.select(
+        "ts",
+        "message",
+        F.coalesce(F.col("event_id"), F.lit(0)).alias("event_id"),
+        F.date_format(F.timestamp_millis(F.col("ts")), "yyyyMMdd").alias("date"),
+        F.date_format(F.timestamp_millis(F.col("ts")), "HH").alias("hour"),
+    ).repartition("date", "hour")
+
+    def write_part(idx, rows):
+        by_dh: dict = {}
+        for r in rows:
+            by_dh.setdefault((r["date"], r["hour"]), []).append(
+                (r["ts"], r["message"], r["event_id"])
+            )
+        n = 0
+        for (d, h), lines in by_dh.items():
+            dirp = _os.path.join(root, dc, service, log_type, d, h, component, "data")
+            _os.makedirs(dirp, exist_ok=True)
+            write_boom_local(
+                _os.path.join(dirp, f"part-{idx:05d}.00000.{d}-{h}.bm"),
+                lines,
+                create_time=create_time,
+            )
+            n += len(lines)
+        return [n]
+
+    return sum(with_dh.rdd.mapPartitionsWithIndex(write_part).collect())

@@ -244,3 +244,30 @@ def test_cli_silent_suppresses_markers(service_root):
     assert res.returncode == 0
     assert "DATA MARKER" not in res.stderr
     assert len(res.stdout.splitlines()) == len(golden("logcat-reference.txt"))
+
+
+def test_write_boom_tree_roundtrip_via_cli(spark, tmp_path):
+    """events → hourly .bm tree (BoomHourlyStoreFunc role) → read back
+    through the CLI's path resolution + boom reader."""
+    from bb_bigdata_log_tools_spark.cli import resolve_paths
+    from bb_bigdata_log_tools_spark.session import table
+    from bb_bigdata_log_tools_spark.sources.boom import read_boom, write_boom_tree
+    from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+
+    logs = events_as_logs(table(spark, "/root/testdata/sf0.001", "events"))
+    root = str(tmp_path / "service")
+    n = write_boom_tree(logs, root, "dc1", "svc1", "logs", "comp1")
+    assert n == logs.count()
+
+    start, end = 1704412800000, 1704499200000  # one day window
+    paths = resolve_paths(root, "dc1", "svc1", "comp1", start, end)
+    assert paths, "hourly dirs must resolve"
+    df = read_boom(spark, paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(read_boom(spark, p))
+    got = {(r["ts"], r["message"]) for r in df.collect()}
+    expect = {
+        (r["ts"], r["message"])
+        for r in logs.filter((logs.ts >= start) & (logs.ts < end)).collect()
+    }
+    assert got == expect
