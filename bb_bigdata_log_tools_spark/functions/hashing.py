@@ -67,6 +67,10 @@ def minhash_signature(
 
     ``sig[i] = min over shingles of (a_i * (h mod p) + b_i) mod p`` with
     p = 2^31-1; a_i*(h mod p) ≤ (2^31)^2 < 2^63, overflow-free.
+
+    NOTE: array higher-order functions evaluate interpreted (outside
+    codegen) — for corpus-scale signatures prefer the relational form,
+    ``operators.dedup.minhash_signature_relational`` (identical values).
     """
     sigs = []
     for a, b in permutation_params(num_perm, seed):
