@@ -323,3 +323,80 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) connected components over a near-dup pair
+    graph — the step that turns pairwise duplicates into "keep one per
+    cluster" decisions (transitive dup chains A~B~C collapse even when
+    A~C was never emitted).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min of its label and its neighbors'
+    labels until a fixpoint. Converges in O(diameter) rounds; each
+    round is one join + one aggregation keyed on node id, and
+    ``localCheckpoint`` truncates the growing lineage — the standard
+    Spark shape for iterative graph algorithms (no driver-side
+    adjacency, works at any pair count).
+    """
+    edges = pairs.select("doc_id1", "doc_id2")
+    bidir = edges.unionByName(
+        edges.select(
+            F.col("doc_id2").alias("doc_id1"), F.col("doc_id1").alias("doc_id2")
+        )
+    )
+    labels = (
+        bidir.select(F.col("doc_id1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir.doc_id2 == labels.node)
+            .groupBy("doc_id1")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.doc_id1, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
+
+
+def dedup_cluster(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup clusters: minhash-LSH pairs → connected components.
+
+    Output (doc_id, cluster_id) for every document that participates in
+    at least one near-dup pair; cluster_id is the smallest doc_id in the
+    component (the canonical keeper).
+    """
+    return connected_components(
+        dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    )

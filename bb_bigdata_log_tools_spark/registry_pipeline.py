@@ -84,8 +84,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(ensure_parallelism(table(spark, sf_dir, "documents")), 3, 64, 16, 0.6)
 
 
-SQL_DEDUP_MINHASH_LSH = f"""
-WITH {SQL_SHINGLES},
+# CTE chain ending in `pairs(doc_id1, doc_id2, jaccard)` — shared by the
+# minhash oracle and the recursive-closure clustering oracle.
+SQL_MINHASH_PAIRS_CTES = f"""{SQL_SHINGLES},
 perms(pid, a, b) AS (VALUES
     {_perm_values(64)}
 ),
@@ -112,13 +113,19 @@ common AS (
   JOIN sh x ON x.doc_id = c.doc_id1
   JOIN sh y ON y.doc_id = c.doc_id2 AND y.h = x.h
   GROUP BY 1, 2
-)
-SELECT doc_id1, doc_id2,
-       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON doc_id1 = sa.doc_id
-JOIN sizes sb ON doc_id2 = sb.doc_id
-WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.6
+),
+pairs AS (
+  SELECT doc_id1, doc_id2,
+         round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_id1 = sa.doc_id
+  JOIN sizes sb ON doc_id2 = sb.doc_id
+  WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.6
+)"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_MINHASH_PAIRS_CTES}
+SELECT doc_id1, doc_id2, jaccard FROM pairs
 ORDER BY doc_id1, doc_id2
 """
 
@@ -336,3 +343,33 @@ PIPELINE_ORACLES = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
 }
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_cluster(
+        ensure_parallelism(table(spark, sf_dir, "documents")), 3, 64, 16, 0.6
+    )
+
+
+# Recursive transitive closure over the same pair graph: cluster_id is
+# the minimum doc_id reachable from each node (matching min-label
+# propagation's fixpoint).
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+  UNION
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+ORDER BY doc_id
+"""
+
+PIPELINE_QUERIES["dedup_cluster"] = q_dedup_cluster
+PIPELINE_ORACLES["dedup_cluster"] = SQL_DEDUP_CLUSTER

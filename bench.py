@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "log_cat_by_time",
     "ann_lsh_bucketed",
+    "dedup_cluster",
 ]
 
 

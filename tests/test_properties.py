@@ -109,3 +109,16 @@ def test_simhash_hamming_monotone(spark):
     near_d = bin(h[0] ^ h[1]).count("1")
     far_d = bin(h[0] ^ h[2]).count("1")
     assert near_d < far_d, (near_d, far_d)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E must yield clusters {A,B,C}->A and {D,E}->D even
+    though A~C was never an emitted pair."""
+    from bb_bigdata_log_tools_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22), (22, 23)],
+        "doc_id1 long, doc_id2 long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
