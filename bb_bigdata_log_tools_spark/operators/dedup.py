@@ -342,7 +342,11 @@ def connected_components(
     Spark shape for iterative graph algorithms (no driver-side
     adjacency, works at any pair count).
     """
-    edges = pairs.select("doc_id1", "doc_id2")
+    # Materialize the pair graph ONCE: every propagation round joins
+    # against it, and without this the (expensive) upstream pair
+    # pipeline — e.g. the full minhash-LSH plan — would re-execute per
+    # iteration.
+    edges = pairs.select("doc_id1", "doc_id2").localCheckpoint()
     bidir = edges.unionByName(
         edges.select(
             F.col("doc_id2").alias("doc_id1"), F.col("doc_id1").alias("doc_id2")

@@ -192,9 +192,10 @@ def q_log_cat_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_bigdata_log_tools_spark.registry import END_MS, START_MS
     from bb_bigdata_log_tools_spark.sources.logs import cat_by_time, write_log_store
 
-    store = os.path.join(
-        tempfile.gettempdir(), f"bb_log_store_{abs(hash(sf_dir)) % 10**8}"
-    )
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across processes
+    store = os.path.join(tempfile.gettempdir(), f"bb_log_store_{key}")
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_log_store(events_as_logs(table(spark, sf_dir, "events")), store)
     return cat_by_time(spark, store, START_MS, END_MS)

@@ -61,6 +61,10 @@ def write_log_store(logs: DataFrame, path: str, mode: str = "overwrite") -> None
     (
         logs.withColumn("date", F.date_format(F.timestamp_millis(F.col("ts")), "yyyyMMdd"))
         .withColumn("hour", F.date_format(F.timestamp_millis(F.col("ts")), "HH"))
+        # repartition on the partition keys first: otherwise every write
+        # task emits a sliver file into every (date, hour) directory —
+        # tasks × partitions small files instead of one file per dir
+        .repartition("date", "hour")
         .write.partitionBy("date", "hour")
         .mode(mode)
         .parquet(path)
