@@ -218,3 +218,77 @@ def events_funnel(events: DataFrame, steps: list[str] | None = None) -> DataFram
     return out.select(
         "user_id", *[f"reached_{s}" for s in steps]
     ).orderBy("user_id")
+
+
+def tpch_q18(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 20,
+) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): HAVING-filtered semi-join.
+
+    The inner aggregate (orders whose total quantity exceeds the
+    threshold) broadcast-semi-joins back against the facts — Catalyst
+    plans the classic two-phase aggregation without a correlated
+    subquery rewrite by hand.
+    """
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        lineitem.join(F.broadcast(big_orders.select("l_orderkey")), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(k)
+    )
+
+
+def events_moving_avg(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Per-user trailing moving average of `value` over a TIME-RANGE
+    window frame (RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW on
+    the epoch-ms ordering) — the frame follows event time, not row
+    count, so sparse and dense activity periods are treated alike."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-window_minutes * 60 * 1000, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+            F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("user_id", "ts_ms", "event_id")
+    )
+
+
+def text_ngram_counts(documents: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode n-grams → count → rank.
+
+    The canonical corpus statistic; partial aggregation makes the
+    shuffle carry (ngram, partial count) pairs only.
+    """
+    words = F.split(F.col("text"), " ")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(words, i, n))
+    )
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )

@@ -96,3 +96,76 @@ ANALYTICS2_ORACLES = {
     "tpch_q10": SQL_TPCH_Q10,
     "events_funnel": SQL_EVENTS_FUNNEL,
 }
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q18(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0
+  )
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_moving_avg(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+       round(avg(value) OVER w, 4) AS moving_avg,
+       count(*) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_ms, event_id
+"""
+
+
+def q_text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.text_ngram_counts(table(spark, sf_dir, "documents"), 2, 50)
+
+
+SQL_TEXT_NGRAM_COUNTS = """
+WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS ngram
+  FROM words
+)
+SELECT ngram, count(*) AS n_occurrences
+FROM grams WHERE ngram <> ''
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+"""
+
+ANALYTICS2_QUERIES.update(
+    {
+        "tpch_q18": q_tpch_q18,
+        "events_moving_avg": q_events_moving_avg,
+        "text_ngram_counts": q_text_ngram_counts,
+    }
+)
+ANALYTICS2_ORACLES.update(
+    {
+        "tpch_q18": SQL_TPCH_Q18,
+        "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+        "text_ngram_counts": SQL_TEXT_NGRAM_COUNTS,
+    }
+)
