@@ -230,3 +230,4 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .transform(lambda d: small_sort(d, "q_id", "rank"))
     )
+

@@ -222,3 +222,4 @@ MISC_ORACLES = {
     }.items()
     if v is not None
 }
+

@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "log_cat_by_time",
     "ann_lsh_bucketed",
     "dedup_cluster",
+    "tpch_q18",
+    "events_moving_avg",
+    "text_ngram_counts",
 ]
 
 
