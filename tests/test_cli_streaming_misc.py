@@ -271,3 +271,33 @@ def test_write_boom_tree_roundtrip_via_cli(spark, tmp_path):
         for r in logs.filter((logs.ts >= start) & (logs.ts < end)).collect()
     }
     assert got == expect
+
+
+def test_cli_logmultisearch_with_reference_files(service_root):
+    """logmultisearch end-to-end with the reference's own strings files
+    (OR and AND + --i), matching the golden concatenation."""
+    out = run_tool(
+        "logmultisearch",
+        f"-strings={REF}/logmultisearch-strings-OR.txt",
+        *BASE_ARGS,
+        f"-root={service_root}",
+    )
+    out += run_tool(
+        "logmultisearch", "--i",
+        f"-strings={REF}/logmultisearch-strings-OR.txt",
+        *BASE_ARGS,
+        f"-root={service_root}",
+    )
+    out += run_tool(
+        "logmultisearch", "--a",
+        f"-strings={REF}/logmultisearch-strings-AND.txt",
+        *BASE_ARGS,
+        f"-root={service_root}",
+    )
+    out += run_tool(
+        "logmultisearch", "--a", "--i",
+        f"-strings={REF}/logmultisearch-strings-AND.txt",
+        *BASE_ARGS,
+        f"-root={service_root}",
+    )
+    assert out.splitlines() == golden("logmultisearch-reference.txt")
