@@ -113,11 +113,12 @@ ORDER BY q_id, rank
 
 
 def q_hfind(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weak oracle (filesystem op): .parquet files under sf_dir."""
+    """Weak oracle by design (filesystem op): a pinned-path DuckDB
+    read_blob oracle would match only at one SF — rows-only is honest."""
     from bb_bigdata_log_tools_spark.sources.hfind import hfind
 
     return hfind(spark, sf_dir, name_glob="*.parquet", file_type="f").select(
-        "name", "size"
+        "name", F.col("size").cast("long").alias("size")
     )
 
 
