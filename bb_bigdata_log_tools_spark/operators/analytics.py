@@ -5,8 +5,13 @@ These prove the engine is a full query engine (joins, aggregation,
 window functions), not just a scan-filter tool — the capability the
 reference delegates to Pig. Join strategy notes:
 
-- dimension tables (region/nation/supplier/part at any SF) are broadcast
-  explicitly — no shuffle of the fact table for those joins;
+- FIXED-cardinality dimensions (region=5, nation=25, supplier — sub-MB
+  at any SF) are broadcast explicitly — no shuffle of the fact table for
+  those joins;
+- SF-SCALING relations (customer, anything derived from lineitem) are
+  never force-broadcast: Catalyst size stats / AQE pick broadcast while
+  they fit `autoBroadcastJoinThreshold` and degrade gracefully to a
+  shuffle join at 100x scale instead of OOMing executors;
 - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
   AQE coalesces post-shuffle partitions;
 - top-k uses window rank bounded per partition (map-side partial sort).
@@ -48,8 +53,10 @@ def tpch_q3(
 ) -> DataFrame:
     """Shipping priority: 3-way join + agg + top-10.
 
-    customer is small relative to the facts → broadcast; orders⋈lineitem
-    is the one real shuffle.
+    customer SCALES with SF (~150k rows x SF) so it is NOT force-broadcast:
+    Catalyst/AQE picks broadcast while it fits `autoBroadcastJoinThreshold`
+    and falls back to a shuffle join at large SF. orders⋈lineitem is the
+    one guaranteed shuffle.
     """
     cut = F.lit(cutoff).cast("timestamp")
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -57,7 +64,7 @@ def tpch_q3(
     li = lineitem.filter(F.col("l_shipdate") > cut)
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -76,12 +83,14 @@ def tpch_q5(
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
 ) -> DataFrame:
-    """Local supplier volume: 6-way join, dims broadcast, agg by nation.
+    """Local supplier volume: 6-way join, fixed dims broadcast, agg by nation.
 
-    Note the reference-free join order: facts joined once on their keys;
-    every dimension is broadcast (sub-MB at any realistic SF for
-    region/nation/supplier) so the physical plan is a single shuffle for
-    orders⋈lineitem plus broadcast hash joins.
+    Join-strategy policy for 100 TB: only FIXED-cardinality dimensions
+    (region=5, nation=25, supplier ~10k rows — all sub-MB at any SF) are
+    force-broadcast. customer grows with scale factor (~15M rows at SF100),
+    so its join is left to Catalyst/AQE: broadcast while under the size
+    threshold, shuffle-hash/sort-merge beyond it — a forced broadcast there
+    would OOM executors at 100x.
     """
     ords = orders.filter(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
@@ -90,7 +99,7 @@ def tpch_q5(
     reg = region.filter(F.col("r_name") == region_name)
     return (
         lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -178,8 +187,12 @@ def tpch_q10(
     date_to: str = "1996-04-01",
     k: int = 20,
 ) -> DataFrame:
-    """Returned-item reporting: join facts, broadcast dims, top-k
-    customers by lost revenue."""
+    """Returned-item reporting: join facts, broadcast fixed dims, top-k
+    customers by lost revenue.
+
+    nation (25 rows) is force-broadcast; customer scales with SF, so its
+    join strategy is left to Catalyst/AQE (see tpch_q5 docstring).
+    """
     ords = orders.filter(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
@@ -187,7 +200,7 @@ def tpch_q10(
     li = lineitem.filter(F.col("l_returnflag") == "R")
     return (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -230,9 +243,11 @@ def tpch_q18(
     """Large-volume customer (TPC-H Q18 shape): HAVING-filtered semi-join.
 
     The inner aggregate (orders whose total quantity exceeds the
-    threshold) broadcast-semi-joins back against the facts — Catalyst
-    plans the classic two-phase aggregation without a correlated
-    subquery rewrite by hand.
+    threshold) semi-joins back against the facts. It is DERIVED FROM
+    LINEITEM and therefore grows with data volume — no forced broadcast;
+    AQE broadcasts it at runtime while the post-HAVING set is small and
+    falls back to a shuffled join when it isn't. Both sides shuffle on
+    l_orderkey/o_orderkey, so the joins reuse one co-partitioning.
     """
     big_orders = (
         lineitem.groupBy("l_orderkey")
@@ -240,9 +255,9 @@ def tpch_q18(
         .filter(F.col("total_qty") > min_qty)
     )
     return (
-        lineitem.join(F.broadcast(big_orders.select("l_orderkey")), "l_orderkey")
+        lineitem.join(big_orders.select("l_orderkey"), "l_orderkey")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")

@@ -53,16 +53,45 @@ def test_time_filter_pushes_to_scan(spark, sf_dir):
 
 
 def test_q5_broadcasts_dimensions(spark, sf_dir):
-    df = analytics.tpch_q5(
-        table(spark, sf_dir, "customer"),
-        table(spark, sf_dir, "orders"),
-        table(spark, sf_dir, "lineitem"),
-        table(spark, sf_dir, "supplier"),
-        table(spark, sf_dir, "nation"),
-        table(spark, sf_dir, "region"),
-    )
-    plan = plan_of(df)
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:1500]
+    """Fixed dims (supplier/nation/region) are hint-broadcast; customer
+    is NOT pinned — at small SF Catalyst may still size-pick broadcast
+    for it, but with the threshold disabled only the 3 hinted dims must
+    remain broadcast (proving no SF-scaling relation is forced)."""
+    def q5():
+        return analytics.tpch_q5(
+            table(spark, sf_dir, "customer"),
+            table(spark, sf_dir, "orders"),
+            table(spark, sf_dir, "lineitem"),
+            table(spark, sf_dir, "supplier"),
+            table(spark, sf_dir, "nation"),
+            table(spark, sf_dir, "region"),
+        )
+
+    plan = plan_of(q5())
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(q5())
+        assert plan.count("BroadcastHashJoin") == 3, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q18_no_forced_broadcast_of_scaling_side(spark, sf_dir):
+    """Q18's inner HAVING aggregate derives from lineitem (grows with
+    data volume) and customer scales with SF — with the size threshold
+    disabled, no join in the plan may be broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = analytics.tpch_q18(
+            table(spark, sf_dir, "customer"),
+            table(spark, sf_dir, "orders"),
+            table(spark, sf_dir, "lineitem"),
+        )
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_aggregations_have_partial_phase(spark, sf_dir):
