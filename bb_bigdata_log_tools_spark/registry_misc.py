@@ -2,8 +2,9 @@
 hfind, gzip text read, text→boom round-trip (SURVEY.md §2 rows 9, 10,
 16, 17, 29, 34).
 
-hfind and the boom round-trip are filesystem operators → weak (rows-
-only) oracle by nature; the rest are fully oracle-gated.
+Every entry here is fully oracle-gated; the filesystem operators
+(hfind, gzip read, boom round-trip) run over pinned fixtures so their
+oracles are deterministic VALUES lists.
 """
 
 from __future__ import annotations
@@ -112,13 +113,78 @@ ORDER BY q_id, rank
 """
 
 
+# hfind fixture: a deterministic tree with pinned names/sizes/mtimes so
+# the filesystem operator gets a real VALUES-list oracle (same pattern
+# as the gzip fixture below). Layout (sizes in bytes, mtimes pinned):
+#   app.log 120 | app.log.bak 60 | xapp.log 35 | notes.txt 10
+#   sub/error.log 240 | sub/tmp.log 40 | sub/sub2/deep.log 500
+_HFIND_FILES = [
+    ("app.log", 120),
+    ("app.log.bak", 60),
+    ("xapp.log", 35),
+    ("notes.txt", 10),
+    ("sub/error.log", 240),
+    ("sub/tmp.log", 40),
+    ("sub/sub2/deep.log", 500),
+]
+_HFIND_T0 = 1704067200  # 2024-01-01T00:00:00Z, +1 day per file
+
+
+def _hfind_fixture_root() -> str:
+    root = os.path.join(tempfile.gettempdir(), "bb_hfind_fixture")
+    shutil.rmtree(root, ignore_errors=True)
+    for i, (rel, size) in enumerate(_HFIND_FILES):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"x" * size)
+        os.utime(p, (_HFIND_T0 + i * 86400,) * 2)
+    for d in [os.path.join(root, "sub/sub2"), os.path.join(root, "sub"), root]:
+        os.utime(d, (_HFIND_T0,) * 2)
+    return root
+
+
 def q_hfind(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weak oracle by design (filesystem op): a pinned-path DuckDB
-    read_blob oracle would match only at one SF — rows-only is honest."""
+    """Two predicate probes over the pinned fixture tree, unioned:
+
+    - probe 'anchored_glob': name 'app*' must match app.log + app.log.bak
+      but NOT xapp.log (start-anchored full-name glob semantics);
+    - probe 'size_depth': '*.log' files >= 100 bytes within depth 2 —
+      exercises type/size/depth predicates together.
+    """
     from bb_bigdata_log_tools_spark.sources.hfind import hfind
 
-    return hfind(spark, sf_dir, name_glob="*.parquet", file_type="f").select(
-        "name", F.col("size").cast("long").alias("size")
+    root = _hfind_fixture_root()
+    cols = [
+        "name",
+        F.col("size").cast("long").alias("size"),
+        "depth",
+        F.col("mtime_ms").cast("long").alias("mtime_ms"),
+    ]
+    a = hfind(spark, root, name_glob="app*", file_type="f").select(
+        F.lit("anchored_glob").alias("probe"), *cols
+    )
+    b = hfind(
+        spark, root, name_glob="*.log", file_type="f", min_size=100, max_depth=2
+    ).select(F.lit("size_depth").alias("probe"), *cols)
+    return a.unionAll(b).orderBy("probe", "name")
+
+
+def _hfind_oracle() -> str:
+    rows = []
+    by_rel = {rel: (size, _HFIND_T0 + i * 86400) for i, (rel, size) in enumerate(_HFIND_FILES)}
+    for rel in ["app.log", "app.log.bak"]:
+        size, mt = by_rel[rel]
+        rows.append(("anchored_glob", os.path.basename(rel), size, 1, mt * 1000))
+    for rel in ["app.log", "sub/error.log"]:
+        size, mt = by_rel[rel]
+        rows.append(("size_depth", os.path.basename(rel), size, rel.count("/") + 1, mt * 1000))
+    vals = ",\n  ".join(f"('{p}', '{n}', {s}, {d}, {m})" for p, n, s, d, m in rows)
+    return (
+        "SELECT probe, name, CAST(size AS BIGINT) AS size,"
+        " CAST(depth AS INTEGER) AS depth, CAST(mtime_ms AS BIGINT) AS mtime_ms\n"
+        f"FROM (VALUES\n  {vals}\n) AS t(probe, name, size, depth, mtime_ms)\n"
+        "ORDER BY probe, name"
     )
 
 
@@ -218,6 +284,7 @@ MISC_ORACLES = {
         "log_query_index": SQL_LOG_QUERY_INDEX,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
+        "hfind": _hfind_oracle(),
         "gzip_text_read": _gzip_oracle(),
         "text_to_boom": _text_to_boom_oracle(),
     }.items()

@@ -16,8 +16,6 @@ from __future__ import annotations
 import fnmatch
 import os
 import stat
-import time
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +51,9 @@ def list_tree(root: str, max_depth: int | None = None) -> list[tuple]:
         for entry in entries:
             p = os.path.join(dirpath, entry)
             try:
-                st = os.stat(p)
+                # lstat: do not follow symlinks (find(1) default) — a
+                # symlink cycle back to an ancestor must not recurse.
+                st = os.lstat(p)
             except OSError:
                 continue
             is_dir = stat.S_ISDIR(st.st_mode)
@@ -81,8 +81,11 @@ def hfind(
     """find(1)-style query returning a DataFrame of matching entries."""
     df = spark.createDataFrame(list_tree(root, max_depth), FILE_SCHEMA)
     if name_glob is not None:
-        # fnmatch glob → SQL LIKE-ish via rlike on translated regex
-        df = df.filter(F.col("name").rlike(fnmatch.translate(name_glob)))
+        # fnmatch.translate targets re.match (implicitly start-anchored,
+        # \Z-suffixed) but rlike has unanchored find() semantics — anchor
+        # the start explicitly so 'foo.log' does not match 'xfoo.log'
+        # (full-name matching, as in find(1) -name / HFind).
+        df = df.filter(F.col("name").rlike("\\A" + fnmatch.translate(name_glob)))
     if file_type == "f":
         df = df.filter(~F.col("is_dir"))
     elif file_type == "d":

@@ -178,6 +178,27 @@ def test_hfind(spark, tmp_path):
     assert sorted(r["name"] for r in shallow) == ["a.log", "b.txt"]
 
 
+def test_hfind_glob_anchored_and_symlink_safe(spark, tmp_path):
+    """Full-name glob semantics (find(1) -name): 'a.log' must not match
+    'xa.log'; and a symlink cycle back to an ancestor must not recurse
+    forever (lstat, symlinks not followed)."""
+    from bb_bigdata_log_tools_spark.sources.hfind import hfind
+
+    (tmp_path / "a.log").write_text("x")
+    (tmp_path / "xa.log").write_text("y")
+    (tmp_path / "sub").mkdir()
+    os.symlink(str(tmp_path), str(tmp_path / "sub" / "cycle"))
+
+    exact = hfind(spark, str(tmp_path), name_glob="a.log").collect()
+    assert [r["name"] for r in exact] == ["a.log"]
+    prefix = hfind(spark, str(tmp_path), name_glob="a*", file_type="f").collect()
+    assert [r["name"] for r in prefix] == ["a.log"]
+    # the symlink is listed (as a non-dir entry) but never descended into
+    all_entries = hfind(spark, str(tmp_path)).collect()
+    assert sum(1 for r in all_entries if r["name"] == "cycle") == 1
+    assert all(r["depth"] <= 2 for r in all_entries)
+
+
 def test_stream_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionizer: sessions close when a later
     event arrives past the gap (append-mode emission)."""
