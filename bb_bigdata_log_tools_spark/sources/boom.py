@@ -27,7 +27,6 @@ sync markers inside multi-GB files.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
@@ -250,6 +249,70 @@ BOOM_SCHEMA_JSON = (
 )
 
 
+def write_boom_stream(
+    path: str,
+    lines,
+    create_time: int = 0,
+    sync: bytes = b"\x00" * 16,
+) -> int:
+    """Streaming .bm writer over an ITERATOR of (ts, message, event_id)
+    tuples whose seconds (ts // 1000) arrive in non-decreasing order.
+
+    One logBlock (= one deflate container block) is flushed per distinct
+    second, so memory is bounded by one second of lines regardless of
+    input size — this is what lets compaction run executor-side over an
+    arbitrarily large sorted partition. Returns the line count.
+    """
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": BOOM_SCHEMA_JSON.encode(),
+            "avro.codec": b"deflate",
+        }
+        f.write(_zigzag(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode()
+            f.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
+        f.write(_zigzag(0))
+        f.write(sync)
+
+        n = 0
+        block_no = 0
+        cur_second: int | None = None
+        blk: list[tuple] = []
+
+        def flush() -> None:
+            nonlocal block_no
+            if cur_second is None:
+                return
+            body = bytearray()
+            body += _zigzag(cur_second) + _zigzag(create_time) + _zigzag(block_no)
+            body += _zigzag(len(blk))
+            for ts, message, event_id in blk:
+                mb = message.encode("utf-8")
+                body += _zigzag(ts % 1000) + _zigzag(event_id)
+                body += _zigzag(len(mb)) + mb
+            body += _zigzag(0)  # array terminator
+            compressed = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate
+            f.write(_zigzag(1) + _zigzag(len(compressed)))
+            f.write(compressed)
+            f.write(sync)
+            block_no += 1
+
+        for line in lines:
+            ts, message = line[0], line[1]
+            event_id = line[2] if len(line) > 2 else 0
+            sec = ts // 1000
+            if sec != cur_second:
+                flush()
+                cur_second = sec
+                blk = []
+            blk.append((ts, message, event_id))
+            n += 1
+        flush()
+    return n
+
+
 def write_boom_local(
     path: str,
     lines: list[tuple],
@@ -259,8 +322,9 @@ def write_boom_local(
     """Write flattened (ts, message, event_id) lines to a .bm file.
 
     Lines are grouped into one logBlock per distinct second (the
-    reference writer's second-level blocking), deflate-compressed, one
-    container block per logBlock.
+    reference writer's second-level blocking), blocks ordered by second,
+    within-second input order preserved; delegates to the streaming
+    writer for the container encoding.
     """
     by_second: dict[int, list[tuple]] = {}
     for line in lines:
@@ -268,35 +332,11 @@ def write_boom_local(
         event_id = line[2] if len(line) > 2 else 0
         by_second.setdefault(ts // 1000, []).append((ts, message, event_id))
 
-    buf = io.BytesIO()
-    buf.write(MAGIC)
-    meta = {
-        "avro.schema": BOOM_SCHEMA_JSON.encode(),
-        "avro.codec": b"deflate",
-    }
-    buf.write(_zigzag(len(meta)))
-    for k, v in meta.items():
-        kb = k.encode()
-        buf.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
-    buf.write(_zigzag(0))
-    buf.write(sync)
+    def ordered():
+        for _, blk_lines in sorted(by_second.items()):
+            yield from blk_lines
 
-    for block_no, (second, blk_lines) in enumerate(sorted(by_second.items())):
-        body = bytearray()
-        body += _zigzag(second) + _zigzag(create_time) + _zigzag(block_no)
-        body += _zigzag(len(blk_lines))
-        for ts, message, event_id in blk_lines:
-            mb = message.encode("utf-8")
-            body += _zigzag(ts % 1000) + _zigzag(event_id)
-            body += _zigzag(len(mb)) + mb
-        body += _zigzag(0)  # array terminator
-        compressed = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate
-        buf.write(_zigzag(1) + _zigzag(len(compressed)))
-        buf.write(compressed)
-        buf.write(sync)
-
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    write_boom_stream(path, ordered(), create_time=create_time, sync=sync)
 
 
 # ---------------------------------------------------------------------------
@@ -347,23 +387,35 @@ def text_to_boom(
     return sum(counts)
 
 
-def compact_boom_dir(spark: SparkSession, in_dir: str, out_path: str) -> int:
+def compact_boom_dir(
+    spark: SparkSession, in_dir: str, out_path: str, create_time: int = 0
+) -> int:
     """LogMaintenance-style compaction: merge a directory of hourly .bm
     part files into one file, lines re-sorted by (ts, message).
 
     The reference's LogMaintenance merges per-hour part files before
-    archiving (``admin/LogMaintenance.java``); here the read is
-    distributed and the final single-file write is a driver pass over
-    the (bounded, per-hour) collected lines. Returns the line count.
+    archiving (``admin/LogMaintenance.java``). Fully distributed: the
+    read is the parallel boom source, the order comes from
+    ``repartition(1).sortWithinPartitions`` (no range-sampling re-read,
+    no driver collect), and the single output file is written by the
+    EXECUTOR holding that partition via the streaming writer — memory
+    stays bounded at one second of lines even for a multi-GB hour.
+    ``out_path`` must be on a filesystem that executor and driver share
+    (as for ``write_boom_tree``). Returns the line count.
     """
-    rows = (
+    sorted_one = (
         read_boom(spark, in_dir)
         .select("ts", "message", "event_id")
-        .sort("ts", "message")
-        .collect()
+        .repartition(1)
+        .sortWithinPartitions("ts", "message")
     )
-    write_boom_local(out_path, [(r["ts"], r["message"], r["event_id"]) for r in rows])
-    return len(rows)
+
+    def write_part(rows) -> Iterator[int]:
+        tuples = ((r["ts"], r["message"], r["event_id"]) for r in rows)
+        yield write_boom_stream(out_path, tuples, create_time=create_time)
+
+    counts = sorted_one.rdd.mapPartitions(write_part).collect()
+    return sum(counts)
 
 
 def write_boom_tree(

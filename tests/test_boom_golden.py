@@ -163,3 +163,38 @@ def test_compact_boom_dir(spark, tmp_path):
     orig = read_boom_local(BM_FILE)
     assert n == len(orig)
     assert [(r[0], r[1]) for r in merged] == sorted((r[0], r[1]) for r in orig)
+
+
+def test_compact_boom_dir_multi_partition(spark, tmp_path):
+    """Compaction over several part files with interleaved seconds: the
+    merged file must be totally (ts, message)-ordered with monotonically
+    increasing block numbers, and the executor-side streaming writer
+    must produce one block per distinct second."""
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        compact_boom_dir,
+        read_container,
+        write_boom_local,
+    )
+
+    src = tmp_path / "parts"
+    src.mkdir()
+    all_lines = []
+    for i in range(4):
+        lines = [
+            (1000 * (i + 4 * j) + (j * 37) % 1000, f"msg-{i}-{j}", j)
+            for j in range(50)
+        ]
+        write_boom_local(str(src / f"part-{i:05d}.bm"), lines)
+        all_lines.extend(lines)
+
+    out = tmp_path / "merged.bm"
+    n = compact_boom_dir(spark, str(src), str(out))
+    assert n == len(all_lines)
+    merged = read_boom_local(str(out))
+    assert [(r[0], r[1], r[2]) for r in merged] == sorted(
+        (ts, m, e) for ts, m, e in all_lines
+    )
+    with open(out, "rb") as f:
+        blocks = list(read_container(f.read()))
+    assert [b["blockNumber"] for b in blocks] == list(range(len(blocks)))
+    assert [b["second"] for b in blocks] == sorted({ts // 1000 for ts, _, _ in all_lines})
