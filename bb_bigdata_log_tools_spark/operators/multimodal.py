@@ -2,15 +2,21 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; all Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested. The actual media
-decode is STUBBED — the decode libraries aren't in this environment —
-behind :func:`decode_stub`, which produces a deterministic fake feature
-row so pipelines exercise end-to-end. Swap ``_decode_payload`` for a
-real (PIL/ffmpeg/torchaudio) implementation in production.
+Arrow batch shape, UDF signatures) is real and tested.
+
+IMAGE decoding is REAL: pure-Python header parsers for PNG (IHDR
+chunk), JPEG (SOF marker scan), GIF (logical screen descriptor) and BMP
+(BITMAPINFOHEADER) extract true pixel dimensions from bytes — the
+formats are public specs, no libraries needed. Audio/video decoding
+stays a deterministic STUB (ffmpeg/torchaudio aren't in this
+environment); the ``decoded`` output column flags which rows carry real
+dimensions so downstream consumers can tell.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -34,8 +40,109 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
+
+# JPEG start-of-frame markers (baseline, progressive, lossless, ...):
+# C0-C3, C5-C7, C9-CB, CD-CF — i.e. every CX except DHT(C4)/JPGA(C8)/DAC(CC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+# Standalone markers with no length field: RST0-7, SOI, EOI, TEM.
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}
+
+
+def parse_image_dimensions(payload: bytes) -> tuple[str, int, int] | None:
+    """True (format, width, height) from image bytes, or None if the
+    payload is not a recognized image. Pure header parsing from the
+    public format specs — reads a few dozen bytes, never the pixel data.
+
+    - PNG: 8-byte signature, then the IHDR chunk: width/height are
+      big-endian u32 at byte offsets 16/20.
+    - JPEG: scan marker segments from SOI until a start-of-frame marker;
+      height/width are big-endian u16 at offsets +5/+7 into the segment.
+    - GIF: 6-byte version header, then little-endian u16 width/height.
+    - BMP: 14-byte file header, BITMAPINFOHEADER's width (i32) and
+      height (i32, negative = top-down) at offsets 18/22.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", payload, 16)
+            return ("png", w, h)
+        return None
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(payload)
+        while pos + 1 < n:
+            if payload[pos] != 0xFF:
+                return None  # desynced — not a well-formed marker stream
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                pos += 2
+                continue
+            if pos + 4 > n:
+                return None
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            if marker in _JPEG_SOF:
+                if pos + 9 > n:
+                    return None
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return ("jpeg", w, h)
+            pos += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return ("gif", w, h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return ("bmp", w, abs(h))
+    return None
+
+
+def make_png(width: int, height: int, pixel: bytes = b"\x80\x80\x80") -> bytes:
+    """A fully valid single-color RGB PNG, built from the spec (used for
+    fixtures and round-trip tests — this is a writer, not test fakery)."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixel * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg_header(width: int, height: int) -> bytes:
+    """SOI + JFIF APP0 + SOF0 + EOI — the marker skeleton a dimension
+    probe must understand (no entropy-coded data)."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    sof0 = struct.pack(">BHH", 8, height, width) + b"\x03" + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def make_gif_header(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def make_bmp_header(width: int, height: int) -> bytes:
+    return (
+        b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+        + struct.pack("<Iii", 40, width, height)
+    )
 
 
 def attach_media(documents: DataFrame) -> DataFrame:
@@ -63,19 +170,27 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(media_type: str, payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: deterministic fake (width, height, n_frames) from the
-    payload bytes. Replace with a real decoder in production; raise to
-    surface that media decoding is intentionally not implemented here."""
+def _decode_payload(media_type: str, payload: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, n_frames, decoded) for one payload.
+
+    Images decode FOR REAL via :func:`parse_image_dimensions`
+    (decoded=True). Unrecognized image bytes and audio/video fall back
+    to a deterministic stub (decoded=False) — swap in ffmpeg/torchaudio
+    in production; the flag column keeps the two regimes distinguishable.
+    """
+    if media_type == "image":
+        dims = parse_image_dimensions(payload)
+        if dims is not None:
+            return (dims[1], dims[2], 1, True)
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % 2147483647
     if media_type == "image":
-        return (64 + h % 1024, 64 + (h // 7) % 1024, 1)
+        return (64 + h % 1024, 64 + (h // 7) % 1024, 1, False)
     if media_type == "audio":
-        return (0, 0, 1 + h % 48000)
+        return (0, 0, 1 + h % 48000, False)
     if media_type == "video":
-        return (64 + h % 1024, 64 + (h // 7) % 1024, 1 + h % 3600)
+        return (64 + h % 1024, 64 + (h // 7) % 1024, 1 + h % 3600, False)
     raise NotImplementedError(f"unknown media type: {media_type}")
 
 
@@ -83,8 +198,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas`` so each executor processes record batches (binary
-    payloads never pass through the driver); the decode itself is the
-    deterministic stub above.
+    payloads never pass through the driver); image dimensions are real
+    header parses, audio/video the flagged stub.
     """
     import pandas as pd
 
@@ -102,6 +217,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
+                    "decoded": [d[3] for d in dims],
                 }
             )
 

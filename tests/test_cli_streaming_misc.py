@@ -155,9 +155,67 @@ def test_multimodal_plumbing(spark, sf_dir):
     }
     for r in feats:
         if r["media_type"] == "image":
-            assert r["width"] >= 64 and r["n_frames"] == 1
+            # text payloads are not parseable images -> flagged stub
+            assert r["width"] >= 64 and r["n_frames"] == 1 and not r["decoded"]
         elif r["media_type"] == "audio":
-            assert r["width"] == 0 and r["n_frames"] >= 1
+            assert r["width"] == 0 and r["n_frames"] >= 1 and not r["decoded"]
+
+
+def test_image_dimension_parsers():
+    """Header parsers recover true dimensions from real format bytes
+    (PNG round-trips through a full spec-valid encode incl. pixel data)."""
+    import zlib
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_bmp_header,
+        make_gif_header,
+        make_jpeg_header,
+        make_png,
+        parse_image_dimensions,
+    )
+
+    png = make_png(321, 123)
+    assert parse_image_dimensions(png) == ("png", 321, 123)
+    # the PNG is genuinely decodable: IDAT inflates to the scanline bytes
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = int.from_bytes(png[png.index(b"IDAT") - 4 : png.index(b"IDAT")], "big")
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert len(raw) == 123 * (1 + 3 * 321)
+
+    assert parse_image_dimensions(make_jpeg_header(65535, 1)) == ("jpeg", 65535, 1)
+    assert parse_image_dimensions(make_gif_header(7, 9)) == ("gif", 7, 9)
+    assert parse_image_dimensions(make_bmp_header(1920, 1080)) == ("bmp", 1920, 1080)
+    # top-down BMP stores negative height
+    import struct
+
+    bmp = bytearray(make_bmp_header(10, 20))
+    bmp[22:26] = struct.pack("<i", -20)
+    assert parse_image_dimensions(bytes(bmp)) == ("bmp", 10, 20)
+
+    assert parse_image_dimensions(b"not an image at all") is None
+    assert parse_image_dimensions(b"\xff\xd8\x00\x00garbage") is None
+    assert parse_image_dimensions(b"") is None
+
+
+def test_extract_features_real_decode(spark):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        extract_features,
+        make_jpeg_header,
+        make_png,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, make_png(640, 480), "image"),
+            (2, make_jpeg_header(1024, 768), "image"),
+            (3, b"\x00\x01broken", "image"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["decoded"]) == (640, 480, True)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["decoded"]) == (1024, 768, True)
+    assert rows[3]["decoded"] is False
 
 
 def test_hfind(spark, tmp_path):
