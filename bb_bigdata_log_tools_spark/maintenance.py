@@ -1,0 +1,387 @@
+"""LogMaintenance: the retention / merge / filter-archive lifecycle
+over the hourly .bm tree, Spark-first.
+
+Parity targets:
+
+- ``/root/reference/src/com/blackberry/logdriver/admin/LogMaintenance.java``
+  — the depth-first sweep over
+  ``<root>/<dc>/<service>/<logdir>/<yyyyMMdd>/<HH>/<component>/
+  {incoming,data,archive}`` that (a) deletes hours older than the
+  delete cutoff, (b) merges settled ``incoming`` hours into ``data``,
+  (c) filter-archives ``data`` hours older than the archive cutoff
+  (keepall → move, dropall → delete, else filter job), (d) removes old
+  empty directories, and (e) propagates ``_READY`` markers up
+  hour/date directories.
+- ``mapreduce/boom/BoomFilterMapper.java`` — the YAML filter rules
+  (regex / stringmatch / keepall / dropall per component-name regex;
+  a line is kept when ANY rule accepts it).
+- ``boom/ReBoomWriter.java`` — re-assembly of filtered lines
+  preserving original (second, createTime, blockNumber) provenance
+  (:func:`bb_bigdata_log_tools_spark.sources.boom.write_reboom_stream`).
+
+Spark-first shape: the tree walk and renames are driver/metastore work
+(as in the reference, which walks the NameNode); every per-line step —
+the filter predicate and the merge sort — is a DataFrame plan. The
+filter predicate is built from ``pyspark.sql.functions`` (rlike /
+contains / lit), so it is pushed into the scan of whatever source the
+lines come from; no Python runs per line. ZooKeeper locking and Oozie
+submission are deliberately out of scope (SURVEY §2): single-writer
+semantics come from Spark's committers / this driver being the only
+maintainer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Files eligible for merging, per the reference's VALID_FILE pattern
+# (numeric-suffixed uploads or .bm files).
+VALID_FILE = re.compile(r".*([0-9]|\.bm)$")
+READY_MARKER = "_READY"
+
+
+# ---------------------------------------------------------------------------
+# filter rules (BoomFilterMapper parity)
+# ---------------------------------------------------------------------------
+
+
+def load_filters(component: str, conf) -> list[dict] | None:
+    """Select the filter rule list for ``component`` from a filter
+    definition (dict, YAML text, or path to a YAML file).
+
+    Structure (BoomFilterMapper.loadFilters): ``{"filters": [{<component
+    regex>: [{"type": regex|stringmatch|keepall|dropall, "pattern": ...},
+    ...]}, ...]}``. The FIRST conf set whose key regex fully matches the
+    component name wins. Returns None when no set matches (the reference
+    then skips processing).
+    """
+    if isinstance(conf, str):
+        if os.path.exists(conf):
+            with open(conf, encoding="utf-8") as f:
+                conf = f.read()
+        try:
+            import yaml  # noqa: PLC0415
+
+            conf = yaml.safe_load(conf)
+        except ImportError as e:  # pragma: no cover - yaml is in this env
+            raise RuntimeError("filter definitions need pyyaml or a dict") from e
+    rules: list[dict] = []
+    for conf_set in conf.get("filters", []):
+        for key, items in conf_set.items():
+            if re.fullmatch(key, component):
+                for item in items or []:
+                    ftype = (item.get("type") or "").lower()
+                    pattern = item.get("pattern")
+                    if ftype in ("regex", "stringmatch") and pattern is None:
+                        continue  # reference warns + skips patternless rules
+                    if ftype in ("regex", "stringmatch", "keepall", "dropall"):
+                        rules.append({"type": ftype, "pattern": pattern})
+                return rules
+    return None
+
+
+def filters_to_predicate(rules: list[dict]) -> Column:
+    """OR of the rules' accept conditions over ``message`` — the
+    BoomFilterMapper keeps a line as soon as any filter accepts it.
+    Pure column expressions: regex → ``rlike`` (Java regex semantics on
+    both engines), stringmatch → ``contains``."""
+    pred: Column | None = None
+    for rule in rules:
+        if rule["type"] == "keepall":
+            cond = F.lit(True)
+        elif rule["type"] == "dropall":
+            cond = F.lit(False)
+        elif rule["type"] == "regex":
+            cond = F.col("message").rlike(rule["pattern"])
+        else:  # stringmatch
+            cond = F.col("message").contains(rule["pattern"])
+        pred = cond if pred is None else (pred | cond)
+    return pred if pred is not None else F.lit(False)
+
+
+def _only(rules: list[dict], ftype: str) -> bool:
+    return len(rules) == 1 and rules[0]["type"] == ftype
+
+
+# ---------------------------------------------------------------------------
+# per-hour jobs
+# ---------------------------------------------------------------------------
+
+
+def merge_incoming_dir(spark: SparkSession, hour_comp_dir: str) -> int:
+    """The merge job: compact a settled ``incoming`` directory's part
+    files into one .bm in ``data``, then remove ``incoming``.
+
+    Distributed via :func:`compact_boom_dir` (executor-side sorted
+    streaming write). Returns the number of lines merged.
+    """
+    from bb_bigdata_log_tools_spark.sources.boom import compact_boom_dir
+
+    incoming = os.path.join(hour_comp_dir, "incoming")
+    data = os.path.join(hour_comp_dir, "data")
+    os.makedirs(data, exist_ok=True)
+    n = compact_boom_dir(
+        spark, incoming, os.path.join(data, "part-merged.00000.bm")
+    )
+    shutil.rmtree(incoming)
+    return n
+
+
+def filter_archive_dir(
+    spark: SparkSession, hour_comp_dir: str, rules: list[dict]
+) -> int:
+    """The filter/archive job: read ``data``, keep lines any rule
+    accepts, ReBoom-write them (original createTime/blockNumber
+    preserved) into ``archive``, then delete ``data``.
+
+    The sort is ``repartition(1).sortWithinPartitions(create_time,
+    block_no, ts, line_no)`` — original file order — and the single
+    archive file is written executor-side by the streaming ReBoom
+    writer. Returns the number of lines archived.
+    """
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        read_boom,
+        write_reboom_stream,
+    )
+
+    data = os.path.join(hour_comp_dir, "data")
+    archive = os.path.join(hour_comp_dir, "archive")
+    os.makedirs(archive, exist_ok=True)
+    out_path = os.path.join(archive, "part-filtered.00000.bm")
+
+    kept = (
+        read_boom(spark, data)
+        .filter(filters_to_predicate(rules))
+        .select("ts", "message", "event_id", "create_time", "block_no", "line_no")
+        .repartition(1)
+        .sortWithinPartitions("create_time", "block_no", "ts", "line_no")
+    )
+
+    def write_part(rows):
+        tuples = (
+            (r["ts"], r["message"], r["event_id"], r["create_time"], r["block_no"])
+            for r in rows
+        )
+        yield write_reboom_stream(out_path, tuples)
+
+    n = sum(kept.rdd.mapPartitions(write_part).collect())
+    shutil.rmtree(data)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# the sweep
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MaintenanceReport:
+    merged: list[str] = field(default_factory=list)
+    archived: list[str] = field(default_factory=list)
+    kept: list[str] = field(default_factory=list)  # keepall: moved data→archive
+    dropped: list[str] = field(default_factory=list)  # dropall: data deleted
+    deleted: list[str] = field(default_factory=list)  # past delete cutoff
+    empties_removed: list[str] = field(default_factory=list)
+    ready_marked: list[str] = field(default_factory=list)
+    lines_merged: int = 0
+    lines_archived: int = 0
+
+    def summary(self) -> str:
+        return (
+            f"merged={len(self.merged)} ({self.lines_merged} lines) "
+            f"archived={len(self.archived)} ({self.lines_archived} lines) "
+            f"kept={len(self.kept)} dropped={len(self.dropped)} "
+            f"deleted={len(self.deleted)} empties={len(self.empties_removed)} "
+            f"ready={len(self.ready_marked)}"
+        )
+
+
+def _cutoff_stamp(now_ms: int, days: int) -> str:
+    dt = datetime.fromtimestamp(now_ms / 1000, tz=timezone.utc) - timedelta(days=days)
+    return dt.strftime("%Y%m%d%H")
+
+
+def _mtime_ms(path: str) -> int:
+    try:
+        return int(os.lstat(path).st_mtime * 1000)
+    except OSError:
+        return 0
+
+
+def log_maintenance(
+    spark: SparkSession,
+    root: str,
+    dc: str,
+    service: str,
+    logdir: str = "logs",
+    date: str | None = None,
+    hour: str | None = None,
+    days_before_archive: int | None = None,
+    days_before_delete: int | None = None,
+    filters_conf=None,
+    now_ms: int | None = None,
+    wait_time_ms: int = 10 * 60 * 1000,
+    do_merge: bool = True,
+) -> MaintenanceReport:
+    """One maintenance sweep over ``<root>/<dc>/<service>/<logdir>``.
+
+    Decision rules (LogMaintenance.run):
+
+    - directories modified within ``wait_time_ms`` are skipped (still
+      being written);
+    - ``incoming``/``data``/``archive`` whose ``yyyyMMddHH`` stamp sorts
+      before the delete cutoff are deleted recursively;
+    - settled ``incoming`` dirs containing valid part files are merged
+      into ``data`` (one compacted .bm);
+    - ``data`` dirs older than the archive cutoff are filter-archived
+      per the component's rules: keepall-only → files MOVED to
+      ``archive``; dropall-only → data deleted; otherwise the filter
+      job runs (no rules for the component → skipped, as the reference
+      warns-and-skips);
+    - old empty directories (or containing only ``_READY``) are pruned;
+    - hour/date dirs whose child dirs all carry ``_READY`` get one.
+
+    ``date``/``hour`` narrow the sweep like the reference's optional
+    positional args. ``now_ms`` pins time for tests.
+    """
+    import time as _time
+
+    report = MaintenanceReport()
+    now = int(_time.time() * 1000) if now_ms is None else now_ms
+    delete_cut = (
+        _cutoff_stamp(now, days_before_delete)
+        if days_before_delete is not None and days_before_delete >= 0
+        else None
+    )
+    archive_cut = (
+        _cutoff_stamp(now, days_before_archive)
+        if days_before_archive is not None and days_before_archive >= 0
+        else None
+    )
+
+    base = os.path.join(root, dc, service, logdir)
+    if not os.path.isdir(base):
+        return report
+
+    date_re = re.escape(date) if date else r"\d{8}"
+    hour_re = re.escape(hour) if hour else r"\d{2}"
+    re_date = re.compile(rf"({date_re})$")
+    re_hour = re.compile(rf"({date_re})/({hour_re})$")
+    re_incoming = re.compile(rf"({date_re})/({hour_re})/([^/]+)/incoming$")
+    re_data = re.compile(rf"({date_re})/({hour_re})/([^/]+)/data$")
+    re_archive = re.compile(rf"({date_re})/({hour_re})/([^/]+)/archive$")
+
+    def is_old(path: str) -> bool:
+        return _mtime_ms(path) < now - wait_time_ms
+
+    def mark_ready_if_children_ready(dir_path: str, children: list[str]) -> None:
+        if os.path.exists(os.path.join(dir_path, READY_MARKER)):
+            return
+        child_dirs = [
+            c for c in children if os.path.isdir(os.path.join(dir_path, c))
+        ]
+        if child_dirs and all(
+            os.path.exists(os.path.join(dir_path, c, READY_MARKER))
+            for c in child_dirs
+        ):
+            open(os.path.join(dir_path, READY_MARKER), "w").close()
+            report.ready_marked.append(dir_path)
+
+    # Single top-down depth-first sweep, exactly the reference's control
+    # flow: a dir is visited BEFORE its children, so ready markers are
+    # assessed while children still exist, and empty/marker-only dirs
+    # collapse upward one sweep at a time.
+    stack = [base]
+    while stack:
+        p = stack.pop()
+        if not os.path.isdir(p):
+            continue
+        children = sorted(os.listdir(p))
+        add_children = True
+        rel = os.path.relpath(p, base)
+
+        if not is_old(p):
+            pass  # too young to touch; still descend
+        elif p != base and (
+            not children or children == [READY_MARKER]
+        ):
+            # old and no (real) children? Delete!
+            shutil.rmtree(p)
+            report.empties_removed.append(p)
+            continue
+        else:
+            if re_date.fullmatch(rel) or re_hour.fullmatch(rel):
+                mark_ready_if_children_ready(p, children)
+
+            m = re_incoming.fullmatch(rel)
+            if m:
+                stamp = m.group(1) + m.group(2)
+                if delete_cut is not None and stamp < delete_cut:
+                    shutil.rmtree(p)
+                    report.deleted.append(p)
+                    continue
+                if do_merge and any(VALID_FILE.fullmatch(c) for c in children):
+                    report.lines_merged += merge_incoming_dir(
+                        spark, os.path.dirname(p)
+                    )
+                    report.merged.append(p)
+                    continue
+
+            m = re_data.fullmatch(rel)
+            if m:
+                stamp, comp = m.group(1) + m.group(2), m.group(3)
+                if delete_cut is not None and stamp < delete_cut:
+                    shutil.rmtree(p)
+                    report.deleted.append(p)
+                    continue
+                if (
+                    archive_cut is not None
+                    and stamp < archive_cut
+                    and filters_conf is not None
+                ):
+                    comp_dir = os.path.dirname(p)
+                    archive = os.path.join(comp_dir, "archive")
+                    rules = load_filters(comp, filters_conf)
+                    if not rules:
+                        continue  # no rules for this component: warn+skip
+                    if _only(rules, "keepall"):
+                        os.makedirs(archive, exist_ok=True)
+                        for name in children:
+                            os.rename(
+                                os.path.join(p, name),
+                                os.path.join(archive, name),
+                            )
+                        shutil.rmtree(p)
+                        report.kept.append(comp_dir)
+                    elif _only(rules, "dropall"):
+                        shutil.rmtree(p)
+                        report.dropped.append(comp_dir)
+                    else:
+                        report.lines_archived += filter_archive_dir(
+                            spark, comp_dir, rules
+                        )
+                        report.archived.append(comp_dir)
+                    continue
+
+            m = re_archive.fullmatch(rel)
+            if m:
+                stamp = m.group(1) + m.group(2)
+                if delete_cut is not None and stamp < delete_cut:
+                    shutil.rmtree(p)
+                    report.deleted.append(p)
+                    continue
+
+        if add_children:
+            for c in reversed(children):
+                cp = os.path.join(p, c)
+                if os.path.isdir(cp):
+                    stack.append(cp)
+
+    return report

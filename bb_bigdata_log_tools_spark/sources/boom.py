@@ -249,6 +249,39 @@ BOOM_SCHEMA_JSON = (
 )
 
 
+def _write_container_header(f, sync: bytes) -> None:
+    f.write(MAGIC)
+    meta = {
+        "avro.schema": BOOM_SCHEMA_JSON.encode(),
+        "avro.codec": b"deflate",
+    }
+    f.write(_zigzag(len(meta)))
+    for k, v in meta.items():
+        kb = k.encode()
+        f.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
+    f.write(_zigzag(0))
+    f.write(sync)
+
+
+def _write_block(
+    f, sync: bytes, second: int, create_time: int, block_no: int, blk: list[tuple]
+) -> None:
+    """Encode one logBlock as one deflate-compressed container block.
+    ``blk`` holds (ts, message, event_id) with ts // 1000 == second."""
+    body = bytearray()
+    body += _zigzag(second) + _zigzag(create_time) + _zigzag(block_no)
+    body += _zigzag(len(blk))
+    for ts, message, event_id in blk:
+        mb = message.encode("utf-8")
+        body += _zigzag(ts % 1000) + _zigzag(event_id)
+        body += _zigzag(len(mb)) + mb
+    body += _zigzag(0)  # array terminator
+    compressed = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate
+    f.write(_zigzag(1) + _zigzag(len(compressed)))
+    f.write(compressed)
+    f.write(sync)
+
+
 def write_boom_stream(
     path: str,
     lines,
@@ -264,52 +297,61 @@ def write_boom_stream(
     arbitrarily large sorted partition. Returns the line count.
     """
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        meta = {
-            "avro.schema": BOOM_SCHEMA_JSON.encode(),
-            "avro.codec": b"deflate",
-        }
-        f.write(_zigzag(len(meta)))
-        for k, v in meta.items():
-            kb = k.encode()
-            f.write(_zigzag(len(kb)) + kb + _zigzag(len(v)) + v)
-        f.write(_zigzag(0))
-        f.write(sync)
-
+        _write_container_header(f, sync)
         n = 0
         block_no = 0
         cur_second: int | None = None
         blk: list[tuple] = []
-
-        def flush() -> None:
-            nonlocal block_no
-            if cur_second is None:
-                return
-            body = bytearray()
-            body += _zigzag(cur_second) + _zigzag(create_time) + _zigzag(block_no)
-            body += _zigzag(len(blk))
-            for ts, message, event_id in blk:
-                mb = message.encode("utf-8")
-                body += _zigzag(ts % 1000) + _zigzag(event_id)
-                body += _zigzag(len(mb)) + mb
-            body += _zigzag(0)  # array terminator
-            compressed = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate
-            f.write(_zigzag(1) + _zigzag(len(compressed)))
-            f.write(compressed)
-            f.write(sync)
-            block_no += 1
-
         for line in lines:
             ts, message = line[0], line[1]
             event_id = line[2] if len(line) > 2 else 0
             sec = ts // 1000
             if sec != cur_second:
-                flush()
+                if cur_second is not None:
+                    _write_block(f, sync, cur_second, create_time, block_no, blk)
+                    block_no += 1
                 cur_second = sec
                 blk = []
             blk.append((ts, message, event_id))
             n += 1
-        flush()
+        if cur_second is not None:
+            _write_block(f, sync, cur_second, create_time, block_no, blk)
+    return n
+
+
+def write_reboom_stream(
+    path: str,
+    lines,
+    sync: bytes = b"\x00" * 16,
+) -> int:
+    """ReBoom writer: re-assemble PREVIOUSLY-READ boom lines into a .bm
+    file preserving each line's original provenance metadata.
+
+    Parity: ``boom/ReBoomWriter.java`` — used when boom files are
+    disassembled and reassembled (e.g. to remove or alter log lines in
+    the filter/archive job). Input is an iterator of
+    ``(ts, message, event_id, create_time, block_no)`` tuples; a block
+    is flushed whenever second, createTime, OR blockNumber changes
+    (exactly the reference's writeLine flush rule), so the original
+    (createTime, blockNumber) pairs survive the round trip. Streaming:
+    memory is bounded by one block. Returns the line count.
+    """
+    with open(path, "wb") as f:
+        _write_container_header(f, sync)
+        n = 0
+        cur: tuple | None = None  # (second, create_time, block_no)
+        blk: list[tuple] = []
+        for ts, message, event_id, create_time, block_no in lines:
+            key = (ts // 1000, create_time, block_no)
+            if key != cur:
+                if cur is not None:
+                    _write_block(f, sync, cur[0], cur[1], cur[2], blk)
+                cur = key
+                blk = []
+            blk.append((ts, message, event_id))
+            n += 1
+        if cur is not None:
+            _write_block(f, sync, cur[0], cur[1], cur[2], blk)
     return n
 
 

@@ -1,0 +1,317 @@
+"""LogMaintenance lifecycle + ReBoom writer + admin CLI tests.
+
+Mirrors the reference's admin surface: retention deletes, incoming→data
+merges, filter/archive with keepall/dropall/stringmatch rules
+(``admin/LogMaintenance.java``, ``mapreduce/boom/BoomFilterMapper.java``,
+``boom/ReBoomWriter.java``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from bb_bigdata_log_tools_spark.maintenance import (
+    MaintenanceReport,
+    filters_to_predicate,
+    load_filters,
+    log_maintenance,
+)
+from bb_bigdata_log_tools_spark.sources.boom import (
+    read_boom_local,
+    read_container,
+    write_boom_local,
+    write_reboom_stream,
+)
+
+NOW_MS = 1706745600000  # 2024-02-01T00:00:00Z
+HOUR_MS = 3600 * 1000
+
+FILTERS_YAML = """
+filters:
+  - "app.*":
+      - type: stringmatch
+        pattern: "ERROR"
+      - type: regex
+        pattern: "WARN [0-9]+"
+  - "keepme":
+      - type: keepall
+  - "dropme":
+      - type: dropall
+"""
+
+
+def test_load_filters_first_match_wins():
+    rules = load_filters("app01", FILTERS_YAML)
+    assert [r["type"] for r in rules] == ["stringmatch", "regex"]
+    assert load_filters("keepme", FILTERS_YAML) == [
+        {"type": "keepall", "pattern": None}
+    ]
+    assert load_filters("dropme", FILTERS_YAML)[0]["type"] == "dropall"
+    assert load_filters("nomatch", FILTERS_YAML) is None
+
+
+def test_filter_predicate_semantics(spark):
+    rules = load_filters("app01", FILTERS_YAML)
+    df = spark.createDataFrame(
+        [("an ERROR here",), ("WARN 123 x",), ("WARN abc",), ("fine",)],
+        "message string",
+    )
+    kept = [r["message"] for r in df.filter(filters_to_predicate(rules)).collect()]
+    assert sorted(kept) == ["WARN 123 x", "an ERROR here"]
+
+
+def test_reboom_preserves_provenance(tmp_path):
+    """ReBoomWriter parity: original (createTime, blockNumber) survive
+    re-assembly; a block flushes when second, createTime or blockNumber
+    changes."""
+    lines = [
+        (1000, "a", 1, 777, 0),
+        (1500, "b", 2, 777, 0),
+        (1600, "c", 3, 888, 0),  # same second, createTime changed -> new block
+        (1700, "d", 4, 888, 1),  # blockNumber changed -> new block
+        (2100, "e", 5, 888, 1),  # second changed -> new block
+    ]
+    out = tmp_path / "re.bm"
+    n = write_reboom_stream(str(out), iter(lines))
+    assert n == 5
+    with open(out, "rb") as f:
+        blocks = list(read_container(f.read()))
+    assert [(b["second"], b["createTime"], b["blockNumber"]) for b in blocks] == [
+        (1, 777, 0),
+        (1, 888, 0),
+        (1, 888, 1),
+        (2, 888, 1),
+    ]
+    assert [len(b["logLines"]) for b in blocks] == [2, 1, 1, 1]
+    flat = read_boom_local(str(out))
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in flat] == [
+        (ts, m, e, ct, bn) for ts, m, e, ct, bn in lines
+    ]
+
+
+def _mk_hour(root, dc, svc, logdir, date, hour, comp, state, lines, old=True):
+    d = os.path.join(root, dc, svc, logdir, date, hour, comp, state)
+    os.makedirs(d, exist_ok=True)
+    write_boom_local(os.path.join(d, f"part-0.00000.{date}-{hour}.bm"), lines)
+    if old:
+        _age_tree(os.path.dirname(os.path.dirname(d)))
+    return d
+
+
+def _age_tree(path, age_ms=30 * 60 * 1000):
+    t = (NOW_MS - age_ms) / 1000
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in [*dirnames, *filenames]:
+            os.utime(os.path.join(dirpath, name), (t, t))
+    os.utime(path, (t, t))
+
+
+def _lines_at(base_ms, n=6):
+    return [(base_ms + i * 400, f"{'ERROR' if i % 2 else 'ok'} line {i}", i) for i in range(n)]
+
+
+def test_log_maintenance_lifecycle(spark, tmp_path):
+    root = str(tmp_path / "service")
+    dc, svc, logdir = "dc1", "svc1", "logs"
+    # timestamps: delete cutoff = NOW-20d (20240112), archive = NOW-5d (20240127)
+    ancient = "20240101"  # < delete cutoff -> deleted
+    old = "20240120"  # < archive cutoff -> filter/archive stage
+    fresh = "20240131"  # young -> merge only
+
+    base_old = 1705708800000  # 2024-01-20T00:00Z
+    base_fresh = 1706659200000  # 2024-01-31T00:00Z
+
+    # ancient data -> full delete
+    _mk_hour(root, dc, svc, logdir, ancient, "00", "app01", "data", _lines_at(1704067200000))
+    # old data for a filtered component -> reboom-archived
+    d_filter = _mk_hour(root, dc, svc, logdir, old, "03", "app01", "data", _lines_at(base_old + 3 * HOUR_MS))
+    # old data, keepall -> files moved to archive
+    d_keep = _mk_hour(root, dc, svc, logdir, old, "04", "keepme", "data", _lines_at(base_old + 4 * HOUR_MS))
+    # old data, dropall -> deleted
+    d_drop = _mk_hour(root, dc, svc, logdir, old, "05", "dropme", "data", _lines_at(base_old + 5 * HOUR_MS))
+    # old data, no rules -> untouched
+    d_none = _mk_hour(root, dc, svc, logdir, old, "06", "mystery", "data", _lines_at(base_old + 6 * HOUR_MS))
+    # fresh incoming -> merged into data
+    i_fresh = _mk_hour(root, dc, svc, logdir, fresh, "07", "app01", "incoming", _lines_at(base_fresh + 7 * HOUR_MS))
+    # an empty old dir -> pruned
+    empty = os.path.join(root, dc, svc, logdir, old, "09", "ghost", "data")
+    os.makedirs(empty)
+    _age_tree(os.path.join(root, dc, svc, logdir, old, "09"))
+    _age_tree(root)
+
+    report = log_maintenance(
+        spark,
+        root,
+        dc,
+        svc,
+        logdir=logdir,
+        days_before_archive=5,
+        days_before_delete=20,
+        filters_conf=FILTERS_YAML,
+        now_ms=NOW_MS,
+    )
+
+    # ancient hour deleted
+    assert not os.path.exists(
+        os.path.join(root, dc, svc, logdir, ancient, "00", "app01", "data")
+    )
+    assert len(report.deleted) == 1
+
+    # filtered archive: only ERROR lines survive, data gone
+    arch = os.path.join(os.path.dirname(d_filter), "archive")
+    assert not os.path.exists(d_filter)
+    archived = read_boom_local(os.path.join(arch, "part-filtered.00000.bm"))
+    assert len(archived) == 3 and all("ERROR" in r[1] for r in archived)
+    assert report.lines_archived == 3
+
+    # keepall: same file moved
+    k_arch = os.path.join(os.path.dirname(d_keep), "archive")
+    assert not os.path.exists(d_keep)
+    assert len(read_boom_local(os.path.join(k_arch, f"part-0.00000.{old}-04.bm"))) == 6
+
+    # dropall: gone, nothing archived
+    assert not os.path.exists(d_drop)
+    assert not os.path.exists(os.path.join(os.path.dirname(d_drop), "archive"))
+
+    # no rules: untouched
+    assert os.path.exists(d_none)
+
+    # merge: incoming gone, data holds every line compacted
+    data_merged = os.path.join(os.path.dirname(i_fresh), "data")
+    assert not os.path.exists(i_fresh)
+    merged = read_boom_local(os.path.join(data_merged, "part-merged.00000.bm"))
+    assert len(merged) == 6 and report.lines_merged == 6
+
+    # empty ghost data dir pruned this sweep; its parents collapse one
+    # level per subsequent sweep (reference semantics: parents are
+    # visited before children, so an emptied parent goes next time)
+    assert not os.path.exists(empty)
+    _age_tree(root)
+    log_maintenance(
+        spark, root, dc, svc, logdir=logdir, now_ms=NOW_MS, do_merge=False
+    )
+    assert not os.path.exists(os.path.dirname(empty))
+
+    assert isinstance(report, MaintenanceReport)
+    assert "merged=1" in report.summary()
+
+
+def test_ready_marker_propagation(spark, tmp_path):
+    root = str(tmp_path / "service")
+    hour_dir = os.path.join(root, "dc1", "svc1", "logs", "20240120", "02")
+    for comp in ("a", "b"):
+        os.makedirs(os.path.join(hour_dir, comp))
+        open(os.path.join(hour_dir, comp, "_READY"), "w").close()
+    _age_tree(root)
+    report = log_maintenance(
+        spark, root, "dc1", "svc1", now_ms=NOW_MS, days_before_delete=None
+    )
+    assert os.path.exists(os.path.join(hour_dir, "_READY"))
+    # second sweep: hour is marked, so the date dir gets marked too
+    _age_tree(root)
+    log_maintenance(spark, root, "dc1", "svc1", now_ms=NOW_MS)
+    assert os.path.exists(os.path.join(os.path.dirname(hour_dir), "_READY"))
+    assert any(p.endswith("02") for p in report.ready_marked)
+
+
+BIN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bin")
+
+
+def test_readboom_cli(tmp_path):
+    bm = tmp_path / "x.bm"
+    write_boom_local(str(bm), [(1500, "hello", 7), (2500, "world", 8)])
+    out = subprocess.run(
+        [sys.executable, os.path.join(BIN, "..", "bb_bigdata_log_tools_spark", "cli_admin.py"), "readboom", str(bm)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    lines = out.stdout.strip().split("\n")
+    assert lines[0] == "1500\thello\t7\t0\t0\t0"
+    assert lines[1] == "2500\tworld\t8\t0\t1\t0"
+
+
+def test_indexlogs_and_queryindex_cli(tmp_path):
+    root = str(tmp_path / "service")
+    _mk_hour(root, "dc1", "svcA", "logs", "20240110", "01", "c1", "data", _lines_at(0), old=False)
+    _mk_hour(root, "dc1", "svcA", "logs", "20240112", "02", "c1", "archive", _lines_at(0), old=False)
+    _mk_hour(root, "dc1", "svcB", "logs", "20240111", "03", "c2", "incoming", _lines_at(0), old=False)
+
+    cli = os.path.join(BIN, "..", "bb_bigdata_log_tools_spark", "cli_admin.py")
+    idx_file = str(tmp_path / "index.json")
+    subprocess.run(
+        [sys.executable, cli, "indexlogs", f"-r={root}", f"-o={idx_file}"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    idx = json.load(open(idx_file))
+    c1 = idx["dc1"]["svcA"]["logs"]["c1"]
+    assert c1["dataSize"] > 0 and c1["archiveSize"] > 0 and c1["incomingSize"] == 0
+    assert c1["startDate"] == 1704844800000  # 2024-01-10
+    assert c1["endDate"] == 1705017600000  # 2024-01-12
+    assert c1["archiveDate"] == 1705017600000
+
+    q = subprocess.run(
+        [sys.executable, cli, "queryindex", f"-f={idx_file}", "--p", "--s", "dc1", "svcA"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert "Matched components: 1" in q.stdout
+    assert "dc1/svcA/logs/c1" in q.stdout
+    assert "Date range: 2024-01-10..2024-01-12" in q.stdout
+
+    q_all = subprocess.run(
+        [sys.executable, cli, "queryindex", f"-f={idx_file}"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert "Matched components: 2" in q_all.stdout
+
+
+def test_logmaintenance_cli_end_to_end(tmp_path):
+    """bin/logmaintenance over an aged .bm tree: archives the filtered
+    hour, deletes the ancient hour, reports counts."""
+    root = str(tmp_path / "service")
+    _mk_hour(root, "dc1", "svc1", "logs", "20240101", "00", "app01", "data", _lines_at(1704067200000))
+    _mk_hour(root, "dc1", "svc1", "logs", "20240120", "03", "app01", "data", _lines_at(1705708800000))
+    _age_tree(root)
+    filters = tmp_path / "filters.yaml"
+    filters.write_text(FILTERS_YAML)
+
+    out = subprocess.run(
+        [
+            os.path.join(BIN, "logmaintenance"),
+            "dc1",
+            "svc1",
+            f"--root={root}",
+            "--days-before-archive=5",
+            "--days-before-delete=20",
+            f"--filters={filters}",
+            f"--now-ms={NOW_MS}",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+    )
+    assert "archived=1 (3 lines)" in out.stdout
+    assert "deleted=1" in out.stdout
+    assert not os.path.exists(
+        os.path.join(root, "dc1", "svc1", "logs", "20240101", "00", "app01", "data")
+    )
+    archived = read_boom_local(
+        os.path.join(
+            root, "dc1", "svc1", "logs", "20240120", "03", "app01",
+            "archive", "part-filtered.00000.bm",
+        )
+    )
+    assert len(archived) == 3 and all("ERROR" in r[1] for r in archived)
