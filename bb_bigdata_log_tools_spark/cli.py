@@ -10,6 +10,9 @@ Shared argument surface::
                    -strings=FILE_OR_DIR (logmultisearch)
     OPTIONS: --out=DIR  --i (case-insensitive)  --a (AND multisearch)
              --dateFormat=RFC822|RFC3164|RFC5424|<pattern>
+             --fieldSeparator=X (separator for --raw intermediate-format
+             output; default U+001F)  --raw (emit the reference's
+             intermediate separator-joined fields, unformatted/unsorted)
              --silent  --v  --r/--l (accepted; Spark always plans the
              sort itself — the local/remote split is obsolete here)
 
@@ -150,21 +153,38 @@ def _require(opts: dict, tool: str, keys: list[str]) -> list[str]:
 
 
 def _emit(df: DataFrame, opts: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.schema import DEFAULT_FIELD_SEPARATOR
+
     date_format = opts.get("dateFormat", "RFC5424")
-    out = logops.format_and_sort(df, date_format=date_format, sort=True)
+    if "raw" in opts["flags"]:
+        # the reference's INTERMEDIATE file format: separator-joined raw
+        # fields (ts<SEP>message<SEP>eventId<SEP>createTime<SEP>blockNo
+        # <SEP>lineNo), --fieldSeparator default U+001F
+        sep = opts.get("fieldSeparator", DEFAULT_FIELD_SEPARATOR)
+        cols = [c for c in logops.RAW_COLUMNS if c in df.columns]
+        out = df.select(
+            F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("line")
+        )
+    else:
+        out = logops.format_and_sort(df, date_format=date_format, sort=True)
     silent = "silent" in opts["flags"]
-    lines = [r["line"] for r in out.select("line").collect()]
     if not silent:
         sys.stderr.write(DATA_MARKER + "\n")
     target = opts.get("out")
     if target:
-        os.makedirs(target, exist_ok=True)
-        with open(os.path.join(target, "part-00000"), "w", encoding="utf-8") as f:
-            f.writelines(line + "\n" for line in lines)
+        # distributed write — results never funnel through the driver;
+        # sorted range partitions land as lexicographically ordered
+        # part files, so `cat part-*` preserves the total order
+        out.select("line").write.mode("overwrite").text(target)
         sys.stderr.write(f"; results written to {target}\n")
     else:
-        for line in lines:
-            sys.stdout.write(line + "\n")
+        # stream partitions through the driver one at a time (bounded
+        # memory on huge result sets, reference parity: the client
+        # streams job output to stdout)
+        for row in out.select("line").toLocalIterator():
+            sys.stdout.write(row["line"] + "\n")
     if not silent:
         sys.stderr.write(DATA_MARKER + "\n")
 

@@ -307,10 +307,29 @@ def test_cli_out_dir_and_dateformat(service_root, tmp_path):
         "--dateFormat=RFC3164",
     )
     assert stdout.strip() == ""  # data went to the file
-    with open(os.path.join(out_dir, "part-00000"), encoding="utf-8") as f:
-        lines = [line.rstrip("\n") for line in f]
+    import glob as _glob
+
+    lines = []
+    for part in sorted(_glob.glob(os.path.join(out_dir, "part-*"))):
+        with open(part, encoding="utf-8") as f:
+            lines.extend(line.rstrip("\n") for line in f)
     assert len(lines) == len(golden("logcat-reference.txt"))
     assert lines[0].startswith("Feb 28 10:00:01 ")
+
+
+def test_cli_raw_field_separator(service_root):
+    """--raw emits the reference's intermediate separator-joined fields;
+    --fieldSeparator overrides the default U+001F."""
+    stdout = run_tool(
+        "logcat", *BASE_ARGS, f"-root={service_root}", "--raw",
+        "--fieldSeparator=|",
+    )
+    lines = [line for line in stdout.splitlines() if line]
+    assert len(lines) == len(golden("logcat-reference.txt"))
+    first = sorted(lines)[0].split("|")
+    assert len(first) == 6
+    int(first[0])  # ts
+    int(first[4])  # block_no
 
 
 def test_cli_silent_suppresses_markers(service_root):
