@@ -67,12 +67,29 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
     """Exact Jaccard from a (doc_id, h) shingle-hash relation.
 
     Inverted-index self-join on the shingle hash → count of common
     shingles per pair; set sizes joined back in; J = common/(|A|+|B|-common).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the join (standard practice: a shingle present in half the
+    corpus contributes DF² candidate pairs while carrying no near-dup
+    signal). This bounds the quadratic fan-out of hot shingles; set
+    sizes are computed on the capped relation so the Jaccard stays an
+    exact set similarity over the kept shingles.
     """
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -101,16 +118,19 @@ def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    documents: DataFrame, n: int = 3, threshold: float = 0.6
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ τ.
 
-    Quadratic in the worst case (the inverted-index join fans out on
-    high-document-frequency shingles) — correct baseline for small/mid
-    corpora and the oracle for the LSH variant below, which is the
-    100 TB path.
+    The inverted-index join's worst case is quadratic in the hottest
+    shingle's document frequency; ``max_df`` caps that fan-out (see
+    :func:`jaccard_pairs`). Correct baseline for small/mid corpora and
+    the oracle for the LSH variant below, which is the 100 TB path.
     """
-    return jaccard_pairs(doc_shingle_hashes(documents, n), threshold)
+    return jaccard_pairs(doc_shingle_hashes(documents, n), threshold, max_df)
 
 
 def minhash_signature_relational(
@@ -279,12 +299,24 @@ def simhash64(documents: DataFrame) -> DataFrame:
 def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Simhash near-dup pairs with Hamming distance ≤ k.
 
-    Blocking: split the 60-bit hash into 4×15-bit chunks; by pigeonhole
-    any pair with Hamming ≤ 3 shares at least one exact chunk, so the
+    Blocking: split the 60-bit hash into ``max_hamming + 1`` chunks
+    (k=3 → 4×15-bit); by pigeonhole any pair with Hamming ≤ k differs in
+    at most k chunks, so it shares at least one exact chunk and the
     self-join keys on (chunk_idx, chunk_value) buckets instead of the
-    full cross product. The Hamming check on survivors uses
-    ``bit_count(xor)`` (one codegen'd instruction).
+    full cross product. The chunk count is DERIVED from the parameter —
+    a fixed chunking would silently drop pairs for larger k. The
+    Hamming check on survivors uses ``bit_count(xor)`` (one codegen'd
+    instruction).
     """
+    if not 0 <= max_hamming <= 11:
+        # >11 would need chunks under 5 bits: buckets so coarse the
+        # blocking join degenerates toward all-pairs. Refuse rather
+        # than silently drop pairs or explode.
+        raise ValueError(f"max_hamming must be in [0, 11], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(60, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash64(documents)
     chunks = sh.select(
         "doc_id",
@@ -294,11 +326,11 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), 15 * i)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -334,13 +366,19 @@ def connected_components(
     cluster" decisions (transitive dup chains A~B~C collapse even when
     A~C was never emitted).
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round takes the min of its label and its neighbors'
-    labels until a fixpoint. Converges in O(diameter) rounds; each
-    round is one join + one aggregation keyed on node id, and
-    ``localCheckpoint`` truncates the growing lineage — the standard
-    Spark shape for iterative graph algorithms (no driver-side
-    adjacency, works at any pair count).
+    Min-label propagation with POINTER JUMPING: every node starts
+    labeled with its own id; each round takes the min of its own and
+    its neighbors' labels, then short-circuits label ← label(label)
+    (path halving). The jump makes convergence O(log diameter) rounds
+    instead of O(diameter) — a 2^25-hop chain converges within the
+    default ``max_iter`` — at the cost of one extra self-join on the
+    (small) label relation per round. Each round is joins + an
+    aggregation keyed on node id, and ``localCheckpoint`` truncates the
+    growing lineage — the standard Spark shape for iterative graph
+    algorithms (no driver-side adjacency, works at any pair count).
+
+    Raises RuntimeError if the loop exhausts ``max_iter`` without
+    reaching a fixpoint (labels would be silently wrong otherwise).
     """
     # Materialize the pair graph ONCE: every propagation round joins
     # against it, and without this the (expensive) upstream pair
@@ -358,19 +396,33 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             bidir.join(labels, bidir.doc_id2 == labels.node)
             .groupBy("doc_id1")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            nbr_min, labels.node == nbr_min.doc_id1, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label ← label(label). Every label is a valid
+        # node id (labels are mins over node ids), so the inner self-join
+        # resolves every row; label(label) ≤ label by monotonicity.
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.doc_id1, "left")
+            propagated.alias("l1")
+            .join(
+                propagated.alias("l2"),
+                F.col("l1.label") == F.col("l2.node"),
+            )
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                F.col("l1.node").alias("node"),
+                F.col("l2.label").alias("label"),
             )
             .localCheckpoint()
         )
@@ -383,6 +435,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).transform(lambda d: small_sort(d, "doc_id"))

@@ -177,20 +177,25 @@ def ann_lsh_buckets(
     literals. bucket = Σ_j [sign(v·h_j) > 0]·2^j.
     """
     params = permutation_params(n_planes * dim, seed)
+    # Widened scalar projections: each plane's dot product is a signed
+    # left-assoc sum of scalar columns — whole-stage codegen, unlike the
+    # interpreted zip_with/aggregate HOF form (same arithmetic order:
+    # 0.0 + x0·s0 + x1·s1 + ..., and ±1·x is exact, so bucket ids are
+    # bit-identical to the SQL oracle's list_dot_product).
+    wide = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
+    )
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        signs = [1 if params[j * dim + i][0] % 2 == 1 else -1 for i in range(dim)]
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = F.lit(0.0)
+        for i in range(dim):
+            sign_pos = params[j * dim + i][0] % 2 == 1
+            proj = proj + (F.col(f"e{i}") if sign_pos else -F.col(f"e{i}"))
         bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return embeddings.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
 def ann_topk_lsh(
@@ -203,26 +208,28 @@ def ann_topk_lsh(
 
     Scale path for :func:`ann_topk_bruteforce` — the corpus joins on
     ``bucket`` instead of crossing with every query. Recall is tunable
-    via n_planes (fewer planes → bigger buckets → higher recall).
+    via n_planes (fewer planes → bigger buckets → higher recall). The
+    per-candidate cosine (the hot |bucket|×|queries| path) runs on
+    widened scalar columns — codegen'd fused multiply-adds, same
+    arithmetic order as the interpreted array form it replaces.
     """
-    bucketed = ann_lsh_buckets(embeddings, n_planes).withColumn(
-        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    )
-    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-        F.col("norm").alias("q_norm"),
-    )
-    scored = bucketed.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
-    ).select(
-        "q_id",
-        F.col("vec_id").alias("n_id"),
-        F.round(
-            dot(F.col("q_emb"), F.col("embedding")) / F.col("q_norm") / F.col("norm"), 4
-        ).alias("cos_sim"),
+    dim = 64
+    bucketed = widen(ann_lsh_buckets(embeddings, n_planes), dim, ["vec_id", "bucket"])
+    queries = bucketed.filter(F.col("vec_id") < n_queries)
+    scored = (
+        bucketed.alias("c")
+        .join(
+            F.broadcast(queries.alias("q")),
+            (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("n_id"),
+            F.round(
+                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (

@@ -2,8 +2,13 @@
 
 from __future__ import annotations
 
+#: Above this many rows the "small result" assumption is wrong and the
+#: single-partition sort would bottleneck on one task — spill to a
+#: distributed range sort instead.
+SMALL_SORT_SPILL_ROWS = 2_000_000
 
-def small_sort(df, *cols):
+
+def small_sort(df, *cols, spill_rows: int = SMALL_SORT_SPILL_ROWS):
     """Deterministic order for small result sets WITHOUT a range sort.
 
     ``orderBy`` range-partitions: the partitioner SAMPLES the input,
@@ -11,5 +16,15 @@ def small_sort(df, *cols):
     operator outputs that are small by construction (near-dup pairs,
     top-k lists, per-group aggregates), shuffling to one partition and
     sorting within it is one pass and exact.
+
+    GUARD: "small by construction" can fail — a boilerplate-heavy corpus
+    makes the near-dup pair set itself quadratic. The input is
+    local-checkpointed (so the expensive parent plan runs exactly once)
+    and counted; above ``spill_rows`` the sort falls back to a
+    distributed ``orderBy`` over the checkpointed blocks instead of
+    funneling everything through one task.
     """
-    return df.repartition(1).sortWithinPartitions(*cols)
+    out = df.localCheckpoint()
+    if out.count() > spill_rows:
+        return out.orderBy(*cols)
+    return out.repartition(1).sortWithinPartitions(*cols)

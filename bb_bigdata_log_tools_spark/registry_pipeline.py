@@ -34,22 +34,6 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 """
 
-SQL_JACCARD_TAIL = """
-common AS (
-  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS common
-  FROM {cand_sh} a JOIN {cand_sh} b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_id1, doc_id2,
-       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON doc_id1 = sa.doc_id
-JOIN sizes sb ON doc_id2 = sb.doc_id
-WHERE round(common / (sa.sz + sb.sz - common), 4) >= {tau}
-ORDER BY doc_id1, doc_id2
-"""
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(table(spark, sf_dir, "documents"))
 
@@ -64,13 +48,36 @@ ORDER BY keep_doc_id
 """
 
 
+NGRAM_MAX_DF = 10_000  # shingle document-frequency cap (engine + oracle)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_ngram_jaccard(ensure_parallelism(table(spark, sf_dir, "documents")), 3, 0.6)
+    return dedup.dedup_ngram_jaccard(
+        ensure_parallelism(table(spark, sf_dir, "documents")), 3, 0.6, NGRAM_MAX_DF
+    )
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"WITH {SQL_SHINGLES}, " + SQL_JACCARD_TAIL.format(
-    cand_sh="sh", tau=0.6
+# The oracle applies the SAME document-frequency cap before the
+# inverted-index join (drop shingles with DF > NGRAM_MAX_DF; set sizes
+# computed on the capped relation) — bounds the join fan-out of hot
+# boilerplate shingles identically on both engines.
+SQL_DEDUP_NGRAM_JACCARD = f"""WITH {SQL_SHINGLES},
+hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > {NGRAM_MAX_DF}),
+shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+csizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS common
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
+SELECT doc_id1, doc_id2,
+       round(common / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM common
+JOIN csizes sa ON doc_id1 = sa.doc_id
+JOIN csizes sb ON doc_id2 = sb.doc_id
+WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.6
+ORDER BY doc_id1, doc_id2
+"""
 
 
 def _perm_values(num_perm: int = 64) -> str:
