@@ -323,6 +323,10 @@ from bb_bigdata_log_tools_spark.registry_pipeline import (  # noqa: E402
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_avro import (  # noqa: E402
+    AVRO_ORACLES,
+    AVRO_QUERIES,
+)
 
 QUERIES: dict[str, QueryFn] = {
     "log_cat": q_log_cat,
@@ -342,6 +346,7 @@ QUERIES: dict[str, QueryFn] = {
     **BOOM_QUERIES,
     **MISC_QUERIES,
     **ANALYTICS2_QUERIES,
+    **AVRO_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -363,4 +368,5 @@ ORACLES: dict[str, str] = {
     **BOOM_ORACLES,
     **MISC_ORACLES,
     **ANALYTICS2_ORACLES,
+    **AVRO_ORACLES,
 }

@@ -114,6 +114,19 @@ class _Decoder:
                 for _ in range(count):
                     items.append(self.decode(schema["items"]))
             return items
+        if kind == "map":
+            out: dict[str, object] = {}
+            while True:
+                count = self.read_long()
+                if count == 0:
+                    break
+                if count < 0:
+                    count = -count
+                    self.read_long()
+                for _ in range(count):
+                    key = self.read_string()
+                    out[key] = self.decode(schema["values"])
+            return out
         if kind == "long":
             return self.read_long()
         if kind == "int":
