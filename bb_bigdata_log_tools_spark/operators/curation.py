@@ -1,0 +1,203 @@
+"""Corpus-curation operators: deterministic stratified sampling,
+incremental (against-reference) dedup, PII detection/scrubbing, URL
+extraction, and a composite quality filter — the selection/cleaning
+stages of an LLM training-data pipeline.
+
+Everything is built-in column expressions (codegen, scan-parallel);
+the only shuffles are the ones the semantics require (the anti-join in
+incremental dedup, the per-domain aggregate in url_domain_stats).
+Sampling and filtering are pure maps — at 100 TB they run at scan
+speed with full predicate/column pushdown underneath.
+
+Determinism: sampling keys on md5 (bit-identical in Spark and any
+ANSI SQL engine — see functions/hashing.py), never on `rand()`, so a
+sample is reproducible across engines, retries, and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+#: Hash-bucket denominator for sampling fractions (0.01 % resolution).
+SAMPLE_DENOM = 10_000
+
+# PII patterns — deliberately simple ASCII regexes that parse
+# identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9](/[^ ]*)?"
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+[A-Za-z0-9])"
+
+
+def sample_bucket(strata: Column, key: Column) -> Column:
+    """Deterministic bucket in [0, SAMPLE_DENOM) from md5(strata:key).
+
+    Including the stratum in the hash makes per-stratum samples
+    independent (the same key can be in-sample for one stratum and
+    out-of-sample for another).
+    """
+    return F.pmod(
+        md5_long(F.concat_ws(":", strata, key.cast("string"))),
+        F.lit(SAMPLE_DENOM),
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a hash-chosen fraction of
+    each stratum (``fractions[stratum]``, else ``default_fraction``).
+
+    100 TB shape: one scan, zero shuffle, no state — rows are kept by a
+    pure hash predicate, so the sample is stable under retries and
+    needs no per-stratum counting pass. (Exact-count sampling would
+    need a window/shuffle; fraction-based is the scan-speed form.)
+    """
+    for frac in fractions.values():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction out of range: {frac}")
+    thresh = F.lit(int(default_fraction * SAMPLE_DENOM))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(frac * SAMPLE_DENOM)))
+            .otherwise(thresh)
+        )
+    return df.filter(sample_bucket(F.col(strata_col), F.col(key_col)) < thresh)
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``batch`` whose content hash does NOT appear in ``seen``
+    — the "don't re-ingest what's already in the corpus" step of an
+    incremental pipeline.
+
+    Implemented as a LEFT ANTI join on the 60-bit md5 content hash:
+    both sides shuffle on the hash (uniformly distributed — no skew by
+    construction), map-side distinct on the seen side keeps the shuffle
+    at one row per distinct hash. At 100 TB the seen-side hash set is
+    usually orders of magnitude smaller than its text and often
+    broadcast-able; AQE picks broadcast when it fits, and an
+    approximate pre-filter (bloom) would only change the constant, not
+    the shape.
+    """
+    h = md5_long(text_col)
+    seen_hashes = seen.select(h.alias("content_h")).distinct()
+    return batch.withColumn("content_h", h).join(
+        seen_hashes, "content_h", "left_anti"
+    ).drop("content_h")
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Detect and mask PII: per-kind match counts (``pii_<kind>``), a
+    total, and the text with every match replaced by ``<KIND>``.
+
+    Pure regexp column expressions — scan-parallel, no shuffle. The
+    patterns are the standard cheap pre-filters (emails, IPv4, NANP
+    phone numbers); a production pass would chain model-based NER
+    behind this filter, gated on ``pii_total > 0`` so the expensive
+    path only sees flagged documents.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"pii_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        total = total + F.col(f"pii_{kind}")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("pii_total", total).withColumn(out_col, scrubbed)
+
+
+def url_extract(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL stats: ``n_urls`` and the (lowercased) domain
+    of each URL (``domains`` array, document order)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return df.withColumn("n_urls", F.size(urls)).withColumn(
+        "domains",
+        F.transform(
+            urls, lambda u: F.lower(F.regexp_extract(u, URL_DOMAIN_PATTERN, 1))
+        ),
+    )
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", blocklist: list[str] | None = None
+) -> DataFrame:
+    """Corpus-wide per-domain document/occurrence counts with a
+    blocked flag — the input to per-domain quota and blocklist
+    filtering.
+
+    explode → groupBy(domain): the shuffle carries (domain, counts)
+    only (map-side partial agg), never document text.
+    """
+    blocked = [d.lower() for d in (blocklist or [])]
+    domains = url_extract(df, text_col).select(
+        F.explode("domains").alias("domain")
+    )
+    out = domains.groupBy("domain").agg(F.count("*").alias("n_occurrences"))
+    if blocked:
+        flag = F.array_contains(F.array(*[F.lit(d) for d in blocked]), F.col("domain"))
+    else:
+        flag = F.lit(False)
+    return out.withColumn("blocked", flag)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+    min_tokens: int = 10,
+    max_mean_token_len: float = 12.0,
+    min_unique_ratio: float = 0.3,
+) -> DataFrame:
+    """Composite gopher-style quality gate: length, token count, mean
+    token length, and unique-token ratio, with a first-failing-rule
+    label (``fail_reason``, 'ok' when kept).
+
+    One pass of pure column expressions over whitespace tokens; the
+    caller filters on ``keep`` (kept as a column so audits can group by
+    fail_reason without a second scan).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    # sum of token lengths == non-space char count (exact under repeated
+    # or leading/trailing spaces too; translate stays in codegen)
+    sum_tok_len = F.length(F.translate(F.col(text_col), " ", ""))
+    mean_tok_len = F.when(n_tokens > 0, sum_tok_len / n_tokens).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    reason = (
+        F.when(n_chars < min_chars, F.lit("too_short"))
+        .when(n_chars > max_chars, F.lit("too_long"))
+        .when(n_tokens < min_tokens, F.lit("too_few_tokens"))
+        .when(mean_tok_len > max_mean_token_len, F.lit("long_tokens"))
+        .when(uniq_ratio < min_unique_ratio, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens_q", n_tokens)
+        .withColumn("mean_token_len", F.round(mean_tok_len, 4))
+        .withColumn("unique_ratio", F.round(uniq_ratio, 4))
+        .withColumn("fail_reason", reason)
+        .withColumn("keep", reason == "ok")
+    )

@@ -198,6 +198,101 @@ def ann_lsh_buckets(
     return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF cell assignment: rank every vector's cosine against the
+    ``n_cells`` deterministic centroids (the vectors with
+    ``vec_id < n_cells`` — a fixed, reproducible codebook; a production
+    build would train the codebook with k-means on a sample, which only
+    changes the centroid literals, not this plan).
+
+    Returns (vec_id, cell, cell_rank ≤ n_probe). The centroid side is
+    a broadcast of ``n_cells`` widened rows, so assignment is ONE
+    corpus scan + a per-row argmax window keyed by vec_id — no corpus
+    shuffle beyond the window's hash partition on vec_id.
+    """
+    wide = widen(embeddings, dim, ["vec_id"])
+    cents = wide.filter(F.col("vec_id") < n_cells)
+    scored = (
+        wide.alias("v")
+        .join(F.broadcast(cents.alias("cen")))
+        .select(
+            F.col("v.vec_id").alias("vec_id"),
+            F.col("cen.vec_id").alias("cell"),
+            (wide_dot("v", "cen", dim) / F.col("v.norm") / F.col("cen.norm")).alias(
+                "cell_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("vec_id", "cell", "cell_rank")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query searches only the
+    ``n_probe`` inverted lists (cells) closest to it; candidates score
+    exact cosine.
+
+    Scale shape: the index build is one scan (see :func:`ivf_assign`);
+    the search joins queries to the corpus ON the cell id, so the
+    candidate fan-out is |queries| x (corpus / n_cells x n_probe)
+    instead of |queries| x corpus — the standard recall/throughput
+    trade against :func:`ann_topk_bruteforce`. The assignment is
+    materialized via ``localCheckpoint`` before re-joining the widened
+    vectors: chaining two widened-column joins in one lineage makes
+    Catalyst re-derive the 64-column projections per node (the round-1
+    IVF prototype OOMed exactly there); truncating lineage keeps each
+    widened plan independent.
+    """
+    cells = ivf_assign(embeddings, n_cells, n_probe=1, dim=dim).select(
+        "vec_id", "cell"
+    ).localCheckpoint()
+    probes = ivf_assign(embeddings, n_cells, n_probe=n_probe, dim=dim).filter(
+        F.col("vec_id") < n_queries
+    ).select(F.col("vec_id").alias("q_id"), "cell").localCheckpoint()
+
+    wide = widen(embeddings, dim, ["vec_id"])
+    corpus = wide.alias("c").join(cells.alias("cl"), F.col("c.vec_id") == F.col("cl.vec_id"))
+    queries = wide.alias("q").join(
+        F.broadcast(probes.alias("p")), F.col("q.vec_id") == F.col("p.q_id")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cl.cell") == F.col("p.cell"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("n_id"),
+            F.round(
+                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .transform(lambda d: small_sort(d, "q_id", "rank"))
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     n_queries: int = 20,

@@ -327,6 +327,10 @@ from bb_bigdata_log_tools_spark.registry_avro import (  # noqa: E402
     AVRO_ORACLES,
     AVRO_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_curation import (  # noqa: E402
+    CURATION_ORACLES,
+    CURATION_QUERIES,
+)
 
 QUERIES: dict[str, QueryFn] = {
     "log_cat": q_log_cat,
@@ -347,6 +351,7 @@ QUERIES: dict[str, QueryFn] = {
     **MISC_QUERIES,
     **ANALYTICS2_QUERIES,
     **AVRO_QUERIES,
+    **CURATION_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -369,4 +374,5 @@ ORACLES: dict[str, str] = {
     **MISC_ORACLES,
     **ANALYTICS2_ORACLES,
     **AVRO_ORACLES,
+    **CURATION_ORACLES,
 }

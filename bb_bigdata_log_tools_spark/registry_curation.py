@@ -1,0 +1,324 @@
+"""Registry part 7: corpus-curation queries — deterministic stratified
+sampling, incremental dedup, PII scrub, URL domain stats, composite
+quality filter, and IVF-flat ANN.
+
+PII/URL probes: the synthetic documents corpus contains no PII or URLs,
+so the queries inject deterministic doc_id-derived tokens with the SAME
+expression on both engines, then run the real operators over the
+augmented text — the patterns are exercised on every row and the oracle
+stays exact (the established fixture-injection trick, in-plan instead
+of on-disk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.operators import curation, similarity
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
+
+#: DuckDB rendering of functions.hashing.md5_long
+_MD5_LONG = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# stratified sampling
+# --------------------------------------------------------------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.2}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        curation.sample_stratified(
+            docs, "lang", SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_BUCKET_SQL = _MD5_LONG.format(x="lang || ':' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_BUCKET_SQL} < CASE lang
+  WHEN 'de' THEN {int(SAMPLE_FRACTIONS['de'] * 10000)}
+  WHEN 'en' THEN {int(SAMPLE_FRACTIONS['en'] * 10000)}
+  ELSE {int(SAMPLE_DEFAULT * 10000)} END
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (batch vs seen corpus)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = every 5th doc; seen = the rest. Emit the batch docs whose
+    exact content is not already in the seen corpus."""
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        curation.dedup_incremental(batch, seen)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+SELECT doc_id, lang, source FROM documents b
+WHERE doc_id % 5 = 0
+  AND {_MD5_LONG.format(x='b.text')} NOT IN (
+    SELECT {_MD5_LONG.format(x='s.text')} FROM documents s WHERE doc_id % 5 <> 0)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrub (deterministic in-plan injection)
+# --------------------------------------------------------------------------
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact u"), i.cast("string"),
+        F.lit("@ex"), (i % 7).cast("string"), F.lit("mail.com via 10."),
+        (i % 200).cast("string"), F.lit(".0."), (i % 100).cast("string"),
+        F.lit(" call 555-"), (100 + i % 900).cast("string"),
+        F.lit("-"), (1000 + i % 9000).cast("string"),
+    )
+    return docs.withColumn(
+        "text2",
+        F.when(i % 3 != 0, F.concat(F.col("text"), suffix)).otherwise(F.col("text")),
+    )
+
+
+_INJECT_SQL = """
+CASE WHEN doc_id % 3 <> 0 THEN text
+  || ' contact u' || CAST(doc_id AS VARCHAR)
+  || '@ex' || CAST(doc_id % 7 AS VARCHAR) || 'mail.com via 10.'
+  || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+  || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+ELSE text END
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inject_pii(table(spark, sf_dir, "documents"))
+    out = curation.pii_scrub(docs, text_col="text2")
+    return out.select(
+        "doc_id",
+        "pii_email",
+        "pii_ipv4",
+        "pii_phone",
+        "pii_total",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+_EMAIL = curation.PII_PATTERNS["email"]
+_IPV4 = curation.PII_PATTERNS["ipv4"]
+_PHONE = curation.PII_PATTERNS["phone"]
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (SELECT doc_id, {_INJECT_SQL} AS text2 FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '{_EMAIL}')) AS INTEGER) AS pii_email,
+  CAST(len(regexp_extract_all(text2, '{_IPV4}')) AS INTEGER) AS pii_ipv4,
+  CAST(len(regexp_extract_all(text2, '{_PHONE}')) AS INTEGER) AS pii_phone,
+  CAST(len(regexp_extract_all(text2, '{_EMAIL}'))
+     + len(regexp_extract_all(text2, '{_IPV4}'))
+     + len(regexp_extract_all(text2, '{_PHONE}')) AS INTEGER) AS pii_total,
+  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+      '{_EMAIL}', '<EMAIL>', 'g'),
+      '{_IPV4}', '<IPV4>', 'g'),
+      '{_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# URL domain stats (deterministic in-plan injection)
+# --------------------------------------------------------------------------
+
+URL_BLOCKLIST = ["cdn1.net"]
+
+
+def _inject_urls(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" see https://site"), (i % 5).cast("string"),
+        F.lit(".example.com/p/"), i.cast("string"),
+        F.lit(" and http://cdn"), (i % 3).cast("string"), F.lit(".net"),
+    )
+    return docs.withColumn(
+        "text2",
+        F.when(i % 4 != 0, F.concat(F.col("text"), suffix)).otherwise(F.col("text")),
+    )
+
+
+_INJECT_URL_SQL = """
+CASE WHEN doc_id % 4 <> 0 THEN text
+  || ' see https://site' || CAST(doc_id % 5 AS VARCHAR)
+  || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+  || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.net'
+ELSE text END
+"""
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inject_urls(table(spark, sf_dir, "documents"))
+    return (
+        curation.url_domain_stats(docs, text_col="text2", blocklist=URL_BLOCKLIST)
+        .orderBy("domain")
+    )
+
+
+SQL_URL_DOMAIN_STATS = f"""
+WITH aug AS (SELECT doc_id, {_INJECT_URL_SQL} AS text2 FROM documents),
+urls AS (
+  SELECT unnest(regexp_extract_all(text2, '{curation.URL_PATTERN}')) AS u FROM aug
+),
+doms AS (
+  SELECT lower(regexp_extract(u, '{curation.URL_DOMAIN_PATTERN}', 1)) AS domain
+  FROM urls
+)
+SELECT domain, count(*) AS n_occurrences,
+       domain IN ('{URL_BLOCKLIST[0]}') AS blocked
+FROM doms GROUP BY domain
+ORDER BY domain
+"""
+
+
+# --------------------------------------------------------------------------
+# composite quality filter
+# --------------------------------------------------------------------------
+
+QF = dict(min_chars=100, max_chars=100_000, min_tokens=20,
+          max_mean_token_len=12.0, min_unique_ratio=0.45)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        curation.quality_filter(docs, **QF)
+        .select(
+            "doc_id", "n_chars_q", "n_tokens_q", "mean_token_len",
+            "unique_ratio", "fail_reason", "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS INTEGER) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+           AS n_tokens,
+         CAST(strlen(replace(text, ' ', '')) AS DOUBLE) AS sum_tok_len,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS DOUBLE) AS n_uniq
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens ELSE 0 END, 4)
+           AS mean_token_len,
+         round(CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0 END, 4)
+           AS unique_ratio
+  FROM t
+)
+SELECT doc_id, n_chars AS n_chars_q, n_tokens AS n_tokens_q,
+       mean_token_len, unique_ratio,
+       CASE WHEN n_chars < {QF['min_chars']} THEN 'too_short'
+            WHEN n_chars > {QF['max_chars']} THEN 'too_long'
+            WHEN n_tokens < {QF['min_tokens']} THEN 'too_few_tokens'
+            WHEN mean_token_len > {QF['max_mean_token_len']} THEN 'long_tokens'
+            WHEN unique_ratio < {QF['min_unique_ratio']} THEN 'repetitive'
+            ELSE 'ok' END AS fail_reason,
+       CASE WHEN n_chars < {QF['min_chars']} THEN FALSE
+            WHEN n_chars > {QF['max_chars']} THEN FALSE
+            WHEN n_tokens < {QF['min_tokens']} THEN FALSE
+            WHEN mean_token_len > {QF['max_mean_token_len']} THEN FALSE
+            WHEN unique_ratio < {QF['min_unique_ratio']} THEN FALSE
+            ELSE TRUE END AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-flat ANN
+# --------------------------------------------------------------------------
+
+IVF = dict(n_queries=20, k=10, n_cells=8, n_probe=2)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return similarity.ann_topk_ivf(emb, **IVF)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a}))"
+    " / sqrt(list_dot_product({b}, {b}))"
+)
+
+SQL_ANN_TOPK_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cen AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < {IVF['n_cells']}),
+assign AS (
+  SELECT e.vec_id, cen.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_COS.format(a='e.emb', b='cen.c_emb')} DESC, cen.c_id) AS rnk
+  FROM e CROSS JOIN cen
+),
+cells AS (SELECT vec_id, c_id AS cell FROM assign WHERE rnk = 1),
+probes AS (SELECT vec_id AS q_id, c_id AS cell FROM assign
+           WHERE vec_id < {IVF['n_queries']} AND rnk <= {IVF['n_probe']}),
+scored AS (
+  SELECT p.q_id, c.vec_id AS n_id,
+         round({_COS.format(a='qe.emb', b='ce.emb')}, 4) AS cos_sim
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id
+  JOIN e qe ON qe.vec_id = p.q_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= {IVF['k']}
+ORDER BY q_id, rank
+"""
+
+
+CURATION_QUERIES = {
+    "sample_stratified": q_sample_stratified,
+    "dedup_incremental": q_dedup_incremental,
+    "pii_scrub": q_pii_scrub,
+    "url_domain_stats": q_url_domain_stats,
+    "quality_filter": q_quality_filter,
+    "ann_topk_ivf": q_ann_topk_ivf,
+}
+
+CURATION_ORACLES = {
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "pii_scrub": SQL_PII_SCRUB,
+    "url_domain_stats": SQL_URL_DOMAIN_STATS,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+}

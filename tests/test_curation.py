@@ -1,0 +1,122 @@
+"""Curation operators: stratified sampling determinism, incremental
+dedup, PII scrub, URL stats, quality filter, IVF ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.operators import curation, similarity
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_sample_deterministic_and_stratified(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", f"text {i}") for i in range(400)]
+    df = _docs(spark, rows)
+    s1 = curation.sample_stratified(df, "lang", {"en": 0.5, "de": 0.0})
+    got = [tuple(r) for r in s1.orderBy("doc_id").collect()]
+    # deterministic: identical on a second run
+    assert got == [tuple(r) for r in s1.orderBy("doc_id").collect()]
+    langs = {r[1] for r in got}
+    assert langs == {"en"}  # de fraction 0 -> dropped entirely
+    # fraction ~0.5 of the 200 en docs (hash-based, not exact)
+    assert 60 <= len(got) <= 140
+
+
+def test_sample_rejects_bad_fraction(spark):
+    df = _docs(spark, [(1, "en", "x")])
+    with pytest.raises(ValueError, match="fraction"):
+        curation.sample_stratified(df, "lang", {"en": 1.5})
+
+
+def test_dedup_incremental_antijoin(spark):
+    seen = _docs(spark, [(1, "en", "alpha"), (2, "en", "beta")])
+    batch = _docs(
+        spark,
+        [(10, "en", "alpha"), (11, "en", "gamma"), (12, "en", "beta"), (13, "en", "delta")],
+    )
+    out = curation.dedup_incremental(batch, seen).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [11, 13]
+    assert "content_h" not in curation.dedup_incremental(batch, seen).columns
+
+
+def test_pii_scrub_counts_and_masks(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "en", "mail a.b@x-corp.io or 10.1.2.3 call 555-123-4567 end"),
+            (2, "en", "clean text no pii"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.pii_scrub(df).collect()}
+    assert (out[1].pii_email, out[1].pii_ipv4, out[1].pii_phone) == (1, 1, 1)
+    assert out[1].text_scrubbed == "mail <EMAIL> or <IPV4> call <PHONE> end"
+    assert out[2].pii_total == 0 and out[2].text_scrubbed == out[2].text
+
+
+def test_url_stats_blocklist(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "en", "x https://A.example.com/path y http://b.net"),
+            (2, "en", "z https://a.example.com no-url-here"),
+        ],
+    )
+    out = {
+        r.domain: r
+        for r in curation.url_domain_stats(df, blocklist=["b.net"]).collect()
+    }
+    assert out["a.example.com"].n_occurrences == 2  # lowercased merge
+    assert out["b.net"].blocked and not out["a.example.com"].blocked
+
+
+def test_quality_filter_reasons(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "en", "tiny"),
+            (2, "en", " ".join(f"w{i}" for i in range(30))),  # ok
+            (3, "en", " ".join(["dup"] * 40)),  # repetitive
+            (4, "en", " ".join(["superlongtokenxxxxxxxxxxxxxxx"] * 25)),  # long tokens
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.quality_filter(
+            df, min_chars=20, min_tokens=10, max_mean_token_len=12.0,
+            min_unique_ratio=0.3,
+        ).collect()
+    }
+    assert out[1].fail_reason == "too_short"
+    assert out[2].fail_reason == "ok" and out[2].keep
+    assert out[3].fail_reason == "repetitive"
+    assert out[4].fail_reason == "long_tokens"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=n_cells degenerates to exact search: results
+    must equal brute force. With n_probe=2 recall stays useful."""
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_topk_bruteforce(emb, n_queries=5, k=5).collect()
+    }
+    full_probe = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_topk_ivf(
+            emb, n_queries=5, k=5, n_cells=4, n_probe=4
+        ).collect()
+    }
+    assert full_probe == exact
+    approx = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_topk_ivf(
+            emb, n_queries=5, k=5, n_cells=4, n_probe=2
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
