@@ -7,10 +7,17 @@ Arrow batch shape, UDF signatures) is real and tested.
 IMAGE decoding is REAL: pure-Python header parsers for PNG (IHDR
 chunk), JPEG (SOF marker scan), GIF (logical screen descriptor) and BMP
 (BITMAPINFOHEADER) extract true pixel dimensions from bytes — the
-formats are public specs, no libraries needed. Audio/video decoding
-stays a deterministic STUB (ffmpeg/torchaudio aren't in this
-environment); the ``decoded`` output column flags which rows carry real
-dimensions so downstream consumers can tell.
+formats are public specs, no libraries needed. AUDIO decoding is REAL
+for WAV (RIFF chunk walk: fmt + data → sample rate, channels, sample
+count). Compressed-audio and video decoding stay a deterministic STUB
+(ffmpeg/torchaudio aren't in this environment); the ``decoded`` output
+column flags which rows carry real values so downstream consumers can
+tell.
+
+Feature-column convention (one schema across modalities): images use
+(width, height, n_frames=1); audio uses (width=sample_rate,
+height=channels, n_frames=sample_count); video would use true
+(width, height, n_frames).
 """
 
 from __future__ import annotations
@@ -119,6 +126,53 @@ def make_png(width: int, height: int, pixel: bytes = b"\x80\x80\x80") -> bytes:
     )
 
 
+def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """True (sample_rate, channels, n_samples) from WAV bytes, or None.
+
+    RIFF container walk (public spec): ``RIFF<size>WAVE`` then 8-byte
+    chunk headers; ``fmt `` carries format/channels/rate/block-align,
+    ``data``'s size over block-align is the sample count. Chunks are
+    word-aligned (odd sizes pad one byte). Only headers are read, never
+    the sample data.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = block_align = data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            _fmt, channels, rate, _brate, block_align, _bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if rate and channels and block_align and data_size is not None:
+        return (rate, channels, data_size // block_align)
+    return None
+
+
+def make_wav(
+    sample_rate: int, channels: int = 1, n_samples: int = 0, bits: int = 16
+) -> bytes:
+    """A valid (silent) PCM WAV file built from the RIFF spec — a real
+    writer for fixtures and round-trip tests."""
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def make_jpeg_header(width: int, height: int) -> bytes:
     """SOI + JFIF APP0 + SOF0 + EOI — the marker skeleton a dimension
     probe must understand (no entropy-coded data)."""
@@ -173,15 +227,21 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def _decode_payload(media_type: str, payload: bytes) -> tuple[int, int, int, bool]:
     """(width, height, n_frames, decoded) for one payload.
 
-    Images decode FOR REAL via :func:`parse_image_dimensions`
-    (decoded=True). Unrecognized image bytes and audio/video fall back
-    to a deterministic stub (decoded=False) — swap in ffmpeg/torchaudio
-    in production; the flag column keeps the two regimes distinguishable.
+    Images decode FOR REAL via :func:`parse_image_dimensions`, WAV
+    audio via :func:`parse_wav_meta` (decoded=True, with the column
+    convention from the module docstring). Unrecognized bytes and
+    compressed audio / video fall back to a deterministic stub
+    (decoded=False) — swap in ffmpeg/torchaudio in production; the flag
+    column keeps the two regimes distinguishable.
     """
     if media_type == "image":
         dims = parse_image_dimensions(payload)
         if dims is not None:
             return (dims[1], dims[2], 1, True)
+    if media_type == "audio":
+        meta = parse_wav_meta(payload)
+        if meta is not None:
+            return (meta[0], meta[1], meta[2], True)
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % 2147483647

@@ -197,11 +197,33 @@ def test_image_dimension_parsers():
     assert parse_image_dimensions(b"") is None
 
 
+def test_wav_meta_parser():
+    import struct
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_meta,
+    )
+
+    wav = make_wav(44100, channels=2, n_samples=4410, bits=16)
+    assert parse_wav_meta(wav) == (44100, 2, 4410)
+    # 8-bit mono: block align 1
+    assert parse_wav_meta(make_wav(8000, 1, 123, bits=8)) == (8000, 1, 123)
+    # an extra chunk before fmt (e.g. LIST) must be skipped, odd size padded
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert parse_wav_meta(patched) == (44100, 2, 4410)
+    assert parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert parse_wav_meta(b"not audio") is None
+
+
 def test_extract_features_real_decode(spark):
     from bb_bigdata_log_tools_spark.operators.multimodal import (
         extract_features,
         make_jpeg_header,
         make_png,
+        make_wav,
     )
 
     media = spark.createDataFrame(
@@ -209,6 +231,8 @@ def test_extract_features_real_decode(spark):
             (1, make_png(640, 480), "image"),
             (2, make_jpeg_header(1024, 768), "image"),
             (3, b"\x00\x01broken", "image"),
+            (4, make_wav(16000, 1, 16000), "audio"),
+            (5, b"\x00mp3-ish-garbage", "audio"),
         ],
         "doc_id long, payload binary, media_type string",
     )
@@ -216,6 +240,11 @@ def test_extract_features_real_decode(spark):
     assert (rows[1]["width"], rows[1]["height"], rows[1]["decoded"]) == (640, 480, True)
     assert (rows[2]["width"], rows[2]["height"], rows[2]["decoded"]) == (1024, 768, True)
     assert rows[3]["decoded"] is False
+    # WAV audio: width=sample_rate, height=channels, n_frames=samples
+    assert (rows[4]["width"], rows[4]["height"], rows[4]["n_frames"], rows[4]["decoded"]) == (
+        16000, 1, 16000, True,
+    )
+    assert rows[5]["decoded"] is False and rows[5]["n_frames"] >= 1
 
 
 def test_hfind(spark, tmp_path):
