@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "tpch_q18",
     "events_moving_avg",
     "text_ngram_counts",
+    "sample_stratified",
+    "dedup_incremental",
+    "pii_scrub",
+    "url_domain_stats",
+    "quality_filter",
+    "ann_topk_ivf",
 ]
 
 

@@ -156,3 +156,46 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS ev_c")
+
+
+def test_curation_maps_no_shuffle(spark, sf_dir):
+    """Sampling, PII scrub, and the quality gate are pure maps — any
+    Exchange here would be a scan-speed killer at 100 TB."""
+    from bb_bigdata_log_tools_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    for df in [
+        curation.sample_stratified(docs, "lang", {"en": 0.5}, 0.1),
+        curation.pii_scrub(docs),
+        curation.quality_filter(docs),
+        curation.url_extract(docs),
+    ]:
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan[:800]
+
+
+def test_dedup_incremental_antijoin_shape(spark, sf_dir):
+    """LEFT ANTI on the content hash with a map-side distinct on the
+    seen side (partial HashAggregate below the exchange) — the shuffle
+    carries one row per distinct hash, not the corpus text."""
+    from bb_bigdata_log_tools_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    out = curation.dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), docs.filter(F.col("doc_id") % 5 != 0)
+    )
+    plan = plan_of(out)
+    assert "LeftAnti" in plan, plan[:1200]
+    assert plan.count("HashAggregate") >= 2, plan[:1200]
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    """IVF cell assignment must broadcast the (tiny, fixed-size)
+    centroid side so the corpus is scanned once with no shuffle before
+    the per-vector argmax window."""
+    from bb_bigdata_log_tools_spark.operators import similarity
+    from bb_bigdata_log_tools_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    plan = plan_of(similarity.ivf_assign(emb, n_cells=4))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1200]
