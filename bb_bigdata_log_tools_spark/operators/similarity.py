@@ -198,73 +198,41 @@ def ann_lsh_buckets(
     return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
-def _ivf_centroids(embeddings: DataFrame, n_cells: int, dim: int) -> list[tuple]:
-    """Collect the deterministic codebook: the vectors with
-    ``vec_id < n_cells``. A fixed-size model (n_cells x dim doubles),
-    collected once and folded into the plan as literals — the same
-    "broadcast the model" shape a trained k-means codebook would use.
-    Returns [(cell_id, [components...], norm)] sorted by cell_id.
-    """
-    rows = (
-        embeddings.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    out = []
-    for r in sorted(rows, key=lambda r: r.vec_id):
-        comps = [float(x) for x in r.embedding]
-        norm_sq = 0.0
-        for x in comps:  # left-assoc, matches sqrt(list_dot_product(c,c))
-            norm_sq += x * x
-        out.append((int(r.vec_id), comps, norm_sq**0.5))
-    return out
-
-
-def _cell_ranks(cents: list[tuple], dim: int, n_probe: int) -> Column:
-    """array<struct<cell,cell_rank>> of the ``n_probe`` nearest cells,
-    as pure column algebra over widened e0..e{dim-1}/norm columns.
-
-    Each centroid cosine is a literal-coefficient FMA chain (codegen,
-    same left-assoc order as the oracle's list_dot_product); the argmax
-    is an 8-element array_sort — per-row constant work, NO join and NO
-    shuffle. This is what keeps IVF assignment a pure scan at 100 TB.
-    """
-    scored = []
-    for cell_id, comps, c_norm in cents:
-        proj = None
-        for i in range(dim):
-            term = F.col(f"e{i}") * F.lit(comps[i])
-            proj = term if proj is None else proj + term
-        cos = proj / F.col("norm") / F.lit(c_norm)
-        scored.append(F.struct(cos.alias("cos"), F.lit(cell_id).alias("cell")))
-    ranked = F.array_sort(
-        F.array(*scored),
-        lambda a, b: F.when(a["cos"] > b["cos"], -1)
-        .when(a["cos"] < b["cos"], 1)
-        .otherwise(a["cell"] - b["cell"]),
-    )
-    return F.slice(ranked, 1, n_probe)
-
-
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 8,
     n_probe: int = 1,
     dim: int = 64,
 ) -> DataFrame:
-    """IVF cell assignment: (vec_id, cell, cell_rank ≤ n_probe) by
-    cosine against the deterministic codebook (``vec_id < n_cells``; a
-    production build would k-means a sample, changing only the centroid
-    literals). Map-only — see :func:`_cell_ranks`."""
-    cents = _ivf_centroids(embeddings, n_cells, dim)
+    """IVF cell assignment: rank every vector's cosine against the
+    ``n_cells`` deterministic centroids (the vectors with
+    ``vec_id < n_cells`` — a fixed, reproducible codebook; a production
+    build would train the codebook with k-means on a sample, which only
+    changes the centroid literals, not this plan).
+
+    Returns (vec_id, cell, cell_rank ≤ n_probe). The centroid side is
+    a broadcast of ``n_cells`` widened rows, so assignment is ONE
+    corpus scan + a per-row argmax window keyed by vec_id — no corpus
+    shuffle beyond the window's hash partition on vec_id.
+    """
     wide = widen(embeddings, dim, ["vec_id"])
-    return wide.select(
-        "vec_id",
-        F.posexplode(_cell_ranks(cents, dim, n_probe)).alias("pos", "rc"),
-    ).select(
-        "vec_id",
-        F.col("rc.cell").alias("cell"),
-        (F.col("pos") + 1).alias("cell_rank"),
+    cents = wide.filter(F.col("vec_id") < n_cells)
+    scored = (
+        wide.alias("v")
+        .join(F.broadcast(cents.alias("cen")))
+        .select(
+            F.col("v.vec_id").alias("vec_id"),
+            F.col("cen.vec_id").alias("cell"),
+            (wide_dot("v", "cen", dim) / F.col("v.norm") / F.col("cen.norm")).alias(
+                "cell_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("vec_id", "cell", "cell_rank")
     )
 
 
@@ -280,36 +248,42 @@ def ann_topk_ivf(
     ``n_probe`` inverted lists (cells) closest to it; candidates score
     exact cosine.
 
-    Scale shape: centroids fold into the scan as literals, so the
-    corpus side is ONE pass (widen + per-row cell id, no index join,
-    no shuffle); queries replicate per probed cell and broadcast; the
-    single join keys on the cell id, bounding candidate fan-out at
-    |queries| x (corpus/n_cells x n_probe) instead of |queries| x
-    corpus — the recall/throughput trade against
-    :func:`ann_topk_bruteforce`.
+    Scale shape: the index build is one scan (see :func:`ivf_assign`);
+    the search joins queries to the corpus ON the cell id, so the
+    candidate fan-out is |queries| x (corpus / n_cells x n_probe)
+    instead of |queries| x corpus — the standard recall/throughput
+    trade against :func:`ann_topk_bruteforce`. The assignment is
+    materialized via ``localCheckpoint`` before re-joining the widened
+    vectors: chaining two widened-column joins in one lineage makes
+    Catalyst re-derive the 64-column projections per node (the round-1
+    IVF prototype OOMed exactly there); truncating lineage keeps each
+    widened plan independent.
     """
-    cents = _ivf_centroids(embeddings, n_cells, dim)
+    cells = ivf_assign(embeddings, n_cells, n_probe=1, dim=dim).select(
+        "vec_id", "cell"
+    ).localCheckpoint()
+    probes = ivf_assign(embeddings, n_cells, n_probe=n_probe, dim=dim).filter(
+        F.col("vec_id") < n_queries
+    ).select(F.col("vec_id").alias("q_id"), "cell").localCheckpoint()
+
     wide = widen(embeddings, dim, ["vec_id"])
-    corpus = wide.withColumn(
-        "cell", _cell_ranks(cents, dim, 1)[0]["cell"]
-    ).alias("c")
-    queries = (
-        wide.filter(F.col("vec_id") < n_queries)
-        .withColumn("probe", F.explode(_cell_ranks(cents, dim, n_probe)))
-        .withColumn("cell", F.col("probe.cell"))
-        .drop("probe")
-        .alias("q")
+    corpus = wide.alias("c").join(cells.alias("cl"), F.col("c.vec_id") == F.col("cl.vec_id"))
+    queries = wide.alias("q").join(
+        F.broadcast(probes.alias("p")), F.col("q.vec_id") == F.col("p.q_id")
     )
-    scored = corpus.join(
-        F.broadcast(queries),
-        (F.col("c.cell") == F.col("q.cell"))
-        & (F.col("c.vec_id") != F.col("q.vec_id")),
-    ).select(
-        F.col("q.vec_id").alias("q_id"),
-        F.col("c.vec_id").alias("n_id"),
-        F.round(
-            wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
-        ).alias("cos_sim"),
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cl.cell") == F.col("p.cell"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("n_id"),
+            F.round(
+                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
