@@ -41,6 +41,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
 
 
+# Above this dimension the widened-scalar-column strategy is abandoned
+# for the array form. Widening builds O(dim) expression nodes per dot
+# product and instantiates them at every plan site; Catalyst's
+# transformDown recursion and analyzer memory both grow with plan size,
+# and past a few hundred columns plan *construction* dominates runtime
+# (the same cliff class that OOMed the round-2 IVF literal plan). At
+# realistic embedding dims (384-1024) the interpreted-but-plan-small
+# array path wins; measured crossover on local[32] sits well above 128.
+WIDEN_DIM_CLIFF = 128
+
+
 def widen(df: DataFrame, dim: int, keep: list[str]) -> DataFrame:
     """Explode an embedding array into ``dim`` scalar double columns
     e0..e{dim-1} plus the row norm.
@@ -68,6 +79,30 @@ def wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
         term = F.col(f"{prefix_a}.e{i}") * F.col(f"{prefix_b}.e{i}")
         acc = term if acc is None else acc + term
     return acc
+
+
+def prep_embeddings(df: DataFrame, dim: int, keep: list[str]) -> DataFrame:
+    """Dim-aware projection: widened scalars below :data:`WIDEN_DIM_CLIFF`
+    (codegen hot path), else the raw array plus a precomputed norm
+    (plan stays O(1) nodes regardless of dim).
+
+    Both paths sum left-assoc in array order, so cosine values are
+    bit-identical between strategies and to the SQL oracle.
+    """
+    if dim <= WIDEN_DIM_CLIFF:
+        return widen(df, dim, keep)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df.select(*[F.col(c) for c in keep], emb.alias("embedding")).withColumn(
+        "norm", F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+
+
+def pair_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
+    """Σ aᵢ·bᵢ between two :func:`prep_embeddings` sides, matching the
+    strategy that prepped them."""
+    if dim <= WIDEN_DIM_CLIFF:
+        return wide_dot(prefix_a, prefix_b, dim)
+    return dot(F.col(f"{prefix_a}.embedding"), F.col(f"{prefix_b}.embedding"))
 
 
 def dedup_embedding(
@@ -99,7 +134,7 @@ def dedup_embedding(
     # extra exchange.
     salts = 8
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
-    wide = widen(embeddings, dim, ["vec_id", block_col])
+    wide = prep_embeddings(embeddings, dim, ["vec_id", block_col])
     a = (
         wide.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(salts)))
         .repartition(n_part, block_col, "salt")
@@ -121,7 +156,7 @@ def dedup_embedding(
             F.col("a.vec_id").alias("vec_id1"),
             F.col("b.vec_id").alias("vec_id2"),
             F.round(
-                wide_dot("a", "b", dim) / F.col("a.norm") / F.col("b.norm"), 4
+                pair_dot("a", "b", dim) / F.col("a.norm") / F.col("b.norm"), 4
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -142,7 +177,7 @@ def ann_topk_bruteforce(
     + BroadcastNestedLoopJoin + per-query top-k window — no corpus
     shuffle. This is the correctness baseline for any ANN variant.
     """
-    wide = widen(embeddings, dim, ["vec_id"])
+    wide = prep_embeddings(embeddings, dim, ["vec_id"])
     queries = wide.filter(F.col("vec_id") < n_queries)
     scored = (
         wide.alias("c")
@@ -151,7 +186,7 @@ def ann_topk_bruteforce(
             F.col("q.vec_id").alias("q_id"),
             F.col("c.vec_id").alias("n_id"),
             F.round(
-                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+                pair_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
             ).alias("cos_sim"),
         )
     )
@@ -177,25 +212,48 @@ def ann_lsh_buckets(
     literals. bucket = Σ_j [sign(v·h_j) > 0]·2^j.
     """
     params = permutation_params(n_planes * dim, seed)
-    # Widened scalar projections: each plane's dot product is a signed
-    # left-assoc sum of scalar columns — whole-stage codegen, unlike the
-    # interpreted zip_with/aggregate HOF form (same arithmetic order:
-    # 0.0 + x0·s0 + x1·s1 + ..., and ±1·x is exact, so bucket ids are
-    # bit-identical to the SQL oracle's list_dot_product).
-    wide = embeddings.select(
-        "vec_id",
-        "label",
-        "embedding",
-        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
-    )
+    if dim <= WIDEN_DIM_CLIFF:
+        # Widened scalar projections: each plane's dot product is a
+        # signed left-assoc sum of scalar columns — whole-stage codegen,
+        # unlike the interpreted zip_with/aggregate HOF form (same
+        # arithmetic order: 0.0 + x0·s0 + x1·s1 + ..., and ±1·x is
+        # exact, so bucket ids are bit-identical to the SQL oracle's
+        # list_dot_product).
+        wide = embeddings.select(
+            "vec_id",
+            "label",
+            "embedding",
+            *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
+        )
+        bucket = F.lit(0).cast("long")
+        for j in range(n_planes):
+            proj = F.lit(0.0)
+            for i in range(dim):
+                sign_pos = params[j * dim + i][0] % 2 == 1
+                proj = proj + (F.col(f"e{i}") if sign_pos else -F.col(f"e{i}"))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+                "long"
+            )
+        return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    # High-dim path: per-plane ±1 sign vectors as FLAT array literals
+    # (depth O(1), no scalar chains) folded with zip_with+aggregate.
+    # ±1.0·x is exact and the aggregate sums in array order, so bucket
+    # ids match the widened path bit-for-bit.
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
-        proj = F.lit(0.0)
-        for i in range(dim):
-            sign_pos = params[j * dim + i][0] % 2 == 1
-            proj = proj + (F.col(f"e{i}") if sign_pos else -F.col(f"e{i}"))
+        signs = F.array(
+            *[
+                F.lit(1.0 if params[j * dim + i][0] % 2 == 1 else -1.0)
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    return embeddings.select("vec_id", "label", "embedding", bucket.alias("bucket"))
 
 
 def ivf_assign(
@@ -215,7 +273,7 @@ def ivf_assign(
     corpus scan + a per-row argmax window keyed by vec_id — no corpus
     shuffle beyond the window's hash partition on vec_id.
     """
-    wide = widen(embeddings, dim, ["vec_id"])
+    wide = prep_embeddings(embeddings, dim, ["vec_id"])
     cents = wide.filter(F.col("vec_id") < n_cells)
     scored = (
         wide.alias("v")
@@ -223,7 +281,7 @@ def ivf_assign(
         .select(
             F.col("v.vec_id").alias("vec_id"),
             F.col("cen.vec_id").alias("cell"),
-            (wide_dot("v", "cen", dim) / F.col("v.norm") / F.col("cen.norm")).alias(
+            (pair_dot("v", "cen", dim) / F.col("v.norm") / F.col("cen.norm")).alias(
                 "cell_cos"
             ),
         )
@@ -266,7 +324,7 @@ def ann_topk_ivf(
         F.col("vec_id") < n_queries
     ).select(F.col("vec_id").alias("q_id"), "cell").localCheckpoint()
 
-    wide = widen(embeddings, dim, ["vec_id"])
+    wide = prep_embeddings(embeddings, dim, ["vec_id"])
     corpus = wide.alias("c").join(cells.alias("cl"), F.col("c.vec_id") == F.col("cl.vec_id"))
     queries = wide.alias("q").join(
         F.broadcast(probes.alias("p")), F.col("q.vec_id") == F.col("p.q_id")
@@ -281,7 +339,7 @@ def ann_topk_ivf(
             F.col("q.vec_id").alias("q_id"),
             F.col("c.vec_id").alias("n_id"),
             F.round(
-                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+                pair_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
             ).alias("cos_sim"),
         )
     )
@@ -298,6 +356,7 @@ def ann_topk_lsh(
     n_queries: int = 20,
     k: int = 10,
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
@@ -308,8 +367,9 @@ def ann_topk_lsh(
     widened scalar columns — codegen'd fused multiply-adds, same
     arithmetic order as the interpreted array form it replaces.
     """
-    dim = 64
-    bucketed = widen(ann_lsh_buckets(embeddings, n_planes), dim, ["vec_id", "bucket"])
+    bucketed = prep_embeddings(
+        ann_lsh_buckets(embeddings, n_planes, dim=dim), dim, ["vec_id", "bucket"]
+    )
     queries = bucketed.filter(F.col("vec_id") < n_queries)
     scored = (
         bucketed.alias("c")
@@ -322,7 +382,7 @@ def ann_topk_lsh(
             F.col("q.vec_id").alias("q_id"),
             F.col("c.vec_id").alias("n_id"),
             F.round(
-                wide_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
+                pair_dot("q", "c", dim) / F.col("q.norm") / F.col("c.norm"), 4
             ).alias("cos_sim"),
         )
     )

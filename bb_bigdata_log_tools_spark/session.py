@@ -45,6 +45,7 @@ def get_spark(
             str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -96,6 +97,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Formatting/zone-sensitive exprs must agree with the (tz-naive, UTC)
     # oracle even when the caller's session wasn't built by get_spark().
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet timestamps (no isAdjustedToUTC) must read as plain
+    # TIMESTAMP in the UTC session — not TIMESTAMP_NTZ, which epoch
+    # functions (unix_millis) reject and which DuckDB has no analog of.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: ns values exceed double precision (2^53)

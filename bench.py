@@ -57,6 +57,46 @@ BENCH_QUERIES = [
 ]
 
 
+def run_bench(spark, sf_dir: str, queries: dict, names: list[str]) -> dict:
+    """Run each named query through the noop sink, isolating failures.
+
+    One throwing query must never blank the timings of the others
+    (round 2 lost all 34 green timings to the one broken query at the
+    end of the list): each query runs inside try/except, failures are
+    recorded under "errors", and the JSON payload is always produced.
+    """
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: forces full computation of every column
+            # JVM-side (count() would let Catalyst prune; foreach would
+            # pay Python serialization that isn't the engine's work).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from bb_bigdata_log_tools_spark.registry import QUERIES
@@ -65,35 +105,14 @@ def main() -> None:
     spark = get_spark("bb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once outside timing.
-    QUERIES["log_cat"](spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: forces full computation of every column JVM-side
-        # (count() would let Catalyst prune; foreach would pay Python
-        # serialization that isn't part of the engine's work).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Warm the JVM/codegen once outside timing (best-effort: a failed
+    # warm-up must not blank the whole artifact).
+    try:
+        QUERIES["log_cat"](spark, sf_dir).count()
+    except Exception:  # noqa: BLE001
+        pass
+    payload = run_bench(spark, sf_dir, QUERIES, BENCH_QUERIES)
+    print(json.dumps(payload))
     spark.stop()
 
 
