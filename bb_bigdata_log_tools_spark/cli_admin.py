@@ -339,7 +339,10 @@ def logmaintenance(argv: list[str]) -> None:
     Kerberos here); days-before-* match DAYS_BEFORE_ARCHIVE /
     DAYS_BEFORE_DELETE environment config.
     """
-    from bb_bigdata_log_tools_spark.maintenance import log_maintenance
+    from bb_bigdata_log_tools_spark.maintenance import (
+        MaintenanceLockHeld,
+        log_maintenance,
+    )
 
     opts = parse_args(argv)
     pos = opts.get("positional", [])
@@ -359,25 +362,35 @@ def logmaintenance(argv: list[str]) -> None:
         sys.stderr.write("; --root is required (service root dir)\n")
         raise SystemExit(1)
 
-    report = log_maintenance(
-        _spark(),
-        root,
-        dc,
-        service,
+    try:
+        report = log_maintenance(
+            _spark(),
+            root,
+            dc,
+            service,
         logdir=opts.get("logdir", "logs"),
         date=date,
         hour=hour,
-        days_before_archive=(
-            int(opts["days-before-archive"]) if "days-before-archive" in opts else None
-        ),
-        days_before_delete=(
-            int(opts["days-before-delete"]) if "days-before-delete" in opts else None
-        ),
-        filters_conf=opts.get("filters"),
-        now_ms=int(opts["now-ms"]) if "now-ms" in opts else None,
-        wait_time_ms=int(opts.get("wait-min", "10")) * 60 * 1000,
-        do_merge="no-merge" not in opts["flags"],
-    )
+            days_before_archive=(
+                int(opts["days-before-archive"])
+                if "days-before-archive" in opts
+                else None
+            ),
+            days_before_delete=(
+                int(opts["days-before-delete"])
+                if "days-before-delete" in opts
+                else None
+            ),
+            filters_conf=opts.get("filters"),
+            now_ms=int(opts["now-ms"]) if "now-ms" in opts else None,
+            wait_time_ms=int(opts.get("wait-min", "10")) * 60 * 1000,
+            do_merge="no-merge" not in opts["flags"],
+        )
+    except MaintenanceLockHeld as e:
+        # Same outcome as the reference's ZK lock.acquire() losing the
+        # race: this runner yields; the winner's sweep covers the tree.
+        sys.stdout.write(f"skipped: {e}\n")
+        return
     sys.stdout.write(report.summary() + "\n")
 
 

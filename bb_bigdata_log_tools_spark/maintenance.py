@@ -24,10 +24,17 @@ Spark-first shape: the tree walk and renames are driver/metastore work
 the filter predicate and the merge sort — is a DataFrame plan. The
 filter predicate is built from ``pyspark.sql.functions`` (rlike /
 contains / lit), so it is pushed into the scan of whatever source the
-lines come from; no Python runs per line. ZooKeeper locking and Oozie
-submission are deliberately out of scope (SURVEY §2): single-writer
-semantics come from Spark's committers / this driver being the only
-maintainer.
+lines come from; no Python runs per line. Oozie submission is out of
+scope (SURVEY §2). The reference's ZooKeeper maintenance locking
+(``logdriver/locks/LockUtil.java``, ``admin/LockedFs.java``) — which
+exists precisely so two cron-launched sweeps never compact the same
+hour tree concurrently — is replaced by a best-effort marker-file
+lease (:class:`MaintenanceLease`): O_CREAT|O_EXCL is atomic on POSIX
+and HDFS-style object stores' create-if-absent, the lease carries
+owner pid + timestamp, and stale leases (owner crashed) are broken
+after a TTL. A second concurrent runner SKIPS the sweep (raises
+:class:`MaintenanceLockHeld`; the CLI exits 0 with a notice), which is
+the same outcome as the reference's ``lock.acquire()`` failing.
 """
 
 from __future__ import annotations
@@ -45,6 +52,99 @@ from pyspark.sql import functions as F
 # (numeric-suffixed uploads or .bm files).
 VALID_FILE = re.compile(r".*([0-9]|\.bm)$")
 READY_MARKER = "_READY"
+LEASE_MARKER = "_MAINTENANCE_LEASE"
+
+
+class MaintenanceLockHeld(RuntimeError):
+    """Another maintenance runner holds the lease on this service tree."""
+
+
+class MaintenanceLease:
+    """Best-effort single-runner lease over one service tree.
+
+    Parity target: ``logdriver/locks/LockUtil.java`` /
+    ``admin/LockedFs.java`` — the reference serializes maintenance over
+    a log tree with ZooKeeper write locks. Here the coordination point
+    is the filesystem itself: ``open(O_CREAT|O_EXCL)`` of
+    ``<base>/_MAINTENANCE_LEASE`` is atomic (POSIX and HDFS create
+    semantics), so exactly one runner wins. The file body records
+    ``pid=<pid> host=<host> ts_ms=<acquire time>`` for operators; a
+    lease older than ``ttl_ms`` is presumed orphaned (holder crashed
+    before the ``finally``) and is broken-then-retaken.
+
+    This is a LEASE, not a consensus lock — a paused-then-resumed
+    holder beyond the TTL could overlap with its usurper. That is the
+    accepted trade for having no coordination service; the TTL default
+    (2h) is far beyond a sweep's runtime, and the sweep's per-hour
+    operations are themselves idempotent renames/deletes.
+    """
+
+    def __init__(self, base: str, ttl_ms: int = 2 * 60 * 60 * 1000,
+                 now_ms: int | None = None):
+        self.path = os.path.join(base, LEASE_MARKER)
+        self.ttl_ms = ttl_ms
+        self._now_ms = now_ms
+        self._held = False
+
+    def _now(self) -> int:
+        import time as _time
+
+        return int(_time.time() * 1000) if self._now_ms is None else self._now_ms
+
+    def _try_create(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(
+                fd,
+                f"pid={os.getpid()} host={os.uname().nodename} "
+                f"ts_ms={self._now()}\n".encode(),
+            )
+        finally:
+            os.close(fd)
+        return True
+
+    def acquire(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        if self._try_create():
+            self._held = True
+            return
+        # Lease exists: live holder → raise; stale → break and retake.
+        if self._now() - _mtime_ms(self.path) <= self.ttl_ms:
+            try:
+                with open(self.path, encoding="utf-8") as f:
+                    holder = f.read().strip()
+            except OSError:
+                holder = "<unreadable>"
+            raise MaintenanceLockHeld(
+                f"maintenance lease held ({holder}) at {self.path}"
+            )
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass  # holder released between our stat and unlink
+        if not self._try_create():
+            raise MaintenanceLockHeld(
+                f"maintenance lease re-taken concurrently at {self.path}"
+            )
+        self._held = True
+
+    def release(self) -> None:
+        if self._held:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+            self._held = False
+
+    def __enter__(self) -> "MaintenanceLease":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +329,8 @@ def log_maintenance(
     now_ms: int | None = None,
     wait_time_ms: int = 10 * 60 * 1000,
     do_merge: bool = True,
+    lock: bool = True,
+    lease_ttl_ms: int = 2 * 60 * 60 * 1000,
 ) -> MaintenanceReport:
     """One maintenance sweep over ``<root>/<dc>/<service>/<logdir>``.
 
@@ -250,6 +352,12 @@ def log_maintenance(
 
     ``date``/``hour`` narrow the sweep like the reference's optional
     positional args. ``now_ms`` pins time for tests.
+
+    ``lock=True`` (default) takes the service tree's
+    :class:`MaintenanceLease` for the duration of the sweep and raises
+    :class:`MaintenanceLockHeld` if another runner holds it — the
+    LockedFs/ZooKeeper analog; pass ``lock=False`` only when the caller
+    coordinates runs itself.
     """
     import time as _time
 
@@ -269,6 +377,15 @@ def log_maintenance(
     base = os.path.join(root, dc, service, logdir)
     if not os.path.isdir(base):
         return report
+    if lock:
+        with MaintenanceLease(base, ttl_ms=lease_ttl_ms, now_ms=now_ms):
+            return log_maintenance(
+                spark, root, dc, service, logdir=logdir, date=date, hour=hour,
+                days_before_archive=days_before_archive,
+                days_before_delete=days_before_delete,
+                filters_conf=filters_conf, now_ms=now_ms,
+                wait_time_ms=wait_time_ms, do_merge=do_merge, lock=False,
+            )
 
     date_re = re.escape(date) if date else r"\d{8}"
     hour_re = re.escape(hour) if hour else r"\d{2}"

@@ -315,3 +315,61 @@ def test_logmaintenance_cli_end_to_end(tmp_path):
         )
     )
     assert len(archived) == 3 and all("ERROR" in r[1] for r in archived)
+
+
+# ---------------------------------------------------------------------------
+# maintenance lease (LockUtil/LockedFs analog)
+# ---------------------------------------------------------------------------
+
+
+def test_second_runner_skips_while_lease_held(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.maintenance import (
+        LEASE_MARKER,
+        MaintenanceLease,
+        MaintenanceLockHeld,
+    )
+
+    root = str(tmp_path / "service")
+    base = os.path.join(root, "dc1", "svc1", "logs")
+    os.makedirs(base)
+    with MaintenanceLease(base, now_ms=NOW_MS):
+        assert os.path.exists(os.path.join(base, LEASE_MARKER))
+        # a concurrent sweep over the same tree must NOT run
+        with pytest.raises(MaintenanceLockHeld) as e:
+            log_maintenance(spark, root, "dc1", "svc1", now_ms=NOW_MS)
+        assert "pid=" in str(e.value)
+    # released on exit: the next sweep proceeds normally
+    report = log_maintenance(spark, root, "dc1", "svc1", now_ms=NOW_MS)
+    assert isinstance(report, MaintenanceReport)
+    assert not os.path.exists(os.path.join(base, LEASE_MARKER))
+
+
+def test_stale_lease_is_broken(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.maintenance import LEASE_MARKER
+
+    root = str(tmp_path / "service")
+    base = os.path.join(root, "dc1", "svc1", "logs")
+    os.makedirs(base)
+    lease = os.path.join(base, LEASE_MARKER)
+    with open(lease, "w") as f:
+        f.write("pid=99999 host=dead ts_ms=0\n")
+    three_h_ago_s = (NOW_MS - 3 * HOUR_MS) / 1000
+    os.utime(lease, (three_h_ago_s, three_h_ago_s))
+    # default TTL is 2h: a 3h-old lease is an orphan -> broken, sweep runs
+    report = log_maintenance(spark, root, "dc1", "svc1", now_ms=NOW_MS)
+    assert isinstance(report, MaintenanceReport)
+    assert not os.path.exists(lease)
+
+
+def test_lease_released_on_sweep_failure(tmp_path):
+    from bb_bigdata_log_tools_spark.maintenance import (
+        LEASE_MARKER,
+        MaintenanceLease,
+    )
+
+    base = str(tmp_path / "base")
+    os.makedirs(base)
+    with pytest.raises(ValueError):
+        with MaintenanceLease(base, now_ms=NOW_MS):
+            raise ValueError("sweep blew up")
+    assert not os.path.exists(os.path.join(base, LEASE_MARKER))
