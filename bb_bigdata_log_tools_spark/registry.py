@@ -327,6 +327,10 @@ from bb_bigdata_log_tools_spark.registry_avro import (  # noqa: E402
     AVRO_ORACLES,
     AVRO_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_streaming import (  # noqa: E402
+    STREAMING_ORACLES,
+    STREAMING_QUERIES,
+)
 from bb_bigdata_log_tools_spark.registry_curation import (  # noqa: E402
     CURATION_ORACLES,
     CURATION_QUERIES,
@@ -352,6 +356,7 @@ QUERIES: dict[str, QueryFn] = {
     **ANALYTICS2_QUERIES,
     **AVRO_QUERIES,
     **CURATION_QUERIES,
+    **STREAMING_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -375,4 +380,5 @@ ORACLES: dict[str, str] = {
     **ANALYTICS2_ORACLES,
     **AVRO_ORACLES,
     **CURATION_ORACLES,
+    **STREAMING_ORACLES,
 }

@@ -1,0 +1,146 @@
+"""Streaming queries in the correctness gate.
+
+The streaming operators (``streaming/ops.py``) were previously
+tests-only; here they run as bounded streams — ``availableNow`` drains
+the entire parquet fixture as a finite sequence of micro-batches and
+stops — into a memory sink, whose table is returned as a batch
+DataFrame for the driver's DuckDB-oracle comparison. This proves the
+*streaming* plans (watermark, stateful agg) produce the same answers
+as the batch oracles, which is the whole point of Structured
+Streaming's unified model.
+
+Determinism notes (what makes these gate-safe):
+
+- ``stream_grep`` is stateless (filter): every input row appears
+  exactly once in the sink regardless of micro-batch boundaries.
+- ``stream_hourly_stats`` runs in COMPLETE output mode: the sink holds
+  the full aggregation result after the final batch, identical to the
+  batch groupBy — no dependence on watermark timing for emission.
+- ``stream_sessionize`` (applyInPandasWithState) emits sessions closed
+  by a LATER event of the same user; whether trailing open sessions
+  flush depends on watermark advancement across micro-batch boundaries
+  — file-split dependent, so it gets NO SQL oracle (rows-only check),
+  exactly the weaker-gate category the driver records for
+  non-SQL-expressible ops.
+
+Scale: at 100 TB these same plans run unbounded (Kafka/file ingest) —
+state is |components × open windows| or O(active users); the memory
+sink here is gate plumbing, not the production sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.session import table
+from bb_bigdata_log_tools_spark.sources.logs import EVENTS_AS_LOGS_SQL, events_as_logs
+from bb_bigdata_log_tools_spark.streaming.ops import (
+    stream_grep,
+    stream_hourly_stats,
+    stream_sessionize,
+)
+
+_LOGS_CTE = f"WITH logs AS ({EVENTS_AS_LOGS_SQL})"
+GREP_REGEX = '"k": 4[0-9]}'
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture with the same
+    ts-normalization as :func:`session.table` (which also installs the
+    nanosAsLong/UTC confs a raw reader needs)."""
+    table(spark, sf_dir, "events")  # conf side effects + schema sanity
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # events.parquet is a single FILE; FileStreamSource globs a
+    # directory, so stream the parent dir filtered to just this file.
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _drain_to_memory(sdf: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run a bounded stream to completion into a memory-sink table."""
+    spark = sdf.sparkSession
+    # Re-run safe within one session (the gate and test_oracle run many
+    # queries back-to-back): stop a stale active query of the same name
+    # and drop the previous sink view.
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    if spark.catalog.tableExists(name):
+        spark.catalog.dropTempView(name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(_stream_events(spark, sf_dir))
+    return _drain_to_memory(
+        stream_grep(logs, GREP_REGEX), "stream_grep_sink", "append"
+    )
+
+
+SQL_STREAM_GREP = f"""{_LOGS_CTE}
+SELECT ts, message, event_id, create_time, block_no, line_no
+FROM logs
+WHERE regexp_matches(message, '"k": 4[0-9]}}')
+"""
+
+
+def q_stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(_stream_events(spark, sf_dir)).select(
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+        F.split(F.col("message"), " ").getItem(0).alias("component"),
+        "message",
+    )
+    return _drain_to_memory(
+        stream_hourly_stats(logs), "stream_hourly_stats_sink", "complete"
+    )
+
+
+SQL_STREAM_HOURLY_STATS = f"""{_LOGS_CTE}
+SELECT date_trunc('hour', epoch_ms(ts)::TIMESTAMP) AS window_start,
+       date_trunc('hour', epoch_ms(ts)::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       string_split(message, ' ')[1] AS component,
+       count(*) AS line_count,
+       CAST(sum(strlen(message)) AS BIGINT) AS total_bytes
+FROM logs
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("event_time")
+    )
+    return _drain_to_memory(
+        stream_sessionize(ev), "stream_sessionize_sink", "append"
+    )
+
+
+STREAMING_QUERIES = {
+    "stream_grep": q_stream_grep,
+    "stream_hourly_stats": q_stream_hourly_stats,
+    "stream_sessionize": q_stream_sessionize,
+}
+
+STREAMING_ORACLES = {
+    "stream_grep": SQL_STREAM_GREP,
+    "stream_hourly_stats": SQL_STREAM_HOURLY_STATS,
+    # stream_sessionize: deliberately no oracle (see module docstring)
+}
