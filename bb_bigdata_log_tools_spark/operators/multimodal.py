@@ -173,6 +173,199 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# MPEG1 Layer III bitrate table (kbps), index 1-14; MPEG2/2.5 Layer III.
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """True (sample_rate, channels, n_samples) from MP3 bytes, or None.
+
+    Pure header math from the public MPEG-1/2 audio spec: skip an ID3v2
+    tag if present (syncsafe size), then walk Layer III frame headers —
+    each 4-byte header carries version/bitrate/samplerate/padding, from
+    which the frame length follows (``spf/8 × bitrate / rate + pad``),
+    so frames can be counted without decoding any audio data.
+    n_samples = frames × samples-per-frame (1152 MPEG1, 576 MPEG2/2.5).
+    """
+    pos = 0
+    n = len(payload)
+    if n >= 10 and payload[:3] == b"ID3":
+        sz = 0
+        for b in payload[6:10]:  # syncsafe u28
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    frames = 0
+    rate = channels = spf = None
+    while pos + 4 <= n:
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            break
+        version = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b2 >> 1) & 3  # 1=Layer III
+        if version == 1 or layer != 1:
+            break
+        br_idx = (b3 >> 4) & 0xF
+        sr_idx = (b3 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        bitrate = table[br_idx] * 1000
+        this_rate = _MP3_RATES[version][sr_idx]
+        pad = (b3 >> 1) & 1
+        this_spf = 1152 if version == 3 else 576
+        if rate is None:
+            rate = this_rate
+            spf = this_spf
+            channels = 1 if ((b4 >> 6) & 3) == 3 else 2
+        frame_len = (this_spf // 8) * bitrate // this_rate + pad
+        if frame_len < 4:
+            break
+        frames += 1
+        pos += frame_len
+    if frames and rate:
+        return (rate, channels, frames * spf)
+    return None
+
+
+def make_mp3(
+    sample_rate: int = 44100,
+    channels: int = 2,
+    n_frames: int = 10,
+    bitrate_kbps: int = 128,
+) -> bytes:
+    """Valid (silent) MPEG1 Layer III frame stream built from the spec —
+    a real writer for fixtures and round-trip tests."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = _MP3_BITRATES_V1.index(bitrate_kbps)
+    mode = 3 if channels == 1 else 0  # 11=mono, 00=stereo
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    return (header + b"\x00" * (frame_len - 4)) * n_frames
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for ISO BMFF boxes in a range."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            return
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, name: bytes):
+    for btype, b, e in _mp4_boxes(data, start, end):
+        if btype == name:
+            return (b, e)
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """True (width, height, n_frames) for the video track of an MP4 /
+    ISO-BMFF container, or None.
+
+    Box walk from the public ISO 14496-12 spec (headers only, no sample
+    data): ``moov`` → per-``trak``: ``tkhd`` carries 16.16-fixed
+    width/height; ``mdia/hdlr`` identifies the ``vide`` handler;
+    ``mdia/minf/stbl/stts`` entry counts sum to the frame count. The
+    first box must be ``ftyp`` for the payload to be recognized.
+    """
+    n = len(payload)
+    first = next(_mp4_boxes(payload, 0, n), None)
+    if first is None or first[0] != b"ftyp":
+        return None
+    moov = _mp4_child(payload, 0, n, b"moov")
+    if moov is None:
+        return None
+    for btype, tb, te in _mp4_boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        tkhd = _mp4_child(payload, tb, te, b"tkhd")
+        mdia = _mp4_child(payload, tb, te, b"mdia")
+        if tkhd is None or mdia is None:
+            continue
+        hdlr = _mp4_child(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        version = payload[tkhd[0]]
+        # v0 body: flags(3) ctime(4) mtime(4) id(4) res(4) dur(4)
+        # res(8) layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4);
+        # v1 widens ctime/mtime/duration to u64 (+12 bytes).
+        off = tkhd[0] + (76 if version == 0 else 88)
+        if off + 8 > tkhd[1]:
+            continue
+        w_fx, h_fx = struct.unpack_from(">II", payload, off)
+        width, height = w_fx >> 16, h_fx >> 16
+        frames = 0
+        minf = _mp4_child(payload, *mdia, b"minf")
+        stbl = _mp4_child(payload, *minf, b"stbl") if minf else None
+        stts = _mp4_child(payload, *stbl, b"stts") if stbl else None
+        if stts is not None:
+            (entries,) = struct.unpack_from(">I", payload, stts[0] + 4)
+            for k in range(entries):
+                pos = stts[0] + 8 + 8 * k
+                if pos + 8 > stts[1]:
+                    break
+                count, _delta = struct.unpack_from(">II", payload, pos)
+                frames += count
+        return (width, height, frames)
+    return None
+
+
+def make_mp4(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal valid MP4 structure (ftyp + moov/trak/tkhd+mdia) built
+    from the ISO-BMFF spec — real boxes at spec-length offsets."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    unity = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, n_frames * 20)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + unity + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", n_frames * 20) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + unity
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + b"vide"
+        + b"\x00" * 12 + b"video\x00",
+    )
+    stts = box(
+        b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n_frames, 1)
+    )
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIIIHH", 0, 0, 600, n_frames * 20, 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
 def make_jpeg_header(width: int, height: int) -> bytes:
     """SOI + JFIF APP0 + SOF0 + EOI — the marker skeleton a dimension
     probe must understand (no entropy-coded data)."""
@@ -228,20 +421,26 @@ def _decode_payload(media_type: str, payload: bytes) -> tuple[int, int, int, boo
     """(width, height, n_frames, decoded) for one payload.
 
     Images decode FOR REAL via :func:`parse_image_dimensions`, WAV
-    audio via :func:`parse_wav_meta` (decoded=True, with the column
-    convention from the module docstring). Unrecognized bytes and
-    compressed audio / video fall back to a deterministic stub
-    (decoded=False) — swap in ffmpeg/torchaudio in production; the flag
-    column keeps the two regimes distinguishable.
+    audio via :func:`parse_wav_meta`, MP3 audio via
+    :func:`parse_mp3_meta`, MP4 video via :func:`parse_mp4_meta`
+    (decoded=True, with the column convention from the module
+    docstring). Unrecognized bytes and other compressed codecs fall
+    back to a deterministic stub (decoded=False) — swap in
+    ffmpeg/torchaudio in production; the flag column keeps the two
+    regimes distinguishable.
     """
     if media_type == "image":
         dims = parse_image_dimensions(payload)
         if dims is not None:
             return (dims[1], dims[2], 1, True)
     if media_type == "audio":
-        meta = parse_wav_meta(payload)
+        meta = parse_wav_meta(payload) or parse_mp3_meta(payload)
         if meta is not None:
             return (meta[0], meta[1], meta[2], True)
+    if media_type == "video":
+        vmeta = parse_mp4_meta(payload)
+        if vmeta is not None:
+            return (vmeta[0], vmeta[1], vmeta[2], True)
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % 2147483647

@@ -428,3 +428,28 @@ def test_cli_logmultisearch_with_reference_files(service_root):
         f"-root={service_root}",
     )
     assert out.splitlines() == golden("logmultisearch-reference.txt")
+
+
+def test_mp3_mp4_header_roundtrip():
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_mp3,
+        make_mp4,
+        parse_mp3_meta,
+        parse_mp4_meta,
+    )
+
+    assert parse_mp3_meta(make_mp3(44100, 1, 5)) == (44100, 1, 5 * 1152)
+    assert parse_mp3_meta(make_mp3(48000, 2, 7, bitrate_kbps=192)) == (
+        48000, 2, 7 * 1152,
+    )
+    # ID3v2 tag (syncsafe size) is skipped before the first frame
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + make_mp3(32000, 2, 3)
+    assert parse_mp3_meta(tagged) == (32000, 2, 3 * 1152)
+    assert parse_mp4_meta(make_mp4(320, 180, 24)) == (320, 180, 24)
+    # malformed payloads are rejected, not crashed on
+    for junk in (b"", b"garbage", b"\xff\xfb", b"ID3", make_mp4(320, 180, 24)[:20]):
+        assert parse_mp3_meta(junk) is None
+        assert parse_mp4_meta(junk) is None
+    # an MP4 without a video handler yields None (audio-only container)
+    mp4 = make_mp4(320, 180, 24).replace(b"vide", b"soun")
+    assert parse_mp4_meta(mp4) is None
