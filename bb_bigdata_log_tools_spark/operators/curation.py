@@ -1,6 +1,7 @@
 """Corpus-curation operators: deterministic stratified sampling,
 incremental (against-reference) dedup, PII detection/scrubbing, URL
-extraction, and a composite quality filter — the selection/cleaning
+extraction, a composite quality filter, benchmark decontamination,
+and context-window sequence packing — the selection/cleaning/layout
 stages of an LLM training-data pipeline.
 
 Everything is built-in column expressions (codegen, scan-parallel);
@@ -16,10 +17,11 @@ sample is reproducible across engines, retries, and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 
 #: Hash-bucket denominator for sampling fractions (0.01 % resolution).
 SAMPLE_DENOM = 10_000
@@ -200,4 +202,121 @@ def quality_filter(
         .withColumn("unique_ratio", F.round(uniq_ratio, 4))
         .withColumn("fail_reason", reason)
         .withColumn("keep", reason == "ok")
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    sort: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out evaluation set — the standard
+    pre-training hygiene pass that keeps eval answers out of the
+    training corpus.
+
+    Output per training doc: ``n_shingle_hits`` (distinct shared
+    n-gram hashes), ``n_bench_docs`` (distinct benchmark documents
+    hit), ``contaminated`` (any hit). md5-shingle hashing matches the
+    dedup family, so the SQL oracle reproduces it exactly.
+
+    100 TB shape: benchmarks are MB-scale while the corpus is TB-scale,
+    so the benchmark shingle set is BROADCAST — the corpus side is one
+    scan + map-side hash probe with NO corpus shuffle; only the
+    (tiny) per-doc hit counts aggregate.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import doc_shingle_hashes
+
+    train_sh = doc_shingle_hashes(documents.select("doc_id", text_col), n)
+    bench_sh = (
+        doc_shingle_hashes(benchmark.select("doc_id", text_col), n)
+        .select(F.col("doc_id").alias("bench_id"), "h")
+        .distinct()
+    )
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shingle_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingle_hits"), F.lit(0)).alias("n_shingle_hits"),
+            F.coalesce(F.col("n_bench_docs"), F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce(F.col("n_shingle_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id") if sort else d)
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    window_tokens: int = 512,
+    text_col: str = "text",
+    sort: bool = True,
+) -> DataFrame:
+    """Context-window packing layout: concatenate documents in doc_id
+    order and chop the token stream into fixed ``window_tokens``
+    windows — the "concat-then-chunk" packing used to build pretraining
+    batches. Output per doc: token count, the window (``bin_id``) and
+    offset where the document starts, and whether it straddles a window
+    boundary.
+
+    100 TB shape: a global prefix sum done the scalable way — NO
+    single-partition window over the corpus. ``repartitionByRange`` on
+    doc_id, a per-partition cumulative sum (parallel window), then the
+    per-partition totals (one tiny row each) are prefix-summed and
+    broadcast back as offsets. The result is invariant to partition
+    boundaries, so range-sampling nondeterminism cannot change it.
+    """
+    n_part = documents.sparkSession.sparkContext.defaultParallelism
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    parts = (
+        documents.select("doc_id", toks.cast("long").alias("n_tokens"))
+        .repartitionByRange(n_part, "doc_id")
+        .withColumn("part_id", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("part_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    # n_part rows total — the single-partition window here is over the
+    # partition-summary relation, not the data.
+    w_pref = Window.orderBy("part_id").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        parts.groupBy("part_id")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .select(
+            "part_id",
+            F.coalesce(F.sum("part_total").over(w_pref), F.lit(0)).alias("prefix"),
+        )
+    )
+    return (
+        parts.withColumn("within_part", within)
+        .join(F.broadcast(prefix), "part_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("prefix") + F.col("within_part")) / window_tokens).alias(
+                "bin_id"
+            ),
+            ((F.col("prefix") + F.col("within_part")) % window_tokens).alias(
+                "bin_offset"
+            ),
+            (
+                ((F.col("prefix") + F.col("within_part")) % window_tokens)
+                + F.col("n_tokens")
+                > window_tokens
+            ).alias("crosses_boundary"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id") if sort else d)
     )

@@ -306,23 +306,26 @@ def ann_topk_ivf(
     ``n_probe`` inverted lists (cells) closest to it; candidates score
     exact cosine.
 
-    Scale shape: the index build is one scan (see :func:`ivf_assign`);
-    the search joins queries to the corpus ON the cell id, so the
-    candidate fan-out is |queries| x (corpus / n_cells x n_probe)
-    instead of |queries| x corpus — the standard recall/throughput
-    trade against :func:`ann_topk_bruteforce`. The assignment is
-    materialized via ``localCheckpoint`` before re-joining the widened
-    vectors: chaining two widened-column joins in one lineage makes
-    Catalyst re-derive the 64-column projections per node (the round-1
-    IVF prototype OOMed exactly there); truncating lineage keeps each
-    widened plan independent.
+    Scale shape: the index build is ONE corpus scan — a single
+    :func:`ivf_assign` pass at ``n_probe`` ranks serves both sides
+    (``cell_rank == 1`` is the corpus cell assignment; ranks ≤ n_probe
+    restricted to query ids are the probe lists), halving the
+    assignment cost vs assigning twice. The search joins queries to the
+    corpus ON the cell id, so the candidate fan-out is |queries| x
+    (corpus / n_cells x n_probe) instead of |queries| x corpus — the
+    standard recall/throughput trade against
+    :func:`ann_topk_bruteforce`. The assignment is materialized via
+    ``localCheckpoint`` before re-joining the widened vectors: chaining
+    two widened-column joins in one lineage makes Catalyst re-derive
+    the 64-column projections per node (the round-1 IVF prototype OOMed
+    exactly there); truncating lineage keeps each widened plan
+    independent.
     """
-    cells = ivf_assign(embeddings, n_cells, n_probe=1, dim=dim).select(
-        "vec_id", "cell"
-    ).localCheckpoint()
-    probes = ivf_assign(embeddings, n_cells, n_probe=n_probe, dim=dim).filter(
-        F.col("vec_id") < n_queries
-    ).select(F.col("vec_id").alias("q_id"), "cell").localCheckpoint()
+    assign = ivf_assign(embeddings, n_cells, n_probe=n_probe, dim=dim).localCheckpoint()
+    cells = assign.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    probes = assign.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
 
     wide = prep_embeddings(embeddings, dim, ["vec_id"])
     corpus = wide.alias("c").join(cells.alias("cl"), F.col("c.vec_id") == F.col("cl.vec_id"))

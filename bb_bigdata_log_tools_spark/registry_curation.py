@@ -305,6 +305,90 @@ ORDER BY q_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: every 25th document stands in for the held-out benchmark set.
+DECON_BENCH_MOD = 25
+DECON_N = 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return curation.decontaminate(docs, bench, n=DECON_N)
+
+
+# Same trigram construction as SQL_SHINGLES (registry_pipeline), with
+# the benchmark side restricted to doc_id % mod == 0.
+SQL_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM words
+  )
+),
+bench AS (
+  SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT sh.doc_id,
+         count(DISTINCT sh.h) AS n_shingle_hits,
+         count(DISTINCT bench.bench_id) AS n_bench_docs
+  FROM sh JOIN bench USING (h)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(hits.n_shingle_hits, 0) AS n_shingle_hits,
+       COALESCE(hits.n_bench_docs, 0) AS n_bench_docs,
+       COALESCE(hits.n_shingle_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# context-window sequence packing
+# --------------------------------------------------------------------------
+
+PACK_WINDOW = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.pack_sequences(docs, window_tokens=PACK_WINDOW)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       start_tok // {PACK_WINDOW} AS bin_id,
+       start_tok % {PACK_WINDOW} AS bin_offset,
+       (start_tok % {PACK_WINDOW}) + n_tokens > {PACK_WINDOW} AS crosses_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
 CURATION_QUERIES = {
     "sample_stratified": q_sample_stratified,
     "dedup_incremental": q_dedup_incremental,
@@ -312,6 +396,8 @@ CURATION_QUERIES = {
     "url_domain_stats": q_url_domain_stats,
     "quality_filter": q_quality_filter,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
 }
 
 CURATION_ORACLES = {
@@ -321,4 +407,6 @@ CURATION_ORACLES = {
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
     "quality_filter": SQL_QUALITY_FILTER,
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

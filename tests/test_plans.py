@@ -199,3 +199,31 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
     emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
     plan = plan_of(similarity.ivf_assign(emb, n_cells=4))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast — the corpus side joins
+    with no shuffle of its shingle relation (MB-scale benchmark vs
+    TB-scale corpus)."""
+    from bb_bigdata_log_tools_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    plan = plan_of(curation.decontaminate(docs, bench, sort=False))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_pack_sequences_no_corpus_single_partition_window(spark, sf_dir):
+    """The corpus-wide prefix sum must run as per-range-partition
+    windows + a broadcast prefix join — the only SinglePartition
+    exchange allowed is over the n_part partition summaries."""
+    from bb_bigdata_log_tools_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    df = curation.pack_sequences(docs, 512, sort=False)
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    # The data-side window must be keyed (partitionBy part_id): a Window
+    # node whose partition spec is empty would drag the corpus to one
+    # partition. The partitioned window sorts by (part_id, doc_id).
+    assert re.search(r"Window .*part_id", plan), plan[:1500]
