@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "url_domain_stats",
     "quality_filter",
     "ann_topk_ivf",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 
