@@ -120,3 +120,44 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_decontaminate_edges(spark):
+    from bb_bigdata_log_tools_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "totally unrelated content here with other words"),
+            (2, "quick brown fox is a common phrase fragment"),
+            (3, "ab"),  # shorter than n words -> single whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert out[0].contaminated and out[0].n_bench_docs == 1  # self-overlap
+    assert not out[1].contaminated and out[1].n_shingle_hits == 0
+    assert out[2].contaminated  # shares "quick brown fox"
+    assert not out[3].contaminated
+    # empty benchmark: nothing can be contaminated
+    empty = decontaminate(docs, docs.filter("doc_id < 0"), n=3).collect()
+    assert all(not r.contaminated for r in empty) and len(empty) == 4
+
+
+def test_pack_sequences_layout(spark):
+    from bb_bigdata_log_tools_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(0, 3), (1, 4), (2, 10), (3, 2)]],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, window_tokens=8).collect()}
+    # cumulative starts: 0, 3, 7, 17
+    assert (rows[0].bin_id, rows[0].bin_offset, rows[0].crosses_boundary) == (0, 0, False)
+    assert (rows[1].bin_id, rows[1].bin_offset, rows[1].crosses_boundary) == (0, 3, False)
+    assert (rows[2].bin_id, rows[2].bin_offset, rows[2].crosses_boundary) == (0, 7, True)
+    assert (rows[3].bin_id, rows[3].bin_offset, rows[3].crosses_boundary) == (2, 1, False)
+    # total ordering invariant: bin_id*W + offset is the exclusive cumsum
+    starts = sorted((r.bin_id * 8 + r.bin_offset, r.doc_id) for r in rows.values())
+    assert [d for _, d in starts] == [0, 1, 2, 3]

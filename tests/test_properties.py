@@ -122,3 +122,65 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+# ---------------------------------------------------------------------------
+# media header parsers: arbitrary bytes must never crash, and real
+# payloads with arbitrary junk appended must still parse the header
+# ---------------------------------------------------------------------------
+
+JUNK = st.binary(min_size=0, max_size=400)
+
+
+@settings(max_examples=300, deadline=None)
+@given(JUNK)
+def test_media_parsers_never_crash_on_junk(payload):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        parse_image_dimensions,
+        parse_mp3_meta,
+        parse_mp4_meta,
+        parse_wav_meta,
+    )
+
+    for fn in (parse_image_dimensions, parse_wav_meta, parse_mp3_meta,
+               parse_mp4_meta):
+        out = fn(payload)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=1, max_value=4000),
+    JUNK,
+)
+def test_image_headers_parse_with_trailing_junk(w, h, junk):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_bmp_header,
+        make_gif_header,
+        make_png,
+        parse_image_dimensions,
+    )
+
+    assert parse_image_dimensions(make_png(min(w, 64), min(h, 64)) + junk)[1:] == (
+        min(w, 64), min(h, 64),
+    )
+    assert parse_image_dimensions(make_gif_header(w, h) + junk) == ("gif", w, h)
+    assert parse_image_dimensions(make_bmp_header(w, h) + junk) == ("bmp", w, h)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from([44100, 48000, 32000]),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=40),
+)
+def test_mp3_frame_walk_roundtrip_property(rate, channels, frames):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_mp3,
+        parse_mp3_meta,
+    )
+
+    assert parse_mp3_meta(make_mp3(rate, channels, frames)) == (
+        rate, channels, frames * 1152,
+    )
