@@ -307,3 +307,124 @@ def text_ngram_counts(documents: DataFrame, n: int = 2, k: int = 50) -> DataFram
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(k)
     )
+
+
+def tpch_q4(orders: DataFrame, lineitem: DataFrame,
+            date_from: str = "1996-01-01", date_to: str = "1997-01-01") -> DataFrame:
+    """Order-priority checking (TPC-H Q4, adapted to the cut-down
+    schema: the EXISTS predicate tests late shipment ``l_shipdate >
+    o_orderdate`` since l_commitdate/l_receiptdate are absent).
+
+    Shape: LEFT SEMI join — the lineitem side is reduced to the equi
+    key + one comparison column before the shuffle, and the semi join
+    emits each order at most once (no fan-out, no dedup pass). The
+    groupBy is 5 groups — map-side partials collapse it.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    return (
+        ords.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q7(lineitem: DataFrame, supplier: DataFrame, orders: DataFrame,
+            customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Volume shipping (TPC-H Q7, adapted: no date window — the
+    cut-down corpus keeps the year split; nations joined twice, supplier
+    side and customer side, excluding intra-nation flows).
+
+    Shape: nation (25 rows, fixed) broadcasts on BOTH sides; supplier /
+    customer / orders scale with SF so their join strategy is left to
+    Catalyst + AQE. Group keys are (nation, nation, year) — tiny agg.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q14(lineitem: DataFrame, part: DataFrame,
+             date_from: str = "1996-01-01", date_to: str = "1996-02-01") -> DataFrame:
+    """Promotion effect (TPC-H Q14, adapted: ``p_type = 'PROMO'`` exact
+    match — the cut-down part table has single-word types).
+
+    Shape: the lineitem side is date-pruned at the scan; part scales
+    with SF so the join strategy stays with AQE; the result is one
+    scalar from a conditional aggregate (no second pass).
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def tpch_q22(customer: DataFrame, orders: DataFrame, nation: DataFrame,
+             inactive_since: str = "1999-01-01") -> DataFrame:
+    """Global sales opportunity (TPC-H Q22, adapted: grouping is by
+    nation — the cut-down schema has no phone country codes — and
+    "no recent orders" replaces "no orders" so the result is non-empty
+    on a corpus where every customer ordered at least once).
+
+    Shape: the positive-balance average is one scalar broadcast back
+    (cross join with a 1-row aggregate); the recent-orders side reduces
+    to DISTINCT custkeys before a LEFT ANTI join; nation broadcasts.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit(inactive_since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -169,3 +169,110 @@ ANALYTICS2_ORACLES.update(
         "text_ngram_counts": SQL_TEXT_NGRAM_COUNTS,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round 3: wider TPC-H coverage (adapted to the cut-down schema — each
+# docstring notes the adaptation)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q4(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q7(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q14(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q22(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT n_name,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+ANALYTICS2_QUERIES.update(
+    {
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q22": q_tpch_q22,
+    }
+)
+ANALYTICS2_ORACLES.update(
+    {
+        "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q22": SQL_TPCH_Q22,
+    }
+)

@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "decontaminate",
     "pack_sequences",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q14",
+    "tpch_q22",
 ]
 
 
