@@ -227,3 +227,27 @@ def test_pack_sequences_no_corpus_single_partition_window(spark, sf_dir):
     # node whose partition spec is empty would drag the corpus to one
     # partition. The partitioned window sorts by (part_id, doc_id).
     assert re.search(r"Window .*part_id", plan), plan[:1500]
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    """The EXISTS must compile to a semi join — no fan-out + distinct."""
+    df = analytics.tpch_q4(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+    plan = plan_of(df)
+    assert "LeftSemi" in plan or "Semi" in plan, plan[:1500]
+
+
+def test_q7_broadcasts_nation_both_sides(spark, sf_dir):
+    """nation (25 fixed rows) must broadcast on both the supplier and
+    customer sides; the SF-scaling joins must NOT be force-broadcast."""
+    df = analytics.tpch_q7(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    )
+    plan = optimized_of(df)
+    hints = re.findall(r"strategy=broadcast", plan)
+    assert len(hints) == 2, f"expected exactly 2 broadcast hints:\n{plan[:2000]}"
