@@ -320,3 +320,94 @@ def pack_sequences(
         )
         .transform(lambda d: small_sort(d, "doc_id") if sort else d)
     )
+
+
+def domain_mix_weights(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: each source's sampling
+    weight ∝ (its token share)^alpha, normalized — the standard
+    multinomial-temperature recipe for balancing web-scale sources
+    (alpha=1 reproduces natural proportions, alpha→0 uniform).
+
+    Output per source: n_docs, n_tokens, token_share, weight.
+
+    100 TB shape: one scan with map-side partial aggregation down to
+    |sources| rows; the share/weight normalizations are over that tiny
+    relation (two single-row aggregates broadcast back). No data-sized
+    shuffle anywhere.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    per_src = documents.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("tot_tokens")
+    )
+    pow_sum = shared.agg(
+        F.sum(F.pow(F.col("token_share"), F.lit(alpha))).alias("pow_sum")
+    )
+    return (
+        shared.crossJoin(F.broadcast(pow_sum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("token_share"), 6).alias("token_share"),
+            F.round(
+                F.pow(F.col("token_share"), F.lit(alpha)) / F.col("pow_sum"), 6
+            ).alias("weight"),
+        )
+        .transform(lambda d: small_sort(d, "source"))
+    )
+
+
+def unigram_perplexity(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under a unigram LM trained on the corpus
+    itself — the cheap LM-quality signal (CCNet-style) that flags
+    gibberish (high perplexity) and boilerplate (low perplexity)
+    without a neural model.
+
+    p(w) = corpus_count(w) / corpus_tokens; per doc,
+    cross_entropy = mean over tokens of -ln p(w); perplexity =
+    exp(cross_entropy). No smoothing needed: scoring the training
+    corpus means every token is in-vocabulary.
+
+    100 TB shape: token explode → vocabulary aggregate (map-side
+    partials; vocabulary is millions of rows vs trillions of tokens),
+    then the per-doc pass re-joins tokens to the vocabulary —
+    AQE broadcasts the vocab side when it fits, else it is a uniform
+    hash join on the token string. Two scans total, both at full
+    parallelism.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("tot"))), 4).alias(
+                "cross_entropy"
+            ),
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(F.col("cross_entropy")), 4)
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
+    )

@@ -410,3 +410,79 @@ CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
 }
+
+
+# --------------------------------------------------------------------------
+# domain mixing weights + unigram LM perplexity
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.domain_mix_weights(docs, alpha=MIX_ALPHA)
+
+
+SQL_DOMAIN_MIX_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_src),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / (SELECT tot_tokens FROM tot)::DOUBLE AS share
+  FROM per_src
+),
+ps AS (SELECT sum(pow(share, {MIX_ALPHA})) AS pow_sum FROM shared)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(pow(share, {MIX_ALPHA}) / (SELECT pow_sum FROM ps), 6) AS weight
+FROM shared
+ORDER BY source
+"""
+
+
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.unigram_perplexity(docs)
+
+
+SQL_UNIGRAM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         round(avg(-ln(v.cnt / (SELECT tot FROM tot))), 4) AS cross_entropy
+  FROM toks t JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, cross_entropy,
+       round(exp(cross_entropy), 4) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+CURATION_QUERIES.update(
+    {
+        "domain_mix_weights": q_domain_mix_weights,
+        "unigram_perplexity": q_unigram_perplexity,
+    }
+)
+CURATION_ORACLES.update(
+    {
+        "domain_mix_weights": SQL_DOMAIN_MIX_WEIGHTS,
+        "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
+    }
+)

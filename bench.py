@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q14",
     "tpch_q22",
+    "domain_mix_weights",
+    "unigram_perplexity",
 ]
 
 
