@@ -428,3 +428,51 @@ def tpch_q22(customer: DataFrame, orders: DataFrame, nation: DataFrame,
         )
         .orderBy("n_name")
     )
+
+
+def events_hourly_anomaly(
+    events: DataFrame,
+    trailing_hours: int = 24,
+    min_history: int = 12,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Hourly ingest-volume anomaly detection per event type: z-score of
+    each hour's count against the trailing ``trailing_hours`` hourly
+    counts — the ops-facing "why did volume spike at 3am" question a
+    log engine should answer natively.
+
+    Hours with fewer than ``min_history`` trailing observations get a
+    NULL z (insufficient baseline), as do zero-variance baselines.
+
+    Scale shape: one shuffle down to (event_type × hour) counts —
+    map-side partials make it scan-bound — then the window runs over
+    that tiny aggregate relation partitioned by event_type (parallel
+    across types, never over raw events).
+    """
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-trailing_hours, -1)
+    )
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    hist = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (hist >= min_history) & (std > 0), (F.col("n_events") - mean) / std
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+            F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("anomalous"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

@@ -276,3 +276,37 @@ ANALYTICS2_ORACLES.update(
         "tpch_q22": SQL_TPCH_Q22,
     }
 )
+
+
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_hourly_anomaly(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_HOURLY_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour_ts, n_events,
+         avg(n_events) OVER w AS mean_n,
+         stddev_samp(n_events) OVER w AS std_n,
+         count(*) OVER w AS hist
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_ts, n_events,
+       round(CASE WHEN hist >= 12 AND std_n > 0
+                  THEN (n_events - mean_n) / std_n END, 4) AS z_score,
+       COALESCE(abs(CASE WHEN hist >= 12 AND std_n > 0
+                         THEN (n_events - mean_n) / std_n END) >= 3.0,
+                FALSE) AS anomalous
+FROM scored
+ORDER BY event_type, hour_ts
+"""
+
+
+ANALYTICS2_QUERIES.update({"events_hourly_anomaly": q_events_hourly_anomaly})
+ANALYTICS2_ORACLES.update({"events_hourly_anomaly": SQL_EVENTS_HOURLY_ANOMALY})

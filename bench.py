@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "domain_mix_weights",
     "unigram_perplexity",
+    "events_hourly_anomaly",
 ]
 
 
