@@ -47,23 +47,27 @@ _LOGS_CTE = f"WITH logs AS ({EVENTS_AS_LOGS_SQL})"
 GREP_REGEX = '"k": 4[0-9]}'
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events fixture with the same
+def _stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over one fixture table with the same
     ts-normalization as :func:`session.table` (which also installs the
     nanosAsLong/UTC confs a raw reader needs)."""
-    table(spark, sf_dir, "events")  # conf side effects + schema sanity
-    path = os.path.join(sf_dir, "events.parquet")
+    table(spark, sf_dir, name)  # conf side effects + schema sanity
+    path = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # events.parquet is a single FILE; FileStreamSource globs a
+    # The fixture tables are single FILES; FileStreamSource globs a
     # directory, so stream the parent dir filtered to just this file.
-    ev = (
+    df = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_table(spark, sf_dir, "events")
 
 
 def _drain_to_memory(sdf: DataFrame, name: str, mode: str) -> DataFrame:
@@ -133,14 +137,41 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: running (content hash → canonical doc_id,
+    copy count) state over an unbounded document feed. COMPLETE output
+    mode makes the drained sink equal the batch groupBy — min/count are
+    order-insensitive, so micro-batch boundaries cannot change it."""
+    docs = _stream_table(spark, sf_dir, "documents")
+    dedup = (
+        docs.groupBy(F.md5(F.col("text")).alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return _drain_to_memory(dedup, "stream_dedup_sink", "complete")
+
+
+SQL_STREAM_DEDUP = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
 STREAMING_QUERIES = {
     "stream_grep": q_stream_grep,
     "stream_hourly_stats": q_stream_hourly_stats,
     "stream_sessionize": q_stream_sessionize,
+    "stream_dedup": q_stream_dedup,
 }
 
 STREAMING_ORACLES = {
     "stream_grep": SQL_STREAM_GREP,
     "stream_hourly_stats": SQL_STREAM_HOURLY_STATS,
+    "stream_dedup": SQL_STREAM_DEDUP,
     # stream_sessionize: deliberately no oracle (see module docstring)
 }
