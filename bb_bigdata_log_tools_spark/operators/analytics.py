@@ -476,3 +476,56 @@ def events_hourly_anomaly(
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+def tpch_q21(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+             late_days: int = 60, k: int = 10) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21, adapted: "late"
+    means ``l_shipdate > o_orderdate + late_days`` — the cut-down
+    schema has no commit/receipt dates — and the nation filter is
+    dropped).
+
+    Shape: the classic double-correlated subquery compiles to ONE
+    LEFT SEMI (some other supplier exists on the order) plus ONE
+    LEFT ANTI (no other supplier was also late) against the same
+    slim (orderkey, suppkey, shipdate) projection — both joins carry
+    the equi key, so they shuffle-partition on l_orderkey; no fan-out
+    aggregation or distinct is needed anywhere.
+    """
+    deadline = F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    l1 = (
+        lineitem.alias("l1")
+        .join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l1.l_shipdate") > deadline)
+        .select(
+            F.col("l1.l_orderkey").alias("okey"),
+            F.col("l1.l_suppkey").alias("skey"),
+            deadline.alias("deadline"),
+        )
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2key"),
+        F.col("l_suppkey").alias("s2key"),
+        F.col("l_shipdate").alias("ship2"),
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("o2key") == F.col("okey")) & (F.col("s2key") != F.col("skey")),
+            "left_semi",
+        )
+        .join(
+            others,
+            (F.col("o2key") == F.col("okey"))
+            & (F.col("s2key") != F.col("skey"))
+            & (F.col("ship2") > F.col("deadline")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(supplier, F.col("skey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

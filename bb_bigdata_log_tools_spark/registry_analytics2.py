@@ -310,3 +310,31 @@ ORDER BY event_type, hour_ts
 
 ANALYTICS2_QUERIES.update({"events_hourly_anomaly": q_events_hourly_anomaly})
 ANALYTICS2_ORACLES.update({"events_hourly_anomaly": SQL_EVENTS_HOURLY_ANOMALY})
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q21(
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+ANALYTICS2_QUERIES.update({"tpch_q21": q_tpch_q21})
+ANALYTICS2_ORACLES.update({"tpch_q21": SQL_TPCH_Q21})

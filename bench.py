@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "domain_mix_weights",
     "unigram_perplexity",
     "events_hourly_anomaly",
+    "tpch_q21",
 ]
 
 
