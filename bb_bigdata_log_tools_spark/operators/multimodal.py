@@ -481,3 +481,163 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index
+    (0, every_n, 2·every_n, …) of each decodable video/image payload —
+    the fan-out stage that precedes per-frame decode in a multimodal
+    pipeline.
+
+    The frame COUNT is real (parsed from the container header by
+    :func:`extract_features` — MP4 ``stts``, GIF/image = 1); the frame
+    PIXEL decode stays stubbed per the module policy, so downstream
+    stages see the true (doc_id, frame_idx) shape with ``decoded``
+    flagging which rows carry header-verified counts.
+
+    Scale shape: ``sequence`` + ``explode`` is pure column algebra —
+    the fan-out happens executor-side after the Arrow-batched header
+    parse; no shuffle until whatever aggregation follows.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    feats = extract_features(media)
+    return (
+        feats.filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            "media_type",
+            "n_frames",
+            "decoded",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def _bmp_parse_pixels(payload: bytes):
+    """(width, height, rows) from an uncompressed 24bpp BMP, or None.
+    rows[y][x] = (b, g, r), top row first."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40 or width <= 0 or height == 0:
+        return None
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        return None
+    top_down = height < 0
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if data_off + row_size * h > len(payload):
+        return None
+    rows = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        base = data_off + src_y * row_size
+        rows.append(
+            [tuple(payload[base + 3 * x : base + 3 * x + 3]) for x in range(width)]
+        )
+    return (width, h, rows)
+
+
+def make_bmp(width: int, height: int, rows) -> bytes:
+    """Full uncompressed 24bpp BMP (BITMAPINFOHEADER) from pixel rows
+    (top row first, (b,g,r) tuples) — a real writer from the public
+    spec, used by the resize path and fixtures."""
+    row_size = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        line = bytearray()
+        for x in range(width):
+            line += bytes(rows[y][x])
+        line += b"\x00" * (row_size - len(line))
+        pix += line
+    data_off = 14 + 40
+    total = data_off + len(pix)
+    return (
+        b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+        + bytes(pix)
+    )
+
+
+def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs —
+    decode, sample, re-encode, all from the public spec (no image
+    libraries). Returns None for any other payload."""
+    parsed = _bmp_parse_pixels(payload)
+    if parsed is None or out_w < 1 or out_h < 1:
+        return None
+    w, h, rows = parsed
+    out_rows = [
+        [rows[(y * h) // out_h][(x * w) // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+    return make_bmp(out_w, out_h, out_rows)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("in_width", T.IntegerType()),
+        T.StructField("in_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+        T.StructField("out_md5", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize stage: REAL pixel-level nearest-neighbor resize for
+    uncompressed BMPs (the one format whose pixels are directly
+    addressable without a codec); all other payloads pass through the
+    deterministic stub with ``decoded=false``. Emits the resized
+    payload's size/digest rather than the bytes (the gate compares
+    values; the bytes themselves round-trip in unit tests).
+
+    Arrow-batched ``mapInPandas`` like the other decode stages —
+    payloads never visit the driver.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "in_width", "in_height",
+                                   "out_width", "out_height", "out_bytes",
+                                   "out_md5", "decoded")}
+            for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                payload = bytes(p)
+                dims = parse_image_dimensions(payload)
+                resized = bmp_resize(payload, out_w, out_h) if dims else None
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["in_width"].append(dims[1] if dims else 0)
+                out["in_height"].append(dims[2] if dims else 0)
+                if resized is not None:
+                    out["out_width"].append(out_w)
+                    out["out_height"].append(out_h)
+                    out["out_bytes"].append(len(resized))
+                    out["out_md5"].append(hashlib.md5(resized).hexdigest())
+                    out["decoded"].append(True)
+                else:
+                    out["out_width"].append(0)
+                    out["out_height"].append(0)
+                    out["out_bytes"].append(0)
+                    out["out_md5"].append("")
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
