@@ -453,3 +453,57 @@ def test_mp3_mp4_header_roundtrip():
     # an MP4 without a video handler yields None (audio-only container)
     mp4 = make_mp4(320, 180, 24).replace(b"vide", b"soun")
     assert parse_mp4_meta(mp4) is None
+
+
+def test_bmp_resize_roundtrip_and_rejects():
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        _bmp_parse_pixels,
+        bmp_resize,
+        make_bmp,
+        make_png,
+        parse_image_dimensions,
+    )
+
+    rows = [
+        [((x * 3 + y) % 256, (x * 5) % 256, (y * 7) % 256) for x in range(9)]
+        for y in range(5)
+    ]
+    b = make_bmp(9, 5, rows)
+    assert parse_image_dimensions(b) == ("bmp", 9, 5)
+    assert _bmp_parse_pixels(b)[2] == rows
+    r = bmp_resize(b, 3, 10)  # down in x, up in y
+    w, h, back = _bmp_parse_pixels(r)
+    assert (w, h) == (3, 10)
+    expected = [[rows[(y * 5) // 10][(x * 9) // 3] for x in range(3)] for y in range(10)]
+    assert back == expected
+    # non-BMP and degenerate sizes are rejected, not crashed on
+    assert bmp_resize(make_png(4, 4), 2, 2) is None
+    assert bmp_resize(b, 0, 2) is None
+    assert bmp_resize(b"BM" + b"\x00" * 10, 2, 2) is None
+
+
+def test_media_frame_sample_edges(spark):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_mp4,
+        make_png,
+        media_frame_sample,
+    )
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [
+            (0, make_mp4(64, 36, 7), "video"),   # 7 frames, every 3 -> 0,3,6
+            (1, make_png(4, 4), "image"),        # 1 frame -> just 0
+            (2, b"junk", "video"),               # stub fallback still has n_frames>0
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = media_frame_sample(media, 3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(by_doc[0]) == [0, 3, 6]
+    assert by_doc[1] == [0]
+    assert 0 in by_doc[2]
+    with _pytest.raises(ValueError):
+        media_frame_sample(media, 0)
