@@ -529,3 +529,51 @@ def tpch_q21(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def tpch_q12(lineitem: DataFrame, orders: DataFrame, late_days: int = 30) -> DataFrame:
+    """Shipping priority audit (TPC-H Q12, adapted: the cut-down schema
+    has no l_shipmode, so lines bucket into late/ontime by
+    ``l_shipdate vs o_orderdate + late_days`` — same
+    conditional-count-after-join shape).
+
+    Shape: one fact-fact equi join on the order key, then conditional
+    sums into a 2-row group — map-side partials collapse the shuffle to
+    per-partition partial rows.
+    """
+    bucket = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def tpch_q13(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): LEFT OUTER join
+    keeps zero-order customers, then a DOUBLE aggregation — orders per
+    customer, then customers per order count.
+
+    Shape: both aggregations have map-side partials; the second runs
+    over |customers| rows keyed by a small-cardinality count, so the
+    histogram shuffle is trivial. No distinct, no window.
+    """
+    c_orders = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

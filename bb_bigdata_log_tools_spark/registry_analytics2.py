@@ -338,3 +338,45 @@ LIMIT 10
 
 ANALYTICS2_QUERIES.update({"tpch_q21": q_tpch_q21})
 ANALYTICS2_ORACLES.update({"tpch_q21": SQL_TPCH_Q21})
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q12(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q13(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+ANALYTICS2_QUERIES.update({"tpch_q12": q_tpch_q12, "tpch_q13": q_tpch_q13})
+ANALYTICS2_ORACLES.update({"tpch_q12": SQL_TPCH_Q12, "tpch_q13": SQL_TPCH_Q13})

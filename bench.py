@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "unigram_perplexity",
     "events_hourly_anomaly",
     "tpch_q21",
+    "tpch_q12",
+    "tpch_q13",
 ]
 
 
