@@ -507,3 +507,37 @@ def test_media_frame_sample_edges(spark):
     assert 0 in by_doc[2]
     with _pytest.raises(ValueError):
         media_frame_sample(media, 0)
+
+
+def test_mp4_64bit_size_and_v1_tkhd():
+    import struct
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_mp4,
+        parse_mp4_meta,
+    )
+
+    base = make_mp4(320, 180, 24)
+    # rewrite the top-level moov box to use a 64-bit largesize header
+    ftyp_len = struct.unpack_from(">I", base, 0)[0]
+    moov_len = struct.unpack_from(">I", base, ftyp_len)[0]
+    moov_body = base[ftyp_len + 8 : ftyp_len + moov_len]
+    moov64 = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+    assert parse_mp4_meta(base[:ftyp_len] + moov64) == (320, 180, 24)
+
+    # rewrite tkhd to version 1 (64-bit ctime/mtime/duration)
+    i = base.find(b"tkhd")
+    start, hdr_len = i - 4, struct.unpack_from(">I", base, i - 4)[0]
+    body = base[i + 4 : start + hdr_len]
+    v1 = bytes([1]) + body[1:4] + b"\x00" * 16 + body[12:20] + b"\x00" * 8 + body[24:]
+    tkhd_v1 = struct.pack(">I", len(v1) + 8) + b"tkhd" + v1
+    patched = base[:start] + tkhd_v1 + base[start + hdr_len:]
+    # fix enclosing trak/moov sizes (+12 bytes)
+    for name in (b"trak", b"moov"):
+        j = patched.find(name)
+        patched = (
+            patched[: j - 4]
+            + struct.pack(">I", struct.unpack_from(">I", patched, j - 4)[0] + 12)
+            + patched[j:]
+        )
+    assert parse_mp4_meta(patched) == (320, 180, 24)
