@@ -486,3 +486,40 @@ CURATION_ORACLES.update(
         "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization
+# --------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_quantize(emb)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+       ELSE list_transform(emb, x -> CAST(greatest(-127.0,
+              least(127.0, floor(x / scale + 0.5))) AS INTEGER)) END AS qvec,
+  CASE WHEN scale = 0 THEN 0.0
+       ELSE round(list_max(list_transform(emb, x ->
+              abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                  * scale - x))), 4) END AS max_abs_err
+FROM s
+ORDER BY vec_id
+"""
+
+
+CURATION_QUERIES.update({"embedding_quantize": q_embedding_quantize})
+CURATION_ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})

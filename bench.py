@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "tpch_q21",
     "tpch_q12",
     "tpch_q13",
+    "embedding_quantize",
 ]
 
 
