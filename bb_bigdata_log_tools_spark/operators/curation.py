@@ -411,3 +411,36 @@ def unigram_perplexity(
         )
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def sample_exact_stratified(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-count deterministic stratified sample: exactly
+    ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by ranking the md5 hash order — the fixed-size
+    eval-set builder (fraction-based :func:`sample_stratified` can't
+    guarantee counts).
+
+    Deterministic: the hash order is a pure function of
+    (stratum, key), so the same rows are chosen on any engine, retry,
+    or partitioning.
+
+    100 TB shape: one shuffle keyed on the stratum for the window
+    rank — unavoidable for exact counts (they are a per-stratum global
+    property). Parallelism is |strata|-bounded in the window stage;
+    for few-strata corpora prefer the fraction-based sampler, which is
+    zero-shuffle (this trade is the documented reason both exist).
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    order = sample_bucket(F.col(strata_col), F.col(key_col))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .drop("sample_rank")
+    )

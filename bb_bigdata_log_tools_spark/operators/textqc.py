@@ -134,3 +134,49 @@ def text_fingerprint(documents: DataFrame) -> DataFrame:
         md5_long(norm).alias("content_fp"),
         rolling.alias("rolling_fp"),
     ).transform(lambda d: small_sort(d, "doc_id"))
+
+
+def text_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals over word bigrams — the
+    gopher-style "repetitive document" detectors that unique-token
+    ratio alone misses (a doc can have many distinct words arranged in
+    a loop):
+
+    - ``dup_bigram_ratio``: fraction of bigram occurrences that are
+      repeats (1 − distinct/total);
+    - ``top_bigram_frac``: share of the single most frequent bigram.
+
+    Pure per-row column algebra (array HOFs) — scan-parallel, no
+    shuffle; per-row cost is bounded by document length, independent of
+    corpus size.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(bigrams)
+    distinct = F.size(F.array_distinct(bigrams))
+    top = F.when(
+        total > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return documents.select(
+        "doc_id",
+        total.alias("n_bigrams"),
+        F.round(
+            F.when(total > 0, 1 - distinct / total).otherwise(F.lit(0.0)), 4
+        ).alias("dup_bigram_ratio"),
+        F.round(
+            F.when(total > 0, top / total).otherwise(F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+    ).orderBy("doc_id")

@@ -523,3 +523,39 @@ ORDER BY vec_id
 
 CURATION_QUERIES.update({"embedding_quantize": q_embedding_quantize})
 CURATION_ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})
+
+
+# --------------------------------------------------------------------------
+# exact-count stratified sampling
+# --------------------------------------------------------------------------
+
+EXACT_N_PER_STRATUM = 20
+
+
+def q_sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        curation.sample_exact_stratified(docs, "lang", EXACT_N_PER_STRATUM)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SAMPLE_EXACT_STRATIFIED = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_MD5_LONG.format(x="lang || ':' || CAST(doc_id AS VARCHAR)")} % 10000,
+                    doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked
+WHERE sample_rank <= {EXACT_N_PER_STRATUM}
+ORDER BY doc_id
+"""
+
+
+CURATION_QUERIES.update({"sample_exact_stratified": q_sample_exact_stratified})
+CURATION_ORACLES.update({"sample_exact_stratified": SQL_SAMPLE_EXACT_STRATIFIED})

@@ -380,3 +380,39 @@ ORDER BY doc_id
 
 PIPELINE_QUERIES["dedup_cluster"] = q_dedup_cluster
 PIPELINE_ORACLES["dedup_cluster"] = SQL_DEDUP_CLUSTER
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.text_repetition(ensure_parallelism(table(spark, sf_dir, "documents")))
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(generate_series(1, len(words) - 1),
+                                  i -> words[i] || ' ' || words[i + 1])
+              ELSE [] END AS bigrams
+  FROM w
+)
+SELECT doc_id,
+  CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+  round(CASE WHEN len(bigrams) > 0
+             THEN 1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE)
+             ELSE 0.0 END, 4) AS dup_bigram_ratio,
+  round(CASE WHEN len(bigrams) > 0
+             THEN list_max(list_transform(list_distinct(bigrams),
+                    d -> len(list_filter(bigrams, x -> x = d))))
+                  / CAST(len(bigrams) AS DOUBLE)
+             ELSE 0.0 END, 4) AS top_bigram_frac
+FROM b
+ORDER BY doc_id
+"""
+
+
+PIPELINE_QUERIES.update({"text_repetition": q_text_repetition})
+PIPELINE_ORACLES.update({"text_repetition": SQL_TEXT_REPETITION})

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "tpch_q12",
     "tpch_q13",
     "embedding_quantize",
+    "sample_exact_stratified",
+    "text_repetition",
 ]
 
 
