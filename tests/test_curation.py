@@ -161,3 +161,71 @@ def test_pack_sequences_layout(spark):
     # total ordering invariant: bin_id*W + offset is the exclusive cumsum
     starts = sorted((r.bin_id * 8 + r.bin_offset, r.doc_id) for r in rows.values())
     assert [d for _, d in starts] == [0, 1, 2, 3]
+
+
+def test_pack_sequences_invariants_random(spark):
+    """start offsets reconstruct the exclusive cumulative sum exactly,
+    for random doc lengths and a window that forces many crossings."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.curation import pack_sequences
+
+    rng = random.Random(11)
+    lens = [rng.randint(0, 40) for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    W = 64
+    got = {r.doc_id: r for r in pack_sequences(docs, window_tokens=W).collect()}
+    cum = 0
+    for i, n in enumerate(lens):
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.bin_id * W + r.bin_offset == cum, f"doc {i}"
+        assert r.crosses_boundary == (r.bin_offset + n > W)
+        cum += n
+
+
+def test_sample_exact_stratified_counts_and_determinism(spark):
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_exact_stratified,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3] if i < 90 else "tiny") for i in range(95)],
+        "doc_id long, lang string",
+    )
+    a = sample_exact_stratified(docs, "lang", 7).collect()
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(v) == 7 for k, v in by_lang.items() if k != "tiny")
+    assert len(by_lang["tiny"]) == 5  # stratum smaller than N -> all rows
+    b = sample_exact_stratified(docs, "lang", 7).collect()
+    assert {(r.lang, r.doc_id) for r in a} == {(r.lang, r.doc_id) for r in b}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_exact_stratified(docs, "lang", 0)
+
+
+def test_embedding_quantize_invariants(spark):
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.similarity import embedding_quantize
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(30)]
+    rows.append((30, [0.0] * 16))  # zero vector: scale 0, qvec all zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in embedding_quantize(df).collect()}
+    for i, vec in rows:
+        r = got[i]
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if i == 30:
+            assert r.scale == 0.0 and set(r.qvec) == {0} and r.max_abs_err == 0.0
+        else:
+            # symmetric quantization: worst error <= scale/2 (+ rounding slack)
+            scale = max(abs(x) for x in vec) / 127.0
+            assert r.max_abs_err <= scale / 2 + 1e-4
