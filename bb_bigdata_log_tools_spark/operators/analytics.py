@@ -577,3 +577,37 @@ def tpch_q13(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def tpch_q15(supplier: DataFrame, lineitem: DataFrame,
+             date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> DataFrame:
+    """Top supplier (TPC-H Q15): quarterly revenue view, then the
+    supplier(s) achieving its maximum.
+
+    Shape: one date-pruned scan aggregated to |suppliers| rows; the max
+    is a 1-row aggregate broadcast back as an equality filter (no
+    second scan of lineitem, no window over the full relation); the
+    supplier join is an equi join on the supplier key. Revenue is
+    rounded to 4dp BEFORE the max comparison on both engines so the
+    equality is exact.
+    """
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

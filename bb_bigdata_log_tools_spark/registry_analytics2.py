@@ -380,3 +380,29 @@ ORDER BY custdist DESC, c_count DESC
 
 ANALYTICS2_QUERIES.update({"tpch_q12": q_tpch_q12, "tpch_q13": q_tpch_q13})
 ANALYTICS2_ORACLES.update({"tpch_q12": SQL_TPCH_Q12, "tpch_q13": SQL_TPCH_Q13})
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q15(
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+ANALYTICS2_QUERIES.update({"tpch_q15": q_tpch_q15})
+ANALYTICS2_ORACLES.update({"tpch_q15": SQL_TPCH_Q15})

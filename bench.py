@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "sample_exact_stratified",
     "text_repetition",
+    "tpch_q15",
 ]
 
 
