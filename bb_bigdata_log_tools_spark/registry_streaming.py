@@ -17,11 +17,17 @@ Determinism notes (what makes these gate-safe):
   the full aggregation result after the final batch, identical to the
   batch groupBy — no dependence on watermark timing for emission.
 - ``stream_sessionize`` (applyInPandasWithState) emits sessions closed
-  by a LATER event of the same user; whether trailing open sessions
-  flush depends on watermark advancement across micro-batch boundaries
-  — file-split dependent, so it gets NO SQL oracle (rows-only check),
-  exactly the weaker-gate category the driver records for
-  non-SQL-expressible ops.
+  by a LATER event of the same user. Trailing open sessions would be
+  micro-batch/watermark dependent, so the bounded drain appends ONE
+  sentinel event per user at ``global_max_ts + gap + 1s``: every real
+  session is then closed deterministically by a strictly-later event,
+  and the sentinel's own (single-event) session stays open in state and
+  is never emitted. Output therefore equals batch sessionization
+  exactly → FULL DuckDB oracle. Ordering safety: ``availableNow`` with
+  no ``maxFilesPerTrigger`` drains all staged files in one micro-batch,
+  and the per-user update sorts timestamps within the batch; the
+  sentinel file is additionally written last (later mtime) so even a
+  split drain cannot process it before the real events.
 
 Scale: at 100 TB these same plans run unbounded (Kafka/file ingest) —
 state is |components × open windows| or O(active users); the memory
@@ -128,13 +134,74 @@ GROUP BY 1, 2, 3
 """
 
 
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _stream_events(spark, sf_dir).select(
-        "user_id", F.col("ts").alias("event_time")
-    )
-    return _drain_to_memory(
-        stream_sessionize(ev), "stream_sessionize_sink", "append"
-    )
+    """Bounded sessionize drain with a deterministic end-of-stream flush.
+
+    Stages ``events`` plus one sentinel row per user at
+    ``max(ts) + gap + 1s`` into a temp dir, streams it, and returns the
+    drained sessions. The sentinel closes every user's final session
+    (sentinel sessions themselves stay open in state, never emitted), so
+    the output is exactly the batch sessionization — see module
+    docstring for the determinism argument.
+    """
+    import datetime
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    stage = tempfile.mkdtemp(prefix="bb_stream_sessionize_")
+    try:
+        # Real events first, sentinels appended after (later mtime).
+        ev.write.mode("overwrite").parquet(stage)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar; gate plumbing
+        sentinel_ts = max_ts + datetime.timedelta(
+            milliseconds=SESSION_GAP_MS + 1000
+        )
+        (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("ts", F.lit(sentinel_ts))
+            .write.mode("append")
+            .parquet(stage)
+        )
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .parquet(stage)
+            .select("user_id", F.col("ts").alias("event_time"))
+        )
+        return _drain_to_memory(
+            stream_sessionize(sdf), "stream_sessionize_sink", "append"
+        )
+    finally:
+        # The memory sink materializes rows driver-side; the staged files
+        # are not referenced by the returned DataFrame.
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_session)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS session_start,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_seq
+"""
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +239,6 @@ STREAMING_QUERIES = {
 STREAMING_ORACLES = {
     "stream_grep": SQL_STREAM_GREP,
     "stream_hourly_stats": SQL_STREAM_HOURLY_STATS,
+    "stream_sessionize": SQL_STREAM_SESSIONIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
-    # stream_sessionize: deliberately no oracle (see module docstring)
 }

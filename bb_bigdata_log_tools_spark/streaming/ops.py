@@ -114,7 +114,15 @@ def stream_sessionize(
         else:
             ts_list = []
             for pdf in pdfs:
-                ts_list.extend(int(t.timestamp() * 1000) for t in pdf[ts_col])
+                # Exact integer ns→ms floor (float .timestamp() can be off
+                # by 1 ms at exact-millisecond boundaries).
+                ms = (
+                    pd.to_datetime(pdf[ts_col])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000_000
+                )
+                ts_list.extend(int(v) for v in ms)
             ts_list.sort()
             if state.exists:
                 start_ms, last_ms, n = state.get
