@@ -203,6 +203,7 @@ def ann_lsh_buckets(
     n_planes: int = 8,
     seed: int = 2024,
     dim: int = 64,
+    keep_prep: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
@@ -210,6 +211,14 @@ def ann_lsh_buckets(
     deterministic LCG parameter stream (component i of plane j is +1
     iff lcg(j*dim+i) is odd) — reproducible in SQL with the same
     literals. bucket = Σ_j [sign(v·h_j) > 0]·2^j.
+
+    ``keep_prep=True`` additionally emits the :func:`prep_embeddings`
+    columns (widened ``e0..e{dim-1}`` + ``norm`` below the cliff; the
+    double-cast array + ``norm`` above it) computed in the SAME
+    projection pipeline as the bucket. The bucket-then-re-widen form
+    this replaces projected the embedding array twice and cost ~1.8× on
+    the bucketed top-k; fused, whole-stage codegen evaluates each
+    ``e_i`` once and reuses it for planes, norm, and pair dots.
     """
     params = permutation_params(n_planes * dim, seed)
     if dim <= WIDEN_DIM_CLIFF:
@@ -219,10 +228,9 @@ def ann_lsh_buckets(
         # arithmetic order: 0.0 + x0·s0 + x1·s1 + ..., and ±1·x is
         # exact, so bucket ids are bit-identical to the SQL oracle's
         # list_dot_product).
+        keep = ["vec_id"] if keep_prep else ["vec_id", "label", "embedding"]
         wide = embeddings.select(
-            "vec_id",
-            "label",
-            "embedding",
+            *keep,
             *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
         )
         bucket = F.lit(0).cast("long")
@@ -234,26 +242,53 @@ def ann_lsh_buckets(
             bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
                 "long"
             )
-        return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+        if not keep_prep:
+            return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+        norm = None
+        for i in range(dim):
+            term = F.col(f"e{i}") * F.col(f"e{i}")
+            norm = term if norm is None else norm + term
+        return wide.select(
+            "vec_id",
+            bucket.alias("bucket"),
+            *[f"e{i}" for i in range(dim)],
+            F.sqrt(norm).alias("norm"),
+        )
     # High-dim path: per-plane ±1 sign vectors as FLAT array literals
     # (depth O(1), no scalar chains) folded with zip_with+aggregate.
     # ±1.0·x is exact and the aggregate sums in array order, so bucket
     # ids match the widened path bit-for-bit.
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        signs = F.array(
-            *[
-                F.lit(1.0 if params[j * dim + i][0] % 2 == 1 else -1.0)
-                for i in range(dim)
-            ]
+    def _bucket(emb_col: Column) -> Column:
+        bucket = F.lit(0).cast("long")
+        for j in range(n_planes):
+            signs = F.array(
+                *[
+                    F.lit(1.0 if params[j * dim + i][0] % 2 == 1 else -1.0)
+                    for i in range(dim)
+                ]
+            )
+            proj = F.aggregate(
+                F.zip_with(emb_col, signs, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        return bucket
+
+    if not keep_prep:
+        return embeddings.select(
+            "vec_id", "label", "embedding", _bucket(F.col("embedding")).alias("bucket")
         )
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return embeddings.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", emb_d.alias("embedding"))
+    return base.select(
+        "vec_id",
+        _bucket(F.col("embedding")).alias("bucket"),
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
 
 
 def ivf_assign(
@@ -368,11 +403,11 @@ def ann_topk_lsh(
     via n_planes (fewer planes → bigger buckets → higher recall). The
     per-candidate cosine (the hot |bucket|×|queries| path) runs on
     widened scalar columns — codegen'd fused multiply-adds, same
-    arithmetic order as the interpreted array form it replaces.
+    arithmetic order as the interpreted array form it replaces. Bucket
+    ids, widened columns, and norms come out of ONE fused projection
+    (``keep_prep=True``) — no second pass over the embedding array.
     """
-    bucketed = prep_embeddings(
-        ann_lsh_buckets(embeddings, n_planes, dim=dim), dim, ["vec_id", "bucket"]
-    )
+    bucketed = ann_lsh_buckets(embeddings, n_planes, dim=dim, keep_prep=True)
     queries = bucketed.filter(F.col("vec_id") < n_queries)
     scored = (
         bucketed.alias("c")

@@ -251,3 +251,23 @@ def test_q7_broadcasts_nation_both_sides(spark, sf_dir):
     plan = optimized_of(df)
     hints = re.findall(r"strategy=broadcast", plan)
     assert len(hints) == 2, f"expected exactly 2 broadcast hints:\n{plan[:2000]}"
+
+
+def test_lsh_prep_single_widen_projection(spark, sf_dir):
+    """ann_lsh_buckets(keep_prep=True) must compute bucket ids, widened
+    e-columns, and the norm in ONE pass over the embedding array. The
+    round-3 bucket-then-re-widen composition projected the array twice
+    (two widening Projects in the optimized plan) and cost ~1.8x on the
+    bucketed top-k."""
+    from bb_bigdata_log_tools_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = similarity.ann_lsh_buckets(emb, n_planes=4, keep_prep=True)
+    assert {"vec_id", "bucket", "e0", "e63", "norm"} <= set(df.columns)
+    opt = optimized_of(df)
+    widen_lines = [
+        line
+        for line in opt.splitlines()
+        if re.search(r"embedding#\d+L?\[0\]", line)
+    ]
+    assert len(widen_lines) == 1, f"embedding array projected twice:\n{opt[:2000]}"
