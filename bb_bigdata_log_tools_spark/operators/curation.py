@@ -270,18 +270,43 @@ def pack_sequences(
     boundary.
 
     100 TB shape: a global prefix sum done the scalable way — NO
-    single-partition window over the corpus. ``repartitionByRange`` on
-    doc_id, a per-partition cumulative sum (parallel window), then the
-    per-partition totals (one tiny row each) are prefix-summed and
-    broadcast back as offsets. The result is invariant to partition
-    boundaries, so range-sampling nondeterminism cannot change it.
+    single-partition window over the corpus. Documents map to ordered
+    range buckets (``part_id``), a per-bucket cumulative sum (parallel
+    window), then the per-bucket totals (one tiny row each) are
+    prefix-summed and broadcast back as offsets.
+
+    ``part_id`` is computed DETERMINISTICALLY from doc_id against the
+    broadcast global (min, max) bounds — not from
+    ``repartitionByRange + spark_partition_id()``, whose sampled range
+    boundaries depend on RDD identity. ``parts`` feeds two plan
+    branches (the per-bucket cumsum and the bucket-totals prefix); with
+    sampled boundaries, any failure of Catalyst to reuse the exchange
+    (AQE replan, future edits) could give the branches different
+    partitionings and silently corrupt bin offsets. A closed-form
+    bucket id makes both branches agree by construction, at the cost of
+    one column-pruned min/max scan. Monotonic double rounding keeps the
+    mapping order-preserving for arbitrary 64-bit ids; bucket balance
+    matches id distribution (uniform for dense or hash-like ids), and
+    imbalance only affects parallelism, never values.
     """
     n_part = documents.sparkSession.sparkContext.defaultParallelism
     toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    bounds = documents.agg(
+        F.min("doc_id").alias("doc_lo"), F.max("doc_id").alias("doc_hi")
+    )
+    span = (F.col("doc_hi") - F.col("doc_lo") + 1).cast("double")
+    bucket = F.least(
+        F.lit(n_part - 1),
+        F.floor(
+            (F.col("doc_id") - F.col("doc_lo")).cast("double") / span * n_part
+        ),
+    ).cast("int")
     parts = (
         documents.select("doc_id", toks.cast("long").alias("n_tokens"))
-        .repartitionByRange(n_part, "doc_id")
-        .withColumn("part_id", F.spark_partition_id())
+        .join(F.broadcast(bounds))
+        .withColumn("part_id", bucket)
+        .drop("doc_lo", "doc_hi")
+        .repartition(n_part, "part_id")
     )
     w_in = (
         Window.partitionBy("part_id")

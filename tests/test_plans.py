@@ -214,15 +214,19 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
 
 
 def test_pack_sequences_no_corpus_single_partition_window(spark, sf_dir):
-    """The corpus-wide prefix sum must run as per-range-partition
-    windows + a broadcast prefix join — the only SinglePartition
-    exchange allowed is over the n_part partition summaries."""
+    """The corpus-wide prefix sum must run as per-bucket windows + a
+    broadcast prefix join — the only SinglePartition exchange allowed
+    is over the n_part bucket summaries. Buckets come from the
+    deterministic doc_id formula (hash exchange on part_id), NOT a
+    sampled rangepartitioning, so the two plan branches reading `parts`
+    cannot disagree on bucket boundaries."""
     from bb_bigdata_log_tools_spark.operators import curation
 
     docs = table(spark, sf_dir, "documents")
     df = curation.pack_sequences(docs, 512, sort=False)
     plan = plan_of(df)
-    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert re.search(r"hashpartitioning\(part_id", plan), plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
     # The data-side window must be keyed (partitionBy part_id): a Window
     # node whose partition spec is empty would drag the corpus to one
     # partition. The partitioned window sorts by (part_id, doc_id).
