@@ -190,4 +190,7 @@ def text_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.when(total > 0, top / total).otherwise(F.lit(0.0)), 4
         ).alias("top_bigram_frac"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
+    # small_sort, not orderBy: a range sort SAMPLES its input first,
+    # re-running the bigram sort+fold (the whole cost of this op) a
+    # second time — measured ~1.4x at sf0.1 and ~2x on the 10x probe.
