@@ -203,6 +203,7 @@ def dedup_minhash_lsh(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    salts: int = 8,
 ) -> DataFrame:
     """Minhash-LSH near-dup: banded buckets → candidate pairs → exact
     Jaccard verification ≥ τ.
@@ -212,6 +213,20 @@ def dedup_minhash_lsh(
     ``dedup_ngram_jaccard``. With 16 bands × 4 rows the S-curve puts
     ~0.5 collision probability at J≈0.5, so τ=0.6 keeps false negatives
     negligible while the verification join removes false positives.
+
+    HOT-BUCKET SKEW: a bucket of B near-identical docs emits C(B,2)
+    candidate pairs from ONE join task. AQE's skew-join split does NOT
+    help here — it keys on input partition BYTES, and a hot LSH bucket
+    is output skew over tiny input (empirically verified: the skew=true
+    marker never appears on this join; see tests/test_skew_probe.py).
+    The structural fix is the same explicit salt used by
+    ``dedup_embedding``: the left side salts by ``doc_id % salts``, the
+    right side replicates across the salt domain, and the bucket join
+    adds the salt key — every pair still produced exactly once, with
+    each bucket's quadratic output spread over ``salts`` tasks. Costs
+    ~10-15% extra shuffle of the thin band relation on uniform corpora;
+    bounds the straggler task ``salts``-fold on pathological ones.
+    ``salts=1`` recovers the unsalted plan.
     """
     # The shingle-hash relation feeds both the signature path and the
     # verification join. It is recomputed per branch (a scan + map-side
@@ -221,13 +236,16 @@ def dedup_minhash_lsh(
     # never-released cache blocks.
     sh = doc_shingle_hashes(documents, n)
     bands_df = minhash_bands_from_hashes(sh, num_perm, bands)
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    a = bands_df.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts))).alias("a")
+    b = bands_df.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))

