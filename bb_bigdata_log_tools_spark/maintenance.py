@@ -29,10 +29,11 @@ scope (SURVEY §2). The reference's ZooKeeper maintenance locking
 (``logdriver/locks/LockUtil.java``, ``admin/LockedFs.java``) — which
 exists precisely so two cron-launched sweeps never compact the same
 hour tree concurrently — is replaced by a best-effort marker-file
-lease (:class:`MaintenanceLease`): O_CREAT|O_EXCL is atomic on POSIX
-and HDFS-style object stores' create-if-absent, the lease carries
-owner pid + timestamp, and stale leases (owner crashed) are broken
-after a TTL. A second concurrent runner SKIPS the sweep (raises
+lease (:class:`MaintenanceLease`): O_CREAT|O_EXCL is atomic on
+local/NFSv4-POSIX filesystems and HDFS proper (exclusive create); on
+S3-style object stores it is best-effort only — see the class
+docstring. The lease carries owner pid + timestamp, and stale leases
+(owner crashed) are broken after a TTL. A second concurrent runner SKIPS the sweep (raises
 :class:`MaintenanceLockHeld`; the CLI exits 0 with a notice), which is
 the same outcome as the reference's ``lock.acquire()`` failing.
 """
@@ -66,11 +67,22 @@ class MaintenanceLease:
     ``admin/LockedFs.java`` — the reference serializes maintenance over
     a log tree with ZooKeeper write locks. Here the coordination point
     is the filesystem itself: ``open(O_CREAT|O_EXCL)`` of
-    ``<base>/_MAINTENANCE_LEASE`` is atomic (POSIX and HDFS create
-    semantics), so exactly one runner wins. The file body records
-    ``pid=<pid> host=<host> ts_ms=<acquire time>`` for operators; a
-    lease older than ``ttl_ms`` is presumed orphaned (holder crashed
-    before the ``finally``) and is broken-then-retaken.
+    ``<base>/_MAINTENANCE_LEASE`` is atomic on local/NFSv4-POSIX
+    filesystems (and on HDFS proper, whose create() is
+    exclusive-by-default). S3-style object stores have NO atomic
+    create-if-absent through a POSIX mount, so there this degrades to
+    best-effort only — deployments on object stores should inject real
+    coordination (the reference's answer was ZooKeeper) rather than
+    rely on this file. The file body records ``pid=<pid> host=<host>
+    ts_ms=<acquire time>`` for operators; a lease whose file mtime is
+    older than ``ttl_ms`` is presumed orphaned (holder crashed before
+    the ``finally``) and is broken-then-retaken.
+
+    Staleness is judged against the REAL wall clock, never a pinned
+    ``now_ms``: the lease file's mtime comes from the holder's wall
+    clock, so comparing it against a test-pinned or replayed timestamp
+    would let a future-pinned sweep break a live holder's lease (two
+    concurrent sweeps) or make genuinely orphaned leases unbreakable.
 
     This is a LEASE, not a consensus lock — a paused-then-resumed
     holder beyond the TTL could overlap with its usurper. That is the
@@ -83,13 +95,15 @@ class MaintenanceLease:
                  now_ms: int | None = None):
         self.path = os.path.join(base, LEASE_MARKER)
         self.ttl_ms = ttl_ms
-        self._now_ms = now_ms
         self._held = False
+        # now_ms is accepted for signature stability but deliberately
+        # ignored: TTL staleness must use the same clock that wrote the
+        # lease mtime (see docstring).
 
     def _now(self) -> int:
         import time as _time
 
-        return int(_time.time() * 1000) if self._now_ms is None else self._now_ms
+        return int(_time.time() * 1000)
 
     def _try_create(self) -> bool:
         try:
@@ -221,15 +235,43 @@ def merge_incoming_dir(spark: SparkSession, hour_comp_dir: str) -> int:
 
     Distributed via :func:`compact_boom_dir` (executor-side sorted
     streaming write). Returns the number of lines merged.
+
+    Safety (``fs/FileManager.java`` checksum-verified-move analog +
+    reader fencing): the merged container is written to a ``.bm.tmp``
+    name — invisible to every reader (the boom source and CLI glob
+    ``*.bm``) — fully re-decoded and line-counted against the writer's
+    count, and only then atomically renamed into place and the source
+    ``incoming`` removed. A reader catting the hour mid-merge therefore
+    sees either the pre-merge state or the complete merged file, never
+    a half-written one; a truncated/corrupt merge raises and leaves
+    ``incoming`` intact.
     """
-    from bb_bigdata_log_tools_spark.sources.boom import compact_boom_dir
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        compact_boom_dir,
+        count_boom_lines,
+    )
 
     incoming = os.path.join(hour_comp_dir, "incoming")
     data = os.path.join(hour_comp_dir, "data")
     os.makedirs(data, exist_ok=True)
-    n = compact_boom_dir(
-        spark, incoming, os.path.join(data, "part-merged.00000.bm")
-    )
+    final = os.path.join(data, "part-merged.00000.bm")
+    tmp = final + ".tmp"
+    n = compact_boom_dir(spark, incoming, tmp)
+    try:
+        got = count_boom_lines(tmp)
+    except Exception as e:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"merge verification failed: {tmp} is unreadable ({e}); "
+            f"incoming retained"
+        ) from e
+    if got != n:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"merge verification failed: wrote {n} lines, re-read {got}; "
+            f"incoming retained"
+        )
+    os.rename(tmp, final)
     shutil.rmtree(incoming)
     return n
 
@@ -245,8 +287,13 @@ def filter_archive_dir(
     block_no, ts, line_no)`` — original file order — and the single
     archive file is written executor-side by the streaming ReBoom
     writer. Returns the number of lines archived.
+
+    Same verified tmp-write-then-rename protocol as
+    :func:`merge_incoming_dir`: ``data`` is deleted only after the
+    archive container re-decodes to the written line count.
     """
     from bb_bigdata_log_tools_spark.sources.boom import (
+        count_boom_lines,
         read_boom,
         write_reboom_stream,
     )
@@ -254,7 +301,8 @@ def filter_archive_dir(
     data = os.path.join(hour_comp_dir, "data")
     archive = os.path.join(hour_comp_dir, "archive")
     os.makedirs(archive, exist_ok=True)
-    out_path = os.path.join(archive, "part-filtered.00000.bm")
+    final = os.path.join(archive, "part-filtered.00000.bm")
+    tmp = final + ".tmp"
 
     kept = (
         read_boom(spark, data)
@@ -269,9 +317,24 @@ def filter_archive_dir(
             (r["ts"], r["message"], r["event_id"], r["create_time"], r["block_no"])
             for r in rows
         )
-        yield write_reboom_stream(out_path, tuples)
+        yield write_reboom_stream(tmp, tuples)
 
     n = sum(kept.rdd.mapPartitions(write_part).collect())
+    try:
+        got = count_boom_lines(tmp)
+    except Exception as e:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"archive verification failed: {tmp} is unreadable ({e}); "
+            f"data retained"
+        ) from e
+    if got != n:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"archive verification failed: wrote {n} lines, re-read {got}; "
+            f"data retained"
+        )
+    os.rename(tmp, final)
     shutil.rmtree(data)
     return n
 

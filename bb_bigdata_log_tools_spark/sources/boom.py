@@ -201,6 +201,17 @@ def read_boom_local(path: str) -> list[tuple]:
         return list(flatten_log_blocks(read_container(f.read())))
 
 
+def count_boom_lines(path: str) -> int:
+    """Full-decode line count of one .bm file — the integrity check the
+    maintenance jobs run before deleting their source (the
+    ``fs/FileManager.java`` checksum-verified-move analog: a truncated
+    or corrupt container fails the Avro parse or yields a short count).
+    Streaming fold over the block generator; only the raw bytes are
+    held, never the decoded rows."""
+    with open(path, "rb") as f:
+        return sum(1 for _ in flatten_log_blocks(read_container(f.read())))
+
+
 def read_boom(spark: SparkSession, path: str) -> DataFrame:
     """Distributed .bm read: binaryFile source → per-file Arrow-batched
     decode in executors → canonical log schema."""

@@ -373,3 +373,72 @@ def test_lease_released_on_sweep_failure(tmp_path):
         with MaintenanceLease(base, now_ms=NOW_MS):
             raise ValueError("sweep blew up")
     assert not os.path.exists(os.path.join(base, LEASE_MARKER))
+
+
+# ---------------------------------------------------------------------------
+# verified merges (FileManager checksum-move analog) + reader fencing
+# ---------------------------------------------------------------------------
+
+
+def test_merge_verification_detects_corrupt_output(spark, tmp_path, monkeypatch):
+    """A merge whose output container is truncated/corrupt must raise,
+    keep `incoming` intact, and leave NO reader-visible .bm in data/."""
+    from bb_bigdata_log_tools_spark import maintenance
+    from bb_bigdata_log_tools_spark.sources import boom as boom_mod
+
+    root = str(tmp_path / "service")
+    i = _mk_hour(
+        root, "dc1", "svc1", "logs", "20240131", "07", "app01", "incoming",
+        _lines_at(1706659200000),
+    )
+    hour_comp = os.path.dirname(i)
+
+    real = boom_mod.compact_boom_dir
+
+    def corrupting(spark_, in_dir, out_path, create_time=0):
+        n = real(spark_, in_dir, out_path, create_time)
+        with open(out_path, "r+b") as f:
+            f.truncate(os.path.getsize(out_path) // 2)
+        return n
+
+    monkeypatch.setattr(boom_mod, "compact_boom_dir", corrupting)
+    with pytest.raises(RuntimeError, match="verification failed"):
+        maintenance.merge_incoming_dir(spark, hour_comp)
+    assert os.path.isdir(i), "corrupt merge must not delete incoming"
+    data = os.path.join(hour_comp, "data")
+    assert not [f for f in os.listdir(data) if f.endswith(".bm")], (
+        "no reader-visible merged file may exist after a failed merge"
+    )
+
+
+def test_mid_merge_reader_sees_old_or_new_never_half(spark, tmp_path):
+    """Reader fencing: the merge writes to `*.bm.tmp` (invisible to the
+    boom source's `*.bm` glob) and renames only after verification, so
+    a cat over the hour mid-merge sees the pre-merge state; after the
+    merge it sees exactly the merged lines."""
+    from bb_bigdata_log_tools_spark import maintenance
+    from bb_bigdata_log_tools_spark.sources.boom import read_boom
+
+    root = str(tmp_path / "service")
+    lines = _lines_at(1706659200000)
+    i = _mk_hour(
+        root, "dc1", "svc1", "logs", "20240131", "07", "app01", "incoming", lines
+    )
+    hour_comp = os.path.dirname(i)
+    data = os.path.join(hour_comp, "data")
+    os.makedirs(data, exist_ok=True)
+
+    # Simulate the mid-merge window: the tmp container exists in data/
+    # but has not been renamed yet. Readers must see the OLD state.
+    write_boom_local(
+        os.path.join(data, "part-merged.00000.bm.tmp"), [(1, "half-written", 0)]
+    )
+    assert read_boom(spark, data).count() == 0
+    os.unlink(os.path.join(data, "part-merged.00000.bm.tmp"))
+
+    n = maintenance.merge_incoming_dir(spark, hour_comp)
+    assert n == len(lines)
+    assert not os.path.isdir(i)
+    got = read_boom(spark, data).count()
+    assert got == len(lines)
+    assert os.listdir(data) == ["part-merged.00000.bm"]
