@@ -498,12 +498,21 @@ def media_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     Scale shape: ``sequence`` + ``explode`` is pure column algebra —
     the fan-out happens executor-side after the Arrow-batched header
     parse; no shuffle until whatever aggregation follows.
+
+    Only ``video``/``image`` rows fan out. For audio rows ``n_frames``
+    holds the PCM SAMPLE count (this module's column convention), so
+    exploding them would emit ~88 rows per second of 44.1 kHz audio
+    even at every_n=500 — sample-level fan-out is a different operation
+    with a different sampling parameter, not a frame sample.
     """
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     feats = extract_features(media)
     return (
-        feats.filter(F.col("n_frames") > 0)
+        feats.filter(
+            (F.col("n_frames") > 0)
+            & F.col("media_type").isin("video", "image")
+        )
         .select(
             "doc_id",
             "media_type",
