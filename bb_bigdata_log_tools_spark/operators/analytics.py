@@ -611,3 +611,139 @@ def tpch_q15(supplier: DataFrame, lineitem: DataFrame,
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+def tpch_q8(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """National market share (TPC-H Q8, adapted: ``p_type`` is an exact
+    single-word match on the cut-down part table; otherwise the full
+    7-relation shape survives the schema cuts intact).
+
+    Shape: orders is date-pruned at the scan and part type-pruned at the
+    scan; both scale with SF so their joins stay with AQE. nation (25
+    rows, used twice) and the region filter (1 row) are explicit
+    broadcasts on the customer and supplier sides. Market share is a
+    conditional-sum ratio inside ONE aggregation keyed by o_year — no
+    second pass, map-side partials collapse the shuffle.
+    """
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = region.filter(F.col("r_name") == target_region).select("r_regionkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            part.filter(F.col("p_type") == p_type).select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q17(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#11",
+    qty_factor: float = 0.2,
+) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17, adapted: the cut-down
+    part table has no ``p_container``, so the brand filter alone selects
+    the part subset; the correlated avg-quantity shape is unchanged).
+
+    Shape: the brand-filtered part subset (|parts|/25 rows) joins
+    lineitem ONCE; the per-part 0.2·avg(quantity) threshold aggregates
+    that same joined relation (map-side partials) and re-joins it by
+    part key. Neither pass touches full lineitem twice, and no
+    per-part correlated subquery executes per row — the decorrelated
+    form Catalyst would also produce for the SQL.
+    """
+    li_p = lineitem.join(
+        part.filter(F.col("p_brand") == brand).select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("p_partkey", "l_quantity", "l_extendedprice")
+    thr = li_p.groupBy(F.col("p_partkey").alias("t_partkey")).agg(
+        (F.lit(qty_factor) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li_p.join(thr, F.col("p_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def tpch_q19(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Discounted revenue (TPC-H Q19, adapted: the cut-down schema has
+    no ``p_container``/``l_shipmode``/``l_shipinstruct``, so each of the
+    three disjuncts pairs (p_brand, p_size band, l_quantity band) — the
+    same OR-of-band-predicates shape).
+
+    Shape: one equi join on the part key; the OR residual stays a
+    codegen filter after the join, and Catalyst extracts the part-only
+    disjunction (brand/size) down to the part scan, so the build side
+    carries only candidate parts at any SF.
+    """
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )

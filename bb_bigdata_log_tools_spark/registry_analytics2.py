@@ -406,3 +406,82 @@ ORDER BY s_suppkey
 
 ANALYTICS2_QUERIES.update({"tpch_q15": q_tpch_q15})
 ANALYTICS2_ORACLES.update({"tpch_q15": SQL_TPCH_Q15})
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q8(
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q17(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH li_p AS (
+  SELECT p_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+), thr AS (
+  SELECT p_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thr
+  FROM li_p GROUP BY p_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM li_p JOIN thr ON p_partkey = t_partkey
+WHERE l_quantity < qty_thr
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q19(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+ANALYTICS2_QUERIES.update(
+    {"tpch_q8": q_tpch_q8, "tpch_q17": q_tpch_q17, "tpch_q19": q_tpch_q19}
+)
+ANALYTICS2_ORACLES.update(
+    {"tpch_q8": SQL_TPCH_Q8, "tpch_q17": SQL_TPCH_Q17, "tpch_q19": SQL_TPCH_Q19}
+)

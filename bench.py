@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "sample_exact_stratified",
     "text_repetition",
     "tpch_q15",
+    "tpch_q8",
+    "tpch_q17",
+    "tpch_q19",
 ]
 
 
