@@ -174,10 +174,13 @@ def _emit(df: DataFrame, opts: dict) -> None:
         sys.stderr.write(DATA_MARKER + "\n")
     target = opts.get("out")
     if target:
-        # distributed write — results never funnel through the driver;
-        # sorted range partitions land as lexicographically ordered
+        # FirstItemOnlyStoreFunc-style distributed sink: only the line
+        # column lands, results never funnel through the driver, and
+        # sorted range partitions arrive as lexicographically ordered
         # part files, so `cat part-*` preserves the total order
-        out.select("line").write.mode("overwrite").text(target)
+        from bb_bigdata_log_tools_spark.sources.logs import write_first_item_text
+
+        write_first_item_text(out, target, col="line")
         sys.stderr.write(f"; results written to {target}\n")
     else:
         # stream partitions through the driver one at a time (bounded

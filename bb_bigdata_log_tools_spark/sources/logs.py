@@ -49,6 +49,26 @@ def events_as_logs(events: DataFrame) -> DataFrame:
     )
 
 
+def write_first_item_text(
+    df: DataFrame, path: str, col: str | None = None, mode: str = "overwrite"
+) -> None:
+    """First-item-only text sink — the
+    ``pig/FirstItemOnlyStoreFunc.java:1`` analog: write ONLY the first
+    (or a named) column of each row as a raw text line, silently
+    dropping every other field. The reference uses it after the Pig
+    format+sort to emit the formatted log line while discarding the
+    (time, createTime, blockNo, lineNo) sort keys; the CLI's ``--out``
+    path routes through here.
+
+    Distributed: each partition writes its own part file — no driver
+    funnel. When the input is a sorted range partitioning (the
+    format_and_sort output), part files land in lexicographic order, so
+    ``cat part-*`` preserves the total order.
+    """
+    first = col or df.columns[0]
+    df.select(F.col(first).cast("string")).write.mode(mode).text(path)
+
+
 def write_log_store(logs: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write canonical log lines as parquet partitioned by (date, hour).
 

@@ -541,3 +541,23 @@ def test_mp4_64bit_size_and_v1_tkhd():
             + patched[j:]
         )
     assert parse_mp4_meta(patched) == (320, 180, 24)
+
+
+def test_write_first_item_text_drops_trailing_fields(spark, tmp_path):
+    """FirstItemOnlyStoreFunc parity (pig/FirstItemOnlyStoreFunc.java):
+    only the first (or named) column lands in the text output; every
+    other field of the tuple is dropped."""
+    from bb_bigdata_log_tools_spark.sources.logs import write_first_item_text
+
+    df = spark.createDataFrame(
+        [("line a", 1, "keyA"), ("line b", 2, "keyB")],
+        "line string, sortkey int, other string",
+    )
+    out = str(tmp_path / "first_item")
+    write_first_item_text(df, out)
+    back = {r.value for r in spark.read.text(out).collect()}
+    assert back == {"line a", "line b"}
+
+    write_first_item_text(df, out, col="other")
+    back = {r.value for r in spark.read.text(out).collect()}
+    assert back == {"keyA", "keyB"}
