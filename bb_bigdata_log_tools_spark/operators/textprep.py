@@ -1,0 +1,155 @@
+"""Corpus text-preparation operators: RAG-style chunking, tf-idf
+keyword extraction, and quality-weighted deterministic sampling — the
+retrieval/indexing-side companions to the curation stages in
+``curation.py``.
+
+Everything is built-in column expressions or standard agg/window
+relational shapes; no Python UDFs, no driver-side collects. Sampling
+keys on md5 (bit-identical in Spark and DuckDB — functions/hashing.py),
+never ``rand()``, so results are stable across engines, retries, and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+#: Hash-bucket denominator shared with curation sampling (0.01 %).
+SAMPLE_DENOM = 10_000
+
+
+def chunk_documents(
+    documents: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the chunking
+    stage of a RAG / embedding-index pipeline (and the retrieval-side
+    counterpart of ``pack_sequences``' training layout).
+
+    Chunks start every ``window − overlap`` tokens and carry up to
+    ``window`` tokens each; the trailing chunk may be short. Output per
+    chunk: (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+
+    100 TB shape: pure per-row column algebra — split once, fan out via
+    ``posexplode(sequence(...))``, slice+join per chunk. Scan-parallel,
+    no shuffle; the fan-out factor is ~n_tokens/stride per doc, the
+    same rows an indexer must embed anyway.
+    """
+    if overlap >= window:
+        raise ValueError(f"overlap {overlap} must be < window {window}")
+    stride = window - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok") + 1, window)
+    return (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(chunk_toks).alias("n_chunk_tokens"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id", "chunk_id"))
+    )
+
+
+def tfidf_keywords(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf over whitespace terms.
+
+    score = tf · (ln((N+1)/(df+1)) + 1) (smoothed idf), rounded to 4dp;
+    ranking uses the ROUNDED score with the term string as tie-break so
+    the top-k set is fully deterministic and engine-independent (raw
+    ln() may differ in the last ulp between libms; rounding before the
+    rank removes that from the comparison).
+
+    100 TB shape: one explode → (doc, term) tf aggregation (map-side
+    partials), a |vocab|-row document-frequency aggregate joined back on
+    term, the corpus size N broadcast as a 1-row scalar, and the top-k
+    window partitioned by doc_id — every shuffle is keyed and
+    partial-aggregated; nothing is quadratic.
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .transform(lambda d: small_sort(d, "doc_id", "rank"))
+    )
+
+
+def sample_weighted(
+    documents: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sample: each document is
+    kept with probability equal to its ``text_quality`` composite score
+    — the "sample good data more" selection step between scoring and
+    training-set assembly.
+
+    The coin is ``md5('w:' || doc_id) mod 10000 < round(score,4)·10000``
+    — deterministic, engine-exact, retry-stable (the same doc always
+    gets the same verdict), and independent of the stratified sampler's
+    hash stream (different salt). Output: kept rows with their
+    ``p_keep``.
+
+    100 TB shape: one scan, zero shuffle — the score and the coin are
+    both per-row column algebra.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    score = F.round(
+        F.lit(0.4) * F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * (n_distinct / F.greatest(n_tokens, F.lit(1)))
+        + F.lit(0.3) * (alpha_chars / F.greatest(n_chars, F.lit(1))),
+        4,
+    )
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("w:"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_DENOM),
+    )
+    return (
+        documents.withColumn("p_keep", score)
+        .filter(bucket < F.col("p_keep") * SAMPLE_DENOM)
+        .select("doc_id", "p_keep")
+        .transform(lambda d: small_sort(d, "doc_id"))
+    )

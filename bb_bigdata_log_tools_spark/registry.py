@@ -335,6 +335,10 @@ from bb_bigdata_log_tools_spark.registry_curation import (  # noqa: E402
     CURATION_ORACLES,
     CURATION_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_textprep import (  # noqa: E402
+    TEXTPREP_ORACLES,
+    TEXTPREP_QUERIES,
+)
 
 _ALL_QUERIES: dict[str, QueryFn] = {
     "log_cat": q_log_cat,
@@ -356,6 +360,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **ANALYTICS2_QUERIES,
     **AVRO_QUERIES,
     **CURATION_QUERIES,
+    **TEXTPREP_QUERIES,
     **STREAMING_QUERIES,
 }
 
@@ -370,6 +375,9 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q8",
     "tpch_q17",
     "tpch_q19",
+    "chunk_documents",
+    "tfidf_keywords",
+    "sample_weighted",
     "stream_sessionize",
     # registered after position 50 in round 3 → never driver-checked
     "tpch_q12",
@@ -421,5 +429,6 @@ ORACLES: dict[str, str] = {
     **ANALYTICS2_ORACLES,
     **AVRO_ORACLES,
     **CURATION_ORACLES,
+    **TEXTPREP_ORACLES,
     **STREAMING_ORACLES,
 }

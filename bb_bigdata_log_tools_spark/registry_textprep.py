@@ -1,0 +1,121 @@
+"""Registry part 8: text-preparation queries (chunking, tf-idf
+keywords, weighted sampling) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bb_bigdata_log_tools_spark.operators import textprep
+from bb_bigdata_log_tools_spark.session import table
+
+CHUNK_WINDOW = 64
+CHUNK_OVERLAP = 16
+_STRIDE = CHUNK_WINDOW - CHUNK_OVERLAP
+TFIDF_K = 5
+
+_BUCKET_SQL = (
+    "(('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 10000 + 10000) % 10000"
+)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.chunk_documents(
+        table(spark, sf_dir, "documents"), CHUNK_WINDOW, CHUNK_OVERLAP
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS start_tok
+  FROM t
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start_tok // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(toks[start_tok + 1 : start_tok + {CHUNK_WINDOW}]) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(toks[start_tok + 1 : start_tok + {CHUNK_WINDOW}], ' ')
+         AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.tfidf_keywords(table(spark, sf_dir, "documents"), TFIDF_K)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+    FROM documents
+  )
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term, tf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 4) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.sample_weighted(table(spark, sf_dir, "documents"))
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM t
+), p AS (
+  SELECT doc_id,
+         round(0.4 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (n_distinct_tokens / greatest(n_tokens, 1))
+               + 0.3 * (alpha_chars / greatest(n_chars, 1)), 4) AS p_keep
+  FROM f
+)
+SELECT doc_id, p_keep FROM p
+WHERE {_BUCKET_SQL} < p_keep * 10000
+ORDER BY doc_id
+"""
+
+
+TEXTPREP_QUERIES = {
+    "chunk_documents": q_chunk_documents,
+    "tfidf_keywords": q_tfidf_keywords,
+    "sample_weighted": q_sample_weighted,
+}
+
+TEXTPREP_ORACLES = {
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+}

@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "tpch_q8",
     "tpch_q17",
     "tpch_q19",
+    "chunk_documents",
+    "tfidf_keywords",
+    "sample_weighted",
 ]
 
 
