@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bb_bigdata_log_tools_spark.operators.util import small_sort
+
 
 def tpch_q1(lineitem: DataFrame, ship_before: str = "1998-09-02") -> DataFrame:
     """Pricing summary report (TPC-H Q1 shape on our schema)."""
@@ -745,5 +747,52 @@ def tpch_q19(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
+        )
+    )
+
+
+def events_retention(
+    events: DataFrame, max_day_offset: int = 14, sort: bool = True
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their first active day;
+    each (cohort_day, day_offset) cell counts how many of that cohort
+    were active ``day_offset`` days later, with the retention rate
+    against the cohort's day-0 size.
+
+    Plan: one distinct over (user_id, activity day) — the only
+    corpus-sized shuffle, keyed on user_id so the min-day cohort
+    window reuses the same partitioning — then a tiny
+    (cohort, offset) aggregate and a broadcast join of the |days|-row
+    cohort-size relation. At 100 TB the per-user state is two dates;
+    nothing driver-side.
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    fact = days.withColumn("cohort_day", F.min("day").over(w)).withColumn(
+        "day_offset", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    cells = (
+        fact.filter(F.col("day_offset") <= max_day_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = cells.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .transform(
+            lambda d: small_sort(d, "cohort_day", "day_offset") if sort else d
         )
     )

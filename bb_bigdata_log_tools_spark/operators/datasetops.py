@@ -1,0 +1,142 @@
+"""Dataset-layout and corpus-reporting operators: deterministic
+training-shard shuffling, per-source dataset statistics, and
+domain-blocklist filtering.
+
+These cover the last mile of a training-data pipeline (after dedup /
+quality filtering / packing): laying documents out into shuffled
+shards for the trainer, reporting per-source composition for mixture
+decisions, and enforcing a domain blocklist.
+
+Scale notes (100 TB):
+- ``shuffle_shards`` replaces the classic "global random shuffle"
+  (a full sort by rand() — one giant range shuffle) with a hash
+  shard assignment + per-shard ordering key. The only exchange is
+  the hash partition on ``shard`` that shard-writing needs anyway,
+  and the per-shard sort is the write-time sort. Deterministic
+  (md5-keyed), so re-runs and retries produce bit-identical shards.
+- ``dataset_stats`` is one groupBy(source) with map-side partial
+  aggregation for the sums/counts. The exact median is the one
+  non-partial aggregate; swap ``F.percentile`` for
+  ``F.percentile_approx`` at petabyte scale (noted inline).
+- ``filter_blocklist`` with a literal blocklist is a pure
+  scan-parallel filter (zero shuffle, zero join); the DataFrame
+  variant broadcasts the blocklist so the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+from bb_bigdata_log_tools_spark.operators.curation import url_extract
+from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Deterministic training-shard assignment and intra-shard order.
+
+    ``shard = md5("shard:" + key) mod n_shards`` spreads documents
+    uniformly; ``shard_pos`` orders each shard by an independent md5
+    draw, so the concatenation of shards is a reproducible global
+    pseudorandom permutation of the corpus — the property trainers
+    need from "shuffle the dataset" without a full sort-by-rand()
+    range shuffle. Writing is then ``repartition(n_shards, shard)``
+    + ``sortWithinPartitions(shard_pos)``; the window below is that
+    same exchange+sort expressed as a query.
+
+    Per-shard parallelism is 1 task, which matches the one-file-per-
+    shard write target; pick ``n_shards`` ≳ executor count.
+    """
+    key = F.col(key_col).cast("string")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), key)), F.lit(n_shards)
+    ).cast("int")
+    pos_key = md5_long(F.concat(F.lit("pos:"), key))
+    w = Window.partitionBy("shard").orderBy("pos_key", key_col)
+    return (
+        df.select(key_col, shard.alias("shard"), pos_key.alias("pos_key"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select(key_col, "shard", "shard_pos")
+        .transform(
+            lambda d: small_sort(d, "shard", "shard_pos") if sort else d
+        )
+    )
+
+
+def dataset_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    sort: bool = True,
+) -> DataFrame:
+    """Per-source corpus composition report: document/char/token
+    totals, language spread, and the mean/median/max document length
+    — the input to domain-mixture and re-weighting decisions.
+
+    One groupBy with map-side partial aggregation; the exact median
+    (``F.percentile``) is the only holistic aggregate — at petabyte
+    scale substitute ``F.percentile_approx`` (t-digest sketch, fully
+    partial) at the cost of oracle exactness.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    per_doc = df.select(
+        group_col,
+        "lang",
+        F.col(chars_col).alias("doc_chars"),
+        F.size(toks).alias("doc_tokens"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_chars").alias("total_chars"),
+            F.sum("doc_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("doc_chars"), 2).alias("mean_chars"),
+            F.round(F.percentile("doc_chars", F.lit(0.5)), 2).alias(
+                "median_chars"
+            ),
+            F.max("doc_chars").alias("max_chars"),
+        )
+        .transform(lambda d: small_sort(d, group_col) if sort else d)
+    )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    blocklist: list[str] | DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents that link to any blocklisted domain.
+
+    A ``list`` blocklist is inlined as a literal array —
+    ``arrays_overlap`` makes the whole operator a scan-parallel
+    filter with zero shuffle (the right shape for the usual few-
+    thousand-entry blocklist). A ``DataFrame`` blocklist (column
+    ``domain``) is broadcast and anti-joined on an
+    ``array_contains`` condition, so the corpus side still never
+    shuffles; use this for multi-million-row blocklists that should
+    not be embedded in the plan.
+
+    Output: the surviving documents plus ``n_urls`` (and the
+    extracted ``domains`` dropped — they were only needed for the
+    check).
+    """
+    docs = url_extract(df, text_col)
+    if isinstance(blocklist, DataFrame):
+        out = docs.join(
+            F.broadcast(blocklist),
+            F.array_contains(F.col("domains"), F.col("domain")),
+            "left_anti",
+        )
+    else:
+        lits = F.array(*[F.lit(d.lower()) for d in blocklist])
+        out = docs.filter(~F.arrays_overlap(F.col("domains"), lits))
+    return out.drop("domains")

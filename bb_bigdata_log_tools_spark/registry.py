@@ -339,6 +339,10 @@ from bb_bigdata_log_tools_spark.registry_textprep import (  # noqa: E402
     TEXTPREP_ORACLES,
     TEXTPREP_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_datasetops import (  # noqa: E402
+    DATASETOPS_ORACLES,
+    DATASETOPS_QUERIES,
+)
 
 _ALL_QUERIES: dict[str, QueryFn] = {
     "log_cat": q_log_cat,
@@ -361,6 +365,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **AVRO_QUERIES,
     **CURATION_QUERIES,
     **TEXTPREP_QUERIES,
+    **DATASETOPS_QUERIES,
     **STREAMING_QUERIES,
 }
 
@@ -372,6 +377,11 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # relative order after it.
 _WINDOW_PRIORITY: list[str] = [
     # round-4 additions (never seen by the driver)
+    "shuffle_shards",
+    "dataset_stats",
+    "filter_blocklist",
+    "events_retention",
+    "semdedup",
     "tpch_q8",
     "tpch_q17",
     "tpch_q19",
@@ -430,5 +440,6 @@ ORACLES: dict[str, str] = {
     **AVRO_ORACLES,
     **CURATION_ORACLES,
     **TEXTPREP_ORACLES,
+    **DATASETOPS_ORACLES,
     **STREAMING_ORACLES,
 }

@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "chunk_documents",
     "tfidf_keywords",
     "sample_weighted",
+    "shuffle_shards",
+    "dataset_stats",
+    "filter_blocklist",
+    "events_retention",
+    "semdedup",
 ]
 
 

@@ -275,3 +275,68 @@ def test_lsh_prep_single_widen_projection(spark, sf_dir):
         if re.search(r"embedding#\d+L?\[0\]", line)
     ]
     assert len(widen_lines) == 1, f"embedding array projected twice:\n{opt[:2000]}"
+
+
+def test_filter_blocklist_literal_no_shuffle(spark, sf_dir):
+    """A list blocklist must compile to a pure scan-parallel filter —
+    zero Exchange, zero join (the 100 TB shape for bounded blocklists)."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    df = datasetops.filter_blocklist(docs, ["cdn1.net", "bad.example"])
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_filter_blocklist_df_broadcasts(spark, sf_dir):
+    """A DataFrame blocklist must be broadcast (corpus never shuffles)."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([("cdn1.net",)], "domain string")
+    plan = plan_of(datasetops.filter_blocklist(docs, bl))
+    assert "Broadcast" in plan, plan[:800]
+    # corpus side must not hash-exchange
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Shard layout = ONE hash exchange on shard (the same partitioning
+    the shard write needs) + the per-shard sort; no extra shuffles and
+    no global range sort over the corpus."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    df = datasetops.shuffle_shards(docs, 16, sort=False)
+    plan = plan_of(df)
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"{hash_exchanges} hash exchanges:\n{plan[:1200]}"
+    assert "Exchange rangepartitioning" not in plan.split("Window")[0], plan[:1200]
+
+
+def test_dataset_stats_partial_agg(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(datasetops.dataset_stats(docs, sort=False))
+    assert "partial" in plan.lower(), plan[:1200]
+
+
+def test_events_retention_broadcasts_cohort_sizes(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators import analytics as an
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(an.events_retention(ev, sort=False))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_semdedup_no_cartesian(spark, sf_dir):
+    """The within-cell self-join must stay an equi-join on
+    (cell, salt) — never a cartesian/nested-loop product."""
+    from bb_bigdata_log_tools_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    plan = plan_of(sim.semdedup(emb, 0.3, 8, 64, sort=False))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
