@@ -796,3 +796,103 @@ def events_retention(
             lambda d: small_sort(d, "cohort_day", "day_offset") if sort else d
         )
     )
+
+
+def events_asof_join(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    sort: bool = True,
+) -> DataFrame:
+    """As-of join: for every ``left_type`` event, the most recent
+    ``right_type`` event of the same user at-or-before it (ties on ts
+    resolved to the highest event_id).
+
+    Spark has no native as-of join; the scalable expression is the
+    union trick — tag both sides, sort per user by (ts, side, id), and
+    carry the last-seen right row forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding window. ONE shuffle on user_id and a
+    linear per-user pass, versus the quadratic blow-up of the naive
+    range-join (``l.ts >= r.ts`` non-equi condition) that Catalyst
+    would execute as a per-user cross product. At 100 TB, bucketing
+    events by user_id makes even that single shuffle disappear.
+
+    Output: (event_id, user_id, ts, matched_event_id, matched_ts,
+    lag_us) with nulls when no right event precedes the left one.
+    """
+    sides = events.filter(
+        F.col("event_type").isin([left_type, right_type])
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # right rows sort BEFORE left rows at equal ts → ts<= semantics
+        F.when(F.col("event_type") == right_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_id = F.when(F.col("side") == 0, F.col("event_id"))
+    right_ts = F.when(F.col("side") == 0, F.col("ts"))
+    return (
+        sides.withColumn("matched_event_id", F.last(right_id, True).over(w))
+        .withColumn("matched_ts", F.last(right_ts, True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "matched_event_id",
+            "matched_ts",
+            (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("lag_us"),
+        )
+        .transform(lambda d: small_sort(d, "event_id") if sort else d)
+    )
+
+
+def time_rollup(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Multi-grain time rollup (hour → day → week), hypertable-style:
+    the hour aggregate is computed from the raw events (the ONE
+    corpus-sized shuffle), and the day/week grains re-aggregate the
+    previous grain — |hours| and |days| rows respectively, so the
+    coarser grains are effectively free. This is the continuous-
+    aggregate cascade pattern; a naive GROUPING SETS over raw events
+    would scan and shuffle the corpus once per grain.
+
+    Output: (grain, bucket_start, n_events, total_value) for grain in
+    {hour, day, week} — weeks truncate to Monday in both Spark and the
+    oracle.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    # |hours| rows; checkpointing pins ONE corpus scan — the union and
+    # the day grain both reuse the materialized hour relation instead
+    # of re-running the raw aggregate per plan branch.
+    ).localCheckpoint()
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).alias("total_value"),
+    ).localCheckpoint()
+    weekly = daily.groupBy(
+        F.date_trunc("week", "bucket_start").alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).alias("total_value"),
+    )
+    out = (
+        hourly.select(F.lit("hour").alias("grain"), "*")
+        .unionByName(daily.select(F.lit("day").alias("grain"), "*"))
+        .unionByName(weekly.select(F.lit("week").alias("grain"), "*"))
+    )
+    return out.transform(
+        lambda d: small_sort(d, "grain", "bucket_start") if sort else d
+    )

@@ -548,3 +548,74 @@ def semdedup(
         )
         .transform(lambda d: small_sort(d, "vec_id") if sort else d)
     )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    sort: bool = True,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embedding corpus with a
+    deterministic init (centroids = the ``k`` lowest-vec_id vectors —
+    the reproducible stand-in for k-means|| seeding, which would only
+    change the initial centroid relation, not the loop).
+
+    Assignment metric is cosine (argmax, ties to the lowest cluster);
+    the update step is the per-dimension mean of each cluster's
+    members. Output after ``iters`` rounds: (vec_id, cluster, cos_sim
+    rounded to 4).
+
+    100 TB shape per iteration: ONE corpus scan joined against a
+    broadcast k-row centroid relation for assignment, then a
+    (cluster, dim)-keyed partial aggregate — k·dim rows — rebuilt into
+    arrays driver-free via collect_list per cluster. Centroids are
+    localCheckpointed each round: the lineage would otherwise double
+    per iteration (the round-2 Catalyst-OOM failure mode for iterative
+    plans). No ``.collect()`` anywhere — the loop is Python, the data
+    never leaves the cluster.
+    """
+    vecs = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    cents = (
+        vecs.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cluster"), F.col("emb").alias("cent"))
+        .localCheckpoint()
+    )
+
+    def assign(c):
+        sim = cosine(F.col("emb"), F.col("cent"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
+        return (
+            vecs.join(F.broadcast(c))
+            .select("vec_id", "emb", "cluster", sim.alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .drop("rnk")
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(cents)
+        # per-(cluster, dim) mean → k·dim rows → arrays via ordered
+        # collect_list; empty clusters simply vanish (standard Lloyd's).
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode("emb").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cent")
+            )
+            .localCheckpoint()
+        )
+    final = assign(cents)
+    return final.select(
+        "vec_id", "cluster", F.round("sim", 4).alias("cos_sim")
+    ).transform(lambda d: small_sort(d, "vec_id") if sort else d)
