@@ -377,6 +377,9 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # relative order after it.
 _WINDOW_PRIORITY: list[str] = [
     # round-4 additions (never seen by the driver)
+    "events_asof_join",
+    "time_rollup",
+    "kmeans_embeddings",
     "shuffle_shards",
     "dataset_stats",
     "filter_blocklist",

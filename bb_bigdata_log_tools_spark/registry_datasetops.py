@@ -190,3 +190,120 @@ DATASETOPS_ORACLES = {
     "events_retention": SQL_EVENTS_RETENTION,
     "semdedup": SQL_SEMDEDUP,
 }
+
+
+# --------------------------------------------------------------------------
+# as-of join, multi-grain rollup, k-means
+# --------------------------------------------------------------------------
+
+ASOF_LEFT, ASOF_RIGHT = "error", "click"
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_asof_join(
+        ensure_parallelism(table(spark, sf_dir, "events")), ASOF_LEFT, ASOF_RIGHT
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{ASOF_LEFT}'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{ASOF_RIGHT}')
+SELECT l.event_id, l.user_id, l.ts,
+       m.event_id AS matched_event_id, m.ts AS matched_ts,
+       epoch_us(l.ts) - epoch_us(m.ts) AS lag_us
+FROM l LEFT JOIN LATERAL (
+  SELECT r2.event_id, r2.ts FROM r r2
+  WHERE r2.user_id = l.user_id AND r2.ts <= l.ts
+  ORDER BY r2.ts DESC, r2.event_id DESC LIMIT 1
+) m ON TRUE
+ORDER BY l.event_id
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.time_rollup(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_TIME_ROLLUP = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT date_trunc('day', bucket_start) AS bucket_start,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         round(sum(total_value), 2) AS total_value
+  FROM hourly GROUP BY 1
+), weekly AS (
+  SELECT date_trunc('week', bucket_start) AS bucket_start,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         round(sum(total_value), 2) AS total_value
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS grain, * FROM hourly
+UNION ALL SELECT 'day' AS grain, * FROM daily
+UNION ALL SELECT 'week' AS grain, * FROM weekly
+ORDER BY grain, bucket_start
+"""
+
+
+KMEANS = dict(k=8, iters=2, dim=64)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return similarity.kmeans_embeddings(emb, **KMEANS)
+
+
+SQL_KMEANS_EMBEDDINGS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, emb AS cent FROM e
+       WHERE vec_id < {KMEANS['k']}),
+a0 AS (
+  SELECT e.vec_id, c0.cluster,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_COS.format(a='e.emb', b='c0.cent')} DESC, c0.cluster) AS rnk
+  FROM e CROSS JOIN c0
+),
+m0 AS (SELECT vec_id, cluster FROM a0 WHERE rnk = 1),
+c1 AS (
+  SELECT cluster, list(avg_x ORDER BY i) AS cent FROM (
+    SELECT m0.cluster AS cluster, d.i AS i, avg(e.emb[d.i]) AS avg_x
+    FROM m0 JOIN e ON e.vec_id = m0.vec_id
+    CROSS JOIN generate_series(1, {KMEANS['dim']}) AS d(i)
+    GROUP BY 1, 2
+  ) GROUP BY cluster
+),
+a1 AS (
+  SELECT e.vec_id, c1.cluster,
+         {_COS.format(a='e.emb', b='c1.cent')} AS sim,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_COS.format(a='e.emb', b='c1.cent')} DESC, c1.cluster) AS rnk
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, cluster, round(sim, 4) AS cos_sim
+FROM a1 WHERE rnk = 1
+ORDER BY vec_id
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "events_asof_join": q_events_asof_join,
+        "time_rollup": q_time_rollup,
+        "kmeans_embeddings": q_kmeans_embeddings,
+    }
+)
+
+DATASETOPS_ORACLES.update(
+    {
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "time_rollup": SQL_TIME_ROLLUP,
+        "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    }
+)

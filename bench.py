@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "filter_blocklist",
     "events_retention",
     "semdedup",
+    "events_asof_join",
+    "time_rollup",
+    "kmeans_embeddings",
 ]
 
 

@@ -77,3 +77,51 @@ def test_semdedup_flags_subset_and_keeps_representative(spark, sf_dir):
         assert r.max_cos >= 0.3
     # the kept set is non-empty (never removes everything)
     assert len(flagged) < emb.count()
+
+
+def test_time_rollup_grains_consistent(spark, sf_dir):
+    """Re-aggregated day/week totals must equal their finer grains."""
+    ev = table(spark, sf_dir, "events")
+    rows = analytics.time_rollup(ev).collect()
+    by_grain = {}
+    for r in rows:
+        g = by_grain.setdefault(r.grain, [0, 0.0])
+        g[0] += r.n_events
+        g[1] += r.total_value
+    assert by_grain["hour"][0] == by_grain["day"][0] == by_grain["week"][0]
+    assert abs(by_grain["hour"][1] - by_grain["day"][1]) < 0.5
+    assert abs(by_grain["day"][1] - by_grain["week"][1]) < 0.5
+    # hour rows dominate
+    n = {g: sum(1 for r in rows if r.grain == g) for g in by_grain}
+    assert n["hour"] > n["day"] >= n["week"]
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    """Every match must be the latest right event at-or-before left."""
+    ev = table(spark, sf_dir, "events")
+    out = analytics.events_asof_join(ev).collect()
+    assert out
+    matched = [r for r in out if r.matched_event_id is not None]
+    assert matched, "no as-of matches at all"
+    for r in matched[:50]:
+        assert r.lag_us >= 0
+    # spot-check one user against a brute-force python scan
+    import collections
+
+    rights = collections.defaultdict(list)
+    for e in ev.filter(F.col("event_type") == "click").collect():
+        rights[e.user_id].append((e.ts, e.event_id))
+    for r in matched[:20]:
+        cand = [(t, i) for (t, i) in rights[r.user_id] if t <= r.ts]
+        assert max(cand) == (r.matched_ts, r.matched_event_id)
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_embeddings(emb, 8, 2, 64)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r.cluster < 8 for r in rows)
+    # deterministic across runs
+    again = similarity.kmeans_embeddings(emb, 8, 2, 64)
+    assert out.exceptAll(again).count() == 0

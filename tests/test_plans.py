@@ -340,3 +340,16 @@ def test_semdedup_no_cartesian(spark, sf_dir):
     plan = plan_of(sim.semdedup(emb, 0.3, 8, 64, sort=False))
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+
+
+def test_asof_join_single_shuffle_no_rangejoin(spark, sf_dir):
+    """The as-of union trick must cost exactly ONE hash exchange
+    (user_id) — never a non-equi range join (cartesian/nested-loop)."""
+    from bb_bigdata_log_tools_spark.operators import analytics as an
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(an.events_asof_join(ev, sort=False))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} hash exchanges:\n{plan[:1500]}"
