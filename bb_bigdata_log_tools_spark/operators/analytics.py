@@ -896,3 +896,132 @@ def time_rollup(events: DataFrame, sort: bool = True) -> DataFrame:
     return out.transform(
         lambda d: small_sort(d, "grain", "bucket_start") if sort else d
     )
+
+
+def tpch_q9(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_frag: str = "widget",
+) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9, adapted: the
+    cut-down schema has no partsupp, so the ``ps_supplycost·l_quantity``
+    cost term is dropped and profit degenerates to discounted revenue —
+    the join/aggregation shape is unchanged).
+
+    part is name-pruned at the scan; supplier (fixed cardinality) and
+    nation broadcast; orders contributes only the year column. One
+    fact-fact shuffle (lineitem⋈orders), one small agg.
+    """
+    p = part.filter(F.col("p_name").contains(name_frag)).select("p_partkey")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q16(
+    part: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#5",
+    excl_type: str = "MEDIUM",
+    sizes: tuple = (1, 5, 10, 15, 20, 25, 30, 35),
+) -> DataFrame:
+    """Supplier count per part spec (TPC-H Q16, adapted: lineitem
+    stands in for the absent partsupp as the part↔supplier bridge, and
+    the o_comment complaint-supplier exclusion is dropped — orders
+    carries no comment column here).
+
+    part is filter-pruned at the scan and is the (broadcastable) build
+    side; the distinct-supplier count shuffles (brand, type, size,
+    suppkey) once — partial distinct map-side.
+    """
+    p = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (~F.col("p_type").like(f"{excl_type}%"))
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    name_frag: str = "bolt",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    qty_factor: float = 1.0,
+) -> DataFrame:
+    """Potential part promotion (TPC-H Q20, adapted: without
+    ``ps_availqty`` the excess-stock predicate becomes "suppliers whose
+    shipped quantity of candidate parts in the window exceeds
+    ``qty_factor`` × the all-supplier mean" — the same decorrelated
+    scalar-threshold + semi-join shape as the original; the original's
+    single-nation cut is dropped because the synthetic supplier table
+    is too small at low SF for any one nation to be non-empty across
+    scales — nation joins in for the output column instead).
+
+    One scan of lineitem builds per-supplier quantities; the mean is a
+    1-row broadcast (no second corpus pass — the per-supplier relation
+    is checkpointed and reused); nation filter broadcasts into
+    supplier. Ordered by s_name like the original.
+    """
+    cand = part.filter(F.col("p_name").contains(name_frag)).select("p_partkey")
+    qty = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(cand, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .localCheckpoint()
+    )
+    mean_qty = qty.agg(F.avg("supp_qty").alias("mean_qty"))
+    heavy = (
+        qty.join(F.broadcast(mean_qty))
+        .filter(F.col("supp_qty") > qty_factor * F.col("mean_qty"))
+        .select("l_suppkey", "supp_qty")
+    )
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        supplier.join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("supp_qty", 2).alias("shipped_qty"),
+        )
+        .orderBy("s_name")
+    )

@@ -140,3 +140,43 @@ def filter_blocklist(
         lits = F.array(*[F.lit(d.lower()) for d in blocklist])
         out = docs.filter(~F.arrays_overlap(F.col("domains"), lits))
     return out.drop("domains")
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    sort: bool = True,
+) -> DataFrame:
+    """Token-length histogram of the corpus: fixed-width bins over the
+    per-document whitespace token count, with doc counts and the share
+    of total documents per bin — the standard pre-training length
+    profile (truncation/padding budgeting, outlier spotting).
+
+    One scan + one tiny groupBy(bin): the shuffle carries |bins| rows.
+    The total-docs scalar joins back by broadcast (1-row cross join),
+    so share is computed without a second corpus pass.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    binned = df.select(
+        (F.floor(F.size(toks) / bin_width) * bin_width)
+        .cast("long")
+        .alias("bin_start")
+    )
+    # |bins| rows; checkpoint so the total-docs scalar and the join both
+    # reuse ONE corpus aggregation instead of re-scanning per branch.
+    hist = (
+        binned.groupBy("bin_start")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint()
+    )
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    return (
+        hist.join(F.broadcast(total))
+        .select(
+            "bin_start",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 4).alias("share"),
+        )
+        .transform(lambda d: small_sort(d, "bin_start") if sort else d)
+    )

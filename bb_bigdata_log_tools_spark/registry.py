@@ -380,6 +380,10 @@ _WINDOW_PRIORITY: list[str] = [
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",
+    "length_histogram",
+    "tpch_q9",
+    "tpch_q16",
+    "tpch_q20",
     "shuffle_shards",
     "dataset_stats",
     "filter_blocklist",

@@ -485,3 +485,77 @@ ANALYTICS2_QUERIES.update(
 ANALYTICS2_ORACLES.update(
     {"tpch_q8": SQL_TPCH_Q8, "tpch_q17": SQL_TPCH_Q17, "tpch_q19": SQL_TPCH_Q19}
 )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    return analytics.tpch_q9(
+        t("part"), t("supplier"), t("lineitem"), t("orders"), t("nation")
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q16(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "lineitem")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    return analytics.tpch_q20(
+        t("part"), t("supplier"), t("lineitem"), t("nation")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH cand AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+qty AS (
+  SELECT l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN cand ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+),
+m AS (SELECT avg(supp_qty) AS mean_qty FROM qty)
+SELECT s_name, n_name, s_acctbal, round(supp_qty, 2) AS shipped_qty
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN qty ON s_suppkey = l_suppkey
+CROSS JOIN m
+WHERE supp_qty > 1.0 * mean_qty
+ORDER BY s_name
+"""
+
+
+ANALYTICS2_QUERIES.update(
+    {"tpch_q9": q_tpch_q9, "tpch_q16": q_tpch_q16, "tpch_q20": q_tpch_q20}
+)
+ANALYTICS2_ORACLES.update(
+    {"tpch_q9": SQL_TPCH_Q9, "tpch_q16": SQL_TPCH_Q16, "tpch_q20": SQL_TPCH_Q20}
+)

@@ -307,3 +307,30 @@ DATASETOPS_ORACLES.update(
         "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     }
 )
+
+
+HIST_BIN = 20
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.length_histogram(
+        table(spark, sf_dir, "documents"), bin_width=HIST_BIN
+    )
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH t AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              // {HIST_BIN} * {HIST_BIN} AS BIGINT) AS bin_start
+  FROM documents
+), h AS (
+  SELECT bin_start, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY 1
+), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM h)
+SELECT bin_start, n_docs, round(n_docs * 1.0 / total, 4) AS share
+FROM h CROSS JOIN tot
+ORDER BY bin_start
+"""
+
+
+DATASETOPS_QUERIES["length_histogram"] = q_length_histogram
+DATASETOPS_ORACLES["length_histogram"] = SQL_LENGTH_HISTOGRAM

@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",
+    "length_histogram",
+    "tpch_q9",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 
