@@ -619,3 +619,48 @@ def kmeans_embeddings(
     return final.select(
         "vec_id", "cluster", F.round("sim", 4).alias("cos_sim")
     ).transform(lambda d: small_sort(d, "vec_id") if sort else d)
+
+
+def ann_recall_eval(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    top-k — the evaluation harness every approximate index needs
+    before it replaces the exact path in production.
+
+    Both sides reuse the existing operators (no third implementation
+    to drift); the overlap is a per-query semi-join on (q_id, n_id).
+    Output: (q_id, n_hits, recall) — recall = |approx ∩ exact| / k.
+
+    100 TB shape: the costs are the two ANN runs themselves; the
+    overlap join touches only n_queries·k rows.
+    """
+    exact = ann_topk_bruteforce(embeddings, n_queries, k).select(
+        "q_id", "n_id"
+    )
+    approx = ann_topk_lsh(embeddings, n_queries, k, n_planes, dim).select(
+        F.col("q_id").alias("aq_id"), F.col("n_id").alias("an_id")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("q_id") == F.col("aq_id")) & (F.col("n_id") == F.col("an_id")),
+        "left_semi",
+    )
+    per_q = hits.groupBy("q_id").agg(F.count("*").alias("n_hits"))
+    # queries whose buckets missed everything still get a row
+    all_q = exact.select("q_id").distinct()
+    return (
+        all_q.join(per_q, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias(
+                "recall"
+            ),
+        )
+        .transform(lambda d: small_sort(d, "q_id"))
+    )

@@ -153,3 +153,61 @@ def sample_weighted(
         .select("doc_id", "p_keep")
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def chunk_dedup_stats(
+    documents: DataFrame,
+    window: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-chunk profile — the fixed-window analog
+    of line-level dedup (RefinedWeb/CCNet remove lines repeated across
+    pages; this corpus has no line structure, so non-overlapping
+    ``window``-token chunks stand in).
+
+    Per document: total chunks, chunks whose md5 also appears in some
+    OTHER document, and the duplicate ratio — the signal used to drop
+    boilerplate-heavy documents.
+
+    100 TB shape: chunk fan-out is scan-parallel; the chunk-hash
+    document-frequency aggregate is the one shuffle and carries
+    (hash, count) only — never chunk text. The per-doc roll-up reuses
+    the exploded relation (no second corpus scan: the chunk relation
+    re-aggregates by doc_id).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(window))
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok") + 1, window)
+    chunks = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(chunk_toks, " ")).alias("chunk_h"),
+        )
+    )
+    # document frequency per chunk hash: in how many DISTINCT docs does
+    # this exact chunk occur?
+    df_counts = (
+        chunks.distinct()
+        .groupBy("chunk_h")
+        .agg(F.count("*").alias("chunk_df"))
+    )
+    return (
+        chunks.join(df_counts, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("chunk_df") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
+                "dup_chunk_ratio"
+            ),
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
+    )

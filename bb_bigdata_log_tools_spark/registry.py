@@ -381,6 +381,8 @@ _WINDOW_PRIORITY: list[str] = [
     "time_rollup",
     "kmeans_embeddings",
     "length_histogram",
+    "chunk_dedup_stats",
+    "ann_recall_eval",
     "tpch_q9",
     "tpch_q16",
     "tpch_q20",

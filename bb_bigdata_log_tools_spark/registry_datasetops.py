@@ -334,3 +334,42 @@ ORDER BY bin_start
 
 DATASETOPS_QUERIES["length_histogram"] = q_length_histogram
 DATASETOPS_ORACLES["length_histogram"] = SQL_LENGTH_HISTOGRAM
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation (composes the brute-force and LSH oracles)
+# --------------------------------------------------------------------------
+
+RECALL_K = 10
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return similarity.ann_recall_eval(emb, n_queries=20, k=RECALL_K, n_planes=4)
+
+
+def _recall_oracle() -> str:
+    from bb_bigdata_log_tools_spark.registry_misc import SQL_ANN_LSH_BUCKETED
+    from bb_bigdata_log_tools_spark.registry_pipeline import (
+        SQL_ANN_TOPK_BRUTEFORCE,
+    )
+
+    return f"""
+WITH exact AS ({SQL_ANN_TOPK_BRUTEFORCE}),
+approx AS ({SQL_ANN_LSH_BUCKETED}),
+hits AS (
+  SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+  GROUP BY e.q_id
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / {RECALL_K}, 4) AS recall
+FROM (SELECT DISTINCT q_id FROM exact) q
+LEFT JOIN hits h ON q.q_id = h.q_id
+ORDER BY q.q_id
+"""
+
+
+DATASETOPS_QUERIES["ann_recall_eval"] = q_ann_recall_eval
+DATASETOPS_ORACLES["ann_recall_eval"] = _recall_oracle()

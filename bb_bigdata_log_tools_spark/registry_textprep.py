@@ -119,3 +119,45 @@ TEXTPREP_ORACLES = {
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "sample_weighted": SQL_SAMPLE_WEIGHTED,
 }
+
+
+DUP_WINDOW = 16
+
+
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.chunk_dedup_stats(
+        table(spark, sf_dir, "documents"), DUP_WINDOW
+    )
+
+
+SQL_CHUNK_DEDUP_STATS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {DUP_WINDOW})) AS start_tok
+  FROM t WHERE len(toks) > 0
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[start_tok + 1 : start_tok + {DUP_WINDOW}],
+                             ' ')) AS chunk_h
+  FROM c
+), dfc AS (
+  SELECT chunk_h, CAST(count(*) AS BIGINT) AS chunk_df
+  FROM (SELECT DISTINCT doc_id, chunk_h FROM ch) GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_chunk_ratio
+FROM ch JOIN dfc USING (chunk_h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+TEXTPREP_QUERIES["chunk_dedup_stats"] = q_chunk_dedup_stats
+TEXTPREP_ORACLES["chunk_dedup_stats"] = SQL_CHUNK_DEDUP_STATS

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "time_rollup",
     "kmeans_embeddings",
     "length_histogram",
+    "chunk_dedup_stats",
+    "ann_recall_eval",
     "tpch_q9",
     "tpch_q16",
     "tpch_q20",
