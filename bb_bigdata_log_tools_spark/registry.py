@@ -377,6 +377,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # relative order after it.
 _WINDOW_PRIORITY: list[str] = [
     # round-4 additions (never seen by the driver)
+    "stream_funnel_match",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

@@ -242,3 +242,36 @@ STREAMING_ORACLES = {
     "stream_sessionize": SQL_STREAM_SESSIONIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
 }
+
+
+def q_stream_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel completion over a streamed event feed. Append
+    mode: completions emit at the completing event, so the bounded
+    drain needs no sentinel — output equals the batch nested-EXISTS
+    earliest-completion query exactly."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_funnel_match
+
+    ev = _stream_events(spark, sf_dir).filter(
+        F.col("event_type").isin(["signup", "click", "purchase"])
+    )
+    out = stream_funnel_match(ev)
+    return _drain_to_memory(out, "stream_funnel_sink", "append")
+
+
+SQL_STREAM_FUNNEL_MATCH = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, min(epoch_us(p.ts)) AS completed_us
+FROM p
+WHERE EXISTS (
+  SELECT 1 FROM c WHERE c.user_id = p.user_id AND c.ts < p.ts
+  AND EXISTS (
+    SELECT 1 FROM s WHERE s.user_id = c.user_id AND s.ts < c.ts))
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
+STREAMING_QUERIES["stream_funnel_match"] = q_stream_funnel_match
+STREAMING_ORACLES["stream_funnel_match"] = SQL_STREAM_FUNNEL_MATCH

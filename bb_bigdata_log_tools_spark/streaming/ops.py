@@ -155,3 +155,91 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_funnel_match(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Custom stateful streaming operator: sequential funnel matching
+    (MATCH_RECOGNIZE-style) via ``applyInPandasWithState``.
+
+    Per user, a stage machine advances on the first event of the next
+    step with a STRICTLY later timestamp than the previous advance;
+    when the final step fires, one row (user_id, completed_us) is
+    emitted and the user is marked done (repeat completions are
+    suppressed). This is TRUE sequence matching — unlike the batch
+    ``events_funnel``'s first-occurrence ordering test, a user with
+    click < signup < click < purchase still converts here.
+
+    Greedy earliest-advance yields the globally earliest completion
+    (any valid (s, c, p) chain admits the earliest signup and the
+    earliest qualifying click), so the emission equals the batch
+    nested-EXISTS min — which is exactly the DuckDB oracle.
+
+    State per user: (stage, last_us, done) — 3 longs, O(active users)
+    total, emission is immediate (no watermark/timeout dependence, so
+    the bounded drain needs no sentinel).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    steps = steps or ["signup", "click", "purchase"]
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("completed_us", T.LongType()),
+        ]
+    )
+    state_schema = "stage LONG, last_us LONG, done LONG"
+
+    def update(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            return
+        stage, last_us, done = state.get if state.exists else (0, -1, 0)
+        evts = []
+        for pdf in pdfs:
+            us = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000
+            )
+            evts.extend(
+                (int(t), step_idx[ty])
+                for t, ty in zip(us, pdf[type_col])
+                if ty in step_idx
+            )
+        # strict-inequality advance needs (ts, step) order: at equal ts
+        # the EARLIER step sorts first and the later step cannot use it
+        # (t > last_us fails) — matching the oracle's strict <.
+        evts.sort()
+        out = []
+        for t, idx in evts:
+            if done:
+                break
+            if idx == stage and (stage == 0 or t > last_us):
+                stage += 1
+                last_us = t
+                if stage == n_steps:
+                    out.append((user_id, t))
+                    done = 1
+        state.update((stage, last_us, done))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "completed_us"])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
