@@ -19,7 +19,7 @@ reference delegates to Pig. Join strategy notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators.util import small_sort
@@ -1025,3 +1025,67 @@ def tpch_q20(
         )
         .orderBy("s_name")
     )
+
+
+def events_rfm(
+    events: DataFrame,
+    buckets: int = 5,
+    value_types: list[str] | None = None,
+) -> DataFrame:
+    """RFM user scoring: recency (days since last purchase-type event,
+    vs the corpus max day), frequency (event count), monetary
+    (value sum), each bucketed 1..``buckets`` against exact quantile
+    cutoffs.
+
+    Scale design: scores come from BROADCAST percentile cutoffs
+    (``buckets−1`` scalars per metric), NOT from an ntile/row_number
+    window — a global rank window needs a single-partition pass over
+    all users, which is the classic RFM scale trap; cutoff comparisons
+    are scan-parallel. Exact ``percentile`` keeps the DuckDB oracle
+    bit-comparable; swap ``percentile_approx`` at petabyte scale.
+    Higher score = better (recency is inverted).
+    """
+    value_types = value_types or ["purchase"]
+    per_user = (
+        events.filter(F.col("event_type").isin(value_types))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        # tiny (|users| rows); checkpoint so the max-day scalar and the
+        # cutoff aggregates reuse one corpus aggregation.
+        .localCheckpoint()
+    )
+    ref = per_user.agg(F.max("last_day").alias("ref_day"))
+    base = per_user.join(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("ref_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    ).localCheckpoint()
+    pcts = [i / buckets for i in range(1, buckets)]
+    cuts = base.agg(
+        *[
+            F.percentile(c, F.array(*[F.lit(p) for p in pcts])).alias(f"c_{c}")
+            for c in ["recency_days", "frequency", "monetary"]
+        ]
+    )
+
+    def score(col: str) -> Column:
+        s = F.lit(1)
+        for i in range(buckets - 1):
+            s = s + (F.col(col) > F.col(f"c_{col}")[i]).cast("int")
+        return s
+
+    out = base.join(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(buckets + 1) - score("recency_days")).alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+    return out.transform(lambda d: small_sort(d, "user_id"))

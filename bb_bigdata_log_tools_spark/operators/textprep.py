@@ -211,3 +211,65 @@ def chunk_dedup_stats(
         )
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ranked full-text search: Okapi BM25 top-k documents for a bag of
+    query terms — the retrieval operator a log/document corpus needs
+    beyond boolean grep.
+
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the +1 form, always
+    positive); score sums idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    100 TB shape: the exploded term stream is filtered to the query's
+    terms BEFORE any shuffle (the corpus-sized explode never leaves the
+    map side); (doc, term) tf and per-term df are partial aggregates
+    over that filtered sliver; N/avgdl are 1-row broadcasts; ranking
+    rounds the score so cross-engine ties resolve identically by
+    (score desc, doc_id).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # two cheap pushdown scans beat materializing the tokenized corpus:
+    # lens reads only lengths, hits explodes map-side and filters first.
+    base = documents.select("doc_id", toks.alias("toks"))
+    lens = base.select("doc_id", F.size("toks").alias("dl"))
+    scalars = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        hits.join(F.broadcast(dfs), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 4).alias("bm25"))
+    )
+    # global rank over MATCHING docs only (those sharing a query term) —
+    # for selective queries that relation is small; for stop-word-like
+    # queries swap in a per-partition top-k pre-filter before this rank.
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25", "rank")
+    )

@@ -378,6 +378,8 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 _WINDOW_PRIORITY: list[str] = [
     # round-4 additions (never seen by the driver)
     "stream_funnel_match",
+    "bm25_search",
+    "events_rfm",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

@@ -373,3 +373,58 @@ ORDER BY q.q_id
 
 DATASETOPS_QUERIES["ann_recall_eval"] = q_ann_recall_eval
 DATASETOPS_ORACLES["ann_recall_eval"] = _recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# RFM user scoring
+# --------------------------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_rfm(
+        ensure_parallelism(table(spark, sf_dir, "events")), RFM_BUCKETS
+    )
+
+
+def _rfm_score_sql(col: str, cut: str, invert: bool) -> str:
+    n = RFM_BUCKETS - 1
+    raw = " + ".join(f"({col} > {cut}[{i + 1}])::INT" for i in range(n))
+    expr = f"1 + {raw}"
+    if invert:
+        expr = f"{RFM_BUCKETS + 1} - ({expr})"
+    return f"CAST({expr} AS INTEGER)"
+
+
+_PCTS = "[" + ", ".join(str(i / RFM_BUCKETS) for i in range(1, RFM_BUCKETS)) + "]"
+
+SQL_EVENTS_RFM = f"""
+WITH pu AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ref AS (SELECT max(last_day) AS ref_day FROM pu),
+base AS (
+  SELECT user_id,
+         CAST(date_diff('day', last_day, ref_day) AS INTEGER) AS recency_days,
+         frequency, monetary
+  FROM pu CROSS JOIN ref
+), cuts AS (
+  SELECT quantile_cont(recency_days, {_PCTS}) AS cr,
+         quantile_cont(frequency, {_PCTS}) AS cf,
+         quantile_cont(monetary, {_PCTS}) AS cm
+  FROM base
+)
+SELECT user_id, recency_days, frequency, monetary,
+       {_rfm_score_sql('recency_days', 'cr', True)} AS r_score,
+       {_rfm_score_sql('frequency', 'cf', False)} AS f_score,
+       {_rfm_score_sql('monetary', 'cm', False)} AS m_score
+FROM base CROSS JOIN cuts
+ORDER BY user_id
+"""
+
+
+DATASETOPS_QUERIES["events_rfm"] = q_events_rfm
+DATASETOPS_ORACLES["events_rfm"] = SQL_EVENTS_RFM

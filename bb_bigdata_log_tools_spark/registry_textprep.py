@@ -161,3 +161,53 @@ ORDER BY doc_id
 
 TEXTPREP_QUERIES["chunk_dedup_stats"] = q_chunk_dedup_stats
 TEXTPREP_ORACLES["chunk_dedup_stats"] = SQL_CHUNK_DEDUP_STATS
+
+
+BM25_TERMS = ["spark", "vector", "window"]
+BM25_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.bm25_search(
+        table(spark, sf_dir, "documents"), BM25_TERMS, BM25_K
+    )
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM t
+), sc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens
+), hits AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN ({_BM25_TERM_LIST})
+  GROUP BY 1, 2
+), dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 4) AS bm25
+  FROM hits JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {BM25_K}
+ORDER BY rank
+"""
+
+
+TEXTPREP_QUERIES["bm25_search"] = q_bm25_search
+TEXTPREP_ORACLES["bm25_search"] = SQL_BM25_SEARCH

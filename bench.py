@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "tpch_q9",
     "tpch_q16",
     "tpch_q20",
+    "bm25_search",
+    "events_rfm",
 ]
 
 
