@@ -22,7 +22,7 @@ everything before the joins is a single scan with map-side column work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators.util import small_sort
@@ -478,4 +478,50 @@ def dedup_cluster(
     """
     return connected_components(
         dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    )
+
+
+def dedup_keep_best(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end near-dup RESOLUTION: cluster (minhash-LSH pairs →
+    connected components, :func:`dedup_cluster`) then keep the
+    highest-quality document per cluster — the selection policy that
+    turns a dedup report into an actual drop list.
+
+    Output: one row per REMOVED document — (doc_id, cluster_id,
+    kept_doc_id, quality_score, kept_score). Ties on the rounded
+    quality score keep the lowest doc_id.
+
+    100 TB shape: the cluster relation is |near-dup docs| (small by
+    construction); quality scoring is scan-parallel; the per-cluster
+    argmax window runs over the cluster relation only, never the
+    corpus.
+    """
+    from bb_bigdata_log_tools_spark.operators.textqc import text_quality
+
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    quality = text_quality(documents).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality_score").alias("kept_score"),
+    )
+    return (
+        ranked.filter(F.col("rn") > 1)
+        .join(F.broadcast(kept), "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "kept_doc_id", "quality_score", "kept_score"
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
     )

@@ -380,6 +380,7 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_funnel_match",
     "bm25_search",
     "events_rfm",
+    "dedup_keep_best",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

@@ -416,3 +416,58 @@ ORDER BY doc_id
 
 PIPELINE_QUERIES.update({"text_repetition": q_text_repetition})
 PIPELINE_ORACLES.update({"text_repetition": SQL_TEXT_REPETITION})
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_best(
+        ensure_parallelism(table(spark, sf_dir, "documents")), 3, 64, 16, 0.6
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+  UNION
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+qt AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+               + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1)), 4) AS quality_score
+  FROM qt
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id)
+           AS rn
+  FROM clusters c JOIN q USING (doc_id)
+),
+kept AS (
+  SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS kept_score
+  FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id, r.cluster_id, k.kept_doc_id, r.quality_score, k.kept_score
+FROM ranked r JOIN kept k USING (cluster_id)
+WHERE r.rn > 1
+ORDER BY r.doc_id
+"""
+
+PIPELINE_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+PIPELINE_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST

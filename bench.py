@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "bm25_search",
     "events_rfm",
+    "dedup_keep_best",
 ]
 
 
