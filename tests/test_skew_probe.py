@@ -62,3 +62,51 @@ def test_minhash_lsh_hot_bucket_bounded(spark):
     # unsalted single-task form degrades with bucket size and has no
     # such bound).
     assert t_hot <= max(3.0 * t_spread, 10.0), (t_hot, t_spread)
+
+
+def _emb_corpus(spark, n_vecs: int, spread_cells: int, dim: int = 64):
+    """vec_id<8 are the 8 one-hot centroid stand-ins; the remaining
+    vectors land (deterministically) near centroid ``i % spread_cells``
+    with a per-vector PAIR of noise dimensions — no two vectors share
+    both, so pairwise cosine stays ≤ ~0.96 and the 0.99 threshold never
+    fires (pure cell-join volume probe, zero emitted pairs)."""
+    rows = []
+    for c in range(8):
+        v = [0.0] * dim
+        v[c] = 1.0
+        rows.append((c, v))
+    span = dim - 8
+    for i in range(n_vecs):
+        cell = i % spread_cells
+        v = [0.0] * dim
+        v[cell] = 1.0
+        # asymmetric magnitudes: a swapped (d1, d2) pair peaks at cos
+        # ≈ 0.958, same-single-dim overlap at ≈ 0.83 — both < 0.99.
+        v[8 + i % span] = 0.9
+        v[8 + (i // span) % span] = 0.6
+        rows.append((8 + i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32)
+
+
+def test_semdedup_hot_cell_bounded(spark):
+    """One hot IVF cell vs the same pair volume spread over 8 cells:
+    the salted within-cell join must stay within a small factor."""
+    import time
+
+    from bb_bigdata_log_tools_spark.operators.similarity import semdedup
+
+    hot = _emb_corpus(spark, 400, spread_cells=1)       # ~80k pairs, 1 cell
+    spread = _emb_corpus(spark, 1131, spread_cells=8)   # ~80k pairs, 8 cells
+
+    def run(df):
+        t = time.time()
+        n = semdedup(df, threshold=0.99, n_cells=8).count()
+        return n, time.time() - t
+
+    run(_emb_corpus(spark, 40, 1))  # warm
+    n_hot, t_hot = run(hot)
+    n_spread, t_spread = run(spread)
+    assert n_hot == 0 and n_spread == 0  # probe emits nothing by design
+    assert t_hot <= max(3.0 * t_spread, 10.0), (t_hot, t_spread)
