@@ -1089,3 +1089,71 @@ def events_rfm(
         score("monetary").alias("m_score"),
     )
     return out.transform(lambda d: small_sort(d, "user_id"))
+
+
+def events_interval_join(
+    events: DataFrame,
+    n_windows: int = 20,
+    window_hours: int = 4,
+    sort: bool = True,
+) -> DataFrame:
+    """Keyless interval join, bucketized: activity windows (here: a
+    ``window_hours`` span from each top-value user's first event)
+    joined against ALL events falling inside them — no shared equi key
+    between the two sides.
+
+    The naive expression (``e.ts BETWEEN w.start AND w.end`` alone) is
+    a non-equi join Catalyst can only run as a broadcast nested loop —
+    fine for 20 windows, quadratic death for millions. The scalable
+    shape used here: explode each window into its covered hour buckets
+    and equi-join on the bucket, then apply the exact range predicate.
+    Cost is |events| + Σ window-spans — linear, shuffle keyed on the
+    hour bucket — and the same plan carries any number of windows.
+
+    Output: (window_id, window_start, n_events, total_value) over the
+    half-open [start, start + window_hours h) span.
+    """
+    totals = events.groupBy("user_id").agg(
+        F.sum("value").alias("tv"), F.min("ts").alias("window_start")
+    )
+    rank_w = Window.orderBy(F.desc("tv"), F.asc("user_id"))
+    windows = (
+        totals.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= n_windows)
+        .select(
+            F.col("user_id").alias("window_id"),
+            "window_start",
+            F.expr(f"window_start + INTERVAL {window_hours} HOURS").alias(
+                "window_end"
+            ),
+        )
+        # |n_windows| rows; the rank window ran over the small per-user
+        # totals relation, not the corpus.
+        .localCheckpoint()
+    )
+    buckets = windows.select(
+        "window_id",
+        "window_start",
+        "window_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "window_start"),
+                F.date_trunc("hour", "window_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hb"),
+    )
+    ev = events.withColumn("hb", F.date_trunc("hour", "ts"))
+    return (
+        ev.join(buckets, "hb")
+        .filter(
+            (F.col("ts") >= F.col("window_start"))
+            & (F.col("ts") < F.col("window_end"))
+        )
+        .groupBy("window_id", "window_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .transform(lambda d: small_sort(d, "window_id") if sort else d)
+    )

@@ -381,6 +381,7 @@ _WINDOW_PRIORITY: list[str] = [
     "bm25_search",
     "events_rfm",
     "dedup_keep_best",
+    "events_interval_join",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

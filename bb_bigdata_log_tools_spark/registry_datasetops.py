@@ -428,3 +428,43 @@ ORDER BY user_id
 
 DATASETOPS_QUERIES["events_rfm"] = q_events_rfm
 DATASETOPS_ORACLES["events_rfm"] = SQL_EVENTS_RFM
+
+
+# --------------------------------------------------------------------------
+# bucketized keyless interval join
+# --------------------------------------------------------------------------
+
+IVJ = dict(n_windows=20, window_hours=4)
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_interval_join(
+        ensure_parallelism(table(spark, sf_dir, "events")), **IVJ
+    )
+
+
+SQL_EVENTS_INTERVAL_JOIN = f"""
+WITH tot AS (
+  SELECT user_id, sum(value) AS tv, min(ts) AS window_start
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT user_id AS window_id, window_start,
+         window_start + INTERVAL {IVJ['window_hours']} HOUR AS window_end,
+         row_number() OVER (ORDER BY tv DESC, user_id) AS rn
+  FROM tot
+), w AS (
+  SELECT window_id, window_start, window_end FROM ranked
+  WHERE rn <= {IVJ['n_windows']}
+)
+SELECT w.window_id, w.window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM w JOIN events e
+  ON e.ts >= w.window_start AND e.ts < w.window_end
+GROUP BY 1, 2
+ORDER BY window_id
+"""
+
+
+DATASETOPS_QUERIES["events_interval_join"] = q_events_interval_join
+DATASETOPS_ORACLES["events_interval_join"] = SQL_EVENTS_INTERVAL_JOIN

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "events_rfm",
     "dedup_keep_best",
+    "events_interval_join",
 ]
 
 

@@ -353,3 +353,15 @@ def test_asof_join_single_shuffle_no_rangejoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"{n} hash exchanges:\n{plan[:1500]}"
+
+
+def test_interval_join_is_bucketed_not_nested_loop(spark, sf_dir):
+    """The keyless interval join must run as a bucket equi-join —
+    never a broadcast nested loop / cartesian over the corpus."""
+    from bb_bigdata_log_tools_spark.operators import analytics as an
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(an.events_interval_join(ev, sort=False))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "hb" in plan  # the hour-bucket equi key is the join key
