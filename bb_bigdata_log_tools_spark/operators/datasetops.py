@@ -180,3 +180,43 @@ def length_histogram(
         )
         .transform(lambda d: small_sort(d, "bin_start") if sort else d)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    key_col: str = "doc_id",
+    stratify_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment.
+
+    The md5 bucket is salted with the stratum, so each source
+    contributes ~``val_frac``/``test_frac`` of ITS documents to each
+    holdout (per-stratum independence — the same property the
+    samplers use); keying on content-independent ids keeps the split
+    stable across re-runs, engines, and corpus growth (a document
+    never migrates between splits when other documents are added).
+
+    One scan, zero shuffle — the split column is pure hash algebra.
+    """
+    denom = 1_000_000
+    bucket = F.pmod(
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.lit("split"),
+                F.col(stratify_col),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        F.lit(denom),
+    )
+    val_cut = int(val_frac * denom)
+    test_cut = val_cut + int(test_frac * denom)
+    split = (
+        F.when(bucket < val_cut, F.lit("val"))
+        .when(bucket < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

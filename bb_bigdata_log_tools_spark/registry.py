@@ -382,6 +382,7 @@ _WINDOW_PRIORITY: list[str] = [
     "events_rfm",
     "dedup_keep_best",
     "events_interval_join",
+    "split_assign",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

@@ -5,6 +5,7 @@ cohort retention, and SemDeDup-style semantic dedup."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators import analytics, datasetops, similarity
 from bb_bigdata_log_tools_spark.operators.curation import (
@@ -468,3 +469,42 @@ ORDER BY window_id
 
 DATASETOPS_QUERIES["events_interval_join"] = q_events_interval_join
 DATASETOPS_ORACLES["events_interval_join"] = SQL_EVENTS_INTERVAL_JOIN
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT = dict(val_frac=0.05, test_frac=0.05)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        datasetops.split_assign(table(spark, sf_dir, "documents"), **SPLIT)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT source,
+         (('0x' || substring(md5('split:' || source || ':'
+                                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 50000 THEN 'val'
+            WHEN bucket < 100000 THEN 'test'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+
+DATASETOPS_QUERIES["split_assign"] = q_split_assign
+DATASETOPS_ORACLES["split_assign"] = SQL_SPLIT_ASSIGN

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_rfm",
     "dedup_keep_best",
     "events_interval_join",
+    "split_assign",
 ]
 
 

@@ -125,3 +125,25 @@ def test_kmeans_invariants(spark, sf_dir):
     # deterministic across runs
     again = similarity.kmeans_embeddings(emb, 8, 2, 64)
     assert out.exceptAll(again).count() == 0
+
+
+def test_split_assign_stability_and_fractions(spark, sf_dir):
+    """A document's split never changes when the corpus changes
+    (content-independent hash), and holdout fractions are in the right
+    ballpark per stratum."""
+    docs = table(spark, sf_dir, "documents")
+    full = {
+        r.doc_id: r.split
+        for r in datasetops.split_assign(docs).select("doc_id", "split").collect()
+    }
+    half = {
+        r.doc_id: r.split
+        for r in datasetops.split_assign(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split")
+        .collect()
+    }
+    for k, v in half.items():
+        assert full[k] == v
+    n = len(full)
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.8 <= n_train / n <= 0.98
