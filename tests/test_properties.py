@@ -184,3 +184,51 @@ def test_mp3_frame_walk_roundtrip_property(rate, channels, frames):
     assert parse_mp3_meta(make_mp3(rate, channels, frames)) == (
         rate, channels, frames * 1152,
     )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+             max_size=60, unique=True),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shuffle_shards_pure_hash_properties(ids, n_shards):
+    """The shard/pos-key functions are pure md5 algebra — verify the
+    permutation/determinism contract in plain Python against the same
+    formulas the Spark plan and the DuckDB oracle embed."""
+    import hashlib
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shards = {i: md5_long(f"shard:{i}") % n_shards for i in ids}
+    pos = {i: md5_long(f"pos:{i}") for i in ids}
+    assert all(0 <= s < n_shards for s in shards.values())
+    # independence: the pos draw never depends on the shard draw
+    assert len(set(pos.values())) == len(ids)  # 60-bit: collisions ~0
+    # determinism
+    assert shards == {i: md5_long(f"shard:{i}") % n_shards for i in ids}
+
+
+@given(st.lists(st.tuples(st.text(alphabet="ab", min_size=1, max_size=4),
+                          st.integers(0, 10**9)),
+                min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_split_assign_formula_subset_invariance(rows):
+    """Removing documents never changes any remaining document's
+    split — the pure-hash form of the operator's contract."""
+    import hashlib
+
+    def bucket(src, did):
+        h = hashlib.md5(f"split:{src}:{did}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    def split(src, did):
+        b = bucket(src, did)
+        return "val" if b < 50_000 else ("test" if b < 100_000 else "train")
+
+    full = {(s, d): split(s, d) for s, d in rows}
+    half = {(s, d): split(s, d) for s, d in rows[::2]}
+    for k, v in half.items():
+        assert full[k] == v
