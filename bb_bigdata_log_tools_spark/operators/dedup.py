@@ -525,3 +525,39 @@ def dedup_keep_best(
         )
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def dedup_cross_source(
+    documents: DataFrame, prefix_chars: int = 80
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct leading-``prefix_chars`` fingerprints they share — the
+    "who copies from whom" report that decides which sources to
+    de-prioritize or dedup against each other (mirror sites, scraped
+    re-posts, syndicated boilerplate).
+
+    Prefix fingerprints (not full-content md5) because real mirrors
+    append trailers/ads — the shared HEAD is the robust signal.
+
+    100 TB shape: the self-join keys on the fingerprint, so each
+    fingerprint's bucket is at most |sources| rows (distinct-projected
+    BEFORE the join) — per-bucket work is bounded by |sources|²
+    regardless of corpus size, and the output is at most
+    |sources|²/2 rows.
+    """
+    fp = F.md5(F.substring(F.col("text"), 1, prefix_chars))
+    d = documents.select(fp.alias("fp"), "source").distinct()
+    return (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .transform(lambda d2: small_sort(d2, "source_a", "source_b"))
+    )

@@ -383,6 +383,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_keep_best",
     "events_interval_join",
     "split_assign",
+    "dedup_cross_source",
     "events_asof_join",
     "time_rollup",
     "kmeans_embeddings",

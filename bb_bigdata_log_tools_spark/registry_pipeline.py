@@ -471,3 +471,28 @@ ORDER BY r.doc_id
 
 PIPELINE_QUERIES["dedup_keep_best"] = q_dedup_keep_best
 PIPELINE_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST
+
+
+CROSS_SOURCE_PREFIX = 80
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_cross_source(
+        table(spark, sf_dir, "documents"), CROSS_SOURCE_PREFIX
+    )
+
+
+SQL_DEDUP_CROSS_SOURCE = f"""
+WITH d AS (
+  SELECT DISTINCT md5(substring(text, 1, {CROSS_SOURCE_PREFIX})) AS fp, source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+PIPELINE_QUERIES["dedup_cross_source"] = q_dedup_cross_source
+PIPELINE_ORACLES["dedup_cross_source"] = SQL_DEDUP_CROSS_SOURCE

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "events_interval_join",
     "split_assign",
+    "dedup_cross_source",
 ]
 
 
