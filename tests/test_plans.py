@@ -365,3 +365,36 @@ def test_interval_join_is_bucketed_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "hb" in plan  # the hour-bucket equi key is the join key
+
+
+def test_shuffle_shards_prunes_text_column(spark, sf_dir):
+    """Shard layout needs only the key column — the parquet scan must
+    not read document text (column pruning to the scan)."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(datasetops.shuffle_shards(docs, 8, sort=False))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan[:800]
+    assert "text" not in m.group(1), m.group(0)
+
+
+def test_bm25_term_filter_before_exchange(spark, sf_dir):
+    """The corpus-sized exploded term stream must be filtered to the
+    query terms map-side: the Generate (explode) and the term filter
+    both sit BELOW the first Exchange in the hits branch."""
+    from bb_bigdata_log_tools_spark.operators import textprep
+
+    docs = table(spark, sf_dir, "documents")
+    df = textprep.bm25_search(docs, ["spark", "vector"], 5)
+    plan = plan_of(df)
+    # physical plans print root-first: everything AFTER the last
+    # Exchange line in the string is map-side of some stage. The term
+    # isin filter must appear in a segment that also contains the
+    # Generate, i.e. below an Exchange (no full-corpus term shuffle).
+    segs = plan.split("Exchange")
+    gen_segs = [s for s in segs if "Generate explode" in s]
+    assert gen_segs, plan[:1500]
+    assert any("spark" in s and "vector" in s for s in gen_segs), (
+        "term filter not adjacent to explode (map-side)\n" + plan[:2000]
+    )
