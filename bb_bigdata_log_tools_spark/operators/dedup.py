@@ -238,7 +238,9 @@ def dedup_minhash_lsh(
     bands_df = minhash_bands_from_hashes(sh, num_perm, bands)
     a = bands_df.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts))).alias("a")
     b = bands_df.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+        "salt", F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
+        )
     ).alias("b")
     candidates = (
         a.join(

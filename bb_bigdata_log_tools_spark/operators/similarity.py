@@ -141,7 +141,9 @@ def dedup_embedding(
         .alias("a")
     )
     b = (
-        wide.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        wide.withColumn("salt", F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
+        ))
         .repartition(n_part, block_col, "salt")
         .alias("b")
     )
@@ -519,7 +521,9 @@ def semdedup(
         .alias("a")
     )
     b = (
-        wide.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        wide.withColumn("salt", F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
+        ))
         .repartition(n_part, "cell", "salt")
         .alias("b")
     )
