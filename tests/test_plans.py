@@ -398,3 +398,26 @@ def test_bm25_term_filter_before_exchange(spark, sf_dir):
     assert any("spark" in s and "vector" in s for s in gen_segs), (
         "term filter not adjacent to explode (map-side)\n" + plan[:2000]
     )
+
+
+def test_salted_joins_no_stacked_exchange(spark, sf_dir):
+    """The explicit (block, salt) repartition must SATISFY the join's
+    distribution requirement — a stacked second exchange means the
+    salt key types diverged again (the int-sequence/bigint-pmod bug)."""
+    from bb_bigdata_log_tools_spark.operators import dedup as dd
+    from bb_bigdata_log_tools_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    for df in [
+        sim.semdedup(emb, 0.3, 8, 64, sort=False),
+        sim.dedup_embedding(emb, 0.3),
+        dd.dedup_minhash_lsh(docs),
+    ]:
+        lines = plan_of(df).splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning" in l and "salt" in l:
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "Exchange hashpartitioning" not in nxt, (
+                    "stacked exchange:\n" + l + "\n" + nxt
+                )
