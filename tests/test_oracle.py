@@ -72,3 +72,15 @@ def test_oracle_match(spark, key):
     ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{key}: first value mismatches: {mismatches[:3]}"
+
+
+def test_all_oracles_parse_in_duckdb():
+    """EXPLAIN every oracle against the registered views — a syntax or
+    binding error here would otherwise surface only inside the external
+    gate."""
+    con = duck_con(SF_DIR)
+    for key, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            raise AssertionError(f"oracle for {key!r} failed to bind: {ex}")
