@@ -1157,3 +1157,54 @@ def events_interval_join(
         )
         .transform(lambda d: small_sort(d, "window_id") if sort else d)
     )
+
+
+def events_dau_wau(events: DataFrame) -> DataFrame:
+    """Daily and trailing-7-day active users per calendar day.
+
+    One corpus-sized distinct over (day, user); DAU is a tiny groupBy.
+    WAU joins the |days|-row calendar grid (broadcast — its size is
+    bounded by elapsed days, not data volume) against the distinct
+    day/user relation on a 7-day range predicate, then counts distinct
+    users per grid day. The non-equi join is safe precisely because
+    the build side is the calendar, never the corpus.
+    """
+    days = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    dau = days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    grid = dau.select(F.col("day").alias("grid_day"))
+    wau = (
+        days.join(
+            F.broadcast(grid),
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
+        )
+        .groupBy("grid_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.grid_day)
+        .select("day", "dau", "wau")
+        .transform(lambda d: small_sort(d, "day"))
+    )
+
+
+def sessions_summary(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session-behavior profile over the sessionized stream:
+    session count, event totals, mean events per session, and mean
+    session duration (ms). Aggregates the |sessions| relation that
+    :func:`events_sessionize` already produces — no extra corpus pass.
+    """
+    s = events_sessionize(events, gap_minutes)
+    dur_ms = F.unix_millis("session_end") - F.unix_millis("session_start")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.round(F.avg("n_events"), 4).alias("mean_events"),
+            F.round(F.avg(dur_ms), 2).alias("mean_duration_ms"),
+        )
+        .transform(lambda d: small_sort(d, "user_id"))
+    )

@@ -181,3 +181,34 @@ def bad_lines(df: DataFrame) -> DataFrame:
         | F.col("line_no").isNull()
     )
     return df.filter(cond)
+
+
+def log_json_field_stats(logs: DataFrame, field: str = "k") -> DataFrame:
+    """Structured-field analytics over semi-structured log lines of the
+    form ``<type> <json-payload>``: split the leading type token, parse
+    the numeric ``field`` from the JSON tail, and aggregate per type
+    (line count, lines carrying the field, min/max/avg value).
+
+    All built-in expressions (``substring_index`` + ``get_json_object``)
+    — scan-parallel with one tiny per-type aggregate; the JSON parse is
+    guarded on a ``{`` prefix so non-JSON tails count as field-absent
+    instead of erroring (identical guard in the oracle).
+    """
+    typ = F.substring_index(F.col("message"), " ", 1)
+    payload = F.expr("substring(message, instr(message, ' ') + 1)")
+    val = F.when(
+        payload.startswith("{"),
+        F.get_json_object(payload, f"$.{field}").cast("long"),
+    )
+    return (
+        logs.select(typ.alias("msg_type"), val.alias("v"))
+        .groupBy("msg_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("v").alias("n_with_field"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+        )
+        .orderBy("msg_type")
+    )

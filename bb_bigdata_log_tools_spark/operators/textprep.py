@@ -273,3 +273,28 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select("doc_id", "bm25", "rank")
     )
+
+
+def clean_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization pass that precedes tokenization in every corpus
+    pipeline: URLs and emails become placeholder tokens, whitespace
+    runs collapse, edges trim. Output keeps before/after char counts
+    so the aggregate cleaning impact is one `sum` away.
+
+    Pure codegen regexp chain — scan-parallel, zero shuffle; patterns
+    are the same RE2/Java-compatible ones the PII scrubber uses.
+    """
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        PII_PATTERNS,
+        URL_PATTERN,
+    )
+
+    cleaned = F.regexp_replace(F.col(text_col), URL_PATTERN, "<URL>")
+    cleaned = F.regexp_replace(cleaned, PII_PATTERNS["email"], "<EMAIL>")
+    cleaned = F.trim(F.regexp_replace(cleaned, " +", " "))
+    return documents.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("n_chars_before"),
+        cleaned.alias("text_clean"),
+        F.length(cleaned).alias("n_chars_after"),
+    ).transform(lambda d: small_sort(d, "doc_id"))

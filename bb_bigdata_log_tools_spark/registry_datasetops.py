@@ -508,3 +508,149 @@ ORDER BY source, split
 
 DATASETOPS_QUERIES["split_assign"] = q_split_assign
 DATASETOPS_ORACLES["split_assign"] = SQL_SPLIT_ASSIGN
+
+
+# --------------------------------------------------------------------------
+# round-4 tail: text cleaning, DAU/WAU, session summaries, log JSON stats
+# (registered after the 50-key correctness window; locally oracled now,
+# rotated into the driver gate next round)
+# --------------------------------------------------------------------------
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import textprep
+
+    return textprep.clean_text(table(spark, sf_dir, "documents"))
+
+
+def _clean_text_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        PII_PATTERNS,
+        URL_PATTERN,
+    )
+
+    return f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n_chars_before,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{URL_PATTERN}', '<URL>', 'g'),
+             '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+           ' +', ' ', 'g')) AS text_clean
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars_before AS INTEGER) AS n_chars_before,
+       text_clean, CAST(length(text_clean) AS INTEGER) AS n_chars_after
+FROM c ORDER BY doc_id
+"""
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_dau_wau(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_EVENTS_DAU_WAU = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM days GROUP BY 1),
+wau AS (
+  SELECT g.day AS day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS wau
+  FROM (SELECT day FROM dau) g
+  JOIN days d ON d.day <= g.day AND d.day >= g.day - INTERVAL 6 DAY
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, wau.wau
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
+
+def q_sessions_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessions_summary(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_SESSIONS_SUMMARY = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_session)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+), sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       round(avg(n_events), 4) AS mean_events,
+       round(avg(epoch_ms(session_end) - epoch_ms(session_start)), 2)
+         AS mean_duration_ms
+FROM sess GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_log_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.logops import log_json_field_stats
+    from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+
+    return log_json_field_stats(
+        events_as_logs(ensure_parallelism(table(spark, sf_dir, "events")))
+    )
+
+
+def _log_json_oracle() -> str:
+    from bb_bigdata_log_tools_spark.sources.logs import EVENTS_AS_LOGS_SQL
+
+    return f"""
+WITH logs AS ({EVENTS_AS_LOGS_SQL}),
+p AS (
+  SELECT split_part(message, ' ', 1) AS msg_type,
+         substr(message, strpos(message, ' ') + 1) AS payload
+  FROM logs
+), v AS (
+  SELECT msg_type,
+         CASE WHEN payload LIKE '{{%'
+              THEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
+         END AS v
+  FROM p
+)
+SELECT msg_type,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(v) AS BIGINT) AS n_with_field,
+       min(v) AS min_v, max(v) AS max_v,
+       round(avg(v), 4) AS avg_v
+FROM v GROUP BY msg_type ORDER BY msg_type
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "clean_text": q_clean_text,
+        "events_dau_wau": q_events_dau_wau,
+        "sessions_summary": q_sessions_summary,
+        "log_json_field_stats": q_log_json_field_stats,
+    }
+)
+
+DATASETOPS_ORACLES.update(
+    {
+        "clean_text": _clean_text_oracle(),
+        "events_dau_wau": SQL_EVENTS_DAU_WAU,
+        "sessions_summary": SQL_SESSIONS_SUMMARY,
+        "log_json_field_stats": _log_json_oracle(),
+    }
+)

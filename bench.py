@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "events_interval_join",
     "split_assign",
     "dedup_cross_source",
+    "clean_text",
+    "events_dau_wau",
+    "sessions_summary",
+    "log_json_field_stats",
 ]
 
 
