@@ -1208,3 +1208,26 @@ def sessions_summary(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .transform(lambda d: small_sort(d, "user_id"))
     )
+
+
+def events_value_quantiles(
+    events: DataFrame, pcts: tuple = (0.25, 0.5, 0.75, 0.95, 0.99)
+) -> DataFrame:
+    """Per-event-type value distribution: count, mean, and exact
+    interpolated percentiles — the ops-dashboard summary for a metric
+    stream. Exact ``percentile`` keeps the oracle bit-comparable; at
+    petabyte scale swap ``percentile_approx`` (t-digest, fully
+    map-side-combinable) per the dataset_stats precedent.
+    """
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    ] + [
+        F.round(F.percentile("value", F.lit(p)), 4).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in pcts
+    ]
+    return (
+        events.groupBy("event_type").agg(*aggs).orderBy("event_type")
+    )

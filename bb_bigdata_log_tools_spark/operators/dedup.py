@@ -563,3 +563,64 @@ def dedup_cross_source(
         .agg(F.count("*").alias("n_shared"))
         .transform(lambda d2: small_sort(d2, "source_a", "source_b"))
     )
+
+
+def source_similarity(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Source-level content-overlap matrix: Jaccard similarity between
+    every pair of sources over their word-``n``-gram vocabularies —
+    the corpus-composition view of duplication (which sources cover the
+    same material), complementing the per-document dedup family.
+
+    Shape: explode to (source, ngram) distinct — the one corpus-sized
+    shuffle, carrying hashes of n-grams, not text — then per-source
+    set sizes (tiny, broadcast) and an inverted-index self-join keyed
+    on the n-gram: per-ngram work is bounded by |sources|² and the
+    output by |sources|²/2 rows at any corpus size.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    sg = (
+        documents.select("source", F.explode(grams).alias("g"))
+        .select("source", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    inter = (
+        sg.alias("a")
+        .join(
+            sg.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("size_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .transform(lambda d: small_sort(d, "source_a", "source_b"))
+    )

@@ -654,3 +654,77 @@ DATASETOPS_ORACLES.update(
         "log_json_field_stats": _log_json_oracle(),
     }
 )
+
+
+NGRAM_SRC = 3
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import dedup
+
+    return dedup.source_similarity(
+        table(spark, sf_dir, "documents"), NGRAM_SRC
+    )
+
+
+SQL_SOURCE_SIMILARITY = f"""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(toks[i : i + {NGRAM_SRC} - 1], ' ')) AS gh
+  FROM t, unnest(generate_series(1, greatest(len(toks) - {NGRAM_SRC - 1}, 0)))
+       AS u(i)
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       round(i.n_common * 1.0
+             / (sa.n_grams + sb.n_grams - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+QUANTILE_PCTS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_value_quantiles(
+        ensure_parallelism(table(spark, sf_dir, "events")), QUANTILE_PCTS
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS mean_value,
+       {", ".join(
+           f"round(quantile_cont(value, {p}), 4) AS p{int(p * 100)}"
+           for p in QUANTILE_PCTS
+       )}
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "source_similarity": q_source_similarity,
+        "events_value_quantiles": q_events_value_quantiles,
+    }
+)
+
+DATASETOPS_ORACLES.update(
+    {
+        "source_similarity": SQL_SOURCE_SIMILARITY,
+        "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    }
+)

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "events_dau_wau",
     "sessions_summary",
     "log_json_field_stats",
+    "source_similarity",
+    "events_value_quantiles",
 ]
 
 
