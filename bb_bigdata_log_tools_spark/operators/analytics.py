@@ -1231,3 +1231,129 @@ def events_value_quantiles(
     return (
         events.groupBy("event_type").agg(*aggs).orderBy("event_type")
     )
+
+
+def tpch_q2(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    size_lo: int = 10,
+    size_hi: int = 20,
+    limit: int = 100,
+) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2, adapted: the cut-down schema
+    has no partsupp, so the part↔supplier cost relation is derived from
+    lineitem — per (part, supplier) the minimum observed unit price
+    stands in for ``ps_supplycost``; ``p_brand`` replaces the absent
+    ``p_mfgr`` output column and the exact ``p_size``/``%TYPE`` cut
+    becomes a size band so every SF is non-empty).
+
+    Shape parity with the original: the correlated ``= (SELECT min…)``
+    subquery is decorrelated into a per-part min aggregate joined back
+    — in Spark the cost relation shuffles ONCE on (partkey, suppkey)
+    to build unit costs, the region-filtered supplier/nation/region
+    dims broadcast into it, and the per-part min (≤ |part| rows) joins
+    back as a broadcast, so lineitem is scanned exactly once. Unit
+    costs are exact double arithmetic in both engines, so the min
+    equality is bit-stable cross-engine; the displayed cost uses the
+    floor-quantize contract (``floor(x·10⁴+0.5)/10⁴``) rather than
+    ``round`` because price/quantity quotients land on exact 4-dp
+    halves often enough that round-half conventions diverge.
+    """
+    costs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    dims = (
+        supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = costs.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    ).localCheckpoint()
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = part.filter(F.col("p_size").between(size_lo, size_hi)).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        eligible.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.floor(F.col("supplycost") * 10000 + F.lit(0.5)) / 10000).alias(
+                "supplycost"
+            ),
+        )
+        .transform(
+            lambda d: small_sort(
+                d, F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+            )
+        )
+        .limit(limit)
+    )
+
+
+def tpch_q11(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    mean_factor: float = 1.25,
+) -> DataFrame:
+    """Important-stock identification (TPC-H Q11, adapted: without
+    ``ps_availqty × ps_supplycost`` the per-part inventory value proxy
+    is discounted revenue shipped by the target nation's suppliers, and
+    the SF-scaled ``sum(value) × fraction`` cutoff becomes
+    ``mean_factor × avg(value)`` — a scale-free threshold with the same
+    group-by + HAVING-against-global-scalar shape, selecting the upper
+    value tail at every SF).
+
+    One lineitem scan (nation-filtered suppliers broadcast in), one
+    aggregate by part; the global mean is a 1-row broadcast against the
+    checkpointed per-part relation — no second corpus pass.
+    """
+    supp = (
+        supplier.join(
+            F.broadcast(
+                nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+        .localCheckpoint()
+    )
+    mean = val.agg(F.avg("value").alias("mean_value"))
+    return (
+        val.join(F.broadcast(mean))
+        .filter(F.col("value") > mean_factor * F.col("mean_value"))
+        .select("partkey", F.round("value", 4).alias("value"))
+        .transform(lambda d: small_sort(d, F.desc("value"), F.asc("partkey")))
+    )

@@ -427,6 +427,11 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_grep",
     "stream_hourly_stats",
     "stream_dedup",
+    # late round-4 additions — fill the last window slot (otherwise it
+    # re-verifies log_cat, already driver-green from round 3) and queue
+    # the next rotation; keys past position 50 wait for round 5
+    "clean_text",
+    "events_dau_wau",
 ]
 
 QUERIES: dict[str, QueryFn] = {

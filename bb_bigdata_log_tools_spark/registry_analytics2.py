@@ -559,3 +559,67 @@ ANALYTICS2_QUERIES.update(
 ANALYTICS2_ORACLES.update(
     {"tpch_q9": SQL_TPCH_Q9, "tpch_q16": SQL_TPCH_Q16, "tpch_q20": SQL_TPCH_Q20}
 )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda n: table(spark, sf_dir, n)  # noqa: E731
+    return analytics.tpch_q2(
+        t("part"), t("supplier"), t("lineitem"), t("nation"), t("region")
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT c.*, s_name, s_acctbal, n_name
+  FROM costs c
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+mn AS (
+  SELECT l_partkey AS m_partkey, min(supplycost) AS min_cost
+  FROM eligible GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       floor(supplycost * 10000 + 0.5) / 10000 AS supplycost
+FROM eligible
+JOIN mn ON l_partkey = m_partkey AND supplycost = min_cost
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tpch_q11(
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  GROUP BY 1
+),
+m AS (SELECT avg(value) AS mean_value FROM val)
+SELECT partkey, round(value, 4) AS value
+FROM val CROSS JOIN m
+WHERE value > 1.25 * mean_value
+ORDER BY value DESC, partkey
+"""
+
+
+ANALYTICS2_QUERIES.update({"tpch_q2": q_tpch_q2, "tpch_q11": q_tpch_q11})
+ANALYTICS2_ORACLES.update({"tpch_q2": SQL_TPCH_Q2, "tpch_q11": SQL_TPCH_Q11})

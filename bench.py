@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "log_json_field_stats",
     "source_similarity",
     "events_value_quantiles",
+    "tpch_q2",
+    "tpch_q11",
 ]
 
 
