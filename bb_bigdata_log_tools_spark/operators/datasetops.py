@@ -220,3 +220,76 @@ def split_assign(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def events_path_transitions(
+    events: DataFrame, min_count: int = 1
+) -> DataFrame:
+    """First-order user-journey transition matrix: for consecutive
+    events of each user (ordered by ``ts``, ``event_id`` as the
+    deterministic tiebreak), count (prev_type → next_type) transitions
+    and the within-prev-type probability.
+
+    One shuffle partitions by user (the lag window), then the
+    transition counts reduce map-side into at most |types|² rows; the
+    per-prev-type totals come from a second window over that tiny
+    aggregate, not a second pass over events.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(wt), 4)
+        )
+        .filter(F.col("n") >= min_count)
+        .transform(lambda d: small_sort(d, "prev_type", "next_type"))
+    )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: null count, exact distinct
+    count, min/max (native-typed, then stringified), and mean
+    stringified length — the schema-audit pass a pipeline runs before
+    trusting a new drop of data.
+
+    ONE scan computes every per-column aggregate in a single
+    partial-aggregable ``agg`` (count_distinct is the only
+    shuffle-heavy term; at petabyte scale swap
+    ``approx_count_distinct`` — HLL, fully map-side); the wide 1-row
+    result is unpivoted driver-side into |columns| rows via ``stack``,
+    which touches no data.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.round(F.avg(F.length(F.col(c).cast("string"))), 4).alias(
+                f"{c}__avg_len"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg_len"
+        for c in cols
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value, avg_len)"
+        )
+        .orderBy("column_name")
+    )

@@ -624,3 +624,93 @@ def source_similarity(
         )
         .transform(lambda d: small_sort(d, "source_a", "source_b"))
     )
+
+
+def dedup_edit_distance(
+    documents: DataFrame,
+    max_dist: int = 8,
+    prefix_len: int = 16,
+    len_band: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein edit distance, blocked so
+    the quadratic comparison never touches the full corpus.
+
+    Block key = (first ``prefix_len`` chars, ``n_chars // len_band``):
+    two docs within ``max_dist`` edits of each other that share a
+    prefix and length band meet in one block; candidates pair via an
+    equi-join on the block key with ``doc_id1 < doc_id2`` halving, and
+    only candidates pay the O(len²) ``levenshtein`` (JVM codegen,
+    nothing Python-side). The prefix block trades recall for bound
+    (edits inside the first ``prefix_len`` chars split a pair across
+    blocks) — the standard windowed-blocking compromise; tighten with a
+    second pass on suffix blocks if recall matters more than cost.
+    """
+    blocked = documents.select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, prefix_len).alias("blk_prefix"),
+        F.floor(F.col("n_chars") / len_band).alias("blk_len"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_prefix") == F.col("b.blk_prefix"))
+            & (F.col("a.blk_len") == F.col("b.blk_len"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+    )
+
+
+def minhash_recall_eval(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Recall/precision of the banded MinHash-LSH pair finder against
+    the exact n-gram-Jaccard ground truth — the eval a pipeline runs
+    before trusting approximate dedup at full scale (mirrors
+    :func:`~.similarity.ann_recall_eval` for the ANN path).
+
+    Both pair sets come from the production operators, so the eval
+    exercises the real plans; the comparison is a full outer join on
+    the (small, pair-level) outputs plus one global aggregate — cost is
+    dominated by the two finders themselves.
+    """
+    truth = dedup_ngram_jaccard(documents, n, threshold, max_df).select(
+        "doc_id1", "doc_id2", F.lit(1).alias("in_truth")
+    )
+    approx = dedup_minhash_lsh(documents, n, num_perm, bands, threshold).select(
+        "doc_id1", "doc_id2", F.lit(1).alias("in_approx")
+    )
+    return (
+        truth.join(approx, ["doc_id1", "doc_id2"], "full_outer")
+        .agg(
+            F.count("in_truth").alias("n_true"),
+            F.count("in_approx").alias("n_approx"),
+            F.count(F.when(F.col("in_truth") * F.col("in_approx") == 1, 1)).alias(
+                "n_hits"
+            ),
+        )
+        .select(
+            "n_true",
+            "n_approx",
+            "n_hits",
+            F.round(F.col("n_hits") / F.greatest(F.col("n_true"), F.lit(1)), 4).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_approx"), F.lit(1)), 4
+            ).alias("precision"),
+        )
+    )

@@ -728,3 +728,70 @@ DATASETOPS_ORACLES.update(
         "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# User-journey transition matrix + per-column table profiling
+# --------------------------------------------------------------------------
+
+
+def q_events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.events_path_transitions(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_EVENTS_PATH_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS prob
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.table_profile(
+        ensure_parallelism(table(spark, sf_dir, "documents")), _PROFILE_COLS
+    )
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value,
+       round(avg(length(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM documents"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "events_path_transitions": q_events_path_transitions,
+        "table_profile": q_table_profile,
+    }
+)
+
+DATASETOPS_ORACLES.update(
+    {
+        "events_path_transitions": SQL_EVENTS_PATH_TRANSITIONS,
+        "table_profile": SQL_TABLE_PROFILE,
+    }
+)

@@ -496,3 +496,78 @@ ORDER BY source_a, source_b
 
 PIPELINE_QUERIES["dedup_cross_source"] = q_dedup_cross_source
 PIPELINE_ORACLES["dedup_cross_source"] = SQL_DEDUP_CROSS_SOURCE
+
+
+# --------------------------------------------------------------------------
+# Levenshtein near-dup pairs + MinHash recall evaluation
+# --------------------------------------------------------------------------
+
+EDIT_MAX_DIST = 8
+EDIT_PREFIX = 16
+EDIT_LEN_BAND = 16
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_edit_distance(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        EDIT_MAX_DIST,
+        EDIT_PREFIX,
+        EDIT_LEN_BAND,
+    )
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH blocked AS (
+  SELECT doc_id, text,
+         substring(text, 1, {EDIT_PREFIX}) AS blk_prefix,
+         n_chars // {EDIT_LEN_BAND} AS blk_len
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+FROM blocked a
+JOIN blocked b ON a.blk_prefix = b.blk_prefix AND a.blk_len = b.blk_len
+              AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_recall_eval(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        3, 0.6, 64, 16, NGRAM_MAX_DF,
+    )
+
+
+SQL_MINHASH_RECALL_EVAL = f"""
+WITH truth AS (
+  SELECT doc_id1, doc_id2 FROM ({SQL_DEDUP_NGRAM_JACCARD}) t
+),
+approx AS (
+  SELECT doc_id1, doc_id2 FROM ({SQL_DEDUP_MINHASH_LSH}) a
+),
+j AS (
+  SELECT coalesce(t.doc_id1, a.doc_id1) AS d1,
+         t.doc_id1 IS NOT NULL AS in_truth,
+         a.doc_id1 IS NOT NULL AS in_approx
+  FROM truth t FULL OUTER JOIN approx a
+    ON t.doc_id1 = a.doc_id1 AND t.doc_id2 = a.doc_id2
+)
+SELECT CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN in_approx THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN in_truth AND in_approx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(sum(CASE WHEN in_truth AND in_approx THEN 1 ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN in_truth THEN 1 ELSE 0 END), 1), 4)
+         AS recall,
+       round(sum(CASE WHEN in_truth AND in_approx THEN 1 ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN in_approx THEN 1 ELSE 0 END), 1), 4)
+         AS precision
+FROM j
+"""
+
+PIPELINE_QUERIES["dedup_edit_distance"] = q_dedup_edit_distance
+PIPELINE_ORACLES["dedup_edit_distance"] = SQL_DEDUP_EDIT_DISTANCE
+PIPELINE_QUERIES["minhash_recall_eval"] = q_minhash_recall_eval
+PIPELINE_ORACLES["minhash_recall_eval"] = SQL_MINHASH_RECALL_EVAL
