@@ -275,3 +275,33 @@ ORDER BY p.user_id
 
 STREAMING_QUERIES["stream_funnel_match"] = q_stream_funnel_match
 STREAMING_ORACLES["stream_funnel_match"] = SQL_STREAM_FUNNEL_MATCH
+
+
+def q_stream_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed aggregation: rows emit exactly once when the
+    watermark passes their window end (state evicted after emission —
+    the bounded-state production shape). The bounded drain's emitted set
+    is exactly the windows whose end ≤ max(ts) − 2h; the oracle applies
+    the same cutoff. Empirically set-equal at sf0.001 (865 windows)."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_watermarked_counts
+
+    ev = _stream_events(spark, sf_dir).select("ts", "event_type", "value")
+    return _drain_to_memory(
+        stream_watermarked_counts(ev), "stream_watermarked_sink", "append"
+    )
+
+
+SQL_STREAM_WATERMARKED_COUNTS = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events, m
+GROUP BY 1, 2, 3, m.wm
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.wm
+"""
+
+STREAMING_QUERIES["stream_watermarked_counts"] = q_stream_watermarked_counts
+STREAMING_ORACLES["stream_watermarked_counts"] = SQL_STREAM_WATERMARKED_COUNTS

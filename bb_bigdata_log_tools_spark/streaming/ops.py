@@ -243,3 +243,41 @@ def stream_funnel_match(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_watermarked_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time windowed counts emitted in APPEND mode: a window's
+    row is published exactly once, when the watermark
+    (``max event time − watermark delay``) passes its end — the
+    finalize-on-watermark semantics production alert/rollup feeds want,
+    vs the re-emit-everything COMPLETE mode of
+    :func:`stream_hourly_stats`.
+
+    State is bounded by the watermark: closed windows are evicted after
+    emission, so an unbounded run holds only the windows inside the
+    delay horizon. On a bounded (``availableNow``) drain the emitted
+    set is exactly the windows with ``window_end ≤ max(ts) − delay`` —
+    deterministic, so the batch oracle filters on the same cutoff.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
