@@ -1243,6 +1243,7 @@ def tpch_q2(
     size_lo: int = 10,
     size_hi: int = 20,
     limit: int = 100,
+    sort: bool = True,
 ) -> DataFrame:
     """Minimum-cost supplier (TPC-H Q2, adapted: the cut-down schema
     has no partsupp, so the part↔supplier cost relation is derived from
@@ -1308,9 +1309,10 @@ def tpch_q2(
         .transform(
             lambda d: small_sort(
                 d, F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
-            )
+            ).limit(limit)
+            if sort
+            else d
         )
-        .limit(limit)
     )
 
 

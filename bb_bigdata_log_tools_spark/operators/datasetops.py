@@ -223,7 +223,7 @@ def split_assign(
 
 
 def events_path_transitions(
-    events: DataFrame, min_count: int = 1
+    events: DataFrame, min_count: int = 1, sort: bool = True
 ) -> DataFrame:
     """First-order user-journey transition matrix: for consecutive
     events of each user (ordered by ``ts``, ``event_id`` as the
@@ -252,7 +252,9 @@ def events_path_transitions(
             "prob", F.round(F.col("n") / F.sum("n").over(wt), 4)
         )
         .filter(F.col("n") >= min_count)
-        .transform(lambda d: small_sort(d, "prev_type", "next_type"))
+        .transform(
+            lambda d: small_sort(d, "prev_type", "next_type") if sort else d
+        )
     )
 
 

@@ -631,6 +631,7 @@ def dedup_edit_distance(
     max_dist: int = 8,
     prefix_len: int = 16,
     len_band: int = 16,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein edit distance, blocked so
     the quadratic comparison never touches the full corpus.
@@ -665,7 +666,9 @@ def dedup_edit_distance(
             F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
-        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+        .transform(
+            lambda d: small_sort(d, "doc_id1", "doc_id2") if sort else d
+        )
     )
 
 

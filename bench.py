@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "tpch_q2",
     "tpch_q11",
+    "events_path_transitions",
+    "table_profile",
+    "dedup_edit_distance",
+    "minhash_recall_eval",
 ]
 
 

@@ -421,3 +421,62 @@ def test_salted_joins_no_stacked_exchange(spark, sf_dir):
                 assert "Exchange hashpartitioning" not in nxt, (
                     "stacked exchange:\n" + l + "\n" + nxt
                 )
+
+
+def test_edit_distance_blocked_no_cartesian(spark, sf_dir):
+    """The Levenshtein self-join must stay an equi-join on the
+    (prefix, length-band) block key — never a cartesian/nested-loop
+    all-pairs product."""
+    from bb_bigdata_log_tools_spark.operators import dedup as dd
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(dd.dedup_edit_distance(docs, sort=False))
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1200]
+    assert "blk_prefix" in plan  # the block key is the join key
+
+
+def test_path_transitions_one_corpus_exchange(spark, sf_dir):
+    """events_path_transitions pays exactly ONE corpus-sized exchange
+    (the user_id lag window); every later exchange operates on the
+    |types|²-row aggregate."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(datasetops.events_path_transitions(ev, sort=False))
+    n = plan.count("Exchange hashpartitioning(user_id")
+    assert n == 1, f"{n} user_id exchanges:\n{plan[:1500]}"
+
+
+def test_table_profile_single_scan_partial_agg(spark, sf_dir):
+    """table_profile reads the table ONCE and its aggregates have a
+    map-side partial phase."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(datasetops.table_profile(docs))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"{n_scans} scans:\n{plan[:1500]}"
+    assert "partial" in plan.lower(), plan[:1500]
+
+
+def test_tpch_q2_single_lineitem_scan_broadcast_min(spark, sf_dir):
+    """Q2's decorrelated min joins back as a BROADCAST against the
+    checkpointed cost relation — lineitem itself is scanned once, and
+    the dims reach it as broadcasts."""
+    from bb_bigdata_log_tools_spark.operators import analytics as an
+
+    df = an.tpch_q2(
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+        sort=False,
+    )
+    plan = plan_of(df)
+    # the cost relation is checkpointed, so lineitem's scan ran inside
+    # the checkpoint — the visible plan must not rescan it
+    n_li = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert n_li <= 1, f"lineitem scanned {n_li}×:\n{plan[:1500]}"
+    assert "BroadcastHashJoin" in plan, plan[:1500]
