@@ -395,6 +395,7 @@ def domain_mix_weights(
 def unigram_perplexity(
     documents: DataFrame,
     text_col: str = "text",
+    sort: bool = True,
 ) -> DataFrame:
     """Per-document perplexity under a unigram LM trained on the corpus
     itself — the cheap LM-quality signal (CCNet-style) that flags
@@ -434,7 +435,7 @@ def unigram_perplexity(
         .withColumn(
             "perplexity", F.round(F.exp(F.col("cross_entropy")), 4)
         )
-        .transform(lambda d: small_sort(d, "doc_id"))
+        .transform(lambda d: small_sort(d, "doc_id") if sort else d)
     )
 
 
@@ -468,4 +469,92 @@ def sample_exact_stratified(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
         .drop("sample_rank")
+    )
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: label each document
+    head / middle / tail by where its unigram perplexity falls against
+    exact corpus quantile cutoffs (head = lowest perplexity). The usual
+    curation policy trains on head+middle and drops or re-samples tail.
+
+    The cutoffs are a 1-row broadcast from the per-doc perplexity
+    relation (computed once, unsorted) — no global rank window over the
+    corpus, same shape as events_rfm. Exact ``percentile`` keeps the
+    oracle bit-comparable; percentile_approx is the PB-scale swap.
+    The cutoffs are floor-quantized to the same 4-dp resolution as the
+    perplexity values: engines interpolate the quantile with different
+    (mathematically equal) float expressions, and an ulp of cutoff
+    difference would flip boundary documents between buckets.
+    """
+    ppl = unigram_perplexity(documents, text_col, sort=False).localCheckpoint()
+
+    def _cut(p: float, name: str):
+        q = F.percentile("perplexity", F.lit(p))
+        return (F.floor(q * 10000 + F.lit(0.5)) / 10000).alias(name)
+
+    cutoffs = ppl.agg(_cut(cuts[0], "c1"), _cut(cuts[1], "c2"))
+    return (
+        ppl.join(F.broadcast(cutoffs))
+        .select(
+            "doc_id",
+            "perplexity",
+            F.when(F.col("perplexity") <= F.col("c1"), "head")
+            .when(F.col("perplexity") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
+    )
+
+
+def oov_rate(
+    documents: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frequency-ranked
+    top-N vocabulary built from the corpus itself — the tokenizer-fit
+    signal (high OOV = the vocab/tokenizer does not cover the doc's
+    register or language).
+
+    The vocabulary ranks (count desc, token asc — deterministic ties)
+    via one window over the |vocab|-row aggregate, which is orders of
+    magnitude smaller than the corpus; at PB scale swap the exact rank
+    for a min-count threshold chosen from an approx histogram. The
+    corpus-sized pass is a broadcast LEFT join of tokens against the
+    ≤N-row vocab.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
     )

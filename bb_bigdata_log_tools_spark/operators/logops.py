@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.timestamps import format_timestamp
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 
 #: Columns of the intermediate "raw lines" record, mirroring
 #: Cat.java's mapper output order.
@@ -211,4 +212,54 @@ def log_json_field_stats(logs: DataFrame, field: str = "k") -> DataFrame:
             F.round(F.avg("v"), 4).alias("avg_v"),
         )
         .orderBy("msg_type")
+    )
+
+
+def log_dedup_window(
+    logs: DataFrame, gap_ms: int = 3_600_000, sort: bool = True
+) -> DataFrame:
+    """Syslog-style "last message repeated N times" suppression: group
+    identical messages into bursts (consecutive repeats separated by
+    ≤ ``gap_ms``), emit one row per burst with the repeat count.
+
+    One shuffle partitions by message for the lag/burst-id windows
+    (``event_id`` is the deterministic tiebreak for equal timestamps);
+    the burst aggregate reuses the same partitioning — Catalyst plans
+    a single exchange. ``ts`` is epoch-millis integer arithmetic, so
+    burst boundaries are bit-stable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("message").orderBy("ts", "event_id")
+    burst = (
+        logs.select("ts", "event_id", "message")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_burst",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > gap_ms),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "burst_id",
+            F.sum("new_burst").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        burst.groupBy("message", "burst_id")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.min("event_id").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_repeats"),
+        )
+        .drop("burst_id")
+        .transform(
+            lambda d: small_sort(d, "burst_start", "first_event_id")
+            if sort
+            else d
+        )
     )

@@ -559,3 +559,72 @@ ORDER BY doc_id
 
 CURATION_QUERIES.update({"sample_exact_stratified": q_sample_exact_stratified})
 CURATION_ORACLES.update({"sample_exact_stratified": SQL_SAMPLE_EXACT_STRATIFIED})
+
+
+# --------------------------------------------------------------------------
+# Perplexity bucketing + OOV rate
+# --------------------------------------------------------------------------
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.perplexity_buckets(docs)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH ppl AS (
+  SELECT doc_id, perplexity FROM ({SQL_UNIGRAM_PERPLEXITY}) t
+),
+c AS (
+  SELECT floor(quantile_cont(perplexity, 1.0/3.0) * 10000 + 0.5) / 10000 AS c1,
+         floor(quantile_cont(perplexity, 2.0/3.0) * 10000 + 0.5) / 10000 AS c2
+  FROM ppl
+)
+SELECT doc_id, perplexity,
+       CASE WHEN perplexity <= c1 THEN 'head'
+            WHEN perplexity <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl, c
+ORDER BY doc_id
+"""
+
+
+OOV_VOCAB_SIZE = 256
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.oov_rate(docs, OOV_VOCAB_SIZE)
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM counts
+  ) WHERE rank <= {OOV_VOCAB_SIZE}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+CURATION_QUERIES.update(
+    {"perplexity_buckets": q_perplexity_buckets, "oov_rate": q_oov_rate}
+)
+CURATION_ORACLES.update(
+    {"perplexity_buckets": SQL_PERPLEXITY_BUCKETS, "oov_rate": SQL_OOV_RATE}
+)

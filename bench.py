@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "table_profile",
     "dedup_edit_distance",
     "minhash_recall_eval",
+    "log_dedup_window",
+    "perplexity_buckets",
+    "oov_rate",
 ]
 
 
