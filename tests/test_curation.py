@@ -229,3 +229,73 @@ def test_embedding_quantize_invariants(spark):
             # symmetric quantization: worst error <= scale/2 (+ rounding slack)
             scale = max(abs(x) for x in vec) / 127.0
             assert r.max_abs_err <= scale / 2 + 1e-4
+
+
+def test_log_dedup_window_conservation(spark, sf_dir):
+    """Burst suppression must conserve lines: sum(n_repeats) == total
+    lines, every burst's first event is a real line, and bursts of the
+    same message are separated by more than the gap."""
+    from bb_bigdata_log_tools_spark.operators.logops import log_dedup_window
+    from bb_bigdata_log_tools_spark.session import table
+    from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+    from pyspark.sql import functions as F
+
+    logs = events_as_logs(table(spark, sf_dir, "events"))
+    total = logs.count()
+    bursts = log_dedup_window(logs, gap_ms=3_600_000)
+    assert bursts.agg(F.sum("n_repeats")).collect()[0][0] == total
+    # successive bursts of one message start > gap after the previous
+    # burst's START (bursts are disjoint, so this is the weak-but-exact
+    # invariant checkable without re-deriving burst extents)
+    rows = bursts.orderBy("message", "burst_start").collect()
+    prev = {}
+    for r in rows:
+        if r.message in prev:
+            assert r.burst_start - prev[r.message] > 3_600_000
+        prev[r.message] = r.burst_start
+
+
+def test_perplexity_buckets_partition_and_order(spark, sf_dir):
+    """Buckets partition the corpus ~in thirds and respect the
+    perplexity order: max(head) <= min(middle) boundary-consistent with
+    the cutoffs, every doc labeled exactly once."""
+    from bb_bigdata_log_tools_spark.operators.curation import perplexity_buckets
+    from bb_bigdata_log_tools_spark.session import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    b = perplexity_buckets(docs)
+    n = docs.count()
+    assert b.count() == n
+    agg = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("perplexity").alias("lo"),
+            F.max("perplexity").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(agg) == {"head", "middle", "tail"}
+    assert agg["head"][2] <= agg["middle"][1]
+    assert agg["middle"][2] <= agg["tail"][1]
+    # thirds within quantile-tie tolerance
+    for k in agg:
+        assert abs(agg[k][0] - n / 3) < n * 0.15, (k, agg[k][0], n)
+
+
+def test_oov_rate_vocab_size_monotone(spark, sf_dir):
+    """A larger vocabulary can only lower (or keep) each doc's OOV
+    count, and vocab_size >= |corpus vocab| drives OOV to zero."""
+    from bb_bigdata_log_tools_spark.operators.curation import oov_rate
+    from bb_bigdata_log_tools_spark.session import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    small = oov_rate(docs, 32).selectExpr("doc_id", "n_oov AS oov_small")
+    big = oov_rate(docs, 256).selectExpr("doc_id", "n_oov AS oov_big")
+    joined = small.join(big, "doc_id")
+    assert joined.filter(F.col("oov_big") > F.col("oov_small")).count() == 0
+    allv = oov_rate(docs, 10_000_000)
+    assert allv.agg(F.sum("n_oov")).collect()[0][0] == 0
