@@ -295,3 +295,126 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+def _interleave_bits(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative ints (x even bits,
+    y odd bits) as a fold of codegen shift/mask expressions — no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    events: DataFrame,
+    n_buckets: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Z-order (Morton-curve) layout audit over (user_id, hour): assign
+    every row the bucket its interleaved-bit sort key falls into and
+    report each bucket's span in BOTH dimensions — the data-skipping
+    argument for multi-column clustered writes (a reader filtering on
+    either user OR time prunes most buckets, which a single-column sort
+    can only offer for its leading column).
+
+    The z-value is a pure codegen shift/mask fold (no UDF, no shuffle);
+    the only exchange is the |buckets|-row aggregate. A production
+    writer would ``repartitionByRange(z)`` + sortWithinPartitions(z) to
+    materialize this layout; the audit here is engine-checkable: bucket
+    spans are deterministic integer arithmetic in any SQL engine. Both
+    dimensions are linearly rescaled into the ``bits``-wide coordinate
+    range against broadcast min/max scalars (a global min/max window
+    would funnel the corpus through one partition), so bucket occupancy
+    is non-trivial at every data scale; integer ``div`` keeps the
+    rescale bit-exact cross-engine.
+    """
+    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    base = events.select(F.col("user_id").cast("long").alias("uid"), hour.alias("h"))
+    bounds = base.agg(
+        F.min("uid").alias("u0"),
+        F.max("uid").alias("u1"),
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
+    )
+    side = 1 << bits
+
+    def _scaled(col: str, lo: str, hi: str):
+        return F.expr(f"(({col} - {lo}) * {side}) div ({hi} - {lo} + 1)")
+
+    shift = 2 * bits - max(n_buckets - 1, 1).bit_length()
+    scaled = base.join(F.broadcast(bounds)).select(
+        "uid",
+        (F.col("h") - F.col("h0")).alias("hrel"),
+        _scaled("uid", "u0", "u1").alias("ux"),
+        _scaled("h", "h0", "h1").alias("hx"),
+    )
+    return (
+        scaled.select(
+            "uid", "hrel",
+            _interleave_bits(F.col("ux"), F.col("hx"), bits).alias("z"),
+        )
+        .groupBy(F.shiftright(F.col("z"), shift).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("uid").alias("min_user"),
+            F.max("uid").alias("max_user"),
+            F.min("hrel").alias("min_hour"),
+            F.max("hrel").alias("max_hour"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def compaction_plan(
+    events: DataFrame,
+    target_bytes: int = 1_000_000,
+) -> DataFrame:
+    """Small-file compaction planning over hourly log partitions: size
+    each hour (lines, message bytes), then bin consecutive hours into
+    merge groups of ~``target_bytes`` via a running-total prefix sum —
+    the LogMaintenance filemerge planner re-expressed as a query
+    (reference: LogMaintenance.java merge sweep; FileManager.java moves).
+
+    The corpus pays ONE groupBy(hour) with map-side partials; the
+    prefix-sum window runs over the tiny |hours|-row relation (a global
+    window there is deliberate and bounded — same reasoning as
+    events_hourly_anomaly). A group's id is the bin its STARTING byte
+    offset falls in, so groups are contiguous, deterministic, and
+    re-derivable incrementally.
+    """
+    hours = (
+        events.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.octet_length(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" "),
+                    F.coalesce(F.col("props"), F.lit("")),
+                )
+            ).alias("b"),
+        )
+        .groupBy("hour_start")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("b").alias("bytes"))
+    )
+    w = Window.orderBy("hour_start").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hours.withColumn("cum", F.sum("bytes").over(w))
+        .withColumn(
+            "merge_group",
+            F.floor((F.col("cum") - F.col("bytes")) / F.lit(target_bytes)),
+        )
+        .groupBy("merge_group")
+        .agg(
+            F.min("hour_start").alias("first_hour"),
+            F.max("hour_start").alias("last_hour"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .orderBy("merge_group")
+    )

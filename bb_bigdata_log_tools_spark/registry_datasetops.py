@@ -795,3 +795,95 @@ DATASETOPS_ORACLES.update(
         "table_profile": SQL_TABLE_PROFILE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit + hourly compaction planning
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8
+ZORDER_BUCKETS = 64
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.zorder_layout(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        ZORDER_BUCKETS,
+        ZORDER_BITS,
+    )
+
+
+def _zorder_oracle() -> str:
+    side = 1 << ZORDER_BITS
+    terms = " + ".join(
+        f"((((ux >> {i}) & 1) << {2 * i}) + (((hx >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(ZORDER_BITS)
+    )
+    shift = 2 * ZORDER_BITS - max(ZORDER_BUCKETS - 1, 1).bit_length()
+    return f"""
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS uid,
+         epoch_ms(ts) // 3600000 AS h
+  FROM events
+),
+m AS (SELECT min(uid) AS u0, max(uid) AS u1, min(h) AS h0, max(h) AS h1
+      FROM base),
+scaled AS (
+  SELECT uid, (h - h0) AS hrel,
+         ((uid - u0) * {side}) // (u1 - u0 + 1) AS ux,
+         ((h - h0) * {side}) // (h1 - h0 + 1) AS hx
+  FROM base, m
+),
+zed AS (SELECT uid, hrel, ({terms}) AS z FROM scaled)
+SELECT z >> {shift} AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(uid) AS min_user, max(uid) AS max_user,
+       min(hrel) AS min_hour, max(hrel) AS max_hour
+FROM zed
+GROUP BY 1
+ORDER BY z_bucket
+"""
+
+
+# small enough that every SF yields a multi-group plan (sf0.001's whole
+# message volume is ~15 KB)
+COMPACT_TARGET = 4_096
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.compaction_plan(
+        ensure_parallelism(table(spark, sf_dir, "events")), COMPACT_TARGET
+    )
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(strlen(event_type || ' ' || coalesce(props, ''))) AS BIGINT)
+           AS bytes
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT *, sum(bytes) OVER (ORDER BY hour_start
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hours
+)
+SELECT CAST((cum - bytes) // {COMPACT_TARGET} AS BIGINT) AS merge_group,
+       min(hour_start) AS first_hour,
+       max(hour_start) AS last_hour,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM c
+GROUP BY 1
+ORDER BY merge_group
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {"zorder_layout": q_zorder_layout, "compaction_plan": q_compaction_plan}
+)
+DATASETOPS_ORACLES.update(
+    {"zorder_layout": _zorder_oracle(), "compaction_plan": SQL_COMPACTION_PLAN}
+)

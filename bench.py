@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "log_dedup_window",
     "perplexity_buckets",
     "oov_rate",
+    "zorder_layout",
+    "compaction_plan",
 ]
 
 
