@@ -1359,3 +1359,45 @@ def tpch_q11(
         .select("partkey", F.round("value", 4).alias("value"))
         .transform(lambda d: small_sort(d, F.desc("value"), F.asc("partkey")))
     )
+
+
+def events_robust_anomaly(
+    events: DataFrame, k: float = 3.0, sort: bool = True
+) -> DataFrame:
+    """Robust (median/MAD) hourly volume outliers per event type — the
+    resistant-statistics sibling of :func:`events_hourly_anomaly`: a
+    handful of huge bursts cannot drag the baseline the way they drag a
+    mean/stddev z-score, so sustained incidents still stand out.
+
+    The corpus pays ONE groupBy(type, hour); the median and the median
+    absolute deviation are exact percentiles over that tiny hourly
+    relation (two cheap aggregates + broadcast joins back). Hourly
+    counts are integers, so medians and deviations are exact .0/.5
+    doubles — bit-stable cross-engine without any quantize contract.
+    Flag: |n − median| > k·MAD (MAD 0 → any deviation flags).
+    """
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    med = hourly.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(
+        F.broadcast(med), F.col("event_type") == F.col("m_type")
+    ).withColumn("abs_dev", F.abs(F.col("n") - F.col("med")))
+    mad = dev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
+        .filter(F.col("abs_dev") > k * F.col("mad"))
+        .select("event_type", "hour_start", "n", "med", "mad", "abs_dev")
+        .transform(
+            lambda d: small_sort(d, "event_type", "hour_start") if sort else d
+        )
+    )

@@ -558,3 +558,54 @@ def oov_rate(
         )
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def token_budget_plan(
+    documents: DataFrame,
+    budget_frac: float = 0.5,
+    alpha: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sampling-quota planning for a token budget: given a target of
+    ``budget_frac`` × corpus tokens distributed by the temperature-
+    scaled :func:`domain_mix_weights`, compute each source's token
+    target, its document quota at observed mean document length, and
+    the fill ratio (>1 means the mix wants more of this source than it
+    has — the upsampling signal).
+
+    Everything downstream of domain_mix_weights operates on the
+    \\|sources\\|-row relation: two broadcast scalar joins, zero extra
+    corpus passes. Integer floors keep targets/quotas cross-engine
+    exact.
+    """
+    mix = domain_mix_weights(documents, text_col=text_col, alpha=alpha)
+    total = mix.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        mix.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.floor(F.col("weight") * F.col("corpus_tokens") * budget_frac)
+            .cast("long")
+            .alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            F.least(
+                F.col("n_docs"),
+                F.floor(
+                    F.col("target_tokens") * F.col("n_docs") / F.col("n_tokens")
+                ).cast("long"),
+            ).alias("quota_docs"),
+            F.round(F.col("target_tokens") / F.col("n_tokens"), 4).alias(
+                "fill_ratio"
+            ),
+        )
+        .transform(lambda d: small_sort(d, "source"))
+    )

@@ -717,3 +717,36 @@ def minhash_recall_eval(
             ).alias("precision"),
         )
     )
+
+
+def shingle_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of a document's word
+    n-gram shingles whose FIRST corpus appearance (minimum doc_id) is
+    this document — the corpus-growth signal behind "is new data still
+    adding content or just re-crawling?" curves.
+
+    One shingle explode feeds both sides: the first-seen relation is a
+    groupBy(h) min aggregate (map-side partial, |shingles| rows), and
+    the per-doc score re-joins it on the shingle hash — the same
+    two-pass inverted-index shape as unigram_perplexity, no quadratic
+    pair join anywhere.
+    """
+    sh = doc_shingle_hashes(documents, n).localCheckpoint()
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novelty"),
+        )
+        .transform(lambda d: small_sort(d, "doc_id"))
+    )

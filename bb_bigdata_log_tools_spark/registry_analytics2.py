@@ -623,3 +623,35 @@ ORDER BY value DESC, partkey
 
 ANALYTICS2_QUERIES.update({"tpch_q2": q_tpch_q2, "tpch_q11": q_tpch_q11})
 ANALYTICS2_ORACLES.update({"tpch_q2": SQL_TPCH_Q2, "tpch_q11": SQL_TPCH_Q11})
+
+
+def q_events_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_robust_anomaly(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ROBUST_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type AS m_type, quantile_cont(n, 0.5) AS med
+  FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.*, m.med, abs(h.n - m.med) AS abs_dev
+  FROM hourly h JOIN med m ON h.event_type = m.m_type
+),
+mad AS (
+  SELECT event_type AS d_type, quantile_cont(abs_dev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.hour_start, d.n, d.med, a.mad, d.abs_dev
+FROM dev d JOIN mad a ON d.event_type = a.d_type
+WHERE d.abs_dev > 3.0 * a.mad
+ORDER BY d.event_type, d.hour_start
+"""
+
+ANALYTICS2_QUERIES["events_robust_anomaly"] = q_events_robust_anomaly
+ANALYTICS2_ORACLES["events_robust_anomaly"] = SQL_EVENTS_ROBUST_ANOMALY

@@ -628,3 +628,40 @@ CURATION_QUERIES.update(
 CURATION_ORACLES.update(
     {"perplexity_buckets": SQL_PERPLEXITY_BUCKETS, "oov_rate": SQL_OOV_RATE}
 )
+
+
+# --------------------------------------------------------------------------
+# Token-budget quota planning
+# --------------------------------------------------------------------------
+
+BUDGET_FRAC = 0.5
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return curation.token_budget_plan(docs, BUDGET_FRAC, MIX_ALPHA)
+
+
+SQL_TOKEN_BUDGET_PLAN = f"""
+WITH mix AS (
+  SELECT source, n_docs, n_tokens, weight FROM ({SQL_DOMAIN_MIX_WEIGHTS}) m
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM mix),
+planned AS (
+  SELECT source, n_docs, n_tokens, weight,
+         CAST(floor(weight * corpus_tokens * {BUDGET_FRAC}) AS BIGINT)
+           AS target_tokens
+  FROM mix, tot
+)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       least(n_docs,
+             CAST(floor(target_tokens * n_docs / CAST(n_tokens AS DOUBLE))
+                  AS BIGINT)) AS quota_docs,
+       round(target_tokens / CAST(n_tokens AS DOUBLE), 4) AS fill_ratio
+FROM planned
+ORDER BY source
+"""
+
+
+CURATION_QUERIES["token_budget_plan"] = q_token_budget_plan
+CURATION_ORACLES["token_budget_plan"] = SQL_TOKEN_BUDGET_PLAN

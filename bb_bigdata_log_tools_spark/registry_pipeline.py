@@ -571,3 +571,26 @@ PIPELINE_QUERIES["dedup_edit_distance"] = q_dedup_edit_distance
 PIPELINE_ORACLES["dedup_edit_distance"] = SQL_DEDUP_EDIT_DISTANCE
 PIPELINE_QUERIES["minhash_recall_eval"] = q_minhash_recall_eval
 PIPELINE_ORACLES["minhash_recall_eval"] = SQL_MINHASH_RECALL_EVAL
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_novelty(
+        ensure_parallelism(table(spark, sf_dir, "documents")), 3
+    )
+
+
+SQL_SHINGLE_NOVELTY = f"""WITH {SQL_SHINGLES},
+first_seen AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS novelty
+FROM sh s JOIN first_seen f USING (h)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+PIPELINE_QUERIES["shingle_novelty"] = q_shingle_novelty
+PIPELINE_ORACLES["shingle_novelty"] = SQL_SHINGLE_NOVELTY

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "oov_rate",
     "zorder_layout",
     "compaction_plan",
+    "shingle_novelty",
+    "events_robust_anomaly",
+    "token_budget_plan",
 ]
 
 
