@@ -305,3 +305,93 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.wm
 
 STREAMING_QUERIES["stream_watermarked_counts"] = q_stream_watermarked_counts
 STREAMING_ORACLES["stream_watermarked_counts"] = SQL_STREAM_WATERMARKED_COUNTS
+
+
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static lookup join (stateless append): the user dimension
+    is derived deterministically from the batch events table (first
+    event type + lifetime value tier per user), broadcast into every
+    micro-batch of the streamed fact feed."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_static_enrich
+
+    ev_batch = table(spark, sf_dir, "events")
+    dim = (
+        ev_batch.groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("first_type"),
+            (F.floor(F.sum("value") / 1000).cast("long")).alias("value_tier"),
+        )
+    )
+    stream = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "event_type", "first_type", "value_tier"
+    )
+    return _drain_to_memory(out, "stream_static_sink", "append")
+
+
+SQL_STREAM_STATIC_ENRICH = """
+WITH dim AS (
+  SELECT user_id, min(event_type) AS first_type,
+         CAST(floor(sum(value) / 1000) AS BIGINT) AS value_tier
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.event_type, d.first_type, d.value_tier
+FROM events e LEFT JOIN dim d USING (user_id)
+"""
+
+
+STREAM_JOIN_WITHIN_MS = 3_600_000
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream click→purchase attribution. The
+    bounded drain processes each side's single parquet file in one
+    micro-batch, so no buffered candidate is ever evicted before its
+    partner arrives — output equals the batch interval join exactly
+    (same argument as the sessionize drain; the oracle is that batch
+    join)."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_stream_join
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    out = stream_stream_join(
+        clicks, purchases, "user_id", STREAM_JOIN_WITHIN_MS
+    ).select(
+        F.col("l_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_millis("l_ts").alias("click_ts"),
+        F.unix_millis("r_ts").alias("purchase_ts"),
+    )
+    return _drain_to_memory(out, "stream_stream_sink", "append")
+
+
+SQL_STREAM_STREAM_JOIN = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_ms(c.ts) AS click_ts,
+       epoch_ms(p.ts) AS purchase_ts
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND epoch_ms(p.ts) - epoch_ms(c.ts) <= {STREAM_JOIN_WITHIN_MS}
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+STREAMING_QUERIES["stream_static_enrich"] = q_stream_static_enrich
+STREAMING_ORACLES["stream_static_enrich"] = SQL_STREAM_STATIC_ENRICH
+STREAMING_QUERIES["stream_stream_join"] = q_stream_stream_join
+STREAMING_ORACLES["stream_stream_join"] = SQL_STREAM_STREAM_JOIN

@@ -281,3 +281,46 @@ def stream_watermarked_counts(
             "total_value",
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact feed with a static
+    (batch) dimension — the standard lookup-table pattern. Spark
+    re-plans the static side per micro-batch (so a refreshed dim table
+    is picked up) and broadcasts it when it fits; the stream side never
+    buffers state, so this stays append-mode and stateless.
+    """
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within_ms: int = 3_600_000,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match each left event to
+    right events of the same key within ``within_ms`` AFTER it (click →
+    purchase attribution). Both sides carry watermarks and the join
+    condition bounds event-time skew, so Spark evicts buffered rows
+    once the watermark passes — state stays proportional to the time
+    window, not the stream.
+    """
+    wm = f"{within_ms // 1000 * 2} seconds"
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    return (
+        left.withWatermark(left_ts, wm)
+        .join(
+            right.withWatermark(right_ts, wm),
+            (F.col(f"l_{key}") == F.col(f"r_{key}"))
+            & (rt >= lt)
+            & (rt <= lt + F.expr(f"INTERVAL {within_ms // 1000} SECONDS")),
+            "inner",
+        )
+    )
