@@ -122,6 +122,7 @@ def dedup_ngram_jaccard(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int | None = 10_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ τ.
 
@@ -129,8 +130,12 @@ def dedup_ngram_jaccard(
     shingle's document frequency; ``max_df`` caps that fan-out (see
     :func:`jaccard_pairs`). Correct baseline for small/mid corpora and
     the oracle for the LSH variant below, which is the 100 TB path.
+    ``shingles`` lets a caller that already materialized the (doc_id, h)
+    relation (e.g. the recall eval, which feeds two finders) skip the
+    explode pass.
     """
-    return jaccard_pairs(doc_shingle_hashes(documents, n), threshold, max_df)
+    sh = shingles if shingles is not None else doc_shingle_hashes(documents, n)
+    return jaccard_pairs(sh, threshold, max_df)
 
 
 def minhash_signature_relational(
@@ -204,6 +209,7 @@ def dedup_minhash_lsh(
     bands: int = 16,
     threshold: float = 0.6,
     salts: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Minhash-LSH near-dup: banded buckets → candidate pairs → exact
     Jaccard verification ≥ τ.
@@ -233,8 +239,9 @@ def dedup_minhash_lsh(
     # work): at 100 TB recompute is the right default — caching a
     # corpus-sized relation in executor memory is not — and within one
     # session repeated ad-hoc calls would otherwise accumulate
-    # never-released cache blocks.
-    sh = doc_shingle_hashes(documents, n)
+    # never-released cache blocks. ``shingles`` overrides for callers
+    # that materialized it anyway (recall eval).
+    sh = shingles if shingles is not None else doc_shingle_hashes(documents, n)
     bands_df = minhash_bands_from_hashes(sh, num_perm, bands)
     a = bands_df.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts))).alias("a")
     b = bands_df.withColumn(
@@ -688,14 +695,18 @@ def minhash_recall_eval(
     Both pair sets come from the production operators, so the eval
     exercises the real plans; the comparison is a full outer join on
     the (small, pair-level) outputs plus one global aggregate — cost is
-    dominated by the two finders themselves.
+    dominated by the two finders themselves. The (doc_id, h) shingle
+    relation is materialized ONCE (localCheckpoint) and fed to both
+    finders — an eval runs them together by construction, so here the
+    share is free, unlike the production finders' recompute default.
     """
-    truth = dedup_ngram_jaccard(documents, n, threshold, max_df).select(
-        "doc_id1", "doc_id2", F.lit(1).alias("in_truth")
-    )
-    approx = dedup_minhash_lsh(documents, n, num_perm, bands, threshold).select(
-        "doc_id1", "doc_id2", F.lit(1).alias("in_approx")
-    )
+    sh = doc_shingle_hashes(documents, n).localCheckpoint()
+    truth = dedup_ngram_jaccard(
+        documents, n, threshold, max_df, shingles=sh
+    ).select("doc_id1", "doc_id2", F.lit(1).alias("in_truth"))
+    approx = dedup_minhash_lsh(
+        documents, n, num_perm, bands, threshold, shingles=sh
+    ).select("doc_id1", "doc_id2", F.lit(1).alias("in_approx"))
     return (
         truth.join(approx, ["doc_id1", "doc_id2"], "full_outer")
         .agg(
