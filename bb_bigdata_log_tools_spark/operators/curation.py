@@ -609,3 +609,43 @@ def token_budget_plan(
         )
         .transform(lambda d: small_sort(d, "source"))
     )
+
+
+def ip_prefix_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-/8-prefix IPv4 occurrence stats with RFC1918/loopback
+    classification — the "who are we talking to" rollup of a log
+    corpus (reference: the grep/search tools leave extraction to the
+    user; this is the built-in network-analytics sibling of
+    :func:`pii_scrub`).
+
+    explode(regexp_extract_all) → groupBy(octet1): the shuffle carries
+    (prefix, counts) only — map-side partial agg, text never moves.
+    """
+    ips = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_PATTERNS["ipv4"]), 0
+            )
+        ).alias("ip")
+    ).select(
+        F.split(F.col("ip"), r"\.").getItem(0).cast("int").alias("octet1"),
+        F.split(F.col("ip"), r"\.").getItem(1).cast("int").alias("octet2"),
+        "ip",
+    )
+    private = (
+        F.col("octet1").isin(10, 127)
+        | ((F.col("octet1") == 172) & F.col("octet2").between(16, 31))
+        | ((F.col("octet1") == 192) & (F.col("octet2") == 168))
+    )
+    return (
+        ips.withColumn("is_private", private)
+        .groupBy("octet1")
+        .agg(
+            F.count(F.lit(1)).alias("n_ips"),
+            F.countDistinct("ip").alias("n_distinct"),
+            F.count(F.when(F.col("is_private"), 1)).alias("n_private"),
+        )
+        .orderBy("octet1")
+    )

@@ -665,3 +665,36 @@ ORDER BY source
 
 CURATION_QUERIES["token_budget_plan"] = q_token_budget_plan
 CURATION_ORACLES["token_budget_plan"] = SQL_TOKEN_BUDGET_PLAN
+
+
+def q_ip_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _inject_pii(ensure_parallelism(table(spark, sf_dir, "documents")))
+    return curation.ip_prefix_stats(docs, text_col="text2")
+
+
+SQL_IP_PREFIX_STATS = f"""
+WITH aug AS (SELECT doc_id, {_INJECT_SQL} AS text2 FROM documents),
+ips AS (
+  SELECT unnest(regexp_extract_all(text2, '{_IPV4}')) AS ip FROM aug
+),
+parts AS (
+  SELECT ip,
+         CAST(string_split(ip, '.')[1] AS INTEGER) AS octet1,
+         CAST(string_split(ip, '.')[2] AS INTEGER) AS octet2
+  FROM ips
+)
+SELECT octet1,
+       CAST(count(*) AS BIGINT) AS n_ips,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN octet1 IN (10, 127)
+                      OR (octet1 = 172 AND octet2 BETWEEN 16 AND 31)
+                      OR (octet1 = 192 AND octet2 = 168)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_private
+FROM parts
+GROUP BY octet1
+ORDER BY octet1
+"""
+
+
+CURATION_QUERIES["ip_prefix_stats"] = q_ip_prefix_stats
+CURATION_ORACLES["ip_prefix_stats"] = SQL_IP_PREFIX_STATS

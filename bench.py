@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "shingle_novelty",
     "events_robust_anomaly",
     "token_budget_plan",
+    "sql_passthrough",
+    "ip_prefix_stats",
 ]
 
 
