@@ -667,13 +667,37 @@ CURATION_QUERIES["token_budget_plan"] = q_token_budget_plan
 CURATION_ORACLES["token_budget_plan"] = SQL_TOKEN_BUDGET_PLAN
 
 
+def _inject_ips(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-prefix IPv4 injection: five /8s (10, 50, 90,
+    172, 192) with doc_id-derived second octets, so the rollup exercises
+    both private-range clauses AND public prefixes."""
+    i = F.col("doc_id")
+    o1 = F.element_at(
+        F.array(F.lit(10), F.lit(50), F.lit(90), F.lit(172), F.lit(192)),
+        (i % 5 + 1).cast("int"),
+    )
+    suffix = F.concat(
+        F.lit(" peer "), o1.cast("string"),
+        F.lit("."), (i % 40).cast("string"),
+        F.lit(".0."), (i % 100).cast("string"),
+    )
+    return docs.withColumn("text2", F.concat(F.col("text"), suffix))
+
+
+_INJECT_IP_SQL = """
+text || ' peer ' || CAST([10, 50, 90, 172, 192][CAST(doc_id % 5 AS INTEGER) + 1] AS VARCHAR)
+  || '.' || CAST(doc_id % 40 AS VARCHAR)
+  || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+"""
+
+
 def q_ip_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _inject_pii(ensure_parallelism(table(spark, sf_dir, "documents")))
+    docs = _inject_ips(ensure_parallelism(table(spark, sf_dir, "documents")))
     return curation.ip_prefix_stats(docs, text_col="text2")
 
 
 SQL_IP_PREFIX_STATS = f"""
-WITH aug AS (SELECT doc_id, {_INJECT_SQL} AS text2 FROM documents),
+WITH aug AS (SELECT doc_id, {_INJECT_IP_SQL} AS text2 FROM documents),
 ips AS (
   SELECT unnest(regexp_extract_all(text2, '{_IPV4}')) AS ip FROM aug
 ),
