@@ -1401,3 +1401,39 @@ def events_robust_anomaly(
             lambda d: small_sort(d, "event_type", "hour_start") if sort else d
         )
     )
+
+
+def funnel_time_stats(
+    events: DataFrame, steps: list[str] | None = None
+) -> DataFrame:
+    """Time-to-convert distribution for ordered funnel completions:
+    over users whose signup → click → purchase happened in temporal
+    order, the count and exact quantiles of first-step→last-step
+    duration — the "how long does conversion take" report on top of
+    :func:`events_funnel`.
+
+    Same single user_id shuffle as the funnel (pivot of per-step first
+    timestamps); the stats are one global aggregate over the
+    |converted-users| relation. Durations are epoch-ms integers, so
+    exact percentiles are .0/.5 doubles — bit-stable cross-engine.
+    """
+    steps = steps or ["signup", "click", "purchase"]
+    firsts = (
+        events.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .pivot("event_type", steps)
+        .agg(F.min("ts"))
+    )
+    ordered = firsts
+    for a, b in zip(steps, steps[1:]):
+        ordered = ordered.filter(
+            F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(b) > F.col(a))
+        )
+    dur = F.unix_millis(F.col(steps[-1])) - F.unix_millis(F.col(steps[0]))
+    return ordered.select(dur.alias("dur_ms")).agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("dur_ms").alias("min_ms"),
+        F.percentile("dur_ms", F.lit(0.5)).alias("p50_ms"),
+        F.percentile("dur_ms", F.lit(0.9)).alias("p90_ms"),
+        F.max("dur_ms").alias("max_ms"),
+    )

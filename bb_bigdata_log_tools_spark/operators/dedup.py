@@ -761,3 +761,33 @@ def shingle_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def cluster_size_stats(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup cluster size distribution: how many clusters of each
+    size the minhash-LSH + connected-components pipeline finds — the
+    dedup health report (a few huge clusters = boilerplate/template
+    contamination; many pairs = ordinary near-dups).
+
+    All post-clustering work is two aggregates over the (doc, cluster)
+    relation, which is bounded by the number of near-dup PARTICIPANTS,
+    not the corpus.
+    """
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .transform(lambda d: small_sort(d, "cluster_size"))
+    )

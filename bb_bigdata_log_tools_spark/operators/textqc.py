@@ -194,3 +194,29 @@ def text_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # small_sort, not orderBy: a range sort SAMPLES its input first,
     # re-running the bigram sort+fold (the whole cost of this op) a
     # second time — measured ~1.4x at sf0.1 and ~2x on the 10x probe.
+
+
+def lang_id_eval(documents: DataFrame) -> DataFrame:
+    """Confusion matrix for the heuristic language identifier against
+    the corpus's labeled ``lang`` column: (true, guessed, count, share
+    of the true language) — the eval a pipeline runs before trusting
+    lang-ID to route or drop documents (mirrors minhash_recall_eval /
+    ann_recall_eval for the text domain).
+
+    One lang-ID scan → a |langs|²-bounded aggregate; the per-true-lang
+    totals come from a window over that tiny matrix, not a second
+    corpus pass.
+    """
+    from pyspark.sql import Window
+
+    pred = text_lang_id(documents).select("lang", "lang_guess")
+    cells = pred.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cells.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w), 4)
+        )
+        .transform(lambda d: small_sort(d, "lang", "lang_guess"))
+    )

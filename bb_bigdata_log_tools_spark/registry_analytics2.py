@@ -655,3 +655,34 @@ ORDER BY d.event_type, d.hour_start
 
 ANALYTICS2_QUERIES["events_robust_anomaly"] = q_events_robust_anomaly
 ANALYTICS2_ORACLES["events_robust_anomaly"] = SQL_EVENTS_ROBUST_ANOMALY
+
+
+def q_funnel_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel_time_stats(table(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL_TIME_STATS = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'signup') AS s,
+         min(ts) FILTER (event_type = 'click') AS c,
+         min(ts) FILTER (event_type = 'purchase') AS p
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+),
+conv AS (
+  SELECT epoch_ms(p) - epoch_ms(s) AS dur_ms
+  FROM firsts
+  WHERE s IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+    AND c > s AND p > c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       min(dur_ms) AS min_ms,
+       quantile_cont(dur_ms, 0.5) AS p50_ms,
+       quantile_cont(dur_ms, 0.9) AS p90_ms,
+       max(dur_ms) AS max_ms
+FROM conv
+"""
+
+ANALYTICS2_QUERIES["funnel_time_stats"] = q_funnel_time_stats
+ANALYTICS2_ORACLES["funnel_time_stats"] = SQL_FUNNEL_TIME_STATS

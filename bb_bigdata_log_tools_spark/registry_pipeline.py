@@ -594,3 +594,48 @@ ORDER BY s.doc_id
 
 PIPELINE_QUERIES["shingle_novelty"] = q_shingle_novelty
 PIPELINE_ORACLES["shingle_novelty"] = SQL_SHINGLE_NOVELTY
+
+
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.lang_id_eval(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_LANG_ID_EVAL = f"""
+WITH pred AS (SELECT lang, lang_guess FROM ({SQL_TEXT_LANG_ID}) t),
+cells AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, lang_guess, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4) AS share
+FROM cells
+ORDER BY lang, lang_guess
+"""
+
+
+def q_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cluster_size_stats(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_CLUSTER_SIZE_STATS = f"""
+WITH c AS (SELECT * FROM ({SQL_DEDUP_CLUSTER}) t),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM c GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY 1
+ORDER BY cluster_size
+"""
+
+PIPELINE_QUERIES["lang_id_eval"] = q_lang_id_eval
+PIPELINE_ORACLES["lang_id_eval"] = SQL_LANG_ID_EVAL
+PIPELINE_QUERIES["cluster_size_stats"] = q_cluster_size_stats
+PIPELINE_ORACLES["cluster_size_stats"] = SQL_CLUSTER_SIZE_STATS

@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "token_budget_plan",
     "sql_passthrough",
     "ip_prefix_stats",
+    "lang_id_eval",
+    "cluster_size_stats",
+    "funnel_time_stats",
 ]
 
 
