@@ -639,6 +639,7 @@ def dedup_edit_distance(
     prefix_len: int = 16,
     len_band: int = 16,
     sort: bool = True,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by Levenshtein edit distance, blocked so
     the quadratic comparison never touches the full corpus.
@@ -652,6 +653,14 @@ def dedup_edit_distance(
     (edits inside the first ``prefix_len`` chars split a pair across
     blocks) — the standard windowed-blocking compromise; tighten with a
     second pass on suffix blocks if recall matters more than cost.
+
+    ``max_block`` caps the per-block fan-out the same way ``max_df``
+    caps hot shingles in :func:`jaccard_pairs`: a block of B docs emits
+    C(B,2) pairs, so one giant template/boilerplate block would
+    dominate the whole job. Blocks over the cap are dropped BEFORE the
+    self-join (a groupBy-count over the thin block-key relation) — a
+    capped block is almost always exact-duplicate spam that
+    :func:`dedup_exact` already resolves at hash speed.
     """
     blocked = documents.select(
         "doc_id",
@@ -659,6 +668,14 @@ def dedup_edit_distance(
         F.substring("text", 1, prefix_len).alias("blk_prefix"),
         F.floor(F.col("n_chars") / len_band).alias("blk_len"),
     )
+    if max_block is not None:
+        hot = (
+            blocked.groupBy("blk_prefix", "blk_len")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_block)
+            .select("blk_prefix", "blk_len")
+        )
+        blocked = blocked.join(hot, ["blk_prefix", "blk_len"], "left_anti")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -505,6 +505,7 @@ PIPELINE_ORACLES["dedup_cross_source"] = SQL_DEDUP_CROSS_SOURCE
 EDIT_MAX_DIST = 8
 EDIT_PREFIX = 16
 EDIT_LEN_BAND = 16
+EDIT_MAX_BLOCK = 10_000
 
 
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,15 +514,24 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         EDIT_MAX_DIST,
         EDIT_PREFIX,
         EDIT_LEN_BAND,
+        max_block=EDIT_MAX_BLOCK,
     )
 
 
 SQL_DEDUP_EDIT_DISTANCE = f"""
-WITH blocked AS (
+WITH blocked0 AS (
   SELECT doc_id, text,
          substring(text, 1, {EDIT_PREFIX}) AS blk_prefix,
          n_chars // {EDIT_LEN_BAND} AS blk_len
   FROM documents
+),
+hot AS (
+  SELECT blk_prefix, blk_len FROM blocked0
+  GROUP BY 1, 2 HAVING count(*) > {EDIT_MAX_BLOCK}
+),
+blocked AS (
+  SELECT b.* FROM blocked0 b
+  ANTI JOIN hot h USING (blk_prefix, blk_len)
 )
 SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
        CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
