@@ -480,3 +480,32 @@ def test_tpch_q2_single_lineitem_scan_broadcast_min(spark, sf_dir):
     n_li = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
     assert n_li <= 1, f"lineitem scanned {n_li}×:\n{plan[:1500]}"
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_zorder_single_corpus_exchange_broadcast_bounds(spark, sf_dir):
+    """zorder_layout: the min/max bounds join must be a broadcast (no
+    corpus shuffle for the rescale) and the only corpus-sized exchange
+    is the |buckets|-row aggregate's."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(datasetops.zorder_layout(ev))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        plan[:1200]
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"{n} hash exchanges:\n{plan[:1500]}"
+
+
+def test_compaction_plan_window_over_hours_only(spark, sf_dir):
+    """compaction_plan: the corpus pays one partial-agg groupBy(hour);
+    the prefix-sum window and final aggregate run on the tiny hours
+    relation (the single-partition window is deliberate and bounded)."""
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(datasetops.compaction_plan(ev))
+    assert "partial" in plan.lower(), plan[:1200]
+    # corpus-side: exactly one hash exchange on the hour key
+    n = plan.count("Exchange hashpartitioning(hour_start")
+    assert n == 1, f"{n} hour exchanges:\n{plan[:1500]}"
