@@ -561,3 +561,17 @@ def test_write_first_item_text_drops_trailing_fields(spark, tmp_path):
     write_first_item_text(df, out, col="other")
     back = {r.value for r in spark.read.text(out).collect()}
     assert back == {"keyA", "keyB"}
+
+
+def test_logdriver_dispatcher():
+    """bin/logdriver dispatches to tools, prints usage, rejects unknown
+    tools (the reference's uber-entrypoint minus cluster bootstrap)."""
+    import subprocess
+
+    base = os.path.join(os.path.dirname(__file__), "..", "bin", "logdriver")
+    out = subprocess.run([base, "help"], capture_output=True, text=True)
+    assert out.returncode == 0 and "logcat" in out.stdout
+    bad = subprocess.run([base, "nosuch"], capture_output=True, text=True)
+    assert bad.returncode == 2
+    ver = subprocess.run([base, "version"], capture_output=True, text=True)
+    assert ver.returncode == 0 and ver.stdout.strip()
