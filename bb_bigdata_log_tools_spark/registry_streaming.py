@@ -395,3 +395,39 @@ STREAMING_QUERIES["stream_static_enrich"] = q_stream_static_enrich
 STREAMING_ORACLES["stream_static_enrich"] = SQL_STREAM_STATIC_ENRICH
 STREAMING_QUERIES["stream_stream_join"] = q_stream_stream_join
 STREAMING_ORACLES["stream_stream_join"] = SQL_STREAM_STREAM_JOIN
+
+
+RATE_LIMIT = 1
+RATE_WINDOW_MS = 86_400_000
+
+
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-user rate limiter (admit ≤1 event per user-day),
+    drained bounded. The admit decision is a pure function of the
+    per-(user, day) arrival rank, so the output equals the batch
+    row_number query regardless of micro-batch boundaries."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_rate_limit
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").alias("event_time")
+    )
+    out = stream_rate_limit(ev, RATE_LIMIT, RATE_WINDOW_MS)
+    return _drain_to_memory(out, "stream_rate_limit_sink", "append")
+
+
+SQL_STREAM_RATE_LIMIT = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         (epoch_ms(ts) // {RATE_WINDOW_MS}) * {RATE_WINDOW_MS} AS win_start,
+         row_number() OVER (
+           PARTITION BY user_id, epoch_ms(ts) // {RATE_WINDOW_MS}
+           ORDER BY epoch_ms(ts), event_id
+         ) AS rnk
+  FROM events
+)
+SELECT user_id, event_id, ts_ms, win_start
+FROM ranked WHERE rnk <= {RATE_LIMIT}
+"""
+
+STREAMING_QUERIES["stream_rate_limit"] = q_stream_rate_limit
+STREAMING_ORACLES["stream_rate_limit"] = SQL_STREAM_RATE_LIMIT

@@ -324,3 +324,85 @@ def stream_stream_join(
             "inner",
         )
     )
+
+
+def stream_rate_limit(
+    events: DataFrame,
+    limit: int = 1,
+    window_ms: int = 86_400_000,
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user rate limiting —
+    admit at most ``limit`` events per epoch-aligned tumbling window,
+    emitting accepted events as they arrive (alert throttling / notify-
+    once-per-day semantics).
+
+    State per user: (window_start, count) — O(active users), refreshed
+    on window rollover, evicted by the event-time timeout one window
+    past the watermark. Within a batch events process in (ts, id)
+    order, and the admit decision depends only on the per-(user,window)
+    arrival rank, so the drained output equals the batch
+    row_number-per-window query exactly — FULL oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("win_start", T.LongType()),
+        ]
+    )
+    state_schema = "win LONG, n LONG"
+
+    def update(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            ms = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000_000
+            )
+            rows.extend(
+                (int(t), int(e)) for t, e in zip(ms, pdf[id_col])
+            )
+        rows.sort()
+        win, n = state.get if state.exists else (None, 0)
+        accepted = []
+        for t, eid in rows:
+            w = (t // window_ms) * window_ms
+            if w != win:
+                win, n = w, 0
+            if n < limit:
+                accepted.append((user_id, eid, t, w))
+                n += 1
+        if win is not None:
+            state.update((win, n))
+            state.setTimeoutTimestamp(win + 2 * window_ms)
+        if accepted:
+            yield pd.DataFrame(
+                accepted, columns=["user_id", "event_id", "ts_ms", "win_start"]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
