@@ -860,3 +860,65 @@ def cluster_size_stats(
         )
         .transform(lambda d: small_sort(d, "cluster_size"))
     )
+
+
+def dedup_pagerank(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the near-dup graph (minhash-LSH pairs,
+    symmetrized): a fixed number of power iterations ranks documents by
+    duplication centrality — hub documents sit inside dense template
+    families, the long tail are one-off near-dups. The iterative-graph
+    sibling of :func:`connected_components` (label propagation) and
+    k-means (centroid iteration).
+
+    Scale shape: each iteration is one join of the rank relation
+    (|participants| rows) to the edge list plus a groupBy-sum — no
+    driver-side graph, lineage cut per iteration via localCheckpoint
+    (the dedup_cluster discipline). Fixed ``iters`` keeps the oracle
+    expressible as unrolled SQL; ranks round to 6 dp so cross-engine
+    float-sum ordering cannot flip the output.
+    """
+    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    edges = (
+        pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_id2").alias("src"), F.col("doc_id1").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    n_nodes = nodes.count()  # scalar for the teleport term; |participants|
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+        .transform(lambda d: small_sort(d, F.desc("rank"), F.asc("doc_id")))
+    )

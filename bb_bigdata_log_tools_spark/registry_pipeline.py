@@ -649,3 +649,57 @@ PIPELINE_QUERIES["lang_id_eval"] = q_lang_id_eval
 PIPELINE_ORACLES["lang_id_eval"] = SQL_LANG_ID_EVAL
 PIPELINE_QUERIES["cluster_size_stats"] = q_cluster_size_stats
 PIPELINE_ORACLES["cluster_size_stats"] = SQL_CLUSTER_SIZE_STATS
+
+
+# --------------------------------------------------------------------------
+# PageRank over the near-dup graph (fixed power iterations, unrolled SQL)
+# --------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_pagerank(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        iters=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_DAMPING
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""r{i} AS (
+  SELECT n.doc_id, (1.0 - {d}) / c + {d} * coalesce(s.in_sum, 0.0) AS rank
+  FROM nodes n CROSS JOIN cnt
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank / dg.deg) AS in_sum
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.doc_id
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s ON n.doc_id = s.dst
+)""")
+    its_sql = ",\n".join(its)
+    return f"""
+WITH {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, 1.0 / c AS rank FROM nodes CROSS JOIN cnt),
+{its_sql}
+SELECT doc_id, round(rank, 6) AS rank
+FROM r{PAGERANK_ITERS}
+ORDER BY rank DESC, doc_id
+"""
+
+
+PIPELINE_QUERIES["dedup_pagerank"] = q_dedup_pagerank
+PIPELINE_ORACLES["dedup_pagerank"] = _pagerank_oracle()

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "lang_id_eval",
     "cluster_size_stats",
     "funnel_time_stats",
+    "dedup_pagerank",
 ]
 
 
