@@ -1437,3 +1437,91 @@ def funnel_time_stats(
         F.percentile("dur_ms", F.lit(0.9)).alias("p90_ms"),
         F.max("dur_ms").alias("max_ms"),
     )
+
+
+def events_seasonality(events: DataFrame) -> DataFrame:
+    """Traffic seasonality profile: event counts and share by
+    (day-of-week, hour-of-day) cell — the capacity-planning heat map.
+
+    One partial-agg groupBy; shares via a broadcast 1-row total. The
+    day-of-week comes from integer epoch-day arithmetic
+    (``(days + 4) % 7``, Monday = 0 — 1970-01-01 was a Thursday)
+    instead of calendar functions, because engines disagree on
+    dayofweek numbering (Spark 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday)
+    but integer division is bit-identical everywhere.
+    """
+    ms = F.unix_millis(F.col("ts"))
+    cells = (
+        events.select(
+            (((ms / F.lit(86_400_000)).cast("long") + 4) % 7).alias("dow"),
+            ((ms / F.lit(3_600_000)).cast("long") % 24).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    total = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.join(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def events_autocorrelation(
+    events: DataFrame, lags: tuple = (1, 24, 168)
+) -> DataFrame:
+    """Autocorrelation of the hourly event-volume series at the given
+    lags (1 h, 1 day, 1 week) — the seasonality detector behind "is
+    this traffic daily-periodic?".
+
+    The corpus collapses to the |hours|-row series once (dense grid via
+    an hour-index join so missing hours count as zero); each lag is a
+    self-join of that tiny series shifted by the lag plus one Pearson
+    aggregate — no window over the corpus, no driver-side series.
+    Pearson r rounds at 4 dp (float sums over ≤|hours| terms are
+    ulp-stable far below that).
+    """
+    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    hourly = (
+        events.select(hour.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        )
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .localCheckpoint()
+    )
+    out = None
+    for lag in lags:
+        a = grid.alias("a")
+        b = grid.select(
+            (F.col("h") + lag).alias("h"), F.col("n").alias("n_lag")
+        ).alias("b")
+        joined = a.join(b, "h")
+        r = joined.agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(
+                (
+                    F.avg(F.col("n") * F.col("n_lag"))
+                    - F.avg("n") * F.avg("n_lag")
+                )
+                / (F.stddev_pop("n") * F.stddev_pop("n_lag")),
+                4,
+            ).alias("acf"),
+        ).select(F.lit(lag).alias("lag_hours"), "n_pts", "acf")
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("lag_hours")

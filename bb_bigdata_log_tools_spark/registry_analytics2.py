@@ -686,3 +686,68 @@ FROM conv
 
 ANALYTICS2_QUERIES["funnel_time_stats"] = q_funnel_time_stats
 ANALYTICS2_ORACLES["funnel_time_stats"] = SQL_FUNNEL_TIME_STATS
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_seasonality(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_SEASONALITY = """
+WITH cells AS (
+  SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+         (epoch_ms(ts) // 3600000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT dow, hour, n, round(n * 1.0 / total, 4) AS share
+FROM cells CROSS JOIN t
+ORDER BY dow, hour
+"""
+
+ACF_LAGS = (1, 24, 168)
+
+
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_autocorrelation(
+        table(spark, sf_dir, "events"), ACF_LAGS
+    )
+
+
+def _acf_oracle() -> str:
+    parts = []
+    for lag in ACF_LAGS:
+        parts.append(f"""SELECT {lag} AS lag_hours,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       round((avg(a.n * b.n) - avg(a.n) * avg(b.n))
+             / (stddev_pop(a.n) * stddev_pop(b.n)), 4) AS acf
+FROM grid a JOIN grid b ON a.h = b.h + {lag}""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH hourly AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+grid AS (
+  SELECT g.h, coalesce(hourly.n, 0) AS n
+  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g
+  LEFT JOIN hourly ON g.h = hourly.h
+)
+{body}
+ORDER BY lag_hours
+"""
+
+
+ANALYTICS2_QUERIES.update(
+    {
+        "events_seasonality": q_events_seasonality,
+        "events_autocorrelation": q_events_autocorrelation,
+    }
+)
+ANALYTICS2_ORACLES.update(
+    {
+        "events_seasonality": SQL_EVENTS_SEASONALITY,
+        "events_autocorrelation": _acf_oracle(),
+    }
+)

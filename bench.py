@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "cluster_size_stats",
     "funnel_time_stats",
     "dedup_pagerank",
+    "events_seasonality",
+    "events_autocorrelation",
 ]
 
 
