@@ -1525,3 +1525,51 @@ def events_autocorrelation(
         ).select(F.lit(lag).alias("lag_hours"), "n_pts", "acf")
         out = r if out is None else out.unionAll(r)
     return out.orderBy("lag_hours")
+
+
+def events_forecast_baseline(
+    events: DataFrame, season_hours: int = 168
+) -> DataFrame:
+    """Backtest of the two classic forecast baselines on the hourly
+    volume series per event type: naive (ŷₜ = yₜ₋₁) vs seasonal-naive
+    (ŷₜ = yₜ₋₁₆₈, same hour last week). Reported MAE per type answers
+    "is this traffic predictable, and is it weekly-seasonal?" before
+    anyone reaches for a model.
+
+    The corpus collapses once to the (type, hour) series; both
+    baselines are shifted self-joins of that tiny relation and one
+    aggregate. Volumes are integer counts, so the MAEs are exact
+    rationals rounded at 4 dp — cross-engine stable.
+    """
+    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    hourly = (
+        events.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+
+    def _mae(lag: int, name: str) -> DataFrame:
+        prev = hourly.select(
+            F.col("event_type").alias("p_type"),
+            (F.col("h") + lag).alias("h"),
+            F.col("n").alias("n_prev"),
+        )
+        return (
+            hourly.join(
+                prev,
+                (F.col("event_type") == F.col("p_type"))
+                & (hourly.h == prev.h),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_pts_{name}"),
+                F.round(F.avg(F.abs(F.col("n") - F.col("n_prev"))), 4).alias(
+                    f"mae_{name}"
+                ),
+            )
+        )
+    return (
+        _mae(1, "naive")
+        .join(_mae(season_hours, "seasonal"), "event_type")
+        .orderBy("event_type")
+    )

@@ -418,3 +418,40 @@ def compaction_plan(
         )
         .orderBy("merge_group")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: how many rows were added, removed, changed
+    (same key, different content hash), or unchanged between two drops
+    — the data-diff gate a pipeline runs before promoting a new crawl.
+
+    One full outer join on the key comparing content md5s; the shuffle
+    carries (key, hash) only — never the text — and the output is four
+    summary rows, so the op is join-bounded at any corpus size.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("h_old")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("h_new")
+    )
+    status = (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.when(F.col("h_old").isNull(), "added")
+            .when(F.col("h_new").isNull(), "removed")
+            .when(F.col("h_old") != F.col("h_new"), "changed")
+            .otherwise("unchanged")
+            .alias("status")
+        )
+    )
+    return (
+        status.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

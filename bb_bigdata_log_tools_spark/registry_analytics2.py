@@ -751,3 +751,38 @@ ANALYTICS2_ORACLES.update(
         "events_autocorrelation": _acf_oracle(),
     }
 )
+
+
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_forecast_baseline(table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_FORECAST_BASELINE = """
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+naive AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS n_pts_naive,
+         round(avg(abs(a.n - b.n)), 4) AS mae_naive
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h = b.h + 1
+  GROUP BY 1
+),
+seasonal AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS n_pts_seasonal,
+         round(avg(abs(a.n - b.n)), 4) AS mae_seasonal
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h = b.h + 168
+  GROUP BY 1
+)
+SELECT event_type, n_pts_naive, mae_naive, n_pts_seasonal, mae_seasonal
+FROM naive JOIN seasonal USING (event_type)
+ORDER BY event_type
+"""
+
+ANALYTICS2_QUERIES["events_forecast_baseline"] = q_events_forecast_baseline
+ANALYTICS2_ORACLES["events_forecast_baseline"] = SQL_EVENTS_FORECAST_BASELINE

@@ -887,3 +887,40 @@ DATASETOPS_QUERIES.update(
 DATASETOPS_ORACLES.update(
     {"zorder_layout": _zorder_oracle(), "compaction_plan": SQL_COMPACTION_PLAN}
 )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two simulated corpus drops derived deterministically from
+    the documents table: the 'old' snapshot is doc_id % 7 != 0 with
+    doc_id % 5 == 0 rows content-mutated; 'new' is the full corpus."""
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")),
+    )
+    return datasetops.snapshot_diff(old, docs)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id AS k,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END)
+           AS h_old
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (SELECT doc_id AS k, md5(text) AS h_new FROM documents),
+s AS (
+  SELECT CASE WHEN h_old IS NULL THEN 'added'
+              WHEN h_new IS NULL THEN 'removed'
+              WHEN h_old <> h_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new USING (k)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY status ORDER BY status
+"""
+
+DATASETOPS_QUERIES["snapshot_diff"] = q_snapshot_diff
+DATASETOPS_ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF

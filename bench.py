@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "dedup_pagerank",
     "events_seasonality",
     "events_autocorrelation",
+    "events_forecast_baseline",
+    "snapshot_diff",
 ]
 
 
