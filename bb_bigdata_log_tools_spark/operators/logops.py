@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.timestamps import format_timestamp
@@ -259,6 +259,79 @@ def log_dedup_window(
         .drop("burst_id")
         .transform(
             lambda d: small_sort(d, "burst_start", "first_event_id")
+            if sort
+            else d
+        )
+    )
+
+
+def log_grep_context(
+    logs: DataFrame,
+    regex: str,
+    before: int = 2,
+    after: int = 2,
+    sort: bool = True,
+) -> DataFrame:
+    """grep -B/-A over log lines: emit every line within ``before``
+    lines above or ``after`` lines below a regex match, with a
+    ``is_match`` flag (reference parity: Grep.java matches lines only;
+    context is the classic CLI companion).
+
+    Line adjacency is per ``block_no`` (the reference's file/block
+    unit) in (ts, line_no) order — one shuffle partitions by block, and
+    the context flag is a windowed MAX of the match indicator over the
+    [-after, +before] row frame (a line is emitted if some MATCH sits
+    within ``after`` rows above it or ``before`` rows below it). No
+    second pass, no self-join.
+    """
+    w = Window.partitionBy("block_no").orderBy("ts", "line_no")
+    matched = logs.withColumn(
+        "is_match", F.col("message").rlike(regex).cast("int")
+    )
+    in_context = F.max("is_match").over(w.rowsBetween(-after, before))
+    return (
+        matched.withColumn("keep", in_context)
+        .filter(F.col("keep") == 1)
+        .select(
+            "ts",
+            "block_no",
+            "line_no",
+            "message",
+            (F.col("is_match") == 1).alias("is_match"),
+        )
+        .transform(
+            lambda d: small_sort(d, "block_no", "ts", "line_no")
+            if sort
+            else d
+        )
+    )
+
+
+def log_tail(
+    logs: DataFrame, n: int = 10, sort: bool = True
+) -> DataFrame:
+    """tail -n per block: the last ``n`` lines of each ``block_no`` in
+    (ts, line_no) order — the "what happened just now, per host" view.
+
+    One shuffle on block_no; the rank window prunes to n rows per block
+    map-side partial-sort style (row_number over the descending order),
+    so the output is |blocks|·n regardless of volume.
+    """
+    w = Window.partitionBy("block_no").orderBy(
+        F.desc("ts"), F.desc("line_no")
+    )
+    return (
+        logs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(
+            "block_no",
+            "ts",
+            "line_no",
+            "message",
+            F.col("rn").alias("lines_from_end"),
+        )
+        .transform(
+            lambda d: small_sort(d, "block_no", "ts", "line_no")
             if sort
             else d
         )

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "events_autocorrelation",
     "events_forecast_baseline",
     "snapshot_diff",
+    "log_grep_context",
+    "log_tail",
 ]
 
 
