@@ -434,7 +434,7 @@ _WINDOW_PRIORITY: list[str] = [
     "events_dau_wau",
 ]
 
-# ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, 33 keys will still
+# ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, 35 keys will still
 # lack a driver-green row (everything added after the r04 window closed):
 # events_dau_wau, dedup_edit_distance, minhash_recall_eval,
 # shingle_novelty, lang_id_eval, cluster_size_stats, dedup_pagerank,
@@ -444,9 +444,10 @@ _WINDOW_PRIORITY: list[str] = [
 # oov_rate, token_budget_plan, ip_prefix_stats, sessions_summary,
 # log_json_field_stats, source_similarity, events_value_quantiles,
 # events_path_transitions, table_profile, zorder_layout,
-# compaction_plan, snapshot_diff, stream_watermarked_counts,
-# stream_static_enrich, stream_stream_join, stream_rate_limit.
-# Replace _WINDOW_PRIORITY with that list (33 + 17 round-4-greens as
+# compaction_plan, snapshot_diff, log_grep_context, log_tail,
+# stream_watermarked_counts, stream_static_enrich, stream_stream_join,
+# stream_rate_limit.
+# Replace _WINDOW_PRIORITY with that list (35 + 15 round-4-greens as
 # filler) at the START of round 5 so every key accumulates hard
 # evidence.
 
