@@ -1289,13 +1289,19 @@ def tpch_q2(
     p = part.filter(F.col("p_size").between(size_lo, size_hi)).select(
         "p_partkey", "p_brand"
     )
-    return (
+    # min_cost (one row per part) and p (size-band part projection) are
+    # both O(|part|) — unbounded at scale, so they are NOT broadcast-
+    # hinted: the joins are equi-keyed on partkey and AQE broadcasts
+    # them at small SF while falling back to a shuffle join when |part|
+    # outgrows the driver's broadcast cap (hundreds of millions of rows
+    # at SF10³⁺ would OOM a forced broadcast).
+    out = (
         eligible.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("l_partkey") == F.col("m_partkey"))
             & (F.col("supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1306,14 +1312,18 @@ def tpch_q2(
                 "supplycost"
             ),
         )
-        .transform(
-            lambda d: small_sort(
-                d, F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
-            ).limit(limit)
-            if sort
-            else d
-        )
     )
+    if sort:
+        out = small_sort(
+            out,
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+    # limit applies regardless of sort: sort=False yields an UNORDERED
+    # top-`limit` rather than silently dropping the bound.
+    return out.limit(limit)
 
 
 def tpch_q11(
@@ -1445,7 +1455,7 @@ def events_seasonality(events: DataFrame) -> DataFrame:
 
     One partial-agg groupBy; shares via a broadcast 1-row total. The
     day-of-week comes from integer epoch-day arithmetic
-    (``(days + 4) % 7``, Monday = 0 — 1970-01-01 was a Thursday)
+    (``(days + 4) % 7``, Sunday = 0 — 1970-01-01 was a Thursday → 4)
     instead of calendar functions, because engines disagree on
     dayofweek numbering (Spark 1=Sunday, DuckDB 0=Sunday, ISO 1=Monday)
     but integer division is bit-identical everywhere.
@@ -1572,4 +1582,71 @@ def events_forecast_baseline(
         _mae(1, "naive")
         .join(_mae(season_hours, "seasonal"), "event_type")
         .orderBy("event_type")
+    )
+
+
+def events_cohort_matrix(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-seen
+    week (the cohort), distinct active users per (cohort_week,
+    weeks-since-cohort) cell — the classic retention triangle.
+
+    Weeks are integer epoch-week arithmetic (``unix_millis //
+    7·86400000``) rather than calendar truncation, because engines
+    disagree on week-start conventions while integer division is
+    bit-identical everywhere (the ``events_seasonality`` discipline).
+
+    100 TB shape: per-user min (one partial-agg shuffle on user_id),
+    join back keyed on user_id (both sides already hash on it — AQE
+    broadcasts the cohort relation only while it fits; no hint, it is
+    O(|users|)), then one partial-agg groupBy over the small
+    (cohort, offset) domain via distinct-user pre-aggregation.
+    """
+    wk = (F.unix_millis(F.col("ts")) / F.lit(604_800_000)).cast("long")
+    uw = events.select(F.col("user_id"), wk.alias("week"))
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()  # distinct (user, cell) BEFORE the count — partial-agg friendly
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return small_sort(cells, "cohort_week", "week_offset")
+
+
+def events_value_ntile_histogram(events: DataFrame, tiles: int = 10) -> DataFrame:
+    """Equal-count (ntile) histogram of ``value`` per event type:
+    bucket boundaries and means for ``tiles`` quantile buckets — the
+    exact-distribution profile behind outlier thresholds.
+
+    Deterministic: the ntile ordering includes event_id so ties split
+    identically in any engine (SQL-standard ntile remainder rule:
+    earlier tiles get the extra row).
+
+    Scale note: exact ntile sorts each event_type partition — one
+    range-ish sort per type (salting cannot apply; ranks are global
+    per type). This is the EXACT profile for audit-scale runs;
+    at 100 TB steady state use ``events_value_quantiles``
+    (approx-percentile, partial-agg only) and reserve this for
+    samples — the pairing the docstrings of both ops point at.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    t = events.select("event_type", "event_id", "value").withColumn(
+        "tile", F.ntile(tiles).over(w)
+    )
+    return (
+        t.groupBy("event_type", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .transform(lambda d: small_sort(d, "event_type", "tile"))
     )

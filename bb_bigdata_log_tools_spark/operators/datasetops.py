@@ -455,3 +455,42 @@ def snapshot_diff(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    tie_col: str = "doc_id",
+    k: int = 5,
+    salts: int = 8,
+) -> DataFrame:
+    """Exact top-k rows per group (largest ``order_col``, ties broken by
+    ascending ``tie_col``) — the "best documents per source" selection a
+    mixture builder runs before manual review.
+
+    TWO-PHASE top-k: a single window over ``group_col`` sorts every
+    group in one task, so one giant group (half the corpus from one
+    crawl source) becomes one straggler sorting 50 TB. Phase 1 ranks
+    within (group, ``tie_col % salts``) — each task sorts ≤ |group|/salts
+    rows — and keeps k survivors per salt; phase 2 ranks the ≤ k·salts
+    survivors per group exactly. The survivor superset provably contains
+    the true top-k (any true top-k row is top-k within its own salt), so
+    the result is identical to the one-window plan at any scale.
+    """
+    salt = F.pmod(F.col(tie_col), F.lit(salts))
+    w1 = Window.partitionBy(group_col, salt.alias("salt")).orderBy(
+        F.desc(order_col), F.asc(tie_col)
+    )
+    survivors = (
+        df.select(group_col, order_col, tie_col)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tie_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .transform(lambda d: small_sort(d, group_col, "rank"))
+    )

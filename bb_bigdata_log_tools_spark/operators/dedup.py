@@ -323,7 +323,9 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", hash_expr.alias("simhash"))
 
 
-def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dedup_simhash(
+    documents: DataFrame, max_hamming: int = 3, salts: int = 8
+) -> DataFrame:
     """Simhash near-dup pairs with Hamming distance ≤ k.
 
     Blocking: split the 60-bit hash into ``max_hamming + 1`` chunks
@@ -334,6 +336,15 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     a fixed chunking would silently drop pairs for larger k. The
     Hamming check on survivors uses ``bit_count(xor)`` (one codegen'd
     instruction).
+
+    HOT-CHUNK SKEW: a template family collapsing to one chunk value
+    puts C(B,2) candidate pairs in ONE join task, and AQE's byte-keyed
+    skew split cannot see output skew over tiny input (same exposure
+    ``dedup_minhash_lsh`` documents). Same structural fix: left side
+    salts by ``doc_id % salts``, right side replicates across the salt
+    domain, and the chunk join adds the salt key — every pair produced
+    exactly once, each hot chunk's quadratic output spread over
+    ``salts`` tasks. ``salts=1`` recovers the unsalted plan.
     """
     if not 0 <= max_hamming <= 11:
         # >11 would need chunks under 5 bits: buckets so coarse the
@@ -362,13 +373,21 @@ def dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    a = chunks.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(salts))
+    ).alias("a")
+    b = chunks.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
+        ),
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -526,9 +545,13 @@ def dedup_keep_best(
         F.col("doc_id").alias("kept_doc_id"),
         F.col("quality_score").alias("kept_score"),
     )
+    # `kept` is one row per near-dup cluster — unbounded on a
+    # duplicate-heavy corpus (10⁸⁺ clusters on a 100 TB crawl), so no
+    # broadcast hint: the join is equi-keyed on cluster_id and AQE
+    # broadcasts only while `kept` actually fits.
     return (
         ranked.filter(F.col("rn") > 1)
-        .join(F.broadcast(kept), "cluster_id")
+        .join(kept, "cluster_id")
         .select(
             "doc_id", "cluster_id", "kept_doc_id", "quality_score", "kept_score"
         )
@@ -897,6 +920,10 @@ def dedup_pagerank(
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     n_nodes = nodes.count()  # scalar for the teleport term; |participants|
+    if n_nodes == 0:
+        # Clean corpus: no near-dup pairs → no graph. Return an empty
+        # (doc_id, rank) frame instead of dividing by zero below.
+        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
@@ -921,4 +948,91 @@ def dedup_pagerank(
     return (
         ranks.select("doc_id", F.round("rank", 6).alias("rank"))
         .transform(lambda d: small_sort(d, F.desc("rank"), F.asc("doc_id")))
+    )
+
+
+def dedup_substring(
+    documents: DataFrame,
+    gram_len: int = 20,
+    min_len: int = 30,
+    max_df: int = 64,
+) -> DataFrame:
+    """Suffix-array-style duplicated-substring detection (the
+    cross-document half of Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): for every
+    document pair sharing a verbatim substring of ≥ ``min_len`` chars,
+    report the longest common run.
+
+    A true distributed suffix array is overkill on Spark; the
+    equivalent relational shape is POSITIONAL gram matching — the same
+    diagonal trick a suffix-array dedup exploits, expressed as joins:
+
+    1. every overlapping ``gram_len``-char gram of every doc, WITH its
+       position (posexplode; one row per char — the suffix-array's
+       leaf set);
+    2. grams occurring > ``max_df`` times corpus-wide are dropped
+       BEFORE the join (boilerplate grams carry no pair signal and
+       would fan out quadratically — the max_df discipline of
+       ``jaccard_pairs``, which also bounds per-gram join output to
+       C(max_df, 2) so no salting is needed);
+    3. self-join on gram hash (doc_id1 < doc_id2): co-occurrence at
+       (p1, p2) lies on diagonal p1−p2 — consecutive positions on one
+       diagonal are one contiguous shared substring;
+    4. islands trick per (pair, diagonal): run_len = longest streak of
+       consecutive p1 (p1 − row_number is constant within a streak),
+       and the shared-substring length is gram_len + run − 1.
+
+    Output: (doc_id1, doc_id2, lcs_len) — the longest verbatim shared
+    span per pair, ≥ ``min_len``, exact as long as every shared gram of
+    the winning span survives the df cap.
+
+    100 TB shape: the positions relation is O(total chars) = corpus
+    scale but narrow (doc_id, pos, 60-bit hash); everything downstream
+    is df-capped equi-joins and partial-agg groupBys. gram_len trades
+    recall (spans shorter than gram_len are invisible) against
+    positions-relation width — 20-50 is the paper's working range.
+    """
+    c = F.col("text")
+    grams = (
+        documents.filter(F.length(c) >= gram_len)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c) - F.lit(gram_len - 1)),
+                    lambda i: F.substring(c, i, gram_len),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = grams.join(hot, "h", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("b.doc_id").alias("doc_id2"),
+        F.col("a.pos").alias("p1"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    ).distinct()
+    w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("p1")
+    runs = (
+        hits.withColumn("grp", F.col("p1") - F.row_number().over(w))
+        .groupBy("doc_id1", "doc_id2", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("doc_id1", "doc_id2")
+        .agg((F.max("run") + F.lit(gram_len - 1)).alias("lcs_len"))
+        .filter(F.col("lcs_len") >= min_len)
+        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
     )

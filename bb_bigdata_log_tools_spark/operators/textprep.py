@@ -298,3 +298,44 @@ def clean_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
         cleaned.alias("text_clean"),
         F.length(cleaned).alias("n_chars_after"),
     ).transform(lambda d: small_sort(d, "doc_id"))
+
+
+def near_template_clusters(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Template-family detection: documents built from the SAME parts —
+    numbers masked (``[0-9]+`` → ``#``), then the SORTED DISTINCT token
+    set as the family fingerprint. Catches the machine-generated
+    boilerplate class (receipts, log dumps, listings: same words,
+    varying numbers) AND word-shuffled template families (same
+    vocabulary, permuted order) that near-dup LSH finds pair-by-pair
+    but a single canonical hash finds in ONE pass.
+
+    Output: one row per template family with ≥ ``min_docs`` members —
+    (template_md5, n_docs, n_sources, min_doc_id, template_preview).
+
+    100 TB shape: scan → regexp_replace/array_sort (codegen'd column
+    algebra) → md5 groupBy with map-side partial agg; single shuffle on
+    the digest, output bounded by |families|. This is the cheapest
+    dedup signal in the family — run it BEFORE the quadratic-candidate
+    ops and drop whole families.
+    """
+    masked = F.regexp_replace(F.col("text"), "[0-9]+", "#")
+    tmpl = F.array_join(
+        F.array_sort(F.array_distinct(F.split(masked, " "))), " "
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.md5(tmpl).alias("template_md5"),
+            F.substring(tmpl, 1, 60).alias("template_prefix"),
+        )
+        .groupBy("template_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.min("template_prefix").alias("template_preview"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .transform(lambda d: small_sort(d, "min_doc_id"))
+    )

@@ -376,80 +376,71 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 _WINDOW_PRIORITY: list[str] = [
-    # round-4 additions (never seen by the driver)
-    "stream_funnel_match",
-    "bm25_search",
-    "events_rfm",
-    "dedup_keep_best",
-    "events_interval_join",
-    "split_assign",
-    "dedup_cross_source",
-    "events_asof_join",
-    "time_rollup",
-    "kmeans_embeddings",
-    "length_histogram",
-    "chunk_dedup_stats",
-    "ann_recall_eval",
-    "tpch_q9",
-    "tpch_q16",
-    "tpch_q20",
-    "shuffle_shards",
-    "dataset_stats",
-    "filter_blocklist",
-    "events_retention",
-    "semdedup",
-    "tpch_q8",
-    "tpch_q17",
-    "tpch_q19",
-    "chunk_documents",
-    "tfidf_keywords",
-    "sample_weighted",
-    "stream_sessionize",
-    # registered after position 50 in round 3 → never driver-checked
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "avro_generic_read",
-    "avro_block_merge",
-    "avro_block_scan",
-    "sample_stratified",
-    "dedup_incremental",
-    "pii_scrub",
-    "url_domain_stats",
-    "quality_filter",
-    "ann_topk_ivf",
-    "decontaminate",
-    "pack_sequences",
-    "domain_mix_weights",
-    "unigram_perplexity",
+    # --- round-5 rotation: the 36 keys with no driver-green row yet ---
+    # embedding_quantize failed r4 on array-typed output (now stringified
+    # as qvec_csv); the other 35 registered after the r4 window closed.
     "embedding_quantize",
-    "sample_exact_stratified",
-    "stream_grep",
-    "stream_hourly_stats",
-    "stream_dedup",
-    # late round-4 additions — fill the last window slot (otherwise it
-    # re-verifies log_cat, already driver-green from round 3) and queue
-    # the next rotation; keys past position 50 wait for round 5
-    "clean_text",
     "events_dau_wau",
+    "dedup_edit_distance",
+    "minhash_recall_eval",
+    "shingle_novelty",
+    "lang_id_eval",
+    "cluster_size_stats",
+    "dedup_pagerank",
+    "log_dedup_window",
+    "sql_passthrough",
+    "tpch_q2",
+    "tpch_q11",
+    "events_robust_anomaly",
+    "funnel_time_stats",
+    "events_seasonality",
+    "events_autocorrelation",
+    "events_forecast_baseline",
+    "perplexity_buckets",
+    "oov_rate",
+    "token_budget_plan",
+    "ip_prefix_stats",
+    "sessions_summary",
+    "log_json_field_stats",
+    "source_similarity",
+    "events_value_quantiles",
+    "events_path_transitions",
+    "table_profile",
+    "zorder_layout",
+    "compaction_plan",
+    "snapshot_diff",
+    "log_grep_context",
+    "log_tail",
+    "stream_watermarked_counts",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_rate_limit",
+    # --- round-5 NEW operators (each needs a first driver check) ---
+    # (appended here as they are registered during round 5)
+    "boom_read_pushdown",
+    "grouped_topk_per_source",
+    "events_histogram_ntile",
+    "dedup_suffix_array",
+    "text_near_template",
+    "docs_minhash_signature",
+    "events_cohort_matrix",
+    # --- fillers: already-green keys whose code changed this round ---
+    # (re-verification; anything past position 50 is harmlessly skipped)
+    "dedup_keep_best",
+    "boom_read",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "semdedup",
+    "tpch_q1",
+    "tpch_q3",
+    "log_grep",
+    "events_sessionize",
+    "dedup_exact",
+    "text_quality",
+    "stream_sessionize",
+    "clean_text",
+    "dataset_stats",
 ]
-
-# ROUND-5 ROTATION TODO: after CORRECTNESS_r04 lands, 35 keys will still
-# lack a driver-green row (everything added after the r04 window closed):
-# events_dau_wau, dedup_edit_distance, minhash_recall_eval,
-# shingle_novelty, lang_id_eval, cluster_size_stats, dedup_pagerank,
-# log_dedup_window, sql_passthrough, tpch_q2, tpch_q11,
-# events_robust_anomaly, funnel_time_stats, events_seasonality,
-# events_autocorrelation, events_forecast_baseline, perplexity_buckets,
-# oov_rate, token_budget_plan, ip_prefix_stats, sessions_summary,
-# log_json_field_stats, source_similarity, events_value_quantiles,
-# events_path_transitions, table_profile, zorder_layout,
-# compaction_plan, snapshot_diff, log_grep_context, log_tail,
-# stream_watermarked_counts, stream_static_enrich, stream_stream_join,
-# stream_rate_limit.
-# Replace _WINDOW_PRIORITY with that list (35 + 15 round-4-greens as
-# filler) at the START of round 5 so every key accumulates hard
-# evidence.
 
 QUERIES: dict[str, QueryFn] = {
     k: _ALL_QUERIES[k] for k in _WINDOW_PRIORITY if k in _ALL_QUERIES

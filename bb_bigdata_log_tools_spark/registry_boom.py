@@ -61,6 +61,29 @@ FROM (VALUES
 
 SQL_BOOM_READ = _build_boom_values() if os.path.isdir(BM_DIR) else None
 
+# FastSearch-parity pushdown: Spark side filters INSIDE the decoder
+# (block byte-scan before record decode, sources/boom.py:scan_boom_bytes);
+# the oracle filters the pinned unfiltered decode in SQL — an
+# independent read-then-filter check of the same contract.
+PUSHDOWN_TERMS = ["contains", "Greek"]
+
+
+def q_boom_read_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed substring search on the reference golden .bm file
+    (``util/FastSearch.java:76`` semantics; fixed input, independent of
+    sf_dir)."""
+    return read_boom(spark, BM_DIR, search_terms=PUSHDOWN_TERMS)
+
+
+SQL_BOOM_READ_PUSHDOWN = (
+    f"""
+SELECT * FROM ({SQL_BOOM_READ}) AS unfiltered
+WHERE message LIKE '%{PUSHDOWN_TERMS[0]}%' OR message LIKE '%{PUSHDOWN_TERMS[1]}%'
+"""
+    if SQL_BOOM_READ is not None
+    else None
+)
+
 
 def q_ts_parse_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip: events ts → RFC5424 string → parse back to epoch ms.
@@ -111,6 +134,7 @@ ORDER BY event_id
 
 BOOM_QUERIES = {
     "boom_read": q_boom_read,
+    "boom_read_pushdown": q_boom_read_pushdown,
     "ts_parse_rfc5424": q_ts_parse_rfc5424,
     "ts_parse_rfc3164": q_ts_parse_rfc3164,
 }
@@ -119,6 +143,7 @@ BOOM_ORACLES = {
     k: v
     for k, v in {
         "boom_read": SQL_BOOM_READ,
+        "boom_read_pushdown": SQL_BOOM_READ_PUSHDOWN,
         "ts_parse_rfc5424": SQL_TS_PARSE_RFC5424,
         "ts_parse_rfc3164": SQL_TS_PARSE_RFC3164,
     }.items()

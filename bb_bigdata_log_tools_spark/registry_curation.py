@@ -494,8 +494,17 @@ CURATION_ORACLES.update(
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # qvec is stringified (CSV) at the registry boundary: the external
+    # gate canonicalizes result rows with pandas, which cannot hash
+    # array-typed cells. The operator itself keeps its array output.
     emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
-    return similarity.embedding_quantize(emb)
+    out = similarity.embedding_quantize(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "max_abs_err",
+    )
 
 
 SQL_EMBEDDING_QUANTIZE = """
@@ -509,9 +518,11 @@ s AS (
 )
 SELECT vec_id,
   round(scale, 6) AS scale,
-  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
-       ELSE list_transform(emb, x -> CAST(greatest(-127.0,
-              least(127.0, floor(x / scale + 0.5))) AS INTEGER)) END AS qvec,
+  array_to_string(
+    CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+         ELSE list_transform(emb, x -> CAST(greatest(-127.0,
+                least(127.0, floor(x / scale + 0.5))) AS INTEGER)) END,
+    ',') AS qvec_csv,
   CASE WHEN scale = 0 THEN 0.0
        ELSE round(list_max(list_transform(emb, x ->
               abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5)))

@@ -924,3 +924,97 @@ FROM s GROUP BY status ORDER BY status
 
 DATASETOPS_QUERIES["snapshot_diff"] = q_snapshot_diff
 DATASETOPS_ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: grouped top-k, cohort matrix, ntile histogram
+# --------------------------------------------------------------------------
+
+TOPK_K = 5
+
+
+def q_grouped_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.grouped_topk(
+        table(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", TOPK_K
+    )
+
+
+SQL_GROUPED_TOPK_PER_SOURCE = f"""
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM documents
+)
+SELECT source, n_chars, doc_id, rank FROM ranked
+WHERE rank <= {TOPK_K}
+ORDER BY source, rank
+"""
+
+
+def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_cohort_matrix(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_EVENTS_COHORT_MATRIX = """
+WITH uw AS (
+  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT uw.user_id, c.cohort_week,
+         uw.week - c.cohort_week AS week_offset
+  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+NTILE_TILES = 10
+
+
+def q_events_histogram_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_value_ntile_histogram(
+        ensure_parallelism(table(spark, sf_dir, "events")), NTILE_TILES
+    )
+
+
+SQL_EVENTS_HISTOGRAM_NTILE = f"""
+WITH t AS (
+  SELECT event_type, value,
+         CAST(ntile({NTILE_TILES}) OVER (PARTITION BY event_type
+                                         ORDER BY value ASC, event_id ASC)
+              AS INTEGER) AS tile
+  FROM events
+)
+SELECT event_type, tile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi,
+       round(avg(value), 4) AS mean_value
+FROM t GROUP BY event_type, tile
+ORDER BY event_type, tile
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "grouped_topk_per_source": q_grouped_topk_per_source,
+        "events_cohort_matrix": q_events_cohort_matrix,
+        "events_histogram_ntile": q_events_histogram_ntile,
+    }
+)
+
+DATASETOPS_ORACLES.update(
+    {
+        "grouped_topk_per_source": SQL_GROUPED_TOPK_PER_SOURCE,
+        "events_cohort_matrix": SQL_EVENTS_COHORT_MATRIX,
+        "events_histogram_ntile": SQL_EVENTS_HISTOGRAM_NTILE,
+    }
+)

@@ -703,3 +703,129 @@ ORDER BY rank DESC, doc_id
 
 PIPELINE_QUERIES["dedup_pagerank"] = q_dedup_pagerank
 PIPELINE_ORACLES["dedup_pagerank"] = _pagerank_oracle()
+
+
+# --------------------------------------------------------------------------
+# suffix-array-style duplicated-substring detection (Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+SUBSTR_GRAM = 20
+SUBSTR_MIN_LEN = 30
+SUBSTR_MAX_DF = 64
+
+
+def q_dedup_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_substring(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        SUBSTR_GRAM,
+        SUBSTR_MIN_LEN,
+        SUBSTR_MAX_DF,
+    )
+
+
+# Same positional-gram / diagonal-islands construction in SQL. Spark's
+# posexplode is 0-based while generate_series is 1-based; only run
+# LENGTHS reach the output, which are offset-invariant.
+SQL_DEDUP_SUFFIX_ARRAY = f"""
+WITH pos AS (
+  SELECT doc_id, i AS p,
+         ('0x' || substring(md5(substr(text, i, {SUBSTR_GRAM})), 1, 15))::BIGINT AS h
+  FROM documents, unnest(generate_series(1, len(text) - {SUBSTR_GRAM - 1})) AS u(i)
+  WHERE len(text) >= {SUBSTR_GRAM}
+),
+hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) > {SUBSTR_MAX_DF}),
+kept AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
+hits AS (
+  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         a.p AS p1, a.p - b.p AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_id1, doc_id2, diag,
+         p1 - row_number() OVER (PARTITION BY doc_id1, doc_id2, diag
+                                 ORDER BY p1) AS grp,
+         1 AS one
+  FROM hits
+),
+rl AS (
+  SELECT doc_id1, doc_id2, count(*) AS run
+  FROM runs GROUP BY doc_id1, doc_id2, diag, grp
+)
+SELECT doc_id1, doc_id2,
+       CAST(max(run) + {SUBSTR_GRAM - 1} AS BIGINT) AS lcs_len
+FROM rl GROUP BY doc_id1, doc_id2
+HAVING max(run) + {SUBSTR_GRAM - 1} >= {SUBSTR_MIN_LEN}
+ORDER BY doc_id1, doc_id2
+"""
+
+PIPELINE_QUERIES["dedup_suffix_array"] = q_dedup_suffix_array
+PIPELINE_ORACLES["dedup_suffix_array"] = SQL_DEDUP_SUFFIX_ARRAY
+
+
+# --------------------------------------------------------------------------
+# template-family detection (digit-masked content hash)
+# --------------------------------------------------------------------------
+
+TEMPLATE_MIN_DOCS = 2
+
+
+def q_text_near_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import textprep
+
+    return textprep.near_template_clusters(
+        table(spark, sf_dir, "documents"), TEMPLATE_MIN_DOCS
+    )
+
+
+SQL_TEXT_NEAR_TEMPLATE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_sort(list_distinct(
+             string_split(regexp_replace(text, '[0-9]+', '#', 'g'), ' '))),
+           ' ') AS tmpl
+  FROM documents
+)
+SELECT md5(tmpl) AS template_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS min_doc_id,
+       min(substr(tmpl, 1, 60)) AS template_preview
+FROM t GROUP BY tmpl
+HAVING count(*) >= {TEMPLATE_MIN_DOCS}
+ORDER BY min_doc_id
+"""
+
+PIPELINE_QUERIES["text_near_template"] = q_text_near_template
+PIPELINE_ORACLES["text_near_template"] = SQL_TEXT_NEAR_TEMPLATE
+
+
+# --------------------------------------------------------------------------
+# per-document banded minhash signatures (the reusable LSH artifact)
+# --------------------------------------------------------------------------
+
+
+def q_docs_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, band_idx, band_sig) relation itself — the artifact an
+    incremental pipeline PERSISTS so tomorrow's crawl LSH-joins against
+    yesterday's signatures without re-minhashing the archive
+    (``dedup_incremental``'s input contract)."""
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+    sh = dedup.doc_shingle_hashes(
+        ensure_parallelism(table(spark, sf_dir, "documents")), 3
+    )
+    return dedup.minhash_bands_from_hashes(sh, 64, 16).transform(
+        lambda d: small_sort(d, "doc_id", "band_idx")
+    )
+
+
+SQL_DOCS_MINHASH_SIGNATURE = f"""
+WITH {SQL_MINHASH_PAIRS_CTES}
+SELECT doc_id, CAST(band_idx AS INTEGER) AS band_idx, band_sig
+FROM bandsigs
+ORDER BY doc_id, band_idx
+"""
+
+PIPELINE_QUERIES["docs_minhash_signature"] = q_docs_minhash_signature
+PIPELINE_ORACLES["docs_minhash_signature"] = SQL_DOCS_MINHASH_SIGNATURE

@@ -152,8 +152,11 @@ class _Decoder:
         raise ValueError(f"unsupported avro type: {schema!r}")
 
 
-def read_container(data: bytes) -> Iterator[dict]:
-    """Yield decoded records from an Avro object-container byte string."""
+def read_container_blocks(data: bytes) -> Iterator[tuple[dict, int, bytes]]:
+    """Yield (writer_schema, record_count, decompressed_payload) per
+    container block — the seam that lets a search prefilter byte-scan a
+    block BEFORE paying for record decode (FastSearch parity; see
+    ``scan_boom_bytes``)."""
     dec = _Decoder(data)
     if dec.read_fixed(4) != MAGIC:
         raise ValueError("not an Avro container file (bad magic)")
@@ -172,9 +175,93 @@ def read_container(data: bytes) -> Iterator[dict]:
         block_sync = dec.read_fixed(16)
         if block_sync != sync:
             raise ValueError("sync marker mismatch — corrupt container")
+        yield schema, count, payload
+
+
+def read_container(data: bytes) -> Iterator[dict]:
+    """Yield decoded records from an Avro object-container byte string."""
+    for schema, count, payload in read_container_blocks(data):
         inner = _Decoder(payload)
         for _ in range(count):
             yield inner.decode(schema)
+
+
+def scan_boom_bytes(
+    data: bytes,
+    search_terms: list[str],
+    match_all: bool = False,
+    case_insensitive: bool = False,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> Iterator[tuple]:
+    """FastSearch-parity filtered scan of one .bm byte string: flattened
+    (ts, message, event_id, create_time, block_no, line_no) tuples for
+    lines containing the search term(s).
+
+    Two-phase, mirroring the reference's
+    ``util/FastSearch.java:76`` SearchMapper (with
+    ``mapred/boom/BoomFilterMapper.java``'s per-line string-match
+    semantics): (1) byte-scan the DECOMPRESSED block payload for the
+    UTF-8 pattern bytes and skip the whole block's record decode when no
+    term can match — on low-hit-rate greps this skips the expensive
+    Avro record walk for most blocks; (2) only matched blocks are
+    decoded, then lines are substring-filtered exactly. ``match_all``
+    requires every term (a line containing all terms implies each
+    term's bytes appear in its block, so requiring all terms at block
+    level is a safe prefilter); default is match-any. Case-insensitive
+    mode upper-cases both sides line-level and skips the byte prefilter
+    for non-ASCII terms (the reference's ``unicode`` fallback).
+    ``start_ms``/``end_ms`` bound block seconds like
+    ``logdriver.search.start.time``/``end.time``.
+    """
+    if case_insensitive:
+        # ASCII terms byte-scan both cases cheaply via .upper() on a
+        # decoded latin-1 view; non-ASCII upper/lower can change byte
+        # LENGTH (reference's `unicode` flag) → decode every block.
+        ascii_ok = all(t.isascii() for t in search_terms)
+        terms_upper = [t.upper() for t in search_terms]
+    else:
+        terms_bytes = [t.encode("utf-8") for t in search_terms]
+    want_all = match_all
+
+    for schema, count, payload in read_container_blocks(data):
+        if case_insensitive:
+            if ascii_ok:
+                hay = payload.decode("latin-1").upper()
+                hits = [t in hay for t in terms_upper]
+            else:
+                hits = [True] * len(search_terms)
+        else:
+            hits = [t in payload for t in terms_bytes]
+        if not (all(hits) if want_all else any(hits)):
+            continue
+        inner = _Decoder(payload)
+        for _ in range(count):
+            rec = inner.decode(schema)
+            second = rec["second"]
+            ts_base = second * 1000
+            if start_ms is not None and ts_base < start_ms:
+                continue
+            if end_ms is not None and ts_base >= end_ms:
+                continue
+            create_time = rec["createTime"]
+            block_no = rec["blockNumber"]
+            for line_no, line in enumerate(rec["logLines"]):
+                msg = line["message"]
+                if case_insensitive:
+                    m = msg.upper()
+                    ok = [t in m for t in terms_upper]
+                else:
+                    ok = [t in msg for t in search_terms]
+                if all(ok) if want_all else any(ok):
+                    yield (
+                        ts_base + line["ms"],
+                        msg,
+                        int(line.get("eventId", 0) or 0),
+                        create_time,
+                        block_no,
+                        line_no,
+                    )
 
 
 def flatten_log_blocks(records: Iterator[dict]) -> Iterator[tuple]:
@@ -212,26 +299,50 @@ def count_boom_lines(path: str) -> int:
         return sum(1 for _ in flatten_log_blocks(read_container(f.read())))
 
 
-def read_boom(spark: SparkSession, path: str) -> DataFrame:
+def read_boom(
+    spark: SparkSession,
+    path: str,
+    search_terms: list[str] | None = None,
+    match_all: bool = False,
+    case_insensitive: bool = False,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
     """Distributed .bm read: binaryFile source → per-file Arrow-batched
-    decode in executors → canonical log schema."""
+    decode in executors → canonical log schema.
+
+    ``search_terms`` pushes a substring search INTO the decoder
+    (``scan_boom_bytes``): non-matching container blocks are skipped on
+    a byte-scan of the compressed-block payload before any Avro record
+    decode — the reference's FastSearch fast path
+    (``util/FastSearch.java:76``). Semantically identical to reading
+    everything then filtering (``log_search``'s contract), so callers
+    may use it as a drop-in accelerator. On parquet-resident logs
+    Catalyst's pushdown covers this; the seam exists for legacy .bm
+    trees where the scan cost lives inside our own decoder.
+    """
     import pandas as pd
+
+    cols = ["ts", "message", "event_id", "create_time", "block_no", "line_no"]
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for content in pdf["content"]:
-                rows = list(flatten_log_blocks(read_container(bytes(content))))
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "ts",
-                        "message",
-                        "event_id",
-                        "create_time",
-                        "block_no",
-                        "line_no",
-                    ],
-                )
+                data = bytes(content)
+                if search_terms is not None:
+                    rows = list(
+                        scan_boom_bytes(
+                            data,
+                            search_terms,
+                            match_all=match_all,
+                            case_insensitive=case_insensitive,
+                            start_ms=start_ms,
+                            end_ms=end_ms,
+                        )
+                    )
+                else:
+                    rows = list(flatten_log_blocks(read_container(data)))
+                yield pd.DataFrame(rows, columns=cols)
 
     binary = (
         spark.read.format("binaryFile")

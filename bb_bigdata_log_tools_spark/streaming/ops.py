@@ -312,7 +312,12 @@ def stream_stream_join(
     once the watermark passes — state stays proportional to the time
     window, not the stream.
     """
-    wm = f"{within_ms // 1000 * 2} seconds"
+    # Millisecond-precision bound: building the interval in ms keeps
+    # non-multiple-of-1000 windows (e.g. 1500 ms) exact instead of
+    # silently flooring to whole seconds; the watermark is rounded UP
+    # to a safe horizon (eviction may only be later, never earlier).
+    wm_secs = -(-within_ms * 2 // 1000)  # ceil-div
+    wm = f"{wm_secs} seconds"
     lt, rt = F.col(left_ts), F.col(right_ts)
     return (
         left.withWatermark(left_ts, wm)
@@ -320,7 +325,7 @@ def stream_stream_join(
             right.withWatermark(right_ts, wm),
             (F.col(f"l_{key}") == F.col(f"r_{key}"))
             & (rt >= lt)
-            & (rt <= lt + F.expr(f"INTERVAL {within_ms // 1000} SECONDS")),
+            & (rt <= lt + F.expr(f"INTERVAL {within_ms} MILLISECONDS")),
             "inner",
         )
     )
@@ -344,8 +349,12 @@ def stream_rate_limit(
     on window rollover, evicted by the event-time timeout one window
     past the watermark. Within a batch events process in (ts, id)
     order, and the admit decision depends only on the per-(user,window)
-    arrival rank, so the drained output equals the batch
-    row_number-per-window query exactly — FULL oracle.
+    arrival rank, so a single-batch drain equals the batch
+    row_number-per-window query exactly — FULL oracle. Across batches,
+    a legal-but-late event for a window OLDER than the user's current
+    one is DROPPED (its window's count is gone; admitting it could
+    break the ≤limit contract), so multi-batch out-of-order runs
+    under-admit for straggler windows rather than ever over-admitting.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -382,6 +391,13 @@ def stream_rate_limit(
         accepted = []
         for t, eid in rows:
             w = (t // window_ms) * window_ms
+            if win is not None and w < win:
+                # Pre-watermark straggler for a window whose count was
+                # already advanced past: admitting it could exceed the
+                # per-window limit (the old count is gone), so drop it
+                # rather than reset `win` backwards and re-admit up to
+                # `limit` events for BOTH windows.
+                continue
             if w != win:
                 win, n = w, 0
             if n < limit:

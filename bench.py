@@ -128,6 +128,14 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "log_grep_context",
     "log_tail",
+    # round-5 additions
+    "boom_read_pushdown",
+    "grouped_topk_per_source",
+    "events_histogram_ntile",
+    "dedup_suffix_array",
+    "text_near_template",
+    "docs_minhash_signature",
+    "events_cohort_matrix",
 ]
 
 
