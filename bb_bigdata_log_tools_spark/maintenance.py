@@ -60,6 +60,62 @@ class MaintenanceLockHeld(RuntimeError):
     """Another maintenance runner holds the lease on this service tree."""
 
 
+class LeaseBackend:
+    """Pluggable storage primitive behind :class:`MaintenanceLease`.
+
+    The lease algorithm needs exactly three operations; anything that
+    can do an ATOMIC create-if-absent can be a correct backend:
+
+    - POSIX / HDFS: this default class (``O_CREAT|O_EXCL`` /
+      exclusive ``create()``).
+    - S3: conditional put (``PutObject`` with ``If-None-Match: *``) —
+      subclass and override the three methods with boto3 calls.
+    - DynamoDB / etcd / ZooKeeper (the reference's choice,
+      ``logdriver/locks/LockUtil.java:1``): conditional put-item /
+      ephemeral node.
+
+    Deployments on object stores inject a subclass via
+    ``MaintenanceLease(base, backend=...)``; the POSIX default keeps
+    local/HDFS behavior unchanged.
+    """
+
+    def create_if_absent(self, path: str, payload: bytes) -> bool:
+        """Atomically create ``path`` with ``payload`` iff it does not
+        exist. True on success, False when it already exists."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+        return True
+
+    def mtime_ms(self, path: str) -> int | None:
+        """Creation/modification time of ``path`` in epoch ms, or None
+        when it does not exist."""
+        try:
+            return int(os.stat(path).st_mtime * 1000)
+        except FileNotFoundError:
+            return None
+
+    def read(self, path: str) -> str:
+        try:
+            with open(path, encoding="utf-8") as f:
+                return f.read().strip()
+        except OSError:
+            return "<unreadable>"
+
+    def delete(self, path: str) -> None:
+        """Delete ``path``; missing is not an error."""
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
 class MaintenanceLease:
     """Best-effort single-runner lease over one service tree.
 
@@ -70,10 +126,12 @@ class MaintenanceLease:
     ``<base>/_MAINTENANCE_LEASE`` is atomic on local/NFSv4-POSIX
     filesystems (and on HDFS proper, whose create() is
     exclusive-by-default). S3-style object stores have NO atomic
-    create-if-absent through a POSIX mount, so there this degrades to
-    best-effort only — deployments on object stores should inject real
-    coordination (the reference's answer was ZooKeeper) rather than
-    rely on this file. The file body records ``pid=<pid> host=<host>
+    create-if-absent through a POSIX mount, so there the POSIX default
+    degrades to best-effort — deployments on object stores inject real
+    coordination via ``backend=`` (a :class:`LeaseBackend` subclass
+    wrapping S3 conditional put, DynamoDB conditional put-item, or
+    ZooKeeper — the reference's answer) instead of relying on the
+    mount. The file body records ``pid=<pid> host=<host>
     ts_ms=<acquire time>`` for operators; a lease whose file mtime is
     older than ``ttl_ms`` is presumed orphaned (holder crashed before
     the ``finally``) and is broken-then-retaken.
@@ -92,10 +150,12 @@ class MaintenanceLease:
     """
 
     def __init__(self, base: str, ttl_ms: int = 2 * 60 * 60 * 1000,
-                 now_ms: int | None = None):
+                 now_ms: int | None = None,
+                 backend: LeaseBackend | None = None):
         self.path = os.path.join(base, LEASE_MARKER)
         self.ttl_ms = ttl_ms
         self._held = False
+        self.backend = backend if backend is not None else LeaseBackend()
         # now_ms is accepted for signature stability but deliberately
         # ignored: TTL staleness must use the same clock that wrote the
         # lease mtime (see docstring).
@@ -106,39 +166,24 @@ class MaintenanceLease:
         return int(_time.time() * 1000)
 
     def _try_create(self) -> bool:
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        try:
-            os.write(
-                fd,
-                f"pid={os.getpid()} host={os.uname().nodename} "
-                f"ts_ms={self._now()}\n".encode(),
-            )
-        finally:
-            os.close(fd)
-        return True
+        payload = (
+            f"pid={os.getpid()} host={os.uname().nodename} "
+            f"ts_ms={self._now()}\n".encode()
+        )
+        return self.backend.create_if_absent(self.path, payload)
 
     def acquire(self) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
         if self._try_create():
             self._held = True
             return
         # Lease exists: live holder → raise; stale → break and retake.
-        if self._now() - _mtime_ms(self.path) <= self.ttl_ms:
-            try:
-                with open(self.path, encoding="utf-8") as f:
-                    holder = f.read().strip()
-            except OSError:
-                holder = "<unreadable>"
+        mtime = self.backend.mtime_ms(self.path)
+        if mtime is not None and self._now() - mtime <= self.ttl_ms:
+            holder = self.backend.read(self.path)
             raise MaintenanceLockHeld(
                 f"maintenance lease held ({holder}) at {self.path}"
             )
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass  # holder released between our stat and unlink
+        self.backend.delete(self.path)
         if not self._try_create():
             raise MaintenanceLockHeld(
                 f"maintenance lease re-taken concurrently at {self.path}"
@@ -147,10 +192,7 @@ class MaintenanceLease:
 
     def release(self) -> None:
         if self._held:
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+            self.backend.delete(self.path)
             self._held = False
 
     def __enter__(self) -> "MaintenanceLease":

@@ -464,6 +464,7 @@ def grouped_topk(
     tie_col: str = "doc_id",
     k: int = 5,
     salts: int = 8,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact top-k rows per group (largest ``order_col``, ties broken by
     ascending ``tie_col``) — the "best documents per source" selection a
@@ -489,8 +490,7 @@ def grouped_topk(
         .drop("r1")
     )
     w2 = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(tie_col))
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .transform(lambda d: small_sort(d, group_col, "rank"))
+    out = survivors.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
     )
+    return small_sort(out, group_col, "rank") if sort else out

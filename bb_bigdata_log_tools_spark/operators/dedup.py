@@ -515,6 +515,7 @@ def dedup_keep_best(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    sort: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup RESOLUTION: cluster (minhash-LSH pairs →
     connected components, :func:`dedup_cluster`) then keep the
@@ -549,14 +550,14 @@ def dedup_keep_best(
     # duplicate-heavy corpus (10⁸⁺ clusters on a 100 TB crawl), so no
     # broadcast hint: the join is equi-keyed on cluster_id and AQE
     # broadcasts only while `kept` actually fits.
-    return (
+    out = (
         ranked.filter(F.col("rn") > 1)
         .join(kept, "cluster_id")
         .select(
             "doc_id", "cluster_id", "kept_doc_id", "quality_score", "kept_score"
         )
-        .transform(lambda d: small_sort(d, "doc_id"))
     )
+    return small_sort(out, "doc_id") if sort else out
 
 
 def dedup_cross_source(

@@ -198,3 +198,81 @@ def test_compact_boom_dir_multi_partition(spark, tmp_path):
         blocks = list(read_container(f.read()))
     assert [b["blockNumber"] for b in blocks] == list(range(len(blocks)))
     assert [b["second"] for b in blocks] == sorted({ts // 1000 for ts, _, _ in all_lines})
+
+
+def test_pushdown_scan_equals_read_then_filter():
+    """FastSearch-parity pushdown (block byte-scan before record decode)
+    must return EXACTLY the read-everything-then-filter rows for every
+    term/flag combination the golden search script exercises, including
+    the unicode case-insensitive fallback path."""
+    from bb_bigdata_log_tools_spark.sources.boom import scan_boom_bytes
+
+    with open(BM_FILE, "rb") as f:
+        data = f.read()
+    rows = read_boom_local(BM_FILE)
+    cases = [
+        (["test"], False, False), (["TEST"], False, True),
+        (["ä"], False, True), (["fenêtre"], False, False),
+        (["ЧЕЛовЕК"], False, True), (["#!a"], False, True),
+        (["line", "case"], True, False), (["contains", "Greek"], False, False),
+        (["3.14159265358979"], False, False), (["nosuchterm"], False, False),
+    ]
+    for terms, match_all, ci in cases:
+        agg = all if match_all else any
+        want = sorted(
+            r for r in rows
+            if agg(
+                (t.upper() in r[1].upper()) if ci else (t in r[1])
+                for t in terms
+            )
+        )
+        got = sorted(
+            scan_boom_bytes(
+                data, terms, match_all=match_all, case_insensitive=ci
+            )
+        )
+        assert got == want, (terms, match_all, ci, len(got), len(want))
+
+
+def test_pushdown_time_bounds_match_reference_semantics():
+    """start/end bound on block seconds, [start, end) on second*1000 —
+    logdriver.search.start.time/end.time semantics."""
+    from bb_bigdata_log_tools_spark.sources.boom import scan_boom_bytes
+
+    with open(BM_FILE, "rb") as f:
+        data = f.read()
+    rows = read_boom_local(BM_FILE)
+    matches = sorted(r for r in rows if "line" in r[1])
+    # cut strictly above the first match's second so the bound excludes it
+    mid = (matches[0][0] // 1000) * 1000 + 1000
+    got = sorted(scan_boom_bytes(data, ["line"], start_ms=mid))
+    want = sorted(
+        r for r in matches if (r[0] // 1000) * 1000 >= mid
+    )
+    assert got == want and 0 < len(got) < len(matches)
+
+
+def test_spark_pushdown_read_matches_unpushed(spark):
+    """The distributed read with search_terms= must equal read-then-
+    filter through the DataFrame API (drop-in accelerator contract)."""
+    d = os.path.dirname(BM_FILE)
+    base = read_boom(spark, d)
+    for terms, ci in [(["test"], False), (["ЧЕЛовЕК"], True)]:
+        pushed = sorted(
+            tuple(r)
+            for r in read_boom(
+                spark, d, search_terms=terms, case_insensitive=ci
+            ).collect()
+        )
+        import pyspark.sql.functions as F
+
+        cond = None
+        for t in terms:
+            c = (
+                F.upper(F.col("message")).contains(t.upper())
+                if ci
+                else F.col("message").contains(t)
+            )
+            cond = c if cond is None else (cond | c)
+        want = sorted(tuple(r) for r in base.filter(cond).collect())
+        assert pushed == want and len(pushed) > 0, (terms, ci)

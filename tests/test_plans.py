@@ -509,3 +509,85 @@ def test_compaction_plan_window_over_hours_only(spark, sf_dir):
     # corpus-side: exactly one hash exchange on the hour key
     n = plan.count("Exchange hashpartitioning(hour_start")
     assert n == 1, f"{n} hour exchanges:\n{plan[:1500]}"
+
+
+def test_q2_unbounded_sides_not_forced_broadcast(spark, sf_dir):
+    """min_cost (one row per part) and the size-band part projection are
+    O(|part|) — unbounded at scale — so the post-checkpoint plan (the
+    lineage that contains exactly those two joins) must carry NO
+    broadcast hints; after execution AQE's final plan must still have
+    size-picked broadcast for both at small SF (perf preserved without
+    the scale hazard)."""
+    def q2(sort):
+        return analytics.tpch_q2(
+            table(spark, sf_dir, "part"),
+            table(spark, sf_dir, "supplier"),
+            table(spark, sf_dir, "lineitem"),
+            table(spark, sf_dir, "nation"),
+            table(spark, sf_dir, "region"),
+            sort=sort,
+        )
+
+    df = q2(sort=False)
+    assert "strategy=broadcast" not in optimized_of(df)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan, plan[:300]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_q2_limit_applies_without_sort(spark, sf_dir):
+    """sort=False must still bound the result: limit is independent of
+    the ordering flag."""
+    df = analytics.tpch_q2(
+        table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+        sort=False,
+        limit=7,
+    )
+    assert df.count() <= 7
+
+
+def test_keep_best_kept_join_not_forced_broadcast(spark, sf_dir):
+    """The per-cluster keeper relation grows with the corpus (one row
+    per near-dup cluster) — no broadcast hint in the post-cluster join;
+    at small SF AQE still size-picks broadcast, so the plan stays cheap
+    without the scale hazard."""
+    from bb_bigdata_log_tools_spark.operators import dedup
+    from bb_bigdata_log_tools_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    df = dedup.dedup_keep_best(docs, sort=False)
+    assert "strategy=broadcast" not in optimized_of(df)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan, plan[:300]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_grouped_topk_two_phase_equals_single_window(spark, sf_dir):
+    """The salted two-phase top-k must return exactly the single-window
+    answer, and phase 1 must partition on (group, salt) — the shape that
+    spreads one giant group's sort over `salts` tasks."""
+    from pyspark.sql import Window
+
+    from bb_bigdata_log_tools_spark.operators import datasetops
+
+    docs = table(spark, sf_dir, "documents")
+    two_phase = datasetops.grouped_topk(
+        docs, "source", "n_chars", "doc_id", 5, sort=False
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    single = (
+        docs.select("source", "n_chars", "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    got = sorted(tuple(r) for r in two_phase.collect())
+    want = sorted(tuple(r) for r in single.collect())
+    assert got == want and len(got) > 0
+    plan = plan_of(two_phase)
+    assert re.search(r"hashpartitioning\(source[^)]*pmod", plan), plan[:2000]

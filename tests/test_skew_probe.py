@@ -110,3 +110,31 @@ def test_semdedup_hot_cell_bounded(spark):
     n_spread, t_spread = run(spread)
     assert n_hot == 0 and n_spread == 0  # probe emits nothing by design
     assert t_hot <= max(3.0 * t_spread, 10.0), (t_hot, t_spread)
+
+
+def test_simhash_hot_chunk_bounded(spark):
+    """One template family collapsing to ONE (chunk_idx, chunk_val)
+    bucket family vs the same total pair volume spread over 50
+    families: the salted chunk self-join must stay within a small
+    factor — AQE cannot split output skew over tiny input, the salt
+    does it by construction (same exposure/fix as the minhash-LSH
+    bucket join)."""
+    import time
+
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_simhash
+
+    # identical docs per group → identical simhash → all chunks collide
+    hot = _corpus(spark, groups=1, gsize=200, n_distinct=1800)    # ~20k pairs
+    spread = _corpus(spark, groups=50, gsize=29, n_distinct=550)  # ~20k pairs
+
+    def run(df):
+        t = time.time()
+        n = dedup_simhash(df).count()
+        return n, time.time() - t
+
+    run(_corpus(spark, 1, 20, 80))  # warm
+    n_hot, t_hot = run(hot)
+    n_spread, t_spread = run(spread)
+    assert n_hot == 200 * 199 // 2
+    assert n_spread == 50 * (29 * 28 // 2)
+    assert t_hot <= max(3.0 * t_spread, 10.0), (t_hot, t_spread)
