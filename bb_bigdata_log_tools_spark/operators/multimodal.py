@@ -126,6 +126,55 @@ def make_png(width: int, height: int, pixel: bytes = b"\x80\x80\x80") -> bytes:
     )
 
 
+def make_png_rows(
+    width: int, height: int, rows: list, filter_type: int = 0
+) -> bytes:
+    """A valid 8-bit RGB PNG from explicit pixel rows (``rows[y][x]`` in
+    this module's BMP-native (b, g, r) convention), encoded with the
+    given scanline filter (0-4) — a real spec-grade writer used by the
+    fixtures and by the decoder's filter-coverage tests."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    stride = width * 3
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            b, g, r = rows[y][x]
+            line += bytes((r, g, b))  # PNG stores RGB
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (a + up) >> 1
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            filt[i] = (line[i] - pred) & 0xFF
+        raw += bytes([filter_type]) + filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
     """True (sample_rate, channels, n_samples) from WAV bytes, or None.
 
@@ -577,11 +626,105 @@ def make_bmp(width: int, height: int, rows) -> bytes:
     )
 
 
+def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
+    """REAL PNG pixel decode from the public spec (RFC 2083): chunk
+    walk → IDAT concat → zlib inflate → per-scanline unfilter (all five
+    filter types: None/Sub/Up/Average/Paeth) → (width, height, rows of
+    (r, g, b)).
+
+    Supports the dominant web profile: 8-bit depth, color types 0
+    (grayscale, replicated to RGB), 2 (RGB), 6 (RGBA, alpha dropped),
+    non-interlaced. Anything else (16-bit, palette, Adam7) returns None
+    and flows through the stub-flag contract — a production deployment
+    plugs libpng/Pillow into the same seam for throughput; this decoder
+    is bit-exact and dependency-free.
+    """
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype_n, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype_n not in (0, 2, 6):
+        return None
+    bpp = {0: 1, 2: 3, 6: 4}[ctype_n]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = []
+    prev = bytearray(stride)
+    off = 0
+    for _y in range(h):
+        f = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            return None
+        prev = line
+        # rows use the module's BMP-native (b, g, r) tuple convention
+        # (what make_bmp writes verbatim), so PNG's RGB is reversed.
+        if ctype_n == 0:
+            rows.append([(v, v, v) for v in line])
+        elif ctype_n == 2:
+            rows.append(
+                [(line[i + 2], line[i + 1], line[i]) for i in range(0, stride, 3)]
+            )
+        else:  # RGBA → drop alpha
+            rows.append(
+                [(line[i + 2], line[i + 1], line[i]) for i in range(0, stride, 4)]
+            )
+    return (w, h, rows)
+
+
+def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
+    """Pixel rows from any codec this module really decodes (24bpp BMP,
+    8-bit non-interlaced PNG); None → stub-flag path."""
+    return _bmp_parse_pixels(payload) or png_parse_pixels(payload)
+
+
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs —
-    decode, sample, re-encode, all from the public spec (no image
-    libraries). Returns None for any other payload."""
-    parsed = _bmp_parse_pixels(payload)
+    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs AND
+    8-bit PNGs — decode, sample, re-encode as canonical 24bpp BMP, all
+    from the public specs (no image libraries). Returns None for any
+    other payload. (Name kept for API stability; see
+    :func:`image_parse_pixels` for the decode dispatch.)"""
+    parsed = image_parse_pixels(payload)
     if parsed is None or out_w < 1 or out_h < 1:
         return None
     w, h, rows = parsed
@@ -609,9 +752,10 @@ RESIZE_SCHEMA = T.StructType(
 
 def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Resize stage: REAL pixel-level nearest-neighbor resize for
-    uncompressed BMPs (the one format whose pixels are directly
-    addressable without a codec); all other payloads pass through the
-    deterministic stub with ``decoded=false``. Emits the resized
+    uncompressed 24bpp BMPs and 8-bit non-interlaced PNGs (full spec
+    decode: zlib inflate + all five scanline filters); all other
+    payloads pass through the deterministic stub with
+    ``decoded=false``. Emits the resized
     payload's size/digest rather than the bytes (the gate compares
     values; the bytes themselves round-trip in unit tests).
 

@@ -476,10 +476,74 @@ def test_bmp_resize_roundtrip_and_rejects():
     assert (w, h) == (3, 10)
     expected = [[rows[(y * 5) // 10][(x * 9) // 3] for x in range(3)] for y in range(10)]
     assert back == expected
-    # non-BMP and degenerate sizes are rejected, not crashed on
-    assert bmp_resize(make_png(4, 4), 2, 2) is None
+    # undecodable payloads and degenerate sizes are rejected, not
+    # crashed on (PNG now DECODES — see test_png_decode_*)
+    from bb_bigdata_log_tools_spark.operators.multimodal import make_wav
+
+    assert bmp_resize(make_wav(8000, 1, 4), 2, 2) is None
     assert bmp_resize(b, 0, 2) is None
     assert bmp_resize(b"BM" + b"\x00" * 10, 2, 2) is None
+    assert bmp_resize(make_png(4, 4), 2, 2) is not None
+
+
+def test_png_decode_all_filters_roundtrip():
+    """The spec decoder must invert the spec encoder for every scanline
+    filter type (None/Sub/Up/Average/Paeth) on a gradient image whose
+    rows exercise each predictor."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_png_rows,
+        png_parse_pixels,
+    )
+
+    rows = [
+        [((x * 3 + y) % 256, (x * 5 + 2 * y) % 256, (x ^ y) % 256) for x in range(11)]
+        for y in range(7)
+    ]
+    for ft in range(5):
+        png = make_png_rows(11, 7, rows, filter_type=ft)
+        parsed = png_parse_pixels(png)
+        assert parsed is not None, ft
+        w, h, back = parsed
+        assert (w, h) == (11, 7) and back == rows, ft
+
+
+def test_png_decode_profiles_and_rejects():
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_png,
+        png_parse_pixels,
+    )
+
+    # single-color writer round-trips (RGB stored → (b,g,r) convention)
+    w, h, rows = png_parse_pixels(make_png(6, 3, b"\x10\x20\x30"))
+    assert (w, h) == (6, 3)
+    assert rows[0][0] == (0x30, 0x20, 0x10)
+    # unsupported profiles flow to the stub path, never crash
+    deep = bytearray(make_png(4, 4))
+    deep[24] = 16  # 16-bit depth
+    assert png_parse_pixels(bytes(deep)) is None
+    pal = bytearray(make_png(4, 4))
+    pal[25] = 3  # palette color type
+    assert png_parse_pixels(bytes(pal)) is None
+    assert png_parse_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+    assert png_parse_pixels(b"not a png") is None
+
+
+def test_png_and_bmp_same_pixels_same_resized_output():
+    """A PNG and a BMP carrying IDENTICAL pixel content must resize to
+    byte-identical canonical BMP output — the codec seam is lossless."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        bmp_resize,
+        make_bmp,
+        make_png_rows,
+    )
+
+    rows = [
+        [((x * 7) % 256, (y * 11) % 256, (x + y) % 256) for x in range(10)]
+        for y in range(6)
+    ]
+    out_b = bmp_resize(make_bmp(10, 6, rows), 4, 4)
+    out_p = bmp_resize(make_png_rows(10, 6, rows, filter_type=4), 4, 4)
+    assert out_b is not None and out_b == out_p
 
 
 def test_media_frame_sample_edges(spark):
