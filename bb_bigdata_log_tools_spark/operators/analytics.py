@@ -1650,3 +1650,38 @@ def events_value_ntile_histogram(events: DataFrame, tiles: int = 10) -> DataFram
         )
         .transform(lambda d: small_sort(d, "event_type", "tile"))
     )
+
+
+def events_user_lifespan(events: DataFrame) -> DataFrame:
+    """User-lifespan histogram: days between a user's first and last
+    event, bucketed — the engagement-duration profile behind churn and
+    cohort analyses (the aggregate complement of the per-cell
+    :func:`events_cohort_matrix`).
+
+    Integer epoch-day arithmetic end-to-end (the cross-engine
+    bit-stability discipline); avg_events is a ratio of exact integer
+    aggregates rounded at the end.
+
+    100 TB shape: per-user min/max/count (one partial-agg shuffle on
+    user_id), then a partial-agg groupBy over the tiny lifespan-days
+    domain. No joins, no windows.
+    """
+    ms = F.unix_millis(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    lifespan = (
+        (F.col("last_ms") / F.lit(86_400_000)).cast("long")
+        - (F.col("first_ms") / F.lit(86_400_000)).cast("long")
+    ).alias("lifespan_days")
+    return (
+        per_user.select(lifespan, "n_events")
+        .groupBy("lifespan_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("n_events"), 2).alias("avg_events"),
+        )
+        .transform(lambda d: small_sort(d, "lifespan_days"))
+    )

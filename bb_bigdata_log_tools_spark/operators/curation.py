@@ -649,3 +649,37 @@ def ip_prefix_stats(
         )
         .orderBy("octet1")
     )
+
+
+def sample_reservoir(
+    df: DataFrame,
+    n: int = 100,
+    key_col: str = "doc_id",
+    salts: int = 32,
+    seed_tag: str = "rs",
+) -> DataFrame:
+    """Exact-N deterministic corpus sample — the distributed stand-in
+    for reservoir sampling: rank every row by a seeded content hash and
+    keep the global N smallest. Deterministic (re-runs and retries pick
+    the same rows), uniform (md5 rank is uniform), and EXACT-N (unlike
+    ``df.sample``'s Bernoulli fraction).
+
+    TWO-PHASE global top-N (the ``grouped_topk`` machinery with one
+    logical group): a single global rank window would sort the corpus
+    in ONE task; phase 1 ranks within ``key % salts`` partitions and
+    keeps N survivors each, phase 2 ranks the ≤ N·salts survivors —
+    provably containing the true global top-N.
+    """
+    rank = md5_long(F.concat(F.lit(seed_tag + ":"), F.col(key_col).cast("string")))
+    salt = F.pmod(F.col(key_col), F.lit(salts))
+    w1 = Window.partitionBy(salt).orderBy(rank.asc(), F.col(key_col).asc())
+    survivors = (
+        df.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= n)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy().orderBy(rank.asc(), F.col(key_col).asc())
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n)
+    )

@@ -339,3 +339,92 @@ def near_template_clusters(documents: DataFrame, min_docs: int = 2) -> DataFrame
         .filter(F.col("n_docs") >= min_docs)
         .transform(lambda d: small_sort(d, "min_doc_id"))
     )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """Document-pair cosine similarity over tf-idf weighted token
+    vectors — the classic sparse-vector near-dup/related-docs signal
+    that complements set-based Jaccard (it weighs WHICH tokens are
+    shared, so two docs sharing rare vocabulary outrank two sharing
+    stopwords).
+
+    Relational sparse algebra, no vectors materialized: tf per
+    (doc, token) → document frequencies → idf = ln(N/df) weights →
+    inverted-index self-join on token accumulating Σ w₁w₂ → divide by
+    the precomputed L2 norms. Tokens present in more than
+    ``max_df_frac`` of the corpus are dropped BEFORE the join — the
+    standard fractional stopword cap: a token in 20 % of N docs fans
+    out (0.2N)² pairs while its idf ≈ ln(5) carries almost no signal
+    (the ``jaccard_pairs`` discipline, scale-relative instead of
+    absolute so the knob survives any corpus size); norms are computed
+    on the capped relation so the cosine stays exact over the kept
+    vocabulary.
+
+    Output: (doc_id1, doc_id2, cos_sim) with cos_sim ≥ ``threshold``.
+
+    100 TB shape: two partial-agg groupBys + one df-capped equi-join;
+    per-token join output is bounded by C(max_df_frac·N, 2) ONLY for
+    tokens that are themselves rare enough to carry signal.
+    """
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .select("tok", "df", "n_docs")
+    )
+    w = (
+        tf.join(dfreq, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    return (
+        dots.join(na, F.col("doc_id1") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_id2") == F.col("nb.doc_id"))
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.round(
+                F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+    )

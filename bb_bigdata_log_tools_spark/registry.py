@@ -424,22 +424,22 @@ _WINDOW_PRIORITY: list[str] = [
     "text_near_template",
     "docs_minhash_signature",
     "events_cohort_matrix",
+    "tfidf_cosine_pairs",
+    "text_entropy",
+    "sample_reservoir",
+    "events_user_lifespan",
     # --- fillers: already-green keys whose code changed this round ---
     # (re-verification; anything past position 50 is harmlessly skipped)
     "dedup_keep_best",
     "boom_read",
     "dedup_simhash",
-    "dedup_minhash_lsh",
-    "semdedup",
+    "media_resize",
     "tpch_q1",
     "tpch_q3",
     "log_grep",
-    "events_sessionize",
     "dedup_exact",
-    "text_quality",
     "stream_sessionize",
     "clean_text",
-    "dataset_stats",
 ]
 
 QUERIES: dict[str, QueryFn] = {

@@ -733,3 +733,34 @@ ORDER BY octet1
 
 CURATION_QUERIES["ip_prefix_stats"] = q_ip_prefix_stats
 CURATION_ORACLES["ip_prefix_stats"] = SQL_IP_PREFIX_STATS
+
+
+# --------------------------------------------------------------------------
+# round-5: exact-N deterministic reservoir sample
+# --------------------------------------------------------------------------
+
+RESERVOIR_N = 100
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    return (
+        curation.sample_reservoir(docs, RESERVOIR_N)
+        .select("doc_id", "lang", "source", "sample_rank")
+        .orderBy("sample_rank")
+    )
+
+
+SQL_SAMPLE_RESERVOIR = f"""
+SELECT doc_id, lang, source,
+       CAST(row_number() OVER (
+         ORDER BY {_MD5_LONG.format(x="'rs:' || CAST(doc_id AS VARCHAR)")},
+                  doc_id) AS INTEGER) AS sample_rank
+FROM documents
+ORDER BY sample_rank
+LIMIT {RESERVOIR_N}
+"""
+
+
+CURATION_QUERIES.update({"sample_reservoir": q_sample_reservoir})
+CURATION_ORACLES.update({"sample_reservoir": SQL_SAMPLE_RESERVOIR})

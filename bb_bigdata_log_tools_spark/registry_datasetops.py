@@ -1018,3 +1018,30 @@ DATASETOPS_ORACLES.update(
         "events_histogram_ntile": SQL_EVENTS_HISTOGRAM_NTILE,
     }
 )
+
+
+def q_events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_user_lifespan(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_EVENTS_USER_LIFESPAN = """
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_ms(ts)) // 86400000 AS first_day,
+         max(epoch_ms(ts)) // 86400000 AS last_day,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT last_day - first_day AS lifespan_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(n_events), 2) AS avg_events
+FROM per_user
+GROUP BY lifespan_days
+ORDER BY lifespan_days
+"""
+
+
+DATASETOPS_QUERIES.update({"events_user_lifespan": q_events_user_lifespan})
+DATASETOPS_ORACLES.update({"events_user_lifespan": SQL_EVENTS_USER_LIFESPAN})

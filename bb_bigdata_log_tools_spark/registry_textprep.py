@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from bb_bigdata_log_tools_spark.operators import textprep
-from bb_bigdata_log_tools_spark.session import table
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
 
 CHUNK_WINDOW = 64
 CHUNK_OVERLAP = 16
@@ -211,3 +211,85 @@ ORDER BY rank
 
 TEXTPREP_QUERIES["bm25_search"] = q_bm25_search
 TEXTPREP_ORACLES["bm25_search"] = SQL_BM25_SEARCH
+
+
+# --------------------------------------------------------------------------
+# round-5: tf-idf cosine pairs + char entropy
+# --------------------------------------------------------------------------
+
+TFIDF_COS_THRESHOLD = 0.5
+TFIDF_COS_MAX_DF_FRAC = 0.2
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.tfidf_cosine_pairs(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        TFIDF_COS_THRESHOLD,
+        TFIDF_COS_MAX_DF_FRAC,
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (
+  SELECT tok, count(*) AS df, n_docs FROM tf CROSS JOIN nd GROUP BY tok, n_docs
+  HAVING count(*) <= {TFIDF_COS_MAX_DF_FRAC} * n_docs
+),
+w AS (
+  SELECT doc_id, tok, tf * ln(n_docs / df) AS w
+  FROM tf JOIN dfreq USING (tok)
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots
+JOIN norms na ON doc_id1 = na.doc_id
+JOIN norms nb ON doc_id2 = nb.doc_id
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= {TFIDF_COS_THRESHOLD}
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import textqc
+
+    return textqc.text_entropy(table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''
+  GROUP BY doc_id, c
+),
+tot AS (
+  SELECT doc_id, sum(n) AS len, count(*) AS n_distinct FROM chars GROUP BY doc_id
+)
+SELECT chars.doc_id,
+       CAST(max(len) AS BIGINT) AS n_chars,
+       CAST(max(n_distinct) AS BIGINT) AS n_distinct_chars,
+       round(-sum((n / len) * ln(n / len)), 4) AS char_entropy
+FROM chars JOIN tot ON chars.doc_id = tot.doc_id
+GROUP BY chars.doc_id
+ORDER BY chars.doc_id
+"""
+
+
+TEXTPREP_QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+TEXTPREP_ORACLES["tfidf_cosine_pairs"] = SQL_TFIDF_COSINE_PAIRS
+TEXTPREP_QUERIES["text_entropy"] = q_text_entropy
+TEXTPREP_ORACLES["text_entropy"] = SQL_TEXT_ENTROPY

@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "text_near_template",
     "docs_minhash_signature",
     "events_cohort_matrix",
+    "tfidf_cosine_pairs",
+    "text_entropy",
+    "sample_reservoir",
+    "events_user_lifespan",
 ]
 
 
