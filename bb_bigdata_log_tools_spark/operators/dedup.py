@@ -1016,6 +1016,10 @@ def dedup_substring(
     kept = grams.join(hot, "h", "left_anti")
     a = kept.alias("a")
     b = kept.alias("b")
+    # no distinct: (doc_id1, doc_id2, p1, diag) fixes (a.pos, b.pos),
+    # and `kept` is unique on (doc_id, pos), so join output rows are
+    # already unique — a dedup here would only add a corpus-scale
+    # shuffle.
     hits = a.join(
         b,
         (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1024,7 +1028,7 @@ def dedup_substring(
         F.col("b.doc_id").alias("doc_id2"),
         F.col("a.pos").alias("p1"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-    ).distinct()
+    )
     w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("p1")
     runs = (
         hits.withColumn("grp", F.col("p1") - F.row_number().over(w))

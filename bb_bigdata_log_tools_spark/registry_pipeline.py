@@ -736,7 +736,7 @@ WITH pos AS (
 hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) > {SUBSTR_MAX_DF}),
 kept AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
 hits AS (
-  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
          a.p AS p1, a.p - b.p AS diag
   FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
 ),
