@@ -431,3 +431,61 @@ FROM ranked WHERE rnk <= {RATE_LIMIT}
 
 STREAMING_QUERIES["stream_rate_limit"] = q_stream_rate_limit
 STREAMING_ORACLES["stream_rate_limit"] = SQL_STREAM_RATE_LIMIT
+
+
+# --------------------------------------------------------------------------
+# native session_window aggregation (round 5)
+# --------------------------------------------------------------------------
+
+SSW_GAP_MIN = 30
+SSW_WATERMARK_MS = 2 * 3600 * 1000
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (state-store window merge) over
+    the bounded drain: append-mode sessions emit once the watermark
+    passes ``last_event + gap``; the emitted set is exactly the sessions
+    whose end ≤ max(ts) − delay, and the oracle applies the same cutoff
+    (the stream_watermarked_counts discipline). Empirically set-equal to
+    the batch sessionization at sf0.001 (943 sessions)."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_session_window
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts")
+    out = stream_session_window(ev, SSW_GAP_MIN, "2 hours")
+    return _drain_to_memory(out, "stream_session_window_sink", "append")
+
+
+_SSW_GAP_MS = SSW_GAP_MIN * 60 * 1000
+
+SQL_STREAM_SESSION_WINDOW = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+mx AS (SELECT max(ms) AS max_ms FROM e),
+lagged AS (
+  SELECT user_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+  FROM e
+),
+marks AS (
+  SELECT user_id, ms,
+         CASE WHEN prev IS NULL OR ms - prev >= {_SSW_GAP_MS} THEN 1 ELSE 0 END
+           AS new_s
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, ms,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+agg AS (
+  SELECT user_id, min(ms) AS session_start,
+         max(ms) + {_SSW_GAP_MS} AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg CROSS JOIN mx
+WHERE session_end <= max_ms - {SSW_WATERMARK_MS}
+"""
+
+STREAMING_QUERIES["stream_session_window"] = q_stream_session_window
+STREAMING_ORACLES["stream_session_window"] = SQL_STREAM_SESSION_WINDOW

@@ -422,3 +422,37 @@ def stream_rate_limit(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_session_window(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session aggregation via Spark's NATIVE
+    ``session_window`` — the built-in dynamic-gap operator
+    (state-store-backed window merge, append emission when the
+    watermark passes ``last_event + gap``). The Spark-first counterpart
+    of :func:`stream_sessionize`'s hand-rolled
+    ``applyInPandasWithState`` sessionizer: use THIS one when the
+    output you need is per-session aggregates (the built-in merge is
+    JVM-side and codegen-friendly); reach for the custom operator only
+    when per-session logic outgrows declarative aggregation.
+
+    Output: (user_id, session_start, session_end, n_events) with
+    ``session_end = last event + gap`` (Spark's convention).
+    """
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )

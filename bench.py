@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "text_entropy",
     "sample_reservoir",
     "events_user_lifespan",
+    "stream_session_window",
 ]
 
 
