@@ -668,3 +668,58 @@ def ann_recall_eval(
         )
         .transform(lambda d: small_sort(d, "q_id"))
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    top_n: int = 50,
+    dim: int = 64,
+    salts: int = 16,
+) -> DataFrame:
+    """Embedding-space quality control: the ``top_n`` vectors FURTHEST
+    from every IVF centroid (lowest max-cosine) — garbage, corrupted,
+    or out-of-distribution embeddings surface here before they poison
+    ANN recall or semantic dedup (the QC sibling of :func:`semdedup`,
+    sharing its cell machinery).
+
+    Rank key is the ROUNDED (4dp) nearest-centroid cosine with vec_id
+    as tie-break, so the cut is engine-exact. Global bottom-N uses the
+    salted two-phase rank (no single task ever sorts the corpus —
+    ``sample_reservoir``'s discipline).
+
+    Output: (vec_id, cell, cell_cos, outlier_rank), rank 1 = worst fit.
+    """
+    wide = prep_embeddings(embeddings, dim, ["vec_id"])
+    cents = wide.filter(F.col("vec_id") < n_cells)
+    scored = (
+        wide.alias("v")
+        .join(F.broadcast(cents.alias("cen")))
+        .select(
+            F.col("v.vec_id").alias("vec_id"),
+            F.col("cen.vec_id").alias("cell"),
+            (pair_dot("v", "cen", dim) / F.col("v.norm") / F.col("cen.norm")).alias(
+                "cell_cos"
+            ),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell")
+    )
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell", F.round("cell_cos", 4).alias("cell_cos"))
+    )
+    salt = F.pmod(F.col("vec_id"), F.lit(salts))
+    w1 = Window.partitionBy(salt).orderBy(F.asc("cell_cos"), F.asc("vec_id"))
+    survivors = (
+        best.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= top_n)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy().orderBy(F.asc("cell_cos"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("outlier_rank", F.row_number().over(w2))
+        .filter(F.col("outlier_rank") <= top_n)
+    )

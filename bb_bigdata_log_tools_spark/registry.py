@@ -429,6 +429,7 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_reservoir",
     "events_user_lifespan",
     "stream_session_window",
+    "embedding_outliers",
     # --- fillers: already-green keys whose code changed this round ---
     # (re-verification; anything past position 50 is harmlessly skipped)
     "dedup_keep_best",

@@ -764,3 +764,43 @@ LIMIT {RESERVOIR_N}
 
 CURATION_QUERIES.update({"sample_reservoir": q_sample_reservoir})
 CURATION_ORACLES.update({"sample_reservoir": SQL_SAMPLE_RESERVOIR})
+
+
+# --------------------------------------------------------------------------
+# round-5: embedding-space outlier QC (IVF-centroid distance)
+# --------------------------------------------------------------------------
+
+OUTLIER_N = 50
+OUTLIER_CELLS = 8
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_parallelism(table(spark, sf_dir, "embeddings"))
+    return (
+        similarity.embedding_outliers(emb, OUTLIER_CELLS, OUTLIER_N)
+        .orderBy("outlier_rank")
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cen AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < {OUTLIER_CELLS}),
+assign AS (
+  SELECT e.vec_id, cen.c_id AS cell,
+         round({_COS.format(a='e.emb', b='cen.c_emb')}, 4) AS cell_cos,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_COS.format(a='e.emb', b='cen.c_emb')} DESC, cen.c_id) AS rnk
+  FROM e CROSS JOIN cen
+),
+best AS (SELECT vec_id, cell, cell_cos FROM assign WHERE rnk = 1)
+SELECT vec_id, cell, cell_cos,
+       CAST(row_number() OVER (ORDER BY cell_cos ASC, vec_id ASC) AS INTEGER)
+         AS outlier_rank
+FROM best
+ORDER BY outlier_rank
+LIMIT {OUTLIER_N}
+"""
+
+
+CURATION_QUERIES.update({"embedding_outliers": q_embedding_outliers})
+CURATION_ORACLES.update({"embedding_outliers": SQL_EMBEDDING_OUTLIERS})

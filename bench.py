@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "sample_reservoir",
     "events_user_lifespan",
     "stream_session_window",
+    "embedding_outliers",
 ]
 
 
