@@ -127,3 +127,92 @@ def write_webdataset_local(
                     tf.addfile(info, io.BytesIO(payload))
         paths.append(path)
     return paths
+
+
+def write_webdataset(
+    members: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str = "sample_key",
+    ext_col: str = "ext",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """DISTRIBUTED WebDataset export: write member rows into ``n_shards``
+    ``.tar`` shards, executor-side — the training-corpus sink that pairs
+    with :func:`read_webdataset` (the driver-local
+    ``write_webdataset_local`` is for fixtures only).
+
+    Guarantees:
+    - every member of a sample lands in the SAME shard (shard =
+      seeded md5 of the sample key — the ``shuffle_shards``
+      determinism discipline: retries and re-runs are bit-identical);
+    - members within a shard are written sorted by (key, ext), with
+      zeroed mtime/uid/gid, so shard BYTES are deterministic (tested);
+    - one executor task writes one shard — the only exchange is the
+      hash partition on shard id that shard-writing needs anyway.
+
+    Returns the manifest DataFrame: (shard_id, path, n_samples,
+    n_members, total_bytes). ``out_dir`` must be storage every executor
+    can reach (shared FS / object-store mount; local FS on local mode).
+    """
+    import pandas as pd
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("wds:"), F.col(key_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    tagged = members.select(
+        shard.alias("shard_id"),
+        F.col(key_col).alias("sample_key"),
+        F.col(ext_col).alias("ext"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("total_bytes", T.LongType()),
+        ]
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
+        rows = sorted(
+            zip(pdf["sample_key"], pdf["ext"], pdf["payload"]),
+            key=lambda r: (r[0], r[1]),
+        )
+        total = 0
+        tmp = path + ".inprogress"
+        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for key, ext, payload in rows:
+                payload = bytes(payload)
+                info = tarfile.TarInfo(name=f"{key}.{ext}" if ext else str(key))
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(payload))
+                total += len(payload)
+        os.replace(tmp, path)  # atomic publish (same-dir rename)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "path": [path],
+                "n_samples": [len({r[0] for r in rows})],
+                "n_members": [len(rows)],
+                "total_bytes": [total],
+            }
+        )
+
+    return (
+        tagged.repartition(n_shards, "shard_id")
+        .groupBy("shard_id")
+        .applyInPandas(write_shard, schema=manifest_schema)
+    )
