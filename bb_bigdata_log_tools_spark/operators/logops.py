@@ -336,3 +336,80 @@ def log_tail(
             else d
         )
     )
+
+
+def log_templates(logs: DataFrame, top_n: int | None = None) -> DataFrame:
+    """Drain-style log template mining: mask the variable parts of each
+    message (numbers → ``<N>``, hex runs → ``<H>``), group by the
+    masked template, and report each template's volume, time span, and
+    an example line — the "what KINDS of lines does this service emit"
+    view that turns a terabyte of logs into a few hundred rows, and the
+    standard first step of log-anomaly work (a template seen 3 times
+    among millions IS the incident lead).
+
+    Output: (template, n_lines, n_blocks, first_ts, last_ts,
+    example_message), highest-volume first.
+
+    100 TB shape: one scan → regexp_replace (codegen'd) → single
+    partial-agg groupBy on the template string; output is bounded by
+    |templates|, which is what makes the operator useful.
+    """
+    tmpl = F.regexp_replace(
+        F.regexp_replace(F.col("message"), "0x[0-9a-fA-F]+", "<H>"),
+        "[0-9]+",
+        "<N>",
+    )
+    out = (
+        logs.select(
+            tmpl.alias("template"),
+            "message",
+            "ts",
+            "block_no",
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("block_no").alias("n_blocks"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min("message").alias("example_message"),
+        )
+        .transform(
+            lambda d: small_sort(d, F.desc("n_lines"), F.asc("template"))
+        )
+    )
+    return out.limit(top_n) if top_n else out
+
+
+def log_volume_trend(logs: DataFrame) -> DataFrame:
+    """Day-over-day volume trend per component: daily line counts with
+    the previous day's count and the delta ratio — the ops report that
+    catches a service going quiet (shipper broke) or exploding (error
+    loop) without anyone reading a single line.
+
+    Day and ratio are integer epoch-day arithmetic + a 4dp-rounded
+    ratio, bit-stable cross-engine. The lag window runs over the tiny
+    (component, day) aggregate — never the raw lines.
+    """
+    comp = F.split(F.col("message"), " ").getItem(0)
+    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
+    daily = (
+        logs.select(comp.alias("component"), day.alias("day"))
+        .groupBy("component", "day")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    w = Window.partitionBy("component").orderBy("day")
+    return (
+        daily.withColumn("prev_lines", F.lag("n_lines").over(w))
+        .select(
+            "component",
+            "day",
+            "n_lines",
+            "prev_lines",
+            F.when(
+                F.col("prev_lines").isNotNull() & (F.col("prev_lines") > 0),
+                F.round(F.col("n_lines") / F.col("prev_lines"), 4),
+            ).alias("ratio"),
+        )
+        .transform(lambda d: small_sort(d, "component", "day"))
+    )

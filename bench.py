@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "events_user_lifespan",
     "stream_session_window",
     "embedding_outliers",
+    "log_templates",
+    "log_volume_trend",
 ]
 
 
