@@ -683,3 +683,75 @@ def sample_reservoir(
         survivors.withColumn("sample_rank", F.row_number().over(w2))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def bigram_perplexity(
+    documents: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    sort: bool = True,
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed BIGRAM LM trained
+    on the corpus itself — one order up from
+    :func:`unigram_perplexity`: it also penalizes improbable word
+    ORDER, so shuffled/templated text that fools the unigram model
+    (same words, scrambled) scores high here. The honest relational
+    stand-in for the KenLM-style n-gram scorers CCNet/Gopher use.
+
+    P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V); per doc,
+    cross_entropy = mean −ln P over its bigrams, perplexity = exp.
+    Smoothing is REQUIRED at order 2 (a doc's bigram may be corpus-rare
+    even when both words are common); k and V are identical on both
+    engines so the score is bit-stable after 4dp rounding.
+
+    100 TB shape: the bigram fan-out is built JVM-side per row
+    (transform over the token array, no self-join), then one vocabulary
+    aggregate and one context aggregate (both map-side partial), and
+    the per-doc pass joins bigrams → counts (AQE broadcasts the count
+    relations while they fit, hash join otherwise). Three scans of the
+    token stream, all full-parallel.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    tcol = F.col("toks")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(2), F.size(tcol)),
+        lambda i: F.concat(
+            F.element_at(tcol, i - 1), F.lit(" "), F.element_at(tcol, i)
+        ),
+    )
+    bi = (
+        documents.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    )
+    bigram_counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        bi.select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = (
+        documents.select(F.explode(toks).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    scored = (
+        bi.join(bigram_counts, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c12") + F.lit(k))
+                        / (F.col("c1") + F.lit(k) * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("cross_entropy"),
+        )
+        .withColumn("perplexity", F.round(F.exp(F.col("cross_entropy")), 4))
+    )
+    return small_sort(scored, "doc_id") if sort else scored

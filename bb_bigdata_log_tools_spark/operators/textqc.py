@@ -8,7 +8,7 @@ reproducible in ANSI SQL for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.hashing import MERSENNE_31, md5_long
@@ -263,4 +263,80 @@ def text_entropy(documents: DataFrame) -> DataFrame:
             ).alias("char_entropy"),
         )
         .transform(lambda d: small_sort(d, "doc_id"))
+    )
+
+
+def token_fertility_by_lang(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility report per language: BPE-ish tokens per
+    whitespace word — the standard "how expensive is this language for
+    my tokenizer" metric that drives vocab sizing and per-language
+    token budgets (fertility ≫ 1 means the tokenizer shreds the
+    language into fragments).
+
+    Output per lang: (lang, n_docs, ws_tokens, bpe_tokens, fertility).
+
+    100 TB shape: pure per-row column algebra into one partial-agg
+    groupBy over the tiny lang domain — one scan, one thin shuffle.
+    """
+    toks = _tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    return (
+        documents.select(
+            "lang",
+            F.size(toks).cast("long").alias("ws"),
+            F.size(bpe).cast("long").alias("bp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bp").alias("bpe_tokens"),
+            F.round(F.sum("bp") / F.sum("ws"), 4).alias("fertility"),
+        )
+        .transform(lambda d: small_sort(d, "lang"))
+    )
+
+
+def vocab_zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS of ln(frequency) on
+    ln(rank) over the rank-frequency curve — natural corpora slope
+    ≈ −1; strong deviation flags synthetic, templated, or spam-flooded
+    text at the CORPUS level before any per-doc scoring runs.
+
+    Output: one row (n_vocab, slope, intercept, r2).
+
+    100 TB shape: token explode → vocabulary aggregate (map-side
+    partials), then the rank window + OLS sums run over the VOCABULARY
+    relation only (≪ corpus; the one sequential step is the |vocab|
+    rank sort, the price of a global rank-frequency curve).
+    """
+    toks = _tokens(F.col("text"))
+    vocab = (
+        documents.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("t"))
+    xy = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return agg.select(
+        n.cast("long").alias("n_vocab"),
+        F.round(cov / varx, 4).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
     )

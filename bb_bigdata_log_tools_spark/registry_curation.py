@@ -804,3 +804,58 @@ LIMIT {OUTLIER_N}
 
 CURATION_QUERIES.update({"embedding_outliers": q_embedding_outliers})
 CURATION_ORACLES.update({"embedding_outliers": SQL_EMBEDDING_OUTLIERS})
+
+
+# --------------------------------------------------------------------------
+# round-5: bigram LM perplexity
+# --------------------------------------------------------------------------
+
+BIGRAM_K = 0.5
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.bigram_perplexity(
+        ensure_parallelism(table(spark, sf_dir, "documents")), BIGRAM_K
+    )
+
+
+SQL_BIGRAM_PERPLEXITY = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(toks)),
+                               i -> toks[i-1] || ' ' || toks[i])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY bigram),
+ctx AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS c1
+  FROM bi GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+per_doc AS (
+  SELECT bi.doc_id,
+         count(*) AS n_bigrams,
+         round(avg(-ln((bc.c12 + {BIGRAM_K})
+                       / (ctx.c1 + {BIGRAM_K} * (SELECT v FROM v)))), 4)
+           AS cross_entropy
+  FROM bi
+  JOIN bc USING (bigram)
+  JOIN ctx ON ctx.w1 = string_split(bi.bigram, ' ')[1]
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy,
+       round(exp(cross_entropy), 4) AS perplexity
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+CURATION_QUERIES.update({"bigram_perplexity": q_bigram_perplexity})
+CURATION_ORACLES.update({"bigram_perplexity": SQL_BIGRAM_PERPLEXITY})

@@ -829,3 +829,68 @@ ORDER BY doc_id, band_idx
 
 PIPELINE_QUERIES["docs_minhash_signature"] = q_docs_minhash_signature
 PIPELINE_ORACLES["docs_minhash_signature"] = SQL_DOCS_MINHASH_SIGNATURE
+
+
+# --------------------------------------------------------------------------
+# round-5: tokenizer fertility by language + vocabulary Zipf fit
+# --------------------------------------------------------------------------
+
+
+def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.token_fertility_by_lang(table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_FERTILITY_BY_LANG = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+            AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{textqc.BPE_TOKEN_RE}')))
+            AS BIGINT) AS bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '{textqc.BPE_TOKEN_RE}')))
+             * 1.0 /
+             sum(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4)
+         AS fertility
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.vocab_zipf_fit(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_VOCAB_ZIPF_FIT = """
+WITH vocab AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM vocab
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM s
+"""
+
+PIPELINE_QUERIES["token_fertility_by_lang"] = q_token_fertility_by_lang
+PIPELINE_ORACLES["token_fertility_by_lang"] = SQL_TOKEN_FERTILITY_BY_LANG
+PIPELINE_QUERIES["vocab_zipf_fit"] = q_vocab_zipf_fit
+PIPELINE_ORACLES["vocab_zipf_fit"] = SQL_VOCAB_ZIPF_FIT

@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "log_templates",
     "log_volume_trend",
+    "bigram_perplexity",
+    "token_fertility_by_lang",
+    "vocab_zipf_fit",
 ]
 
 
