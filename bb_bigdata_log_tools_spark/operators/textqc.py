@@ -334,9 +334,14 @@ def vocab_zipf_fit(documents: DataFrame) -> DataFrame:
     cov = n * sxy - sx * sy
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
+    # degenerate vocab (constant rank or constant frequency) has no
+    # defined fit — NULL, never a divide-by-zero throw (ANSI mode).
+    slope = F.when(varx != 0, cov / varx)
     return agg.select(
         n.cast("long").alias("n_vocab"),
-        F.round(cov / varx, 4).alias("slope"),
-        F.round((sy - (cov / varx) * sx) / n, 4).alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.when(n != 0, (sy - slope * sx) / n), 4).alias("intercept"),
+        F.round(
+            F.when(varx * vary != 0, (cov * cov) / (varx * vary)), 4
+        ).alias("r2"),
     )
