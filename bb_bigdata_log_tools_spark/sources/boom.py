@@ -603,6 +603,7 @@ def write_boom_tree(
     log_type: str,
     component: str,
     create_time: int = 0,
+    file_tag: str = "",
 ) -> int:
     """Write canonical log lines into the reference's hourly .bm tree:
     ``<root>/<dc>/<svc>/<type>/<yyyyMMdd>/<HH>/<comp>/data/part-*.bm``
@@ -613,7 +614,10 @@ def write_boom_tree(
     writes whole hourly files; ``root`` must be a filesystem all
     executors share (local FS in local mode, NFS/fuse mount on a
     cluster — for object stores prefer ``write_log_store``'s parquet
-    layout). Returns the number of lines written.
+    layout). ``file_tag`` namespaces the part files (e.g. a streaming
+    micro-batch id) so repeated appends into the same hour — and
+    recovery re-runs of the SAME batch — land on distinct/idempotent
+    names. Returns the number of lines written.
     """
     import os as _os
 
@@ -638,7 +642,11 @@ def write_boom_tree(
             dirp = _os.path.join(root, dc, service, log_type, d, h, component, "data")
             _os.makedirs(dirp, exist_ok=True)
             write_boom_local(
-                _os.path.join(dirp, f"part-{idx:05d}.00000.{d}-{h}.bm"),
+                _os.path.join(
+                    dirp,
+                    f"part-{file_tag + '.' if file_tag else ''}"
+                    f"{idx:05d}.00000.{d}-{h}.bm",
+                ),
                 lines,
                 create_time=create_time,
             )

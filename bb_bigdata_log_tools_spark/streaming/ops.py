@@ -456,3 +456,51 @@ def stream_session_window(
             "n_events",
         )
     )
+
+
+def stream_to_boom_tree(
+    lines: DataFrame,
+    root: str,
+    dc: str,
+    service: str,
+    log_type: str,
+    component: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Live-ingest sink: stream canonical log lines INTO the reference's
+    hourly ``.bm`` tree — the role the reference delegates to its
+    external Flume/ingest pipeline, expressed as Structured Streaming
+    ``foreachBatch`` over the existing batch tree writer
+    (``sources.boom.write_boom_tree``, the
+    ``mapreduce/boom/PigBoomHourlyOutputFormat.java`` analog).
+
+    Every micro-batch appends one ``part-<epoch>-<batch>`` file set per
+    touched hour directory, so the tree stays readable by `logcat`/
+    maintenance MID-STREAM and each batch's files are new names (no
+    overwrite races with a concurrent compaction holding the lease).
+    Exactly-once within a restart: foreachBatch may re-run a batch on
+    recovery, and the batch id is part of the file name, so a re-run
+    overwrites ITS OWN files rather than duplicating lines.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from bb_bigdata_log_tools_spark.sources.boom import write_boom_tree
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_boom_tree(
+            batch_df,
+            root,
+            dc,
+            service,
+            log_type,
+            component,
+            file_tag=f"b{batch_id:06d}",
+        )
+
+    writer = lines.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

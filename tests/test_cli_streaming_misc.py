@@ -639,3 +639,38 @@ def test_logdriver_dispatcher():
     assert bad.returncode == 2
     ver = subprocess.run([base, "version"], capture_output=True, text=True)
     assert ver.returncode == 0 and ver.stdout.strip()
+
+
+def test_stream_to_boom_tree_ingest(spark, sf_dir, tmp_path):
+    """Bounded stream drain into the hourly .bm tree: every input line
+    lands exactly once, the tree layout matches the reference
+    convention, and the result reads back through read_boom."""
+    import glob
+    import os
+
+    import bb_bigdata_log_tools_spark.registry_streaming as rs
+    from bb_bigdata_log_tools_spark.sources.boom import read_boom
+    from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_to_boom_tree
+
+    root = str(tmp_path / "tree")
+    lines = events_as_logs(rs._stream_events(spark, sf_dir))
+    q = stream_to_boom_tree(
+        lines, root, "dc1", "svc", "applog", "comp",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    from bb_bigdata_log_tools_spark.session import table
+
+    files = glob.glob(os.path.join(root, "dc1/svc/applog/*/*/comp/data/*.bm"))
+    assert files, "no .bm files written"
+    # batch-tagged names (idempotent recovery re-run contract)
+    assert all("b0" in os.path.basename(f) for f in files)
+    back = read_boom(spark, os.path.join(root, "dc1/svc/applog/*/*/comp/data"))
+    batch = events_as_logs(table(spark, sf_dir, "events"))
+    assert back.count() == batch.count()
+    # content fidelity: identical ts sum and message-length sum
+    got = back.selectExpr("sum(ts) AS s", "sum(length(message)) AS m").collect()[0]
+    want = batch.selectExpr("sum(ts) AS s", "sum(length(message)) AS m").collect()[0]
+    assert (got.s, got.m) == (want.s, want.m)
