@@ -71,7 +71,7 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
     ).transform(lambda d: small_sort(d, "doc_id"))
 
 
-def text_quality(documents: DataFrame) -> DataFrame:
+def text_quality(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Quality features + a composite [0,1] score.
 
     Features: length saturation, lexical diversity (distinct/total
@@ -97,7 +97,7 @@ def text_quality(documents: DataFrame) -> DataFrame:
         F.round(diversity, 4).alias("diversity"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         score.alias("quality_score"),
-    ).transform(lambda d: small_sort(d, "doc_id"))
+    ).transform(lambda d: small_sort(d, "doc_id") if sort else d)
 
 
 def text_token_count(documents: DataFrame) -> DataFrame:
@@ -136,7 +136,9 @@ def text_fingerprint(documents: DataFrame) -> DataFrame:
     ).transform(lambda d: small_sort(d, "doc_id"))
 
 
-def text_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def text_repetition(
+    documents: DataFrame, text_col: str = "text", sort: bool = True
+) -> DataFrame:
     """Intra-document repetition signals over word bigrams — the
     gopher-style "repetitive document" detectors that unique-token
     ratio alone misses (a doc can have many distinct words arranged in
@@ -190,7 +192,7 @@ def text_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.when(total > 0, top / total).otherwise(F.lit(0.0)), 4
         ).alias("top_bigram_frac"),
-    ).transform(lambda d: small_sort(d, "doc_id"))
+    ).transform(lambda d: small_sort(d, "doc_id") if sort else d)
     # small_sort, not orderBy: a range sort SAMPLES its input first,
     # re-running the bigram sort+fold (the whole cost of this op) a
     # second time — measured ~1.4x at sf0.1 and ~2x on the 10x probe.
@@ -222,7 +224,7 @@ def lang_id_eval(documents: DataFrame) -> DataFrame:
     )
 
 
-def text_entropy(documents: DataFrame) -> DataFrame:
+def text_entropy(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Character-level Shannon entropy per document — the
     information-density quality signal that separates natural prose
     (≈4.0-4.5 bits-equivalent in nats ≈ 2.8-3.1) from degenerate
@@ -262,7 +264,7 @@ def text_entropy(documents: DataFrame) -> DataFrame:
                 4,
             ).alias("char_entropy"),
         )
-        .transform(lambda d: small_sort(d, "doc_id"))
+        .transform(lambda d: small_sort(d, "doc_id") if sort else d)
     )
 
 
@@ -344,4 +346,42 @@ def vocab_zipf_fit(documents: DataFrame) -> DataFrame:
         F.round(
             F.when(varx * vary != 0, (cov * cov) / (varx * vary)), 4
         ).alias("r2"),
+    )
+
+
+def quality_feature_matrix(documents: DataFrame) -> DataFrame:
+    """The pre-classifier feature assembly: every per-document quality
+    signal this engine computes, joined into ONE wide row per doc —
+    what a FineWeb/DCLM-style pipeline feeds to its learned quality
+    filter (and what an analyst eyeballs before setting thresholds).
+
+    Columns: the :func:`text_quality` features (length/diversity/alpha/
+    composite), :func:`text_repetition`'s bigram-loop detectors,
+    :func:`text_entropy`'s information density, and the corpus-trained
+    unigram perplexity.
+
+    100 TB shape: quality + repetition are per-row column algebra and
+    FUSE into the scan (zero extra passes); entropy and perplexity each
+    contribute their one doc_id-keyed aggregate relation, joined back
+    on doc_id (equi-joins, AQE-sized). The component operators' output
+    sorts are disabled so composition adds no single-partition
+    exchanges.
+    """
+    from bb_bigdata_log_tools_spark.operators.curation import unigram_perplexity
+
+    q = text_quality(documents, sort=False)
+    r = text_repetition(documents, sort=False).select(
+        "doc_id", "dup_bigram_ratio", "top_bigram_frac"
+    )
+    e = text_entropy(documents, sort=False).select(
+        "doc_id", "n_distinct_chars", "char_entropy"
+    )
+    p = unigram_perplexity(documents, sort=False).select(
+        "doc_id", F.col("perplexity").alias("unigram_ppl")
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(e, "doc_id")
+        .join(p, "doc_id")
+        .transform(lambda d: small_sort(d, "doc_id"))
     )

@@ -894,3 +894,98 @@ PIPELINE_QUERIES["token_fertility_by_lang"] = q_token_fertility_by_lang
 PIPELINE_ORACLES["token_fertility_by_lang"] = SQL_TOKEN_FERTILITY_BY_LANG
 PIPELINE_QUERIES["vocab_zipf_fit"] = q_vocab_zipf_fit
 PIPELINE_ORACLES["vocab_zipf_fit"] = SQL_VOCAB_ZIPF_FIT
+
+
+# --------------------------------------------------------------------------
+# round-5 capstone: the per-doc quality feature matrix
+# --------------------------------------------------------------------------
+
+
+def q_quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.quality_feature_matrix(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_QUALITY_FEATURE_MATRIX = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+         round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS diversity,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1), 4) AS alpha_ratio,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+               + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1)), 4) AS quality_score
+  FROM t
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM t
+),
+r AS (
+  SELECT doc_id,
+    round(CASE WHEN len(bigrams) > 0
+               THEN 1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE)
+               ELSE 0.0 END, 4) AS dup_bigram_ratio,
+    round(CASE WHEN len(bigrams) > 0
+               THEN list_max(list_transform(list_distinct(bigrams),
+                      d -> len(list_filter(bigrams, x -> x = d))))
+                    / CAST(len(bigrams) AS DOUBLE)
+               ELSE 0.0 END, 4) AS top_bigram_frac
+  FROM b
+),
+chars AS (
+  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''
+  GROUP BY doc_id, c
+),
+ctot AS (
+  SELECT doc_id, sum(n) AS len, count(*) AS n_distinct FROM chars GROUP BY doc_id
+),
+e AS (
+  SELECT chars.doc_id,
+         CAST(max(n_distinct) AS BIGINT) AS n_distinct_chars,
+         round(-sum((n / len) * ln(n / len)), 4) AS char_entropy
+  FROM chars JOIN ctot ON chars.doc_id = ctot.doc_id
+  GROUP BY chars.doc_id
+),
+wtoks AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+),
+vocab AS (SELECT token, count(*) AS cnt FROM wtoks GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab),
+p AS (
+  SELECT w.doc_id,
+         round(exp(round(avg(-ln(v.cnt / (SELECT tot FROM tot))), 4)), 4)
+           AS unigram_ppl
+  FROM wtoks w JOIN vocab v USING (token)
+  GROUP BY w.doc_id
+)
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.n_distinct_tokens, q.diversity,
+       q.alpha_ratio, q.quality_score,
+       r.dup_bigram_ratio, r.top_bigram_frac,
+       e.n_distinct_chars, e.char_entropy,
+       p.unigram_ppl
+FROM q
+JOIN r ON q.doc_id = r.doc_id
+JOIN e ON q.doc_id = e.doc_id
+JOIN p ON q.doc_id = p.doc_id
+ORDER BY q.doc_id
+"""
+
+PIPELINE_QUERIES["quality_feature_matrix"] = q_quality_feature_matrix
+PIPELINE_ORACLES["quality_feature_matrix"] = SQL_QUALITY_FEATURE_MATRIX

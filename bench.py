@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "bigram_perplexity",
     "token_fertility_by_lang",
     "vocab_zipf_fit",
+    "quality_feature_matrix",
 ]
 
 
