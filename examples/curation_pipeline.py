@@ -2,10 +2,11 @@
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 
-quality gate → PII scrub → exact + near dedup → perplexity bucketing →
-deterministic split → shard layout. Every step is lazy; the pipeline is
-one Catalyst plan per action, and each operator documents its 100 TB
-shape in its docstring.
+template triage → quality feature matrix → gate → PII scrub →
+exact + substring + near dedup → perplexity bucketing → deterministic
+split → shard layout. Every step is lazy; the pipeline is one Catalyst
+plan per action, and each operator documents its 100 TB shape in its
+docstring.
 """
 
 import sys
@@ -14,13 +15,26 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bb_bigdata_log_tools_spark.operators import curation, datasetops, dedup  # noqa: E402
+from bb_bigdata_log_tools_spark.operators import (  # noqa: E402
+    curation,
+    datasetops,
+    dedup,
+    textprep,
+    textqc,
+)
 from bb_bigdata_log_tools_spark.session import get_spark, table  # noqa: E402
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark()
     docs = table(spark, sf_dir, "documents")
+
+    # 0. cheapest signals first: whole template families in one pass,
+    #    then the full per-doc quality feature matrix (what a learned
+    #    filter would train on)
+    fams = textprep.near_template_clusters(docs)
+    print("template families:", fams.count())
+    textqc.quality_feature_matrix(docs).show(3)
 
     # 1. gopher-style quality gate (pure scan, no shuffle)
     gated = curation.quality_filter(docs).filter(F.col("keep")).select(
@@ -31,9 +45,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     scrubbed = curation.pii_scrub(gated)
     print("pii rows:", scrubbed.filter(F.col("pii_total") > 0).count())
 
-    # 3. exact dedup drop list + near-dup clusters
+    # 3. exact dedup drop list, duplicated-substring spans, near-dup
+    #    clusters
     dupes = dedup.dedup_exact(gated).filter(F.col("n_copies") > 1)
     print("dup groups:", dupes.count())
+    spans = dedup.dedup_substring(gated, gram_len=20, min_len=30)
+    print("substring-dup pairs:", spans.count())
     clusters = dedup.dedup_cluster(gated)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id"))
     kept = gated.join(drop.select("doc_id"), "doc_id", "left_anti")

@@ -42,6 +42,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # syslog-style "last message repeated N times"
     logops.log_dedup_window(logs).show(5, truncate=40)
 
+    # Drain-style template mining: one row per message KIND
+    logops.log_templates(logs).show(5, truncate=40)
+
+    # day-over-day volume trend per component (went-quiet detector)
+    logops.log_volume_trend(logs).show(5)
+
     # robust anomaly flags on the hourly series
     events_robust_anomaly(table(spark, sf_dir, "events")).show(5)
 
