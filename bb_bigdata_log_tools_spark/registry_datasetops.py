@@ -1045,3 +1045,127 @@ ORDER BY lifespan_days
 
 DATASETOPS_QUERIES.update({"events_user_lifespan": q_events_user_lifespan})
 DATASETOPS_ORACLES.update({"events_user_lifespan": SQL_EVENTS_USER_LIFESPAN})
+
+
+# --------------------------------------------------------------------------
+# round-5: from-scratch distinct-count sketches (HLL + KMV), full oracles
+# --------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_KMV_K = 64
+_SK_MD5 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    return sketches.approx_distinct_hll(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "event_type",
+        "user_id",
+        _HLL_P,
+    )
+
+
+def _hll_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS, _alpha
+
+    m = _HLL_M
+    wbits = HASH_BITS - _HLL_P
+    alpha_mm = _alpha(m) * m * m
+    h = _SK_MD5.format(x="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashes AS (
+  SELECT event_type AS grp, {h} AS h FROM events
+),
+regs AS (
+  SELECT grp, h % {m} AS reg,
+         max(CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                  ELSE {wbits} - length(bin(h // {m})) + 1 END) AS mx
+  FROM hashes GROUP BY grp, h % {m}
+),
+agg AS (
+  SELECT grp, sum(power(2.0, -mx)) AS s_present, count(*) AS present
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         {alpha_mm} / (s_present + ({m} - present)) AS raw,
+         {m} - present AS zeros
+  FROM agg
+),
+exact AS (
+  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT est.grp AS event_type, exact.n_exact,
+       round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / zeros)
+                  ELSE raw END, 2) AS hll_estimate,
+       round(abs(round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                            THEN {float(m)} * ln({float(m)} / zeros)
+                            ELSE raw END, 2) - n_exact) / n_exact, 4)
+         AS rel_error
+FROM est JOIN exact ON est.grp = exact.grp
+ORDER BY event_type
+"""
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    return sketches.approx_distinct_kmv(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "event_type",
+        "user_id",
+        _KMV_K,
+    )
+
+
+def _kmv_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS
+
+    h = _SK_MD5.format(x="CAST(user_id AS VARCHAR)")
+    hspace = float(1 << HASH_BITS)
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS grp, {h} AS h FROM events
+),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+  FROM hashes
+),
+agg AS (
+  SELECT grp, count(*) AS n_kept,
+         max(CASE WHEN rk = {_KMV_K} THEN h END) AS kth
+  FROM ranked WHERE rk <= {_KMV_K} GROUP BY grp
+),
+exact AS (
+  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT agg.grp AS event_type, exact.n_exact,
+       round(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} * {hspace} / kth END, 2)
+         AS kmv_estimate,
+       round(abs(round(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                            ELSE {float(_KMV_K - 1)} * {hspace} / kth END, 2)
+                 - n_exact) / n_exact, 4) AS rel_error
+FROM agg JOIN exact ON agg.grp = exact.grp
+ORDER BY event_type
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "approx_distinct_hll": q_approx_distinct_hll,
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+    }
+)
+DATASETOPS_ORACLES.update(
+    {
+        "approx_distinct_hll": _hll_oracle(),
+        "approx_distinct_kmv": _kmv_oracle(),
+    }
+)

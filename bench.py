@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "token_fertility_by_lang",
     "vocab_zipf_fit",
     "quality_feature_matrix",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
 ]
 
 

@@ -107,3 +107,63 @@ def test_cohort_matrix_conserves_users(spark, sf_dir):
     for r in m:
         assert r.n_users <= week0[r.cohort_week]
         assert r.week_offset >= 0
+
+
+def test_sketch_accuracy_and_hll_mergeability(spark):
+    """HLL/KMV estimates must land within their theoretical error bands
+    at 10k distinct values, and the HLL register relation must be
+    MERGEABLE: sketching two halves separately and max-merging the
+    registers equals sketching the union (the property that lets a
+    100 TB run union daily sketches without rescanning)."""
+    import pyspark.sql.functions as F
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        HASH_BITS,
+        approx_distinct_hll,
+        approx_distinct_kmv,
+    )
+
+    n = 10_000
+    df = (
+        spark.range(0, n * 3)
+        .select(
+            F.lit("g").alias("event_type"),
+            (F.col("id") % n).alias("user_id"),  # every value 3×
+        )
+    )
+    hll = approx_distinct_hll(df, "event_type", "user_id").collect()[0]
+    kmv = approx_distinct_kmv(df, "event_type", "user_id").collect()[0]
+    assert hll.n_exact == n and kmv.n_exact == n
+    assert hll.rel_error < 3 * 1.04 / (256 ** 0.5), hll  # 3σ at p=8
+    assert kmv.rel_error < 3 / (62 ** 0.5), kmv          # 3σ at k=64
+
+    # mergeability: registers(first half) max-merged with
+    # registers(second half) == registers(union)
+    p, m = 8, 256
+    wbits = HASH_BITS - p
+    h = md5_long(F.col("user_id").cast("string"))
+    reg = F.pmod(h, F.lit(m))
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+
+    def registers(d):
+        return (
+            d.select(reg.alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("mx"))
+        )
+
+    lo = df.filter(F.col("user_id") < n // 2)
+    hi = df.filter(F.col("user_id") >= n // 2)
+    merged = (
+        registers(lo).unionAll(registers(hi))
+        .groupBy("reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    whole = registers(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
