@@ -204,12 +204,25 @@ def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
 
 
 def make_wav(
-    sample_rate: int, channels: int = 1, n_samples: int = 0, bits: int = 16
+    sample_rate: int,
+    channels: int = 1,
+    n_samples: int = 0,
+    bits: int = 16,
+    samples: list | None = None,
 ) -> bytes:
-    """A valid (silent) PCM WAV file built from the RIFF spec — a real
-    writer for fixtures and round-trip tests."""
+    """A valid PCM WAV file built from the RIFF spec — a real writer
+    for fixtures and round-trip tests. ``samples`` (optional) supplies
+    interleaved integer sample values (signed for 16-bit, unsigned
+    0-255 for 8-bit); default is silence."""
     block_align = channels * bits // 8
-    data = b"\x00" * (n_samples * block_align)
+    if samples is not None:
+        n_samples = len(samples) // channels
+        if bits == 16:
+            data = struct.pack(f"<{len(samples)}h", *samples)
+        else:
+            data = bytes(samples)
+    else:
+        data = b"\x00" * (n_samples * block_align)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
         block_align, bits,
@@ -794,3 +807,105 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def wav_pcm_stats(payload: bytes) -> tuple | None:
+    """REAL signal statistics from PCM WAV sample data (not just
+    headers): (duration_ms, rms, peak, clipped_frac) with amplitudes
+    normalized to [0, 1] full scale. 16-bit signed and 8-bit unsigned
+    PCM; anything else returns None (stub-flag path).
+
+    rms/peak/clipped_frac are rounded to 4dp from exact integer sample
+    arithmetic, so the values are engine- and platform-stable.
+    """
+    meta = parse_wav_meta(payload)
+    if meta is None:
+        return None
+    rate, channels, n_samples = meta
+    if n_samples == 0 or rate == 0:
+        return (0, 0.0, 0.0, 0.0)
+    # locate fmt bits + data chunk
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None or bits not in (8, 16):
+        return None
+    import numpy as np
+
+    if bits == 16:
+        x = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(
+            np.int64
+        )
+        full = 32768.0
+        clipped = int(((x == 32767) | (x == -32768)).sum())
+    else:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        full = 128.0
+        clipped = int(((x == 127) | (x == -128)).sum())
+    n = len(x)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0)
+    rms = float(np.sqrt((x.astype(np.float64) ** 2).mean())) / full
+    peak = float(np.abs(x).max()) / full
+    duration_ms = n_samples * 1000 // rate
+    return (
+        int(duration_ms),
+        round(rms, 4),
+        round(peak, 4),
+        round(clipped / n, 4),
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("clipped_frac", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Per-payload PCM audio statistics, Arrow-batched executor-side —
+    the loudness/clipping quality gate an audio-training pipeline runs
+    before resampling (silent, clipped, or DC-stuck recordings are
+    dropped here). REAL for PCM WAV (numpy over the raw sample bytes);
+    compressed codecs flow through ``decoded=false`` like the other
+    media stages.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "duration_ms",
+                                   "rms", "peak", "clipped_frac", "decoded")}
+            for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                st = wav_pcm_stats(bytes(p)) if mt == "audio" else None
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                if st is not None:
+                    d, rms, peak, cf = st
+                    out["duration_ms"].append(d)
+                    out["rms"].append(rms)
+                    out["peak"].append(peak)
+                    out["clipped_frac"].append(cf)
+                    out["decoded"].append(True)
+                else:
+                    out["duration_ms"].append(0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["clipped_frac"].append(0.0)
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)

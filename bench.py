@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "quality_feature_matrix",
     "approx_distinct_hll",
     "approx_distinct_kmv",
+    "audio_pcm_stats",
 ]
 
 
