@@ -909,3 +909,96 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def wav_resample(payload: bytes, out_rate: int) -> bytes | None:
+    """REAL nearest-sample rate conversion for PCM WAV (the audio
+    sibling of :func:`bmp_resize`): decode samples, index-map to the
+    target rate (zero-order hold — the deterministic baseline a real
+    pipeline swaps for a windowed-sinc resampler), re-encode. 16-bit
+    mono/stereo; returns None for anything else (stub-flag path)."""
+    meta = parse_wav_meta(payload)
+    if meta is None or out_rate < 1:
+        return None
+    rate, channels, n_samples = meta
+    if rate == 0 or channels not in (1, 2):
+        return None
+    pos, bits, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None or bits != 16:
+        return None
+    import numpy as np
+
+    x = np.frombuffer(
+        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+    ).reshape(-1, channels)
+    n_in = x.shape[0]
+    n_out = max(0, n_in * out_rate // rate)
+    if n_in == 0 or n_out == 0:
+        return make_wav(out_rate, channels, samples=[])
+    idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
+    y = x[np.minimum(idx, n_in - 1)]
+    return make_wav(out_rate, channels, samples=[int(v) for v in y.reshape(-1)])
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("in_rate", T.IntegerType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("out_samples", T.LongType()),
+        T.StructField("out_bytes", T.IntegerType()),
+        T.StructField("out_md5", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_resample(media: DataFrame, out_rate: int = 16_000) -> DataFrame:
+    """Resample stage for audio payloads — the rate-normalization every
+    audio-training pipeline runs before feature extraction. REAL for
+    16-bit PCM WAV (:func:`wav_resample`); other payloads flow through
+    the deterministic stub with ``decoded=false``. Emits the resampled
+    payload's size/digest (the gate compares values; bytes round-trip
+    in unit tests). Arrow-batched ``mapInPandas`` like the other media
+    stages — payloads never visit the driver.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "in_rate", "out_rate",
+                                   "out_samples", "out_bytes", "out_md5", "decoded")}
+            for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                payload = bytes(p)
+                meta = parse_wav_meta(payload) if mt == "audio" else None
+                res = wav_resample(payload, out_rate) if meta else None
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["in_rate"].append(meta[0] if meta else 0)
+                if res is not None:
+                    rmeta = parse_wav_meta(res)
+                    out["out_rate"].append(out_rate)
+                    out["out_samples"].append(rmeta[2])
+                    out["out_bytes"].append(len(res))
+                    out["out_md5"].append(hashlib.md5(res).hexdigest())
+                    out["decoded"].append(True)
+                else:
+                    out["out_rate"].append(0)
+                    out["out_samples"].append(0)
+                    out["out_bytes"].append(0)
+                    out["out_md5"].append("")
+                    out["decoded"].append(False)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESAMPLE_SCHEMA)

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "approx_distinct_hll",
     "approx_distinct_kmv",
     "audio_pcm_stats",
+    "audio_resample",
 ]
 
 

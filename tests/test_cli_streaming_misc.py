@@ -674,3 +674,35 @@ def test_stream_to_boom_tree_ingest(spark, sf_dir, tmp_path):
     got = back.selectExpr("sum(ts) AS s", "sum(length(message)) AS m").collect()[0]
     want = batch.selectExpr("sum(ts) AS s", "sum(length(message)) AS m").collect()[0]
     assert (got.s, got.m) == (want.s, want.m)
+
+
+def test_wav_resample_roundtrip_properties():
+    """Resampling preserves duration (±1 sample), identity rate is a
+    near-no-op, and a pure decimation of a periodic signal keeps
+    RMS/peak — then the resampled bytes decode right back."""
+    import math
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_meta,
+        wav_pcm_stats,
+        wav_resample,
+    )
+
+    s = [int(16384 * math.sin(2 * math.pi * 440 * i / 8000)) for i in range(800)]
+    w = make_wav(8000, 1, samples=s)
+    down = wav_resample(w, 2000)
+    assert parse_wav_meta(down) == (2000, 1, 200)
+    d_stats = wav_pcm_stats(down)
+    assert d_stats[0] == 100  # duration preserved
+    assert abs(d_stats[2] - 0.5) < 0.01  # peak survives 4x decimation of a sine
+    same = wav_resample(w, 8000)
+    assert parse_wav_meta(same) == (8000, 1, 800)
+    assert wav_pcm_stats(same) == wav_pcm_stats(w)
+    up = wav_resample(w, 24000)
+    assert parse_wav_meta(up) == (24000, 1, 2400)
+    # stereo interleave preserved
+    st = [v for i in range(100) for v in (i * 100, -i * 100)]
+    r = wav_resample(make_wav(8000, 2, samples=st), 4000)
+    assert parse_wav_meta(r) == (4000, 2, 50)
+    assert wav_resample(b"junk", 8000) is None
