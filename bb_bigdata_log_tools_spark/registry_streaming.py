@@ -489,3 +489,83 @@ WHERE session_end <= max_ms - {SSW_WATERMARK_MS}
 
 STREAMING_QUERIES["stream_session_window"] = q_stream_session_window
 STREAMING_ORACLES["stream_session_window"] = SQL_STREAM_SESSION_WINDOW
+
+
+# --------------------------------------------------------------------------
+# streaming HyperLogLog distinct (round 5): live mergeable registers
+# --------------------------------------------------------------------------
+
+_SHLL_P = 8
+_SHLL_M = 1 << _SHLL_P
+
+
+def q_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers maintained as a COMPLETE-mode streaming aggregation
+    (max is associative + idempotent → exact under any batch slicing);
+    the estimate is computed from the drained register table with the
+    same closed-form math as the batch sketch, so the batch HLL oracle
+    applies verbatim."""
+    from bb_bigdata_log_tools_spark.operators.sketches import _alpha
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_hll_registers
+
+    ev = _stream_events(spark, sf_dir).select("event_type", "user_id")
+    regs = _drain_to_memory(
+        stream_hll_registers(ev, "event_type", "user_id", _SHLL_P),
+        "stream_hll_sink",
+        "complete",
+    )
+    m = _SHLL_M
+    agg = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    s = F.col("s_present") + (F.lit(m) - F.col("present"))
+    zeros = F.lit(m) - F.col("present")
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        agg.select(
+            F.col("grp").alias("event_type"),
+            F.round(est, 2).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS, _alpha
+
+    m = _SHLL_M
+    wbits = HASH_BITS - _SHLL_P
+    alpha_mm = _alpha(m) * m * m
+    h = "('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH hashes AS (
+  SELECT event_type AS grp, {h} AS h FROM events
+),
+regs AS (
+  SELECT grp, h % {m} AS reg,
+         max(CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                  ELSE {wbits} - length(bin(h // {m})) + 1 END) AS mx
+  FROM hashes GROUP BY grp, h % {m}
+),
+agg AS (
+  SELECT grp, sum(power(2.0, -mx)) AS s_present, count(*) AS present
+  FROM regs GROUP BY grp
+)
+SELECT grp AS event_type,
+       round(CASE WHEN {alpha_mm} / (s_present + ({m} - present)) <= {2.5 * m}
+                   AND {m} - present > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - present))
+                  ELSE {alpha_mm} / (s_present + ({m} - present)) END, 2)
+         AS hll_estimate
+FROM agg
+ORDER BY event_type
+"""
+
+
+STREAMING_QUERIES["stream_approx_distinct"] = q_stream_approx_distinct
+STREAMING_ORACLES["stream_approx_distinct"] = _stream_hll_oracle()

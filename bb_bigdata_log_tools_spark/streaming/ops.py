@@ -504,3 +504,40 @@ def stream_to_boom_tree(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_registers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain the (group, register, max_rho)
+    relation as a live streaming aggregation — the mergeable-sketch
+    property IS the streaming story: ``max`` is an associative,
+    idempotent aggregate, so registers stay exact under any micro-batch
+    slicing, replays included, with O(groups × 2^p) state and no
+    watermark needed. The estimate is computed from the drained
+    register table (see the registry entry) — same math, same oracle,
+    as the batch :func:`~bb_bigdata_log_tools_spark.operators.sketches.
+    approx_distinct_hll`.
+    """
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS
+
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = md5_long(F.col(value_col).cast("string"))
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.pmod(h, F.lit(m)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )

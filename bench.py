@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "approx_distinct_kmv",
     "audio_pcm_stats",
     "audio_resample",
+    "stream_approx_distinct",
 ]
 
 
