@@ -49,6 +49,7 @@ def approx_distinct_hll(
     group_col: str = "event_type",
     value_col: str = "user_id",
     p: int = 8,
+    sort: bool = True,
 ) -> DataFrame:
     """HyperLogLog distinct estimate per group, with the exact count
     alongside (so the output doubles as the sketch's own accuracy
@@ -105,7 +106,7 @@ def approx_distinct_hll(
                 4,
             ).alias("rel_error"),
         )
-        .transform(lambda d: small_sort(d, group_col))
+        .transform(lambda d: small_sort(d, group_col) if sort else d)
     )
 
 
@@ -114,6 +115,7 @@ def approx_distinct_kmv(
     group_col: str = "event_type",
     value_col: str = "user_id",
     k: int = 64,
+    sort: bool = True,
 ) -> DataFrame:
     """K-Minimum-Values distinct estimate per group: keep the k smallest
     DISTINCT hashes; the k-th smallest pins the hash density, est =
@@ -167,5 +169,5 @@ def approx_distinct_kmv(
                 4,
             ).alias("rel_error"),
         )
-        .transform(lambda d: small_sort(d, group_col))
+        .transform(lambda d: small_sort(d, group_col) if sort else d)
     )

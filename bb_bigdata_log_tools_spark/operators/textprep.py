@@ -345,6 +345,7 @@ def tfidf_cosine_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     max_df_frac: float = 0.2,
+    sort: bool = True,
 ) -> DataFrame:
     """Document-pair cosine similarity over tf-idf weighted token
     vectors — the classic sparse-vector near-dup/related-docs signal
@@ -426,5 +427,7 @@ def tfidf_cosine_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+        .transform(
+            lambda d: small_sort(d, "doc_id1", "doc_id2") if sort else d
+        )
     )

