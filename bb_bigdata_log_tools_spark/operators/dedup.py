@@ -1041,3 +1041,68 @@ def dedup_substring(
         .filter(F.col("lcs_len") >= min_len)
         .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
     )
+
+
+def dedup_graph_triangles(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Triangle census of the near-dup graph: triangle count, wedge
+    (open-triple) count, and the global clustering coefficient
+    3·triangles/wedges — the template-cohesion metric that separates
+    dense copy FAMILIES (every member similar to every other,
+    coefficient → 1) from similarity CHAINS (A~B~C but A≁C,
+    coefficient → 0), which need different dedup policies (drop the
+    family vs keep chain endpoints).
+
+    Node-iterator triangle counting in relational form: orient every
+    edge small→large id (each triangle counted exactly once as
+    i<j<k), then wedges(i: j,k) ⋈ edges(j,k). The classical
+    distributed-graph sibling of :func:`connected_components`
+    (propagation) and :func:`dedup_pagerank` (power iteration).
+
+    Output: one row — (n_edges, n_wedges, n_triangles,
+    clustering_coefficient).
+
+    Scale shape: the pair graph is |near-dup pairs| (bounded by the
+    LSH candidate discipline); the wedge join keys on the second
+    vertex and its fan-out is Σ deg(v)² — the standard bound, small on
+    near-dup graphs whose dense parts are exactly the families the
+    report exists to find.
+    """
+    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    edges = pairs.select(
+        F.least("doc_id1", "doc_id2").alias("u"),
+        F.greatest("doc_id1", "doc_id2").alias("v"),
+    ).distinct().localCheckpoint()
+    # symmetrize for wedge counting: a wedge is an UNDIRECTED
+    # center-with-two-neighbors triple (n1 < n2); each triangle
+    # contributes 3 wedges (one per center) and every one of them
+    # closes, so closed = 3·triangles exactly.
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    a = und.alias("a")
+    b = und.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+    ).select(F.col("a.v").alias("w1"), F.col("b.v").alias("w2"))
+    e2 = edges.alias("e2")
+    closed = wedges.join(
+        e2,
+        (F.col("w1") == F.col("e2.u")) & (F.col("w2") == F.col("e2.v")),
+    )
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_closed = closed.count()
+    n_tri = n_closed // 3
+    coeff = round(n_closed / n_wedges, 4) if n_wedges else 0.0
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri, coeff)],
+        "n_edges long, n_wedges long, n_triangles long, clustering_coefficient double",
+    )

@@ -989,3 +989,49 @@ ORDER BY q.doc_id
 
 PIPELINE_QUERIES["quality_feature_matrix"] = q_quality_feature_matrix
 PIPELINE_ORACLES["quality_feature_matrix"] = SQL_QUALITY_FEATURE_MATRIX
+
+
+# --------------------------------------------------------------------------
+# round-5: triangle census of the near-dup graph
+# --------------------------------------------------------------------------
+
+
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_graph_triangles(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_DEDUP_GRAPH_TRIANGLES = f"""
+WITH {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT DISTINCT least(doc_id1, doc_id2) AS u,
+         greatest(doc_id1, doc_id2) AS v
+  FROM pairs
+),
+und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+wedges AS (
+  SELECT a.v AS w1, b.v AS w2
+  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+),
+closed AS (
+  SELECT count(*) AS n_closed
+  FROM wedges JOIN edges e ON wedges.w1 = e.u AND wedges.w2 = e.v
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+         (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+         (SELECT n_closed FROM closed) AS n_closed
+)
+SELECT n_edges, n_wedges,
+       CAST(n_closed // 3 AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(n_closed * 1.0 / n_wedges, 4) ELSE 0.0 END
+         AS clustering_coefficient
+FROM counts
+"""
+
+PIPELINE_QUERIES["dedup_graph_triangles"] = q_dedup_graph_triangles
+PIPELINE_ORACLES["dedup_graph_triangles"] = SQL_DEDUP_GRAPH_TRIANGLES

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "audio_pcm_stats",
     "audio_resample",
     "stream_approx_distinct",
+    "dedup_graph_triangles",
 ]
 
 

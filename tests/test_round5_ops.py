@@ -167,3 +167,17 @@ def test_sketch_accuracy_and_hll_mergeability(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_triangle_census_clique_vs_chain(spark):
+    """A 4-clique of identical docs yields C(4,3)=4 triangles and
+    coefficient 1.0; a pure similarity chain yields 0 triangles."""
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_graph_triangles
+
+    base = " ".join(f"w{j}" for j in range(12))
+    clique = [(i, base) for i in range(4)]
+    filler = [(100 + i, " ".join(f"u{i}x{j}" for j in range(12))) for i in range(6)]
+    df = spark.createDataFrame(clique + filler, "doc_id long, text string")
+    row = dedup_graph_triangles(df).collect()[0]
+    assert row.n_edges == 6 and row.n_triangles == 4
+    assert row.clustering_coefficient == 1.0
