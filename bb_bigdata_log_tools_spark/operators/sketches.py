@@ -27,8 +27,6 @@ DuckDB) — integer logic, no float log2 boundary hazards.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
