@@ -20,7 +20,11 @@ from bb_bigdata_log_tools_spark.functions.timestamps import (
     parse_rfc5424,
 )
 from bb_bigdata_log_tools_spark.session import table
-from bb_bigdata_log_tools_spark.sources.boom import read_boom, read_boom_local
+from bb_bigdata_log_tools_spark.sources.boom import (
+    read_boom,
+    read_boom_local,
+    read_boom_split,
+)
 
 BM_DIR = (
     "/root/reference/testcases/logsearch/logsearch-testservice/logs/"
@@ -132,8 +136,17 @@ FROM events
 ORDER BY event_id
 """
 
+def q_boom_read_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden .bm decoded through the SYNC-SPLIT ranged reader with
+    a 512-byte split (forcing many ranges over one small file) — must
+    equal the whole-file decode exactly (fixed input, independent of
+    sf_dir)."""
+    return read_boom_split(spark, BM_DIR, split_bytes=512)
+
+
 BOOM_QUERIES = {
     "boom_read": q_boom_read,
+    "boom_read_split": q_boom_read_split,
     "boom_read_pushdown": q_boom_read_pushdown,
     "ts_parse_rfc5424": q_ts_parse_rfc5424,
     "ts_parse_rfc3164": q_ts_parse_rfc3164,
@@ -143,6 +156,7 @@ BOOM_ORACLES = {
     k: v
     for k, v in {
         "boom_read": SQL_BOOM_READ,
+        "boom_read_split": SQL_BOOM_READ,
         "boom_read_pushdown": SQL_BOOM_READ_PUSHDOWN,
         "ts_parse_rfc5424": SQL_TS_PARSE_RFC5424,
         "ts_parse_rfc3164": SQL_TS_PARSE_RFC3164,

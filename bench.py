@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "audio_resample",
     "stream_approx_distinct",
     "dedup_graph_triangles",
+    "boom_read_split",
 ]
 
 

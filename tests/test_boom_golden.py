@@ -276,3 +276,77 @@ def test_spark_pushdown_read_matches_unpushed(spark):
             cond = c if cond is None else (cond | c)
         want = sorted(tuple(r) for r in base.filter(cond).collect())
         assert pushed == want and len(pushed) > 0, (terms, ci)
+
+
+def test_sync_split_ranges_partition_all_blocks(tmp_path):
+    """Every (start, end) range partition of a multi-block .bm must
+    reproduce the full decode exactly — including splits landing inside
+    blocks, inside sync markers, and at block boundaries — and the
+    pushed search must agree with read-then-filter through the ranged
+    path."""
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        read_boom_local,
+        scan_boom_range,
+        write_boom_stream,
+    )
+
+    path = str(tmp_path / "big.bm")
+    lines = [
+        (1_700_000_000_000 + s * 1000 + (i % 1000),
+         f"second {s} line {i} payload {'x' * (i % 37)}", i)
+        for s in range(60)
+        for i in range(25)
+    ]
+    write_boom_stream(path, iter(lines), create_time=7)
+    want = sorted(read_boom_local(path))
+    size = __import__("os").path.getsize(path)
+
+    for split in [size, size // 2, 1024, 777, 131]:
+        got = []
+        start = 0
+        n_ranges = 0
+        while start < size:
+            end = min(start + split, size)
+            got.extend(scan_boom_range(path, start, end))
+            n_ranges += 1
+            start += split
+        assert sorted(got) == want, (split, len(got), len(want))
+        if split == 131:
+            assert n_ranges > 20  # genuinely many ranges
+
+    # pushdown through ranges == read-then-filter
+    term = "line 7 "
+    got = []
+    start = 0
+    while start < size:
+        got.extend(
+            scan_boom_range(path, start, min(start + 997, size),
+                            search_terms=[term])
+        )
+        start += 997
+    assert sorted(got) == sorted(r for r in want if term in r[1])
+
+
+def test_read_boom_split_distributed(spark, tmp_path):
+    """The ranged DataFrame reader equals read_boom on the same tree and
+    actually fans a single large file across multiple tasks."""
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        read_boom,
+        read_boom_split,
+        write_boom_stream,
+    )
+
+    d = tmp_path / "data"
+    d.mkdir()
+    path = str(d / "part-00000.bm")
+    lines = [
+        (1_700_000_000_000 + s * 1000, f"s{s} line {i}", i)
+        for s in range(40)
+        for i in range(20)
+    ]
+    write_boom_stream(path, iter(lines))
+    full = sorted(tuple(r) for r in read_boom(spark, str(d)).collect())
+    split = read_boom_split(spark, str(d), split_bytes=1500)
+    got = sorted(tuple(r) for r in split.collect())
+    assert got == full and len(got) == len(lines)
+    assert split.rdd.getNumPartitions() > 3
