@@ -1685,3 +1685,47 @@ def events_user_lifespan(events: DataFrame) -> DataFrame:
         )
         .transform(lambda d: small_sort(d, "lifespan_days"))
     )
+
+
+def events_bot_detection(
+    events: DataFrame,
+    burst_threshold: int = 5,
+    total_threshold: int = 200,
+) -> DataFrame:
+    """Bot / automation flagging: users whose peak per-minute event
+    burst or total volume exceeds human-plausible thresholds — the
+    anti-abuse screen run before engagement analytics (one scripted
+    client can dominate every top-k and cohort otherwise).
+
+    Per user: total events, peak events in any tumbling minute, number
+    of active minutes, and the flag reasons. Tumbling (not sliding)
+    windows keep the aggregate exact, cheap, and cross-engine stable
+    (integer epoch-minute buckets).
+
+    100 TB shape: one partial-agg groupBy on (user, minute) — the
+    shuffle carries minute buckets, not events — then a per-user
+    rollup; no windows over raw events, no joins.
+    """
+    minute = (F.unix_millis(F.col("ts")) / F.lit(60_000)).cast("long")
+    per_min = (
+        events.select("user_id", minute.alias("minute"))
+        .groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("n").alias("total_events"),
+        F.max("n").alias("peak_minute_events"),
+        F.count(F.lit(1)).alias("active_minutes"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "total_events",
+            "peak_minute_events",
+            "active_minutes",
+            (F.col("peak_minute_events") >= burst_threshold).alias("burst_flag"),
+            (F.col("total_events") >= total_threshold).alias("volume_flag"),
+        )
+        .filter(F.col("burst_flag") | F.col("volume_flag"))
+        .transform(lambda d: small_sort(d, "user_id"))
+    )

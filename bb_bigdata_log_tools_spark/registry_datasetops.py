@@ -1169,3 +1169,41 @@ DATASETOPS_ORACLES.update(
         "approx_distinct_kmv": _kmv_oracle(),
     }
 )
+
+
+# thresholds tuned to the synthetic load so the gate checks a
+# NON-EMPTY flagged set (max observed peak/min = 2, p90 total ≈ 78)
+BOT_BURST = 2
+BOT_TOTAL = 80
+
+
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_bot_detection(
+        ensure_parallelism(table(spark, sf_dir, "events")), BOT_BURST, BOT_TOTAL
+    )
+
+
+SQL_EVENTS_BOT_DETECTION = f"""
+WITH per_min AS (
+  SELECT user_id, epoch_ms(ts) // 60000 AS minute,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS total_events,
+         CAST(max(n) AS BIGINT) AS peak_minute_events,
+         CAST(count(*) AS BIGINT) AS active_minutes
+  FROM per_min GROUP BY user_id
+)
+SELECT user_id, total_events, peak_minute_events, active_minutes,
+       peak_minute_events >= {BOT_BURST} AS burst_flag,
+       total_events >= {BOT_TOTAL} AS volume_flag
+FROM per_user
+WHERE peak_minute_events >= {BOT_BURST} OR total_events >= {BOT_TOTAL}
+ORDER BY user_id
+"""
+
+
+DATASETOPS_QUERIES.update({"events_bot_detection": q_events_bot_detection})
+DATASETOPS_ORACLES.update({"events_bot_detection": SQL_EVENTS_BOT_DETECTION})

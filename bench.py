@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "stream_approx_distinct",
     "dedup_graph_triangles",
     "boom_read_split",
+    "events_bot_detection",
 ]
 
 
