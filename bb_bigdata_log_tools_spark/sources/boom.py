@@ -806,6 +806,10 @@ def read_boom_split(
     fan out across ``ceil(size / split_bytes)`` tasks instead of one
     task per file (``read_boom``'s per-file parallelism, which matches
     the reference's hourly part files but not a consolidated archive).
+    Parity target: the reference's splittable reader
+    ``mapreduce/boom/BoomIndividualInputFormat.java:1`` /
+    ``BoomIndividualRecordReader.java:1`` (isSplitable=true, FileSplit
+    ranges) — same ownership rule, Spark-side.
 
     The driver lists files and fabricates byte ranges; each task mmap's
     its file and decodes only its range's blocks
