@@ -730,27 +730,32 @@ def scan_boom_range(
         with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
             schema, sync, header_end, codec = _parse_boom_header(mm)
             n = len(mm)
-            if start <= header_end:
-                pos = header_end
-            else:
-                # sync to the first VALID block boundary at/after start
-                pos = None
-                search_from = start
-                while True:
-                    hit = mm.find(sync, search_from, n)
-                    if hit < 0:
-                        return
-                    cand = hit + 16
-                    if _try_block(mm, cand, sync, codec) is not None:
-                        pos = cand
-                        break
-                    search_from = hit + 1
+            # Ownership rule (the actual Avro DataFileReader contract): a
+            # block belongs to the range that contains its PRECEDING sync
+            # marker's byte offset. Every range — including the first —
+            # scans for the first VALID sync at offset ≥ start (the
+            # header's own sync is the marker preceding block 1, so no
+            # header special-case: only the range containing it reads
+            # block 1); a range whose first sync lies at/after `end`
+            # owns nothing.
+            pos = None
+            search_from = start
+            while True:
+                hit = mm.find(sync, search_from, n)
+                if hit < 0 or hit >= end:
+                    return
+                cand = hit + 16
+                if _try_block(mm, cand, sync, codec) is not None:
+                    pos = cand
+                    break
+                search_from = hit + 1
             if case_insensitive and search_terms is not None:
                 ascii_ok = all(t.isascii() for t in search_terms)
                 terms_upper = [t.upper() for t in search_terms]
             elif search_terms is not None:
                 terms_bytes = [t.encode("utf-8") for t in search_terms]
-            while pos is not None and pos < min(end + 16, n):
+            # continue while the preceding sync offset (pos − 16) is ours
+            while pos is not None and pos - 16 < min(end, n):
                 blk = _try_block(mm, pos, sync, codec)
                 if blk is None:
                     return  # trailing corruption — stop at last good block

@@ -232,3 +232,39 @@ def test_split_assign_formula_subset_invariance(rows):
     half = {(s, d): split(s, d) for s, d in rows[::2]}
     for k, v in half.items():
         assert full[k] == v
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(TS_MS, MESSAGES, st.integers(min_value=0, max_value=2**31 - 1)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=64, max_value=4096),
+)
+def test_sync_split_partition_invariance(lines, split):
+    """For ANY random line set and ANY split size, the union of ranged
+    decodes equals the whole-file decode — the sync/pastSync ownership
+    rule leaves no block unread and reads none twice (false-sync
+    candidates in compressed payloads included)."""
+    import os
+    import tempfile
+
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        read_boom_local,
+        scan_boom_range,
+        write_boom_local,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f.bm")
+        write_boom_local(path, lines)
+        want = sorted(read_boom_local(path))
+        size = os.path.getsize(path)
+        got = []
+        start = 0
+        while start < size:
+            got.extend(scan_boom_range(path, start, min(start + split, size)))
+            start += split
+        assert sorted(got) == want
