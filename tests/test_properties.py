@@ -268,3 +268,91 @@ def test_sync_split_partition_invariance(lines, split):
             got.extend(scan_boom_range(path, start, min(start + split, size)))
             start += split
         assert sorted(got) == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(TS_MS, MESSAGES, st.integers(min_value=0, max_value=2**31 - 1)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=3),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pushdown_scan_equals_filter_random(lines, terms, match_all, ci):
+    """scan_boom_bytes == read-then-filter for ANY corpus, ANY terms,
+    both match modes, both case modes (incl. unicode fallback)."""
+    import os
+    import tempfile
+
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        read_boom_local,
+        scan_boom_bytes,
+        write_boom_local,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f.bm")
+        write_boom_local(path, lines)
+        rows = read_boom_local(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        agg = all if match_all else any
+        want = sorted(
+            r for r in rows
+            if agg(
+                (t.upper() in r[1].upper()) if ci else (t in r[1])
+                for t in terms
+            )
+        )
+        got = sorted(
+            scan_boom_bytes(data, terms, match_all=match_all, case_insensitive=ci)
+        )
+        assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=10),
+            st.sampled_from(["txt", "json", "bin.x"]),
+            st.binary(min_size=0, max_size=200),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_webdataset_local_roundtrip_random(members):
+    """write_webdataset_local → tar parse recovers every member with
+    identical key/ext/payload (first-dot split rule included)."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    # de-dupe (key, ext) collisions — tar members must be unique
+    seen = set()
+    uniq = []
+    for k, e, p in members:
+        if (k, e) not in seen:
+            seen.add((k, e))
+            uniq.append((k, e, p))
+    with tempfile.TemporaryDirectory() as d:
+        from bb_bigdata_log_tools_spark.sources.webdataset import (
+            write_webdataset_local,
+        )
+
+        paths = write_webdataset_local(uniq, d, shard_size=7)
+        got = []
+        for path in paths:
+            with tarfile.open(path) as tf:
+                for m in tf:
+                    if not m.isreg():
+                        continue
+                    base = os.path.basename(m.name)
+                    key, dot, ext = base.partition(".")
+                    got.append((key, ext if dot else "", tf.extractfile(m).read()))
+        assert sorted(got) == sorted(uniq)
