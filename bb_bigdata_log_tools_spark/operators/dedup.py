@@ -1106,3 +1106,65 @@ def dedup_graph_triangles(
         [(n_edges, n_wedges, n_tri, coeff)],
         "n_edges long, n_wedges long, n_triangles long, clustering_coefficient double",
     )
+
+
+def contrastive_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Contrastive training triplets mined from the near-dup graph:
+    every minhash-LSH pair becomes an (anchor, positive), and each gets
+    a DETERMINISTIC hard-ish negative — the corpus document whose
+    seeded hash rank follows the anchor's (cyclically), skipping the
+    positive. The standard self-supervised data-prep for embedding /
+    retrieval models (near-dups are free positives; the md5-seeded
+    negative pick is uniform, retry-stable, and engine-exact, unlike
+    rand()).
+
+    Output: (anchor_id, positive_id, negative_id, jaccard).
+
+    100 TB shape: the pair relation is LSH-bounded; the negative pick
+    is ONE window rank over the corpus ids plus an equi-join on the
+    anchor's rank successor — no corpus self-join, no rand().
+    """
+    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    ids = documents.select("doc_id")
+    n_docs = ids.count()
+    w = Window.partitionBy().orderBy(
+        md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = ids.withColumn("rk", F.row_number().over(w))
+    r_anchor = ranked.alias("ra")
+    r1 = ranked.alias("r1")
+    r2 = ranked.alias("r2")
+    out = (
+        pairs.join(r_anchor, F.col("doc_id1") == F.col("ra.doc_id"))
+        .join(
+            r1,
+            F.col("r1.rk") == F.pmod(F.col("ra.rk"), F.lit(n_docs)) + 1,
+        )
+        .join(
+            r2,
+            F.col("r2.rk") == F.pmod(F.col("ra.rk") + 1, F.lit(n_docs)) + 1,
+        )
+        .select(
+            F.col("doc_id1").alias("anchor_id"),
+            F.col("doc_id2").alias("positive_id"),
+            # successor rank, skipping the positive (and the anchor
+            # itself at n_docs=1 edge) via the second successor
+            F.when(
+                (F.col("r1.doc_id") != F.col("doc_id2"))
+                & (F.col("r1.doc_id") != F.col("doc_id1")),
+                F.col("r1.doc_id"),
+            )
+            .otherwise(F.col("r2.doc_id"))
+            .alias("negative_id"),
+            "jaccard",
+        )
+        .transform(lambda d: small_sort(d, "anchor_id", "positive_id"))
+    )
+    return out

@@ -1035,3 +1035,40 @@ FROM counts
 
 PIPELINE_QUERIES["dedup_graph_triangles"] = q_dedup_graph_triangles
 PIPELINE_ORACLES["dedup_graph_triangles"] = SQL_DEDUP_GRAPH_TRIANGLES
+
+
+# --------------------------------------------------------------------------
+# round-5: contrastive training triplets from the near-dup graph
+# --------------------------------------------------------------------------
+
+_NEG_MD5 = "('0x' || substring(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contrastive_pairs(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_CONTRASTIVE_PAIRS = f"""
+WITH {SQL_MINHASH_PAIRS_CTES},
+nd AS (SELECT count(*) AS n FROM documents),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY {_NEG_MD5}, doc_id) AS rk
+  FROM documents
+)
+SELECT p.doc_id1 AS anchor_id, p.doc_id2 AS positive_id,
+       CASE WHEN r1.doc_id <> p.doc_id1 AND r1.doc_id <> p.doc_id2
+            THEN r1.doc_id ELSE r2.doc_id END AS negative_id,
+       p.jaccard
+FROM pairs p
+JOIN ranked ra ON p.doc_id1 = ra.doc_id
+CROSS JOIN nd
+JOIN ranked r1 ON r1.rk = ra.rk % nd.n + 1
+JOIN ranked r2 ON r2.rk = (ra.rk + 1) % nd.n + 1
+ORDER BY anchor_id, positive_id
+"""
+
+PIPELINE_QUERIES["contrastive_pairs"] = q_contrastive_pairs
+PIPELINE_ORACLES["contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS

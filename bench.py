@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "dedup_graph_triangles",
     "boom_read_split",
     "events_bot_detection",
+    "contrastive_pairs",
 ]
 
 
