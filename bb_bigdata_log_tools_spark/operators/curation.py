@@ -755,3 +755,63 @@ def bigram_perplexity(
         .withColumn("perplexity", F.round(F.exp(F.col("cross_entropy")), 4))
     )
     return small_sort(scored, "doc_id") if sort else scored
+
+
+def mlm_mask_preview(
+    documents: DataFrame,
+    mask_rate_denom: int = 7,
+    text_col: str = "text",
+    sort: bool = True,
+) -> DataFrame:
+    """Deterministic masked-LM corruption preview: every token whose
+    seeded hash lands in the 1/``mask_rate_denom`` bucket is replaced
+    with ``[MASK]`` (≈14 % at the default — the BERT-class rate), and
+    the masked tokens become the target sequence — the
+    inspect-before-training view of an MLM data transform, and the
+    template for applying it at export time.
+
+    The coin is md5('mask:' || doc_id || ':' || position) — per-token,
+    deterministic, engine-exact and retry-stable (the ``sample_weighted``
+    discipline; rand() would unmask differently on every run/engine).
+
+    Output: (doc_id, n_tokens, n_masked, corrupted_text, targets).
+
+    100 TB shape: pure per-row column algebra (array HOFs over the
+    token array) — one scan, zero shuffle, zero Python.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_doc = documents.select("doc_id", toks.alias("toks"))
+    idx = F.sequence(F.lit(1), F.size(F.col("toks")))
+    coin = lambda i: F.pmod(  # noqa: E731
+        md5_long(
+            F.concat(
+                F.lit("mask:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            )
+        ),
+        F.lit(mask_rate_denom),
+    )
+    masked_flags = F.transform(idx, lambda i: coin(i) == 0)
+    corrupted = F.zip_with(
+        F.col("toks"),
+        F.col("flags"),
+        lambda t, m: F.when(m, F.lit("[MASK]")).otherwise(t),
+    )
+    targets = F.zip_with(
+        F.col("toks"),
+        F.col("flags"),
+        lambda t, m: F.when(m, t).otherwise(F.lit(None).cast("string")),
+    )
+    return (
+        with_doc.withColumn("flags", masked_flags)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.filter(F.col("flags"), lambda m: m)).alias("n_masked"),
+            F.array_join(corrupted, " ").alias("corrupted_text"),
+            F.array_join(targets, " ").alias("targets"),  # nulls skipped
+        )
+        .transform(lambda d: small_sort(d, "doc_id") if sort else d)
+    )

@@ -859,3 +859,52 @@ ORDER BY doc_id
 
 CURATION_QUERIES.update({"bigram_perplexity": q_bigram_perplexity})
 CURATION_ORACLES.update({"bigram_perplexity": SQL_BIGRAM_PERPLEXITY})
+
+
+# --------------------------------------------------------------------------
+# round-5: deterministic MLM mask preview
+# --------------------------------------------------------------------------
+
+MLM_DENOM = 7
+
+
+def q_mlm_mask_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mlm_mask_preview(
+        table(spark, sf_dir, "documents"), MLM_DENOM
+    )
+
+
+_MASK_MD5 = _MD5_LONG.format(
+    x="'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+)
+
+SQL_MLM_MASK_PREVIEW = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks)),
+                        i -> {_MASK_MD5} % {MLM_DENOM} = 0) AS fl
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(fl, m -> m)) AS INTEGER) AS n_masked,
+       array_to_string(
+         list_transform(generate_series(1, len(toks)),
+                        i -> CASE WHEN fl[i] THEN '[MASK]' ELSE toks[i] END),
+         ' ') AS corrupted_text,
+       coalesce(array_to_string(
+         list_filter(list_transform(generate_series(1, len(toks)),
+                                    i -> CASE WHEN fl[i] THEN toks[i] END),
+                     x -> x IS NOT NULL),
+         ' '), '') AS targets
+FROM flags
+ORDER BY doc_id
+"""
+
+
+CURATION_QUERIES.update({"mlm_mask_preview": q_mlm_mask_preview})
+CURATION_ORACLES.update({"mlm_mask_preview": SQL_MLM_MASK_PREVIEW})

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "boom_read_split",
     "events_bot_detection",
     "contrastive_pairs",
+    "mlm_mask_preview",
 ]
 
 
