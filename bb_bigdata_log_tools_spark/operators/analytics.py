@@ -1729,3 +1729,76 @@ def events_bot_detection(
         .filter(F.col("burst_flag") | F.col("volume_flag"))
         .transform(lambda d: small_sort(d, "user_id"))
     )
+
+
+def events_conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Last-touch conversion attribution: credit each conversion to the
+    user's most recent NON-conversion event within the lookback window
+    — the marketing/product attribution query behind "what drives
+    purchases". Unattributed conversions (nothing in the window) are
+    reported under touch_type = '(none)'.
+
+    Implemented with the as-of union+window trick (one shuffle on
+    user_id, a single last_value window over the merged stream — no
+    range join, no per-user cross product): touches and conversions
+    interleave in (ts, kind) order; each conversion reads the running
+    "last touch" carried by the window, then the window-bound filter
+    applies. Output: (touch_type, n_conversions, avg_gap_min).
+    """
+    ms = F.unix_millis(F.col("ts"))
+    touches = events.filter(F.col("event_type") != conversion_type).select(
+        "user_id", ms.alias("ms"),
+        F.col("event_type").alias("touch_type"),
+        F.lit(0).alias("kind"),
+    )
+    convs = events.filter(F.col("event_type") == conversion_type).select(
+        "user_id", ms.alias("ms"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(1).alias("kind"),
+    )
+    merged = touches.unionAll(convs)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        merged.withColumn(
+            "last_touch", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_touch_ms",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("ms")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            F.when(
+                F.col("last_touch_ms").isNotNull()
+                & (F.col("ms") - F.col("last_touch_ms") <= window_ms),
+                F.col("last_touch"),
+            )
+            .otherwise(F.lit("(none)"))
+            .alias("touch_type"),
+            (F.col("ms") - F.col("last_touch_ms")).alias("gap_ms"),
+            (
+                F.col("last_touch_ms").isNotNull()
+                & (F.col("ms") - F.col("last_touch_ms") <= window_ms)
+            ).alias("in_window"),
+        )
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.avg(F.when(F.col("in_window"), F.col("gap_ms") / 60000.0)), 2
+            ).alias("avg_gap_min"),
+        )
+        .transform(lambda d: small_sort(d, "touch_type"))
+    )

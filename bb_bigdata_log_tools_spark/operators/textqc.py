@@ -385,3 +385,32 @@ def quality_feature_matrix(documents: DataFrame) -> DataFrame:
         .join(p, "doc_id")
         .transform(lambda d: small_sort(d, "doc_id"))
     )
+
+
+def source_quality_report(documents: DataFrame) -> DataFrame:
+    """Per-SOURCE quality roll-up of the feature matrix: mean composite
+    quality, entropy, repetition, and perplexity by origin — the
+    decision artifact behind per-source mixture weights and cut lists
+    ("which crawls are worth their tokens"). The aggregate companion of
+    the per-doc :func:`quality_feature_matrix`.
+
+    100 TB shape: the feature matrix's scan + two doc-keyed aggregates,
+    then one thin groupBy over the |sources| domain.
+    """
+    qfm = quality_feature_matrix(documents).select(
+        "doc_id", "quality_score", "char_entropy", "dup_bigram_ratio",
+        "unigram_ppl",
+    )
+    src = documents.select("doc_id", "source")
+    return (
+        src.join(qfm, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+            F.round(F.avg("char_entropy"), 4).alias("mean_entropy"),
+            F.round(F.avg("dup_bigram_ratio"), 4).alias("mean_dup_bigrams"),
+            F.round(F.avg("unigram_ppl"), 4).alias("mean_unigram_ppl"),
+        )
+        .transform(lambda d: small_sort(d, "source"))
+    )

@@ -1207,3 +1207,57 @@ ORDER BY user_id
 
 DATASETOPS_QUERIES.update({"events_bot_detection": q_events_bot_detection})
 DATASETOPS_ORACLES.update({"events_bot_detection": SQL_EVENTS_BOT_DETECTION})
+
+
+ATTR_WINDOW_MS = 24 * 3600 * 1000
+
+
+def q_events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_conversion_attribution(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "purchase",
+        ATTR_WINDOW_MS,
+    )
+
+
+SQL_EVENTS_CONVERSION_ATTRIBUTION = f"""
+WITH merged AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events
+),
+attributed AS (
+  SELECT *,
+         last_value(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ms, kind
+           ROWS UNBOUNDED PRECEDING) AS last_touch,
+         last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ms, kind
+           ROWS UNBOUNDED PRECEDING) AS last_touch_ms
+  FROM merged
+),
+convs AS (
+  SELECT CASE WHEN last_touch_ms IS NOT NULL
+                   AND ms - last_touch_ms <= {ATTR_WINDOW_MS}
+              THEN last_touch ELSE '(none)' END AS touch_type,
+         ms - last_touch_ms AS gap_ms,
+         last_touch_ms IS NOT NULL
+           AND ms - last_touch_ms <= {ATTR_WINDOW_MS} AS in_window
+  FROM attributed WHERE kind = 1
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(avg(CASE WHEN in_window THEN gap_ms / 60000.0 END), 2)
+         AS avg_gap_min
+FROM convs GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {"events_conversion_attribution": q_events_conversion_attribution}
+)
+DATASETOPS_ORACLES.update(
+    {"events_conversion_attribution": SQL_EVENTS_CONVERSION_ATTRIBUTION}
+)

@@ -1072,3 +1072,31 @@ ORDER BY anchor_id, positive_id
 
 PIPELINE_QUERIES["contrastive_pairs"] = q_contrastive_pairs
 PIPELINE_ORACLES["contrastive_pairs"] = SQL_CONTRASTIVE_PAIRS
+
+
+# --------------------------------------------------------------------------
+# round-5: per-source quality roll-up
+# --------------------------------------------------------------------------
+
+
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textqc.source_quality_report(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_SOURCE_QUALITY_REPORT = f"""
+WITH qfm AS ({SQL_QUALITY_FEATURE_MATRIX.replace("ORDER BY q.doc_id", "")})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(qfm.quality_score), 4) AS mean_quality,
+       round(avg(qfm.char_entropy), 4) AS mean_entropy,
+       round(avg(qfm.dup_bigram_ratio), 4) AS mean_dup_bigrams,
+       round(avg(qfm.unigram_ppl), 4) AS mean_unigram_ppl
+FROM documents d JOIN qfm ON d.doc_id = qfm.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+PIPELINE_QUERIES["source_quality_report"] = q_source_quality_report
+PIPELINE_ORACLES["source_quality_report"] = SQL_SOURCE_QUALITY_REPORT

@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "events_bot_detection",
     "contrastive_pairs",
     "mlm_mask_preview",
+    "source_quality_report",
+    "events_conversion_attribution",
 ]
 
 
