@@ -1802,3 +1802,55 @@ def events_conversion_attribution(
         )
         .transform(lambda d: small_sort(d, "touch_type"))
     )
+
+
+def events_rollup_cube(events: DataFrame) -> DataFrame:
+    """Multi-grain traffic cube: event counts and value sums for every
+    combination of (event_type, day-of-week) INCLUDING the marginal and
+    grand totals — one CUBE aggregation instead of four separate
+    groupBys (Spark expands the grouping sets in a single shuffle with
+    partial aggregation per set).
+
+    NULL grouping keys are replaced with '(all)' / -1 sentinels so the
+    totals are first-class rows (and the oracle comparison is
+    null-free). Integer epoch-day dow (Sunday = 0, the
+    ``events_seasonality`` convention).
+    """
+    dow = (
+        ((F.unix_millis(F.col("ts")) / F.lit(86_400_000)).cast("long") + 4) % 7
+    ).alias("dow")
+    return (
+        events.select(F.col("event_type"), dow, F.col("value"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "n",
+            "value_sum",
+        )
+        .transform(lambda d: small_sort(d, "event_type", "dow"))
+    )
+
+
+def events_user_pivot(events: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Per-user wide activity profile: one column per event type (the
+    PIVOT shape feature stores and BI exports want). The type list is
+    EXPLICIT — ``pivot(col)`` without values would scan once just to
+    discover them, and a 100 TB pipeline pins its event taxonomy
+    anyway (unknown types land in nothing rather than new columns).
+    """
+    types = types or ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+        .transform(lambda d: small_sort(d, "user_id"))
+    )

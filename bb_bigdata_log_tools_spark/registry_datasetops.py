@@ -1261,3 +1261,58 @@ DATASETOPS_QUERIES.update(
 DATASETOPS_ORACLES.update(
     {"events_conversion_attribution": SQL_EVENTS_CONVERSION_ATTRIBUTION}
 )
+
+
+def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_rollup_cube(
+        ensure_parallelism(table(spark, sf_dir, "events"))
+    )
+
+
+SQL_EVENTS_ROLLUP_CUBE = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(dow, -1) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS value_sum
+FROM (
+  SELECT event_type,
+         (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+         value
+  FROM events
+)
+GROUP BY CUBE (event_type, dow)
+ORDER BY event_type, dow
+"""
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_user_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_user_pivot(
+        ensure_parallelism(table(spark, sf_dir, "events")), PIVOT_TYPES
+    )
+
+
+SQL_EVENTS_USER_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+           for t in PIVOT_TYPES
+       )}
+FROM events GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "events_rollup_cube": q_events_rollup_cube,
+        "events_user_pivot": q_events_user_pivot,
+    }
+)
+DATASETOPS_ORACLES.update(
+    {
+        "events_rollup_cube": SQL_EVENTS_ROLLUP_CUBE,
+        "events_user_pivot": SQL_EVENTS_USER_PIVOT,
+    }
+)

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "mlm_mask_preview",
     "source_quality_report",
     "events_conversion_attribution",
+    "events_rollup_cube",
+    "events_user_pivot",
 ]
 
 
