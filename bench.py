@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "events_conversion_attribution",
     "events_rollup_cube",
     "events_user_pivot",
+    "events_variant_extract",
 ]
 
 
