@@ -1168,3 +1168,101 @@ def contrastive_pairs(
         .transform(lambda d: small_sort(d, "anchor_id", "positive_id"))
     )
     return out
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every character k-gram, then keep the
+    MINIMUM hash of each sliding window of ``window`` consecutive
+    k-grams — the guarantee is that any shared
+    substring of length ≥ k + window − 1 contributes at least one
+    shared fingerprint, at ~2/(window+1) selection density. The
+    position-robust sibling of :func:`dedup_substring`: winnowing pays
+    O(docs · selected) instead of O(total chars) downstream.
+
+    Output: (doc_id, fp) — DISTINCT selected fingerprint hashes.
+
+    100 TB shape: pure per-row array algebra (k-gram hashes → window
+    minima via transform over index ranges) — one scan, no shuffle;
+    the distinct is per (doc, fp) with map-side partials.
+    """
+    c = F.col(text_col)
+    n_grams = F.length(c) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: md5_long(F.substring(c, i, k)),
+    )
+    n_windows = F.size(F.col("grams")) - F.lit(window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda w: F.array_min(F.slice(F.col("grams"), w, window)),
+    )
+    return (
+        documents.filter(F.length(c) >= k + window - 1)
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def dedup_winnowing(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by WINNOWING fingerprint overlap — the MOSS-style
+    similarity report: pairs sharing ≥ ``threshold`` of the smaller
+    document's selected fingerprints (the containment coefficient,
+    which unlike Jaccard also catches a short document embedded in a
+    long one). Fingerprints hotter than ``max_df`` are dropped before
+    the join (the boilerplate cap); join fan-out per fingerprint is
+    bounded by C(max_df, 2).
+
+    Output: (doc_id1, doc_id2, n_shared, containment).
+    """
+    fps = winnowing_fingerprints(documents, k, window)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    kept = fps.join(hot, "fp", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id2") == F.col("sb.doc_id"))
+        .select(
+            "doc_id1",
+            "doc_id2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("sa.sz"), F.col("sb.sz")), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+    )

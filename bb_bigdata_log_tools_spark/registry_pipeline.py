@@ -1100,3 +1100,63 @@ ORDER BY d.source
 
 PIPELINE_QUERIES["source_quality_report"] = q_source_quality_report
 PIPELINE_ORACLES["source_quality_report"] = SQL_SOURCE_QUALITY_REPORT
+
+
+# --------------------------------------------------------------------------
+# round-5: winnowing (MOSS) fingerprint dedup
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_T = 0.5
+WINNOW_MAX_DF = 64
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_winnowing(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        WINNOW_K,
+        WINNOW_W,
+        WINNOW_T,
+        WINNOW_MAX_DF,
+    )
+
+
+_GRAM_MD5 = "('0x' || substring(md5(substr(text, i, {k})), 1, 15))::BIGINT"
+
+SQL_DEDUP_WINNOWING = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(text) - {WINNOW_K - 1}, 1)),
+                        i -> {_GRAM_MD5.format(k=WINNOW_K)}) AS grams
+  FROM documents
+  WHERE len(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)),
+             w -> list_min(grams[w : w + {WINNOW_W - 1}])))) AS fp
+  FROM g
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {WINNOW_MAX_DF}),
+kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2, n_shared,
+       round(n_shared * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+FROM shared
+JOIN sizes sa ON doc_id1 = sa.doc_id
+JOIN sizes sb ON doc_id2 = sb.doc_id
+WHERE round(n_shared * 1.0 / least(sa.sz, sb.sz), 4) >= {WINNOW_T}
+ORDER BY doc_id1, doc_id2
+"""
+
+PIPELINE_QUERIES["dedup_winnowing"] = q_dedup_winnowing
+PIPELINE_ORACLES["dedup_winnowing"] = SQL_DEDUP_WINNOWING

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "events_rollup_cube",
     "events_user_pivot",
     "events_variant_extract",
+    "dedup_winnowing",
 ]
 
 

@@ -181,3 +181,31 @@ def test_triangle_census_clique_vs_chain(spark):
     row = dedup_graph_triangles(df).collect()[0]
     assert row.n_edges == 6 and row.n_triangles == 4
     assert row.clustering_coefficient == 1.0
+
+
+def test_winnowing_guarantee_and_containment(spark):
+    """The winnowing guarantee: any shared substring of length ≥
+    k + window − 1 yields at least one shared fingerprint; an embedded
+    short doc scores containment 1.0 against its container (which plain
+    Jaccard would miss)."""
+    from bb_bigdata_log_tools_spark.operators.dedup import (
+        dedup_winnowing,
+        winnowing_fingerprints,
+    )
+
+    short = "the common shared span here"
+    docs = [
+        (0, "prefix junk A " + short + " suffix junk B"),
+        (1, short),
+        (2, "totally different content with nothing alike at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {r.doc_id: set() for r in df.collect()}
+    for r in winnowing_fingerprints(df, k=8, window=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1]          # guarantee: shared span → shared fp
+    assert not (fps[1] & fps[2])    # disjoint content → disjoint fps
+    pairs = dedup_winnowing(df, k=8, window=4, threshold=0.5).collect()
+    got = {(r.doc_id1, r.doc_id2): r.containment for r in pairs}
+    assert got.get((0, 1)) == 1.0   # embedded doc fully contained
+    assert (1, 2) not in got and (0, 2) not in got
