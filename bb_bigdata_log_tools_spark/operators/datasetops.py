@@ -494,3 +494,51 @@ def grouped_topk(
         F.col("rank") <= k
     )
     return small_sort(out, group_col, "rank") if sort else out
+
+
+def shard_skew_report(
+    df: DataFrame, n_shards: int = 32, key_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Layout QC for the shard assignment: per-shard row and byte-weight
+    totals plus corpus-level skew statistics (max/mean ratios) — the
+    check a pipeline runs BEFORE writing 10k shards, because one
+    overweight shard becomes the straggler of every downstream epoch.
+    Uses the same md5 shard hash as :func:`shuffle_shards`, so the
+    report audits exactly the layout the writer would produce.
+
+    Output: one row per shard + a 'TOTAL' row carrying the skew ratios
+    (max_rows/mean_rows, max_weight/mean_weight).
+
+    100 TB shape: one partial-agg groupBy on the shard id; the skew
+    roll-up runs over the |shards|-row aggregate.
+    """
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), F.col(key_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    per_shard = (
+        df.select(shard.alias("shard"), F.col(weight_col).alias("w"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("w").alias("total_weight"),
+        )
+    )
+    totals = per_shard.agg(
+        F.lit(-1).cast("int").alias("shard"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("total_weight").alias("total_weight"),
+        F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("row_skew"),
+        F.round(F.max("total_weight") / F.avg("total_weight"), 4).alias(
+            "weight_skew"
+        ),
+    )
+    detail = per_shard.select(
+        "shard", "n_rows", "total_weight",
+        F.lit(None).cast("double").alias("row_skew"),
+        F.lit(None).cast("double").alias("weight_skew"),
+    )
+    return detail.unionAll(totals).transform(lambda d: small_sort(d, "shard"))

@@ -1316,3 +1316,37 @@ DATASETOPS_ORACLES.update(
         "events_user_pivot": SQL_EVENTS_USER_PIVOT,
     }
 )
+
+
+SKEW_SHARDS = 16
+
+
+def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datasetops.shard_skew_report(
+        table(spark, sf_dir, "documents"), SKEW_SHARDS
+    )
+
+
+_SHARD_MD5 = "('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+SQL_SHARD_SKEW_REPORT = f"""
+WITH per_shard AS (
+  SELECT CAST({_SHARD_MD5} % {SKEW_SHARDS} AS INTEGER) AS shard,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS total_weight
+  FROM documents GROUP BY 1
+)
+SELECT shard, n_rows, total_weight,
+       CAST(NULL AS DOUBLE) AS row_skew, CAST(NULL AS DOUBLE) AS weight_skew
+FROM per_shard
+UNION ALL
+SELECT -1, CAST(sum(n_rows) AS BIGINT), CAST(sum(total_weight) AS BIGINT),
+       round(max(n_rows) * 1.0 / avg(n_rows), 4),
+       round(max(total_weight) * 1.0 / avg(total_weight), 4)
+FROM per_shard
+ORDER BY shard
+"""
+
+
+DATASETOPS_QUERIES.update({"shard_skew_report": q_shard_skew_report})
+DATASETOPS_ORACLES.update({"shard_skew_report": SQL_SHARD_SKEW_REPORT})

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "events_user_pivot",
     "events_variant_extract",
     "dedup_winnowing",
+    "shard_skew_report",
 ]
 
 
