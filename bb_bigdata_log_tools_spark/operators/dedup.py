@@ -1266,3 +1266,64 @@ def dedup_winnowing(
         .filter(F.col("containment") >= threshold)
         .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
     )
+
+
+def dedup_resolve(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """The END-TO-END drop list: one keep/drop decision per document,
+    combining the dedup strategies in precedence order — what a user
+    actually runs to dedupe a corpus (the per-method ops are the
+    diagnostics; this is the deliverable).
+
+    Reasons, first applicable wins:
+    - ``exact``: byte-identical content, not the min-id copy;
+    - ``near``: in a minhash-LSH connected component, not the min-id
+      representative (transitive chains collapse);
+    - ``kept``: everything else.
+
+    Deterministic min-id keeper policy on both tiers (swap
+    :func:`dedup_keep_best`'s quality argmax in where quality should
+    decide). Output: (doc_id, decision, reason_detail) where
+    reason_detail carries the keeper's doc_id.
+
+    100 TB shape: the exact tier is one window over the md5 groups;
+    the near tier rides the LSH + components pipeline (salted,
+    bounded); decisions union without ever joining the corpus to
+    itself.
+    """
+    exact_w = Window.partitionBy(F.md5(F.col("text")))
+    exact = documents.select(
+        "doc_id",
+        F.min("doc_id").over(exact_w).alias("exact_keeper"),
+    )
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    out = (
+        exact.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("exact_keeper"), F.lit("exact"))
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                F.lit("near"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+            F.when(
+                F.col("doc_id") != F.col("exact_keeper"), F.col("exact_keeper")
+            )
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("doc_id") != F.col("cluster_id")),
+                F.col("cluster_id"),
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("keeper_doc_id"),
+        )
+    )
+    return small_sort(out, "doc_id")

@@ -444,7 +444,7 @@ _WINDOW_PRIORITY: list[str] = [
     "clean_text",
 ]
 
-# ROUND-6 ROTATION TODO: 23 keys were registered after the round-5
+# ROUND-6 ROTATION TODO: 24 keys were registered after the round-5
 # window filled and have no driver-hard green row yet:
 # log_templates, log_volume_trend, bigram_perplexity,
 # token_fertility_by_lang, vocab_zipf_fit, quality_feature_matrix,
@@ -453,7 +453,7 @@ _WINDOW_PRIORITY: list[str] = [
 # boom_read_split, events_bot_detection, contrastive_pairs, mlm_mask_preview,
 # source_quality_report, events_conversion_attribution,
 # events_rollup_cube, events_user_pivot, events_variant_extract,
-# dedup_winnowing, shard_skew_report.
+# dedup_winnowing, shard_skew_report, dedup_resolve.
 # At the START of round 6, move them to the front of _WINDOW_PRIORITY
 # (all 50 previous window keys should be green in CORRECTNESS_r05) and
 # fill the rest with keys whose code changes in round 6.

@@ -1160,3 +1160,51 @@ ORDER BY doc_id1, doc_id2
 
 PIPELINE_QUERIES["dedup_winnowing"] = q_dedup_winnowing
 PIPELINE_ORACLES["dedup_winnowing"] = SQL_DEDUP_WINNOWING
+
+
+# --------------------------------------------------------------------------
+# round-5 capstone: the end-to-end dedup drop list
+# --------------------------------------------------------------------------
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_resolve(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_DEDUP_RESOLVE = f"""
+WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+  UNION
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+exact AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+)
+SELECT e.doc_id,
+       CASE WHEN e.doc_id <> e.exact_keeper THEN 'exact'
+            WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
+              THEN 'near'
+            ELSE 'kept' END AS decision,
+       CASE WHEN e.doc_id <> e.exact_keeper THEN e.exact_keeper
+            WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
+              THEN c.cluster_id
+            ELSE e.doc_id END AS keeper_doc_id
+FROM exact e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+ORDER BY e.doc_id
+"""
+
+PIPELINE_QUERIES["dedup_resolve"] = q_dedup_resolve
+PIPELINE_ORACLES["dedup_resolve"] = SQL_DEDUP_RESOLVE

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "events_variant_extract",
     "dedup_winnowing",
     "shard_skew_report",
+    "dedup_resolve",
 ]
 
 
