@@ -1754,16 +1754,21 @@ def events_conversion_attribution(
         "user_id", ms.alias("ms"),
         F.col("event_type").alias("touch_type"),
         F.lit(0).alias("kind"),
+        "event_id",
     )
     convs = events.filter(F.col("event_type") == conversion_type).select(
         "user_id", ms.alias("ms"),
         F.lit(None).cast("string").alias("touch_type"),
         F.lit(1).alias("kind"),
+        "event_id",
     )
     merged = touches.unionAll(convs)
+    # event_id as the final key makes the ordering total: two touches for
+    # the same user at the same millisecond would otherwise make
+    # last_value nondeterministic across runs and engines.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ms", "kind")
+        .orderBy("ms", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     attributed = (

@@ -1141,6 +1141,13 @@ def contrastive_pairs(
     r_anchor = ranked.alias("ra")
     r1 = ranked.alias("r1")
     r2 = ranked.alias("r2")
+    r3 = ranked.alias("r3")
+
+    def _ok(side: str):
+        return (F.col(f"{side}.doc_id") != F.col("doc_id1")) & (
+            F.col(f"{side}.doc_id") != F.col("doc_id2")
+        )
+
     out = (
         pairs.join(r_anchor, F.col("doc_id1") == F.col("ra.doc_id"))
         .join(
@@ -1151,17 +1158,21 @@ def contrastive_pairs(
             r2,
             F.col("r2.rk") == F.pmod(F.col("ra.rk") + 1, F.lit(n_docs)) + 1,
         )
+        .join(
+            r3,
+            F.col("r3.rk") == F.pmod(F.col("ra.rk") + 2, F.lit(n_docs)) + 1,
+        )
         .select(
             F.col("doc_id1").alias("anchor_id"),
             F.col("doc_id2").alias("positive_id"),
-            # successor rank, skipping the positive (and the anchor
-            # itself at n_docs=1 edge) via the second successor
-            F.when(
-                (F.col("r1.doc_id") != F.col("doc_id2"))
-                & (F.col("r1.doc_id") != F.col("doc_id1")),
-                F.col("r1.doc_id"),
-            )
-            .otherwise(F.col("r2.doc_id"))
+            # first rank-successor that is neither the anchor nor the
+            # positive; at most two of three consecutive successors can
+            # collide, so one of r1/r2/r3 is always valid for n_docs ≥ 3.
+            # Below that the triplet is degenerate → NULL, not a bogus
+            # (anchor, positive, anchor) row.
+            F.when(_ok("r1"), F.col("r1.doc_id"))
+            .when(_ok("r2"), F.col("r2.doc_id"))
+            .when(_ok("r3"), F.col("r3.doc_id"))
             .alias("negative_id"),
             "jaccard",
         )
@@ -1288,8 +1299,10 @@ def dedup_resolve(
 
     Deterministic min-id keeper policy on both tiers (swap
     :func:`dedup_keep_best`'s quality argmax in where quality should
-    decide). Output: (doc_id, decision, reason_detail) where
-    reason_detail carries the keeper's doc_id.
+    decide). Output: (doc_id, decision, keeper_doc_id) where
+    keeper_doc_id is TRANSITIVELY resolved — it always names a doc the
+    list marks 'kept', never an intermediate keeper that is itself
+    dropped.
 
     100 TB shape: the exact tier is one window over the md5 groups;
     the near tier rides the LSH + components pipeline (salted,
@@ -1314,8 +1327,16 @@ def dedup_resolve(
             )
             .otherwise(F.lit("kept"))
             .alias("decision"),
+            # keeper_doc_id is fully resolved to the FINAL kept doc: an
+            # exact-dropped doc's exact keeper may itself be near-dropped
+            # (exact keeper != cluster rep), so use the doc's own cluster
+            # rep when one exists — byte-identical dups share identical
+            # minhash signatures, hence the same component, and the min-id
+            # rep of a component is always 'kept' (it is also the min of
+            # its own exact group). No one-hop dangling references.
             F.when(
-                F.col("doc_id") != F.col("exact_keeper"), F.col("exact_keeper")
+                F.col("doc_id") != F.col("exact_keeper"),
+                F.coalesce(F.col("cluster_id"), F.col("exact_keeper")),
             )
             .when(
                 F.col("cluster_id").isNotNull()

@@ -437,7 +437,10 @@ def events_variant_extract(events: DataFrame) -> DataFrame:
         events.select(
             "event_id",
             k.alias("k_value"),
-            (k / F.lit(10)).cast("long").alias("k_bucket"),
+            # floor division, not cast-truncation: for negative k the
+            # double-divide cast rounds toward zero (-5/10 → 0) while the
+            # oracle's // floors (-5//10 → -1); floor matches all ints.
+            F.floor(k / F.lit(10)).cast("long").alias("k_bucket"),
             F.when(v.isNotNull(), F.schema_of_variant(v)).alias("props_schema"),
             v.isNotNull().alias("is_valid_json"),
         )

@@ -65,8 +65,10 @@ def approx_distinct_hll(
     wbits = HASH_BITS - p
     h = md5_long(F.col(value_col).cast("string"))
     reg = F.pmod(h, F.lit(m))
-    w = h.cast("long") / F.lit(m)
-    w = F.floor(w).cast("long")
+    # exact integer h // 2^p: shiftright, never double division — doubles
+    # are exact only to 2^53, so floor(h/m) on a 60-bit hash can round up
+    # near power-of-two boundaries and produce an invalid rho=0 register.
+    w = F.shiftright(h.cast("long"), p)
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - F.length(F.bin(w)) + 1
     )

@@ -376,87 +376,69 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-5 rotation: the 36 keys with no driver-green row yet ---
-    # embedding_quantize failed r4 on array-typed output (now stringified
-    # as qvec_csv); the other 35 registered after the r4 window closed.
-    "embedding_quantize",
-    "events_dau_wau",
-    "dedup_edit_distance",
-    "minhash_recall_eval",
-    "shingle_novelty",
-    "lang_id_eval",
-    "cluster_size_stats",
-    "dedup_pagerank",
-    "log_dedup_window",
-    "sql_passthrough",
-    "tpch_q2",
-    "tpch_q11",
-    "events_robust_anomaly",
-    "funnel_time_stats",
-    "events_seasonality",
-    "events_autocorrelation",
-    "events_forecast_baseline",
-    "perplexity_buckets",
-    "oov_rate",
-    "token_budget_plan",
-    "ip_prefix_stats",
-    "sessions_summary",
-    "log_json_field_stats",
-    "source_similarity",
-    "events_value_quantiles",
-    "events_path_transitions",
-    "table_profile",
-    "zorder_layout",
-    "compaction_plan",
-    "snapshot_diff",
-    "log_grep_context",
-    "log_tail",
-    "stream_watermarked_counts",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_rate_limit",
-    # --- round-5 NEW operators (each needs a first driver check) ---
-    # (appended here as they are registered during round 5)
-    "boom_read_pushdown",
-    "grouped_topk_per_source",
-    "events_histogram_ntile",
-    "dedup_suffix_array",
-    "text_near_template",
-    "docs_minhash_signature",
-    "events_cohort_matrix",
-    "tfidf_cosine_pairs",
-    "text_entropy",
-    "sample_reservoir",
-    "events_user_lifespan",
-    "stream_session_window",
-    "embedding_outliers",
-    # --- fillers: already-green keys whose code changed this round ---
-    # (re-verification; anything past position 50 is harmlessly skipped)
-    "dedup_keep_best",
-    "boom_read",
-    "dedup_simhash",
+    # --- round-6 rotation: the 24 keys with no driver-green row yet ---
+    # (registered after the round-5 window filled; all judge-green in the
+    # round-5 370-test local suite; CORRECTNESS_r05 was 50/50 green so
+    # every previous window key already has driver-hard evidence).
+    "log_templates",
+    "log_volume_trend",
+    "bigram_perplexity",
+    "token_fertility_by_lang",
+    "vocab_zipf_fit",
+    "quality_feature_matrix",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
+    "audio_pcm_stats",
+    "audio_resample",
+    "stream_approx_distinct",
+    "dedup_graph_triangles",
+    "boom_read_split",
+    "events_bot_detection",
+    "contrastive_pairs",
+    "mlm_mask_preview",
+    "source_quality_report",
+    "events_conversion_attribution",
+    "events_rollup_cube",
+    "events_user_pivot",
+    "events_variant_extract",
+    "dedup_winnowing",
+    "shard_skew_report",
+    "dedup_resolve",
+    # --- round-6 NEW operators (each needs a first driver check) ---
+    # (appended here as they are registered during round 6)
+    # --- fillers: already-green keys whose code changes in round 6 ---
+    # ADVICE fixes touch the HLL sketches, the attribution window, the
+    # variant-extract bucketing, contrastive negatives and dedup_resolve
+    # (all already in the 24 above); JPEG decode touches the media ops;
+    # the stream-sessionize sentinel and CLI small-sort paths re-verify
+    # their queries. Anything past position 50 is harmlessly skipped.
+    "multimodal_meta",
     "media_resize",
+    "media_frame_sample",
+    "stream_sessionize",
+    "log_format_sort",
+    "dedup_cluster",
+    "dedup_pagerank",
+    "cluster_size_stats",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "semdedup",
+    "tfidf_cosine_pairs",
+    "dedup_suffix_array",
     "tpch_q1",
     "tpch_q3",
     "log_grep",
     "dedup_exact",
-    "stream_sessionize",
-    "clean_text",
+    "events_asof_join",
+    "events_sessionize",
+    "tpch_q2",
+    "dedup_edit_distance",
+    "minhash_recall_eval",
+    "sample_reservoir",
+    "boom_read_pushdown",
+    "log_cat",
 ]
-
-# ROUND-6 ROTATION TODO: 24 keys were registered after the round-5
-# window filled and have no driver-hard green row yet:
-# log_templates, log_volume_trend, bigram_perplexity,
-# token_fertility_by_lang, vocab_zipf_fit, quality_feature_matrix,
-# approx_distinct_hll, approx_distinct_kmv, audio_pcm_stats,
-# audio_resample, stream_approx_distinct, dedup_graph_triangles,
-# boom_read_split, events_bot_detection, contrastive_pairs, mlm_mask_preview,
-# source_quality_report, events_conversion_attribution,
-# events_rollup_cube, events_user_pivot, events_variant_extract,
-# dedup_winnowing, shard_skew_report, dedup_resolve.
-# At the START of round 6, move them to the front of _WINDOW_PRIORITY
-# (all 50 previous window keys should be green in CORRECTNESS_r05) and
-# fill the rest with keys whose code changes in round 6.
 
 QUERIES: dict[str, QueryFn] = {
     k: _ALL_QUERIES[k] for k in _WINDOW_PRIORITY if k in _ALL_QUERIES

@@ -1224,16 +1224,17 @@ SQL_EVENTS_CONVERSION_ATTRIBUTION = f"""
 WITH merged AS (
   SELECT user_id, epoch_ms(ts) AS ms,
          CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+         event_id
   FROM events
 ),
 attributed AS (
   SELECT *,
          last_value(touch_type IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ms, kind
+           PARTITION BY user_id ORDER BY ms, kind, event_id
            ROWS UNBOUNDED PRECEDING) AS last_touch,
          last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ms, kind
+           PARTITION BY user_id ORDER BY ms, kind, event_id
            ROWS UNBOUNDED PRECEDING) AS last_touch_ms
   FROM merged
 ),

@@ -1060,13 +1060,18 @@ ranked AS (
 )
 SELECT p.doc_id1 AS anchor_id, p.doc_id2 AS positive_id,
        CASE WHEN r1.doc_id <> p.doc_id1 AND r1.doc_id <> p.doc_id2
-            THEN r1.doc_id ELSE r2.doc_id END AS negative_id,
+            THEN r1.doc_id
+            WHEN r2.doc_id <> p.doc_id1 AND r2.doc_id <> p.doc_id2
+            THEN r2.doc_id
+            WHEN r3.doc_id <> p.doc_id1 AND r3.doc_id <> p.doc_id2
+            THEN r3.doc_id END AS negative_id,
        p.jaccard
 FROM pairs p
 JOIN ranked ra ON p.doc_id1 = ra.doc_id
 CROSS JOIN nd
 JOIN ranked r1 ON r1.rk = ra.rk % nd.n + 1
 JOIN ranked r2 ON r2.rk = (ra.rk + 1) % nd.n + 1
+JOIN ranked r3 ON r3.rk = (ra.rk + 2) % nd.n + 1
 ORDER BY anchor_id, positive_id
 """
 
@@ -1198,7 +1203,8 @@ SELECT e.doc_id,
             WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
               THEN 'near'
             ELSE 'kept' END AS decision,
-       CASE WHEN e.doc_id <> e.exact_keeper THEN e.exact_keeper
+       CASE WHEN e.doc_id <> e.exact_keeper
+              THEN coalesce(c.cluster_id, e.exact_keeper)
             WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
               THEN c.cluster_id
             ELSE e.doc_id END AS keeper_doc_id

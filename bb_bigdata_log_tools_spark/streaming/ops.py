@@ -528,7 +528,9 @@ def stream_hll_registers(
     m = 1 << p
     wbits = HASH_BITS - p
     h = md5_long(F.col(value_col).cast("string"))
-    w = F.floor(h / F.lit(m)).cast("long")
+    # exact integer h // 2^p via shiftright (see approx_distinct_hll:
+    # double division is exact only to 2^53, 60-bit hashes are not).
+    w = F.shiftright(h.cast("long"), p)
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - F.length(F.bin(w)) + 1
     )

@@ -1,8 +1,12 @@
 """Headline-query benchmark.
 
 Runs the flagship operators at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Output is a
+sequence of SMALL JSON lines: a compact summary line
+{"metric", "value", "unit", "queries": <count>, "sf"} printed first AND
+last (the driver keeps only a bounded stdout tail, so every line must
+fit the capture window), with per-query timings chunked into
+{"bench_part": i, "queries": {...}} lines in between.
 
 Timing counts full execution (plan + shuffle + collect-to-count); each
 query's result is forced with a cheap count-style action so we measure
@@ -230,8 +234,51 @@ def main() -> None:
         QUERIES["log_cat_by_time"](spark, sf_dir).count()
     except Exception:  # noqa: BLE001
         pass
+    # Warm the Python-worker pool + Arrow path: the first mapInPandas /
+    # pandas-UDF query in a cold session pays multi-second worker
+    # spawn-and-fork cost that is session overhead, not query time
+    # (round 5: audio_pcm_stats read 19.4 s on a 7-row fixture while the
+    # identical-shape audio_resample, run next with warm workers, took
+    # 1.3 s). One tiny no-op mapInPandas here makes every
+    # Python-UDF-family row read true.
+    try:
+        import pandas as _pd  # noqa: PLC0415 — optional warm-up only
+
+        spark.createDataFrame([(1,)], "x int").mapInPandas(
+            lambda it: it, "x int"
+        ).count()
+        del _pd
+    except Exception:  # noqa: BLE001
+        pass
     payload = run_bench(spark, sf_dir, QUERIES, BENCH_QUERIES)
-    print(json.dumps(payload))
+
+    # Emit a SMALL parseable summary line first AND last: the driver
+    # captures only a bounded tail of stdout, so a single giant JSON
+    # line (145 per-query entries) arrives head-truncated and fails to
+    # parse (BENCH_r04/r05 "parsed": null). Per-query timings go out in
+    # small chunked lines between the two summaries so any head- or
+    # tail-capture window contains complete parseable lines.
+    timings = payload["queries"]
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": len(timings),
+        "sf": payload["sf"],
+    }
+    if "errors" in payload:
+        summary["error_count"] = len(payload["errors"])
+    print(json.dumps(summary), flush=True)
+    names = list(timings)
+    for i in range(0, len(names), 15):
+        chunk = {n: timings[n] for n in names[i : i + 15]}
+        print(
+            json.dumps({"bench_part": i // 15 + 1, "queries": chunk}),
+            flush=True,
+        )
+    if "errors" in payload:
+        print(json.dumps({"bench_errors": payload["errors"]}), flush=True)
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 
