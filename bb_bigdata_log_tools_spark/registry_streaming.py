@@ -137,6 +137,36 @@ GROUP BY 1, 2, 3
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
+def _parquet_footer_max(path: str, col: str):
+    """Exact column max from parquet row-group footer statistics.
+
+    Returns None when any file/row-group lacks min-max stats (caller
+    falls back to a scan). Driver-side metadata-only reads — no Spark
+    job, no data pages touched.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    mx = None
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = st.max
+            mx = v if mx is None or v > mx else mx
+    return mx
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded sessionize drain with a deterministic end-of-stream flush.
 
@@ -155,8 +185,33 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="bb_stream_sessionize_")
     try:
         # Real events first, sentinels appended after (later mtime).
-        ev.write.mode("overwrite").parquet(stage)
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar; gate plumbing
+        # Stage as TIMESTAMP_MICROS: Spark's default INT96 timestamp
+        # encoding writes NO column statistics, which would force the
+        # footer-stats sentinel below back onto a full scan.
+        ts_type_key = "spark.sql.parquet.outputTimestampType"
+        prev_ts_type = spark.conf.get(ts_type_key, None)
+        spark.conf.set(ts_type_key, "TIMESTAMP_MICROS")
+        try:
+            ev.write.mode("overwrite").parquet(stage)
+        finally:
+            if prev_ts_type is None:
+                spark.conf.unset(ts_type_key)
+            else:
+                spark.conf.set(ts_type_key, prev_ts_type)
+        # Global max(ts) from the staged parquet FOOTER statistics — the
+        # file write just produced exact per-row-group min/max, so a
+        # driver-side metadata read replaces what would otherwise be a
+        # second full corpus scan before the stream starts (at 100× the
+        # extra scan is the dominant cost of the drain setup).
+        max_ts = _parquet_footer_max(stage, "ts")
+        if max_ts is None:  # stats missing → scan fallback (scalar)
+            max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        elif max_ts.tzinfo is not None:
+            # pyarrow returns tz-aware UTC; normalize to the naive-in-UTC
+            # form the scan path yields (session tz is UTC via table()).
+            max_ts = max_ts.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
         sentinel_ts = max_ts + datetime.timedelta(
             milliseconds=SESSION_GAP_MS + 1000
         )

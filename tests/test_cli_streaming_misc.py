@@ -58,6 +58,20 @@ def test_cli_logcat_matches_reference_golden(service_root):
     assert out.splitlines() == golden("logcat-reference.txt")
 
 
+def test_cli_logcat_golden_forced_local_sort(service_root):
+    """--l (LogTools' client-local sort path) must produce the exact
+    same total order as the default auto pick."""
+    out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}", "--l")
+    assert out.splitlines() == golden("logcat-reference.txt")
+
+
+def test_cli_logcat_golden_forced_remote_sort(service_root):
+    """--r (the distributed range-sort path) must also match — same
+    answer either way, LogTools picks only for speed."""
+    out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}", "--r")
+    assert out.splitlines() == golden("logcat-reference.txt")
+
+
 def test_cli_logsearch_case_insensitive(service_root):
     out = run_tool(
         "logsearch", "-string=ЧЕЛовЕК", "--i", *BASE_ARGS, f"-root={service_root}"

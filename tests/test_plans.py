@@ -113,6 +113,24 @@ def test_format_sort_single_shuffle(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan[:1200]
 
 
+def test_cli_small_sort_path_no_range_exchange(spark, sf_dir):
+    """The CLI's auto-picked small-result sort (LogTools --l analogue)
+    must avoid the range-partitioned exchange: no sampling pass, one
+    single-partition exchange, exact order within it."""
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+    logs = events_as_logs(table(spark, sf_dir, "events")).limit(1000)
+    out = logops.format_and_sort(logs, sort=False)
+    sort_cols = [
+        c
+        for c in ("ts", "create_time", "block_no", "line_no")
+        if c in out.columns
+    ]
+    plan = plan_of(small_sort(out, *sort_cols))
+    assert "rangepartitioning" not in plan.lower(), plan[:1200]
+    assert "SinglePartition" in plan or "Exchange" not in plan, plan[:1200]
+
+
 def test_log_store_partition_pruning(spark, sf_dir, tmp_path):
     """The (date, hour) layout must turn a time window into directory
     pruning: the scan's PartitionFilters carry the date predicate and
