@@ -1,0 +1,685 @@
+"""Baseline JPEG codec — pure Python, from the public ITU T.81 spec.
+
+Closes the one multimodal stub with real-world weight (web crawls are
+overwhelmingly JPEG): :func:`jpeg_parse_pixels` is a REAL baseline
+sequential DCT decoder (Huffman entropy decode with byte-unstuffing and
+restart markers, dequantize, zigzag, separable IDCT, chroma upsampling,
+JFIF YCbCr→RGB), and :func:`make_jpeg` is the matching baseline encoder
+used for deterministic fixtures. Both read/write the tables carried IN
+the file (DQT/DHT segments), so the pair is self-consistent regardless
+of table choice; the encoder emits the T.81 Annex K example tables.
+
+Honest-stub boundary (returns None → ``decoded=false`` downstream):
+progressive (SOF2) and all other non-baseline frame types, arithmetic
+coding (DAC), 12-bit precision, and component counts other than 1 or 3.
+A production deployment plugs libjpeg-turbo/Pillow into the same
+``image_parse_pixels`` seam for throughput; this decoder is
+dependency-free and deterministic, which is what the value-hash oracle
+needs.
+
+Reference parity note: the reference repo
+(/root/reference) ships no image decoding at all — this module serves
+the training-data-pipeline extension scope (multimodal columns), not a
+reference component.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# Zigzag scan: ZIGZAG[k] = natural (row-major) index of the k-th
+# coefficient in zigzag order (T.81 Figure 5).
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K example quantization tables (natural order).
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [17, 18, 24, 47, 99, 99, 99, 99,
+                18, 21, 26, 66, 99, 99, 99, 99,
+                24, 26, 56, 99, 99, 99, 99, 99,
+                47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32
+
+# T.81 Annex K example Huffman tables: (BITS[1..16], HUFFVAL).
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Separable IDCT/FDCT basis: M[x][u] = 0.5 * C(u) * cos((2x+1)uπ/16),
+# so spatial = M · F · Mᵀ and F = Mᵀ · spatial · M.
+_BASIS = [
+    [
+        0.5 * (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+# --------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C)
+# --------------------------------------------------------------------------
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol for the bit-at-a-time decoder."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    marker (0xFF followed by non-zero), exposing it to the MCU loop for
+    restart handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                self.marker = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                return False  # real marker: stop
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_and_skip_marker(self) -> int | None:
+        """Byte-align and consume the pending marker (for RSTn)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # scan forward to the 0xFF of the marker
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                self.pos += 2
+                self.marker = None
+                return m
+            self.pos += 1
+        return None
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s-bit received value to its signed level."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = br.read_bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """8x8 natural-order coefficients → 64 clamped pixels (row-major)."""
+    m = _BASIS
+    # tmp = F · Mᵀ  (i.e. tmp[v][x] = Σu F[v][u] m[x][u])
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            mx = m[x]
+            tmp[v][x] = (
+                row[0] * mx[0] + row[1] * mx[1] + row[2] * mx[2]
+                + row[3] * mx[3] + row[4] * mx[4] + row[5] * mx[5]
+                + row[6] * mx[6] + row[7] * mx[7]
+            )
+    out = [0] * 64
+    for y in range(8):
+        my = m[y]
+        for x in range(8):
+            s = (
+                my[0] * tmp[0][x] + my[1] * tmp[1][x] + my[2] * tmp[2][x]
+                + my[3] * tmp[3][x] + my[4] * tmp[4][x] + my[5] * tmp[5][x]
+                + my[6] * tmp[6][x] + my[7] * tmp[7][x]
+            )
+            v = int(round(s)) + 128
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+def jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
+    """(width, height, rows) from a BASELINE sequential JPEG, or None.
+    rows[y][x] = (b, g, r) top row first — the module's BMP-native
+    convention (see multimodal.make_bmp). Malformed / truncated
+    payloads return None (honest-stub contract), never raise."""
+    try:
+        return _jpeg_parse_pixels(payload)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS: header-only skeleton
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                vals = []
+                for _ in range(64):
+                    if pq:
+                        vals.append(struct.unpack_from(">H", body, b)[0])
+                        b += 2
+                    else:
+                        vals.append(body[b])
+                        b += 1
+                qt[tq] = vals  # zigzag order, as stored
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                b += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision, h, w = struct.unpack_from(">BHH", body, 0)
+            if precision != 8:
+                return None
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                     "tq": body[8 + 3 * c]}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
+            return None  # progressive / hierarchical / arithmetic: stub
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            w, h, comps = frame
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                comp = next((cc for cc in comps if cc["id"] == cs), None)
+                if comp is None:
+                    return None
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                payload, pos + 2 + seglen, w, h, comps, scan, qt, huff,
+                restart_interval,
+            )
+        # all other markers (APPn, COM): skip
+        pos += 2 + seglen
+    return None
+
+
+def _decode_scan(data, pos, w, h, comps, scan, qt, huff, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
+        planes.append(bytearray(pw * ph))
+        c["pw"], c["ph"] = pw, ph
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                m = br.align_and_skip_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    return None
+                preds = [0] * len(comps)
+            for ci, (comp, td, ta) in enumerate(scan):
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                q = qt.get(comp["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    return None
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = _decode_block(br, dc_tab, ac_tab, q, preds, ci)
+                        if blk is None:
+                            return None
+                        px0 = (mx * comp["h"] + bx) * 8
+                        py0 = (my * comp["v"] + by) * 8
+                        plane, pw = planes[ci], comp["pw"]
+                        for y in range(8):
+                            base = (py0 + y) * pw + px0
+                            plane[base : base + 8] = bytes(blk[y * 8 : y * 8 + 8])
+            mcu_count += 1
+    return _planes_to_rows(w, h, comps, planes, hmax, vmax)
+
+
+def _decode_block(br, dc_tab, ac_tab, q, preds, ci):
+    s = _decode_huff(br, dc_tab)
+    if s is None:
+        return None
+    diff = 0
+    if s:
+        v = br.receive(s)
+        if v is None:
+            return None
+        diff = _extend(v, s)
+    preds[ci] += diff
+    coef = [0.0] * 64
+    coef[0] = preds[ci] * q[0]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_tab)
+        if rs is None:
+            return None
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        v = br.receive(size)
+        if v is None:
+            return None
+        coef[ZIGZAG[k]] = _extend(v, size) * q[k]
+        k += 1
+    return _idct_block(coef)
+
+
+def _planes_to_rows(w, h, comps, planes, hmax, vmax):
+    rows = []
+    if len(comps) == 1:
+        plane, pw = planes[0], comps[0]["pw"]
+        for y in range(h):
+            base = y * pw
+            rows.append([(v, v, v) for v in plane[base : base + w]])
+        return (w, h, rows)
+    cy, cb, cr = planes
+    for y in range(h):
+        row = []
+        for x in range(w):
+            yy = cy[(y * comps[0]["v"] // vmax) * comps[0]["pw"]
+                    + (x * comps[0]["h"] // hmax)]
+            pb = cb[(y * comps[1]["v"] // vmax) * comps[1]["pw"]
+                    + (x * comps[1]["h"] // hmax)] - 128
+            pr = cr[(y * comps[2]["v"] // vmax) * comps[2]["pw"]
+                    + (x * comps[2]["h"] // hmax)] - 128
+            r = int(round(yy + 1.402 * pr))
+            g = int(round(yy - 0.344136 * pb - 0.714136 * pr))
+            b = int(round(yy + 1.772 * pb))
+            row.append(
+                (
+                    0 if b < 0 else (255 if b > 255 else b),
+                    0 if g < 0 else (255 if g > 255 else g),
+                    0 if r < 0 else (255 if r > 255 else r),
+                )
+            )
+        rows.append(row)
+    return (w, h, rows)
+
+
+# --------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4, Annex K tables) — fixture generator
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _fdct_block(pixels: list[int]) -> list[float]:
+    """64 level-shifted pixels (row-major) → natural-order coefficients."""
+    m = _BASIS
+    # tmp[u][x] = Σy m[y][u] * p[y][x]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for x in range(8):
+            s = 0.0
+            for y in range(8):
+                s += m[y][u] * pixels[y * 8 + x]
+            tmp[u][x] = s
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                s += tmp[u][x] * m[x][v]
+            out[u * 8 + v] = s
+    return out
+
+
+def _size_of(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
+    dc = coef_zz[0]
+    diff = dc - pred
+    s = _size_of(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = coef_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _size_of(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def make_jpeg(
+    width: int, height: int, rows, subsample: int = 1,
+    restart_interval: int = 0, grayscale: bool = False,
+) -> bytes:
+    """REAL baseline JPEG (Annex K tables) from pixel rows (top row
+    first, (b, g, r) tuples — the module convention). ``subsample=1`` →
+    4:4:4; ``subsample=2`` → 4:2:0 (2×2-averaged chroma, the dominant
+    real-world shape — exercises the decoder's MCU interleave and
+    upsampling paths). ``restart_interval=N`` emits a DRI segment and
+    RSTn markers every N MCUs (exercises the decoder's predictor-reset
+    path). Deterministic: integer quantization of a fixed float FDCT,
+    so fixture bytes are platform-stable."""
+    if subsample not in (1, 2):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    s = 1 if grayscale else subsample
+    # luma padded to multiples of 8s (full MCUs); chroma to multiples of 8
+    pw = -(-width // (8 * s)) * 8 * s
+    ph = -(-height // (8 * s)) * 8 * s
+    cw, ch = pw // s, ph // s
+    yplane = [0.0] * (pw * ph)
+    cbf = [0.0] * (pw * ph)
+    crf = [0.0] * (pw * ph)
+    for y in range(ph):
+        sy = min(y, height - 1)
+        for x in range(pw):
+            b, g, r = rows[sy][min(x, width - 1)]
+            i = y * pw + x
+            yplane[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbf[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crf[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if s == 1:
+        cb, cr = cbf, crf
+    else:  # 2x2 box-average downsample
+        cb = [0.0] * (cw * ch)
+        cr = [0.0] * (cw * ch)
+        for y in range(ch):
+            for x in range(cw):
+                i0 = (2 * y) * pw + 2 * x
+                i1 = i0 + pw
+                cb[y * cw + x] = (cbf[i0] + cbf[i0 + 1] + cbf[i1] + cbf[i1 + 1]) / 4.0
+                cr[y * cw + x] = (crf[i0] + crf[i0 + 1] + crf[i1] + crf[i1 + 1]) / 4.0
+    qz_l = [QUANT_LUMA[ZIGZAG[k]] for k in range(64)]
+    qz_c = [QUANT_CHROMA[ZIGZAG[k]] for k in range(64)]
+    dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+
+    def emit(plane, plane_w, bx, by, ci):
+        px = [
+            plane[(by * 8 + y) * plane_w + bx * 8 + x]
+            for y in range(8)
+            for x in range(8)
+        ]
+        coef = _fdct_block(px)
+        qz = qz_l if ci == 0 else qz_c
+        coef_zz = [int(round(coef[ZIGZAG[k]] / qz[k])) for k in range(64)]
+        preds[ci] = _encode_block(
+            bw, coef_zz, preds[ci],
+            dc_l if ci == 0 else dc_c,
+            ac_l if ci == 0 else ac_c,
+        )
+
+    # MCU interleave (T.81 A.2.3): s×s luma blocks, then one Cb, one Cr
+    # (grayscale scans are non-interleaved: one luma block per MCU).
+    mcu_count = 0
+    for my in range(ch // 8):
+        for mx in range(cw // 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                )
+                preds[0] = preds[1] = preds[2] = 0
+            if grayscale:
+                emit(yplane, pw, mx, my, 0)
+            else:
+                for by in range(s):
+                    for bx in range(s):
+                        emit(yplane, pw, mx * s + bx, my * s + by, 0)
+                emit(cb, cw, mx, my, 1)
+                emit(cr, cw, mx, my, 2)
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq: int, table_nat: list[int]) -> bytes:
+        return seg(
+            0xDB,
+            bytes([tq]) + bytes(table_nat[ZIGZAG[k]] for k in range(64)),
+        )
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    app0 = seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    )
+    if grayscale:
+        sof = seg(
+            0xC0,
+            struct.pack(">BHH", 8, height, width) + b"\x01" + bytes([1, 0x11, 0]),
+        )
+        sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    else:
+        sof = seg(
+            0xC0,
+            struct.pack(">BHH", 8, height, width)
+            + b"\x03"
+            + bytes([1, (s << 4) | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        sos = seg(
+            0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+        )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt(0, QUANT_LUMA) + dqt(1, QUANT_CHROMA)
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + dri + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )

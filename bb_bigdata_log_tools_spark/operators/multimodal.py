@@ -727,15 +727,23 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 
 def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     """Pixel rows from any codec this module really decodes (24bpp BMP,
-    8-bit non-interlaced PNG); None → stub-flag path."""
-    return _bmp_parse_pixels(payload) or png_parse_pixels(payload)
+    8-bit non-interlaced PNG, baseline sequential JPEG — see
+    :mod:`.jpegcodec`); None → stub-flag path (progressive/arithmetic
+    JPEG, interlaced/16-bit PNG, everything else)."""
+    from bb_bigdata_log_tools_spark.operators.jpegcodec import jpeg_parse_pixels
+
+    return (
+        _bmp_parse_pixels(payload)
+        or png_parse_pixels(payload)
+        or jpeg_parse_pixels(payload)
+    )
 
 
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs AND
-    8-bit PNGs — decode, sample, re-encode as canonical 24bpp BMP, all
-    from the public specs (no image libraries). Returns None for any
-    other payload. (Name kept for API stability; see
+    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs, 8-bit
+    PNGs AND baseline JPEGs — decode, sample, re-encode as canonical
+    24bpp BMP, all from the public specs (no image libraries). Returns
+    None for any other payload. (Name kept for API stability; see
     :func:`image_parse_pixels` for the decode dispatch.)"""
     parsed = image_parse_pixels(payload)
     if parsed is None or out_w < 1 or out_h < 1:
@@ -765,9 +773,12 @@ RESIZE_SCHEMA = T.StructType(
 
 def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Resize stage: REAL pixel-level nearest-neighbor resize for
-    uncompressed 24bpp BMPs and 8-bit non-interlaced PNGs (full spec
-    decode: zlib inflate + all five scanline filters); all other
-    payloads pass through the deterministic stub with
+    uncompressed 24bpp BMPs, 8-bit non-interlaced PNGs (full spec
+    decode: zlib inflate + all five scanline filters) and BASELINE
+    sequential JPEGs (T.81 spec decode: Huffman entropy + IDCT + chroma
+    upsampling, 4:4:4/4:2:0/grayscale/restart markers — see
+    :mod:`.jpegcodec`); progressive/arithmetic JPEG and other payloads
+    pass through the deterministic stub with
     ``decoded=false``. Emits the resized
     payload's size/digest rather than the bytes (the gate compares
     values; the bytes themselves round-trip in unit tests).
