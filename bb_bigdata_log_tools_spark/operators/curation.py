@@ -815,3 +815,125 @@ def mlm_mask_preview(
         )
         .transform(lambda d: small_sort(d, "doc_id") if sort else d)
     )
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    text_col: str = "text",
+    sort: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER instead of the
+    exact shingle set (Bloom 1970) — the memory-constant variant of
+    :func:`decontaminate`: the benchmark compresses to ``m_bits`` bits
+    regardless of its shingle count, at the price of a bounded
+    false-positive rate (≈ (1−e^{−kn/m})^k). The output reports BOTH
+    the bloom decision and the exact one, so it doubles as the
+    filter's own FP-rate report.
+
+    Bit positions by double hashing (Kirsch & Mitzenmacher 2006):
+    g1 = h mod m, g2 = odd(h >> 12), pos_k = (g1 + k·g2) mod m — pure
+    int64 algebra (shiftright, never float division), bit-identical in
+    DuckDB. ``m_bits`` must be a power of two so ``h // m`` is a shift.
+
+    Output per doc: (doc_id, n_bloom_hits, n_exact_hits, flagged_bloom,
+    flagged_exact, false_positive). Bloom has no false negatives, so
+    n_bloom_hits ≥ n_exact_hits always.
+
+    100 TB shape: the bloom position set is ≤ m_bits rows — BROADCAST
+    (vs. decontaminate's full benchmark shingle set, which for a large
+    benchmark may not fit); the corpus side is one scan + k-way map-side
+    probe, no corpus shuffle.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import doc_shingle_hashes
+
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    shift = m_bits.bit_length() - 1
+
+    def positions(src: DataFrame) -> DataFrame:
+        g1 = F.pmod(F.col("h"), F.lit(m_bits))
+        g2 = F.pmod(F.shiftright(F.col("h"), shift), F.lit(m_bits)) * 2 + 1
+        k = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("k")
+        return src.select("*", k).select(
+            "*", F.pmod(g1 + F.col("k") * g2, F.lit(m_bits)).alias("pos")
+        )
+
+    train_sh = doc_shingle_hashes(documents.select("doc_id", text_col), n).distinct()
+    bench_sh = (
+        doc_shingle_hashes(benchmark.select("doc_id", text_col), n)
+        .select("h")
+        .distinct()
+    )
+    bloom = positions(bench_sh).select("pos").distinct()
+    probed = (
+        positions(train_sh)
+        .join(F.broadcast(bloom).withColumn("present", F.lit(1)), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.count("present") == k_hashes).alias("bloom_hit"))
+    )
+    exact_hits = train_sh.join(
+        F.broadcast(bench_sh), "h"
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    bloom_hits = probed.filter("bloom_hit").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    out = (
+        documents.select("doc_id")
+        .join(bloom_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("flagged_bloom"),
+            (F.coalesce("n_exact_hits", F.lit(0)) > 0).alias("flagged_exact"),
+            (
+                (F.coalesce("n_bloom_hits", F.lit(0)) > 0)
+                & (F.coalesce("n_exact_hits", F.lit(0)) == 0)
+            ).alias("false_positive"),
+        )
+    )
+    return small_sort(out, "doc_id") if sort else out
+
+
+def dedup_url(
+    df: DataFrame, text_col: str = "text", sort: bool = True
+) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier / document-key
+    hygiene pass that collapses trivially-distinct spellings of the
+    same resource before URL-keyed dedup or fetch scheduling.
+
+    Canonical form: scheme+host lowercased (case-insensitive per RFC
+    3986; path case is PRESERVED), fragment stripped (never sent to the
+    server), pure-tracking ``?utm_*`` query strings stripped, trailing
+    slash stripped. Output per canonical URL: the distinct raw-variant
+    count and total occurrence count.
+
+    100 TB shape: extraction is per-row regex column algebra in the
+    scan; the only shuffle carries (canonical_url, counts) with
+    map-side partials — classic high-cardinality-key aggregate, no skew
+    beyond genuinely popular URLs (which AQE splits).
+    """
+    urls = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url")
+    )
+    head = F.lower(F.regexp_extract(F.col("url"), r"^(https?://[^/?#]+)", 1))
+    tail = F.regexp_replace(F.col("url"), r"^https?://[^/?#]+", "")
+    tail = F.regexp_replace(tail, "#.*$", "")
+    tail = F.regexp_replace(tail, r"\?utm_[^ ]*$", "")
+    tail = F.regexp_replace(tail, "/$", "")
+    out = (
+        urls.select("url", F.concat(head, tail).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    return small_sort(out, "canonical_url") if sort else out

@@ -171,3 +171,98 @@ def approx_distinct_kmv(
         )
         .transform(lambda d: small_sort(d, group_col) if sort else d)
     )
+
+
+def cms_buckets(
+    df: DataFrame,
+    value_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """The Count-Min sketch STATE as a relation: (d, bucket, cnt) for
+    ``depth`` independent hash rows of ``width`` buckets (Cormode &
+    Muthukrishnan 2005). Like the HLL register table, the state is
+    mergeable by ``sum`` groupBy — partial sketches from partitions /
+    days / streams union without re-reading raw data, which is the
+    whole 100 TB story: frequency-estimate a trillion rows with
+    depth×width counters.
+
+    Hash row d uses md5_long('cms<d>:' || value) % width — pure integer
+    column algebra, bit-identical in DuckDB.
+    """
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    v = F.col(value_col).cast("string")
+    return (
+        df.select(v.alias("v"))
+        .select("v", rows)
+        .select(
+            "d",
+            F.pmod(
+                md5_long(F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v"))),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_freq_estimate(
+    df: DataFrame,
+    value_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+    sort: bool = True,
+) -> DataFrame:
+    """Count-Min frequency estimates for the top-N heaviest items, with
+    the exact count alongside (the output doubles as the sketch's own
+    accuracy report — CMS guarantees estimate ≥ exact, overestimate ≤
+    εN with ε = e/width at the chosen failure probability).
+
+    estimate(v) = min over d of sketch[d][hash_d(v)]; the min over
+    depth rows bounds collision inflation.
+
+    Output: (item, n_exact, cms_estimate, overestimate).
+
+    100 TB shape: the sketch build is ONE partial-agg groupBy over
+    (d, bucket) — depth×width counters total; the exact side here is
+    report-only (a second groupBy on the value) and is what a sketch
+    deployment drops.
+    """
+    sketch = cms_buckets(df, value_col, depth, width)
+    exact = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    # TakeOrderedAndProject (orderBy+limit), not a single-partition rank
+    # window — the heavy-hitter report stays distributed at any |items|.
+    top = exact.orderBy(F.desc("n_exact"), F.col("v")).limit(top_n)
+    probes = top.select(
+        "v",
+        "n_exact",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    ).select(
+        "v",
+        "n_exact",
+        "d",
+        F.pmod(
+            md5_long(F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    out = est.select(
+        F.col("v").alias("item"),
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    )
+    return small_sort(out, "item") if sort else out

@@ -431,3 +431,41 @@ def tfidf_cosine_pairs(
             lambda d: small_sort(d, "doc_id1", "doc_id2") if sort else d
         )
     )
+
+
+def bpe_pair_stats(
+    documents: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first iteration of BPE vocabulary training (Sennrich et al.
+    2016): corpus-wide frequencies of ADJACENT CHARACTER PAIRS within
+    whitespace tokens — the statistic the merge step maximizes. Running
+    it as a standalone report is the standard tokenizer-fit diagnostic
+    (which merges a vocab trained on this corpus would learn first, how
+    concentrated the pair mass is).
+
+    Pure column algebra: split → explode tokens → substring pairs via
+    transform over an index sequence → one partial-agg groupBy(pair);
+    the shuffle carries (2-char pair, count) only. Top-N by
+    (count desc, pair) via TakeOrderedAndProject — no global sort.
+
+    Output: (pair, n_occurrences), deterministic ordering.
+    """
+    toks = documents.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.col("pair"))
+        .limit(top_n)
+        .orderBy("pair")
+    )

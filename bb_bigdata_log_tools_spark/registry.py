@@ -405,7 +405,11 @@ _WINDOW_PRIORITY: list[str] = [
     "shard_skew_report",
     "dedup_resolve",
     # --- round-6 NEW operators (each needs a first driver check) ---
-    # (appended here as they are registered during round 6)
+    "cms_freq_estimate",
+    "stream_cms_freq",
+    "bloom_decontaminate",
+    "bpe_pair_stats",
+    "dedup_url",
     # --- fillers: already-green keys whose code changes in round 6 ---
     # ADVICE fixes touch the HLL sketches, the attribution window, the
     # variant-extract bucketing, contrastive negatives and dedup_resolve

@@ -908,3 +908,153 @@ ORDER BY doc_id
 
 CURATION_QUERIES.update({"mlm_mask_preview": q_mlm_mask_preview})
 CURATION_ORACLES.update({"mlm_mask_preview": SQL_MLM_MASK_PREVIEW})
+
+
+# --------------------------------------------------------------------------
+# round-6: bloom-filter decontamination (memory-constant benchmark probe)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 3
+_BLOOM_SHIFT = BLOOM_M.bit_length() - 1
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return curation.bloom_decontaminate(
+        docs, bench, n=DECON_N, m_bits=BLOOM_M, k_hashes=BLOOM_K
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM words
+  )
+),
+bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+ks AS (SELECT unnest(range({BLOOM_K})) AS k),
+bloom AS (
+  SELECT DISTINCT
+         (h % {BLOOM_M} + k * ((h // {BLOOM_M}) % {BLOOM_M} * 2 + 1))
+           % {BLOOM_M} AS pos
+  FROM bench CROSS JOIN ks
+),
+probes AS (
+  SELECT doc_id, h,
+         (h % {BLOOM_M} + k * ((h // {BLOOM_M}) % {BLOOM_M} * 2 + 1))
+           % {BLOOM_M} AS pos
+  FROM sh CROSS JOIN ks
+),
+hit AS (
+  SELECT doc_id, h,
+         count(CASE WHEN pos IN (SELECT pos FROM bloom) THEN 1 END)
+           = {BLOOM_K} AS bloom_hit
+  FROM probes GROUP BY doc_id, h
+),
+bh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+  FROM hit WHERE bloom_hit GROUP BY doc_id
+),
+eh AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+  FROM sh JOIN bench USING (h) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(bh.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(eh.n_exact_hits, 0) AS n_exact_hits,
+       COALESCE(bh.n_bloom_hits, 0) > 0 AS flagged_bloom,
+       COALESCE(eh.n_exact_hits, 0) > 0 AS flagged_exact,
+       COALESCE(bh.n_bloom_hits, 0) > 0 AND COALESCE(eh.n_exact_hits, 0) = 0
+         AS false_positive
+FROM documents d
+LEFT JOIN bh ON d.doc_id = bh.doc_id
+LEFT JOIN eh ON d.doc_id = eh.doc_id
+ORDER BY d.doc_id
+"""
+
+CURATION_QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+CURATION_ORACLES["bloom_decontaminate"] = SQL_BLOOM_DECONTAMINATE
+
+
+# --------------------------------------------------------------------------
+# round-6: URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+# Four spellings of the same resource per doc: mixed-case host, trailing
+# slash, utm tracking query, fragment — canonicalization must collapse
+# all four onto https://site<k>.example.com/p/<j>. The variant selector
+# modulus (7) is COPRIME to the path/site classes (40, 5), so every
+# canonical group sees multiple spellings (doc_id % 4 would be constant
+# within a group since 4 | 40).
+_URL_VARIANT_SPARK = (
+    "CASE CAST(doc_id % 7 AS INT) "
+    "WHEN 0 THEN 'https://Site' || CAST(doc_id % 5 AS STRING)"
+    " || '.Example.com/p/' || CAST(doc_id % 40 AS STRING) "
+    "WHEN 1 THEN 'https://site' || CAST(doc_id % 5 AS STRING)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS STRING) || '/' "
+    "WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS STRING)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS STRING) || '?utm_source=feed' "
+    "ELSE 'https://site' || CAST(doc_id % 5 AS STRING)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS STRING) || '#frag' END"
+)
+
+_URL_VARIANT_SQL = (
+    "CASE doc_id % 7 "
+    "WHEN 0 THEN 'https://Site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.Example.com/p/' || CAST(doc_id % 40 AS VARCHAR) "
+    "WHEN 1 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '/' "
+    "WHEN 2 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed' "
+    "ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) || '#frag' END"
+)
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text2", F.expr(f"text || ' ' || {_URL_VARIANT_SPARK}")
+    )
+    return curation.dedup_url(docs, text_col="text2")
+
+
+SQL_DEDUP_URL = f"""
+WITH aug AS (
+  SELECT doc_id, text || ' ' || {_URL_VARIANT_SQL} AS text2 FROM documents
+),
+urls AS (
+  SELECT unnest(regexp_extract_all(text2, '{curation.URL_PATTERN}')) AS url
+  FROM aug
+),
+canon AS (
+  SELECT url,
+         lower(regexp_extract(url, '^(https?://[^/?#]+)', 1))
+         || regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(url, '^https?://[^/?#]+', ''),
+                  '#.*$', ''),
+                '\\?utm_[^ ]*$', ''),
+              '/$', '') AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM canon GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+CURATION_QUERIES["dedup_url"] = q_dedup_url
+CURATION_ORACLES["dedup_url"] = SQL_DEDUP_URL

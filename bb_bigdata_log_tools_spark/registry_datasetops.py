@@ -1351,3 +1351,56 @@ ORDER BY shard
 
 DATASETOPS_QUERIES.update({"shard_skew_report": q_shard_skew_report})
 DATASETOPS_ORACLES.update({"shard_skew_report": SQL_SHARD_SKEW_REPORT})
+
+
+# --------------------------------------------------------------------------
+# round-6: Count-Min frequency sketch (the third classical sketch family
+# beside HLL and KMV — frequency estimation with mergeable counter state)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOP = 20
+
+
+def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    return sketches.cms_freq_estimate(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "user_id",
+        _CMS_D,
+        _CMS_W,
+        _CMS_TOP,
+    )
+
+
+def _cms_oracle() -> str:
+    h = _SK_MD5.format(x="'cms' || CAST(d AS VARCHAR) || ':' || v")
+    return f"""
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+ds AS (SELECT unnest(range({_CMS_D})) AS d),
+sketch AS (
+  SELECT d, {h} % {_CMS_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals CROSS JOIN ds GROUP BY 1, 2
+),
+exact AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_exact FROM vals GROUP BY v
+),
+top AS (SELECT v, n_exact FROM exact ORDER BY n_exact DESC, v LIMIT {_CMS_TOP}),
+probes AS (
+  SELECT v, n_exact, d, {h} % {_CMS_W} AS bucket FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT p.v, p.n_exact, min(s.cnt) AS cms_estimate
+  FROM probes p JOIN sketch s USING (d, bucket)
+  GROUP BY p.v, p.n_exact
+)
+SELECT v AS item, n_exact, cms_estimate,
+       cms_estimate - n_exact AS overestimate
+FROM est ORDER BY item
+"""
+
+
+DATASETOPS_QUERIES.update({"cms_freq_estimate": q_cms_freq_estimate})
+DATASETOPS_ORACLES.update({"cms_freq_estimate": _cms_oracle()})

@@ -624,3 +624,94 @@ ORDER BY event_type
 
 STREAMING_QUERIES["stream_approx_distinct"] = q_stream_approx_distinct
 STREAMING_ORACLES["stream_approx_distinct"] = _stream_hll_oracle()
+
+
+# --------------------------------------------------------------------------
+# streaming Count-Min frequency sketch (round 6): live mergeable counters
+# --------------------------------------------------------------------------
+
+_SCMS_D = 4
+_SCMS_W = 256
+_SCMS_TOP = 20
+
+
+def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS counters maintained as a COMPLETE-mode streaming aggregation
+    (sum is associative → exact under any micro-batch slicing); the
+    heavy-hitter estimates are computed from the drained counter table
+    with the same min-over-depth closed form as the batch sketch, so
+    the batch CMS oracle applies verbatim."""
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_cms_buckets
+
+    ev = _stream_events(spark, sf_dir).select("user_id")
+    sketch = _drain_to_memory(
+        stream_cms_buckets(ev, "user_id", _SCMS_D, _SCMS_W),
+        "stream_cms_sink",
+        "complete",
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    top = exact.orderBy(F.desc("n_exact"), F.col("v")).limit(_SCMS_TOP)
+    probes = top.select(
+        "v",
+        "n_exact",
+        F.explode(F.array(*[F.lit(d) for d in range(_SCMS_D)])).alias("d"),
+    ).select(
+        "v",
+        "n_exact",
+        "d",
+        F.pmod(
+            md5_long(
+                F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v"))
+            ),
+            F.lit(_SCMS_W),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("v").alias("item"),
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy("item")
+    )
+
+
+def _stream_cms_oracle() -> str:
+    h = "('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':' || v), 1, 15))::BIGINT"
+    return f"""
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+ds AS (SELECT unnest(range({_SCMS_D})) AS d),
+sketch AS (
+  SELECT d, {h} % {_SCMS_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals CROSS JOIN ds GROUP BY 1, 2
+),
+exact AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_exact FROM vals GROUP BY v
+),
+top AS (SELECT v, n_exact FROM exact ORDER BY n_exact DESC, v LIMIT {_SCMS_TOP}),
+probes AS (
+  SELECT v, n_exact, d, {h} % {_SCMS_W} AS bucket FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT p.v, p.n_exact, min(s.cnt) AS cms_estimate
+  FROM probes p JOIN sketch s USING (d, bucket)
+  GROUP BY p.v, p.n_exact
+)
+SELECT v AS item, n_exact, cms_estimate,
+       cms_estimate - n_exact AS overestimate
+FROM est ORDER BY item
+"""
+
+
+STREAMING_QUERIES["stream_cms_freq"] = q_stream_cms_freq
+STREAMING_ORACLES["stream_cms_freq"] = _stream_cms_oracle()

@@ -293,3 +293,37 @@ TEXTPREP_QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
 TEXTPREP_ORACLES["tfidf_cosine_pairs"] = SQL_TFIDF_COSINE_PAIRS
 TEXTPREP_QUERIES["text_entropy"] = q_text_entropy
 TEXTPREP_ORACLES["text_entropy"] = SQL_TEXT_ENTROPY
+
+
+# --------------------------------------------------------------------------
+# round-6: BPE merge-candidate statistics (tokenizer-fit diagnostic)
+# --------------------------------------------------------------------------
+
+BPE_TOP_N = 50
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textprep.bpe_pair_stats(
+        ensure_parallelism(table(spark, sf_dir, "documents")), BPE_TOP_N
+    )
+
+
+SQL_BPE_PAIR_STATS = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair
+  FROM (SELECT tok, unnest(generate_series(1, len(tok) - 1)) AS i
+        FROM toks WHERE len(tok) >= 2)
+),
+counts AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+),
+top AS (SELECT * FROM counts ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP_N})
+SELECT pair, n_occurrences FROM top ORDER BY pair
+"""
+
+TEXTPREP_QUERIES["bpe_pair_stats"] = q_bpe_pair_stats
+TEXTPREP_ORACLES["bpe_pair_stats"] = SQL_BPE_PAIR_STATS

@@ -543,3 +543,44 @@ def stream_hll_registers(
         .groupBy("grp", "reg")
         .agg(F.max("rho").alias("mx"))
     )
+
+
+def stream_cms_buckets(
+    events: DataFrame,
+    value_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min: maintain the (d, bucket, cnt) counter
+    relation as a live COMPLETE-mode aggregation — ``sum`` is
+    associative, so the counters are EXACT under any micro-batch
+    slicing; O(depth × width) state, no watermark needed. Same hash
+    family as the batch :func:`~bb_bigdata_log_tools_spark.operators.
+    sketches.cms_buckets`, so the drained counter table feeds the same
+    closed-form estimate and the batch oracle applies verbatim.
+
+    Replay caveat (vs HLL's idempotent ``max``): ``sum`` counters are
+    NOT idempotent, so exactly-once sinks/checkpointing are required
+    under retries — the standard CMS-over-streams contract.
+    """
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    v = F.col(value_col).cast("string")
+    return (
+        events.select(v.alias("v"))
+        .select("v", rows)
+        .select(
+            "d",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v")
+                    )
+                ),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -170,6 +170,11 @@ BENCH_QUERIES = [
     "dedup_winnowing",
     "shard_skew_report",
     "dedup_resolve",
+    "cms_freq_estimate",
+    "stream_cms_freq",
+    "bloom_decontaminate",
+    "bpe_pair_stats",
+    "dedup_url",
 ]
 
 

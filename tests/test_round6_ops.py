@@ -1,0 +1,84 @@
+"""Round-6 operators: invariants the oracle hash-match alone doesn't
+state explicitly — CMS never underestimates, Bloom never misses,
+URL canonicalization collapses exactly the injected variant classes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.session import table
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators.sketches import cms_freq_estimate
+
+    out = cms_freq_estimate(table(spark, sf_dir, "events"), "user_id").collect()
+    # top-20 report, capped by the distinct-user count at tiny SF
+    assert 0 < len(out) <= 20
+    for r in out:
+        # the defining CMS guarantee: estimate >= exact, always
+        assert r.cms_estimate >= r.n_exact
+        assert r.overestimate == r.cms_estimate - r.n_exact
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators.curation import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    out = bloom_decontaminate(docs, bench).collect()
+    assert len(out) > 0
+    exact_flagged = 0
+    for r in out:
+        # Bloom admits false positives but NEVER false negatives
+        assert r.n_bloom_hits >= r.n_exact_hits
+        if r.flagged_exact:
+            exact_flagged += 1
+            assert r.flagged_bloom
+        assert r.false_positive == (r.flagged_bloom and not r.flagged_exact)
+    assert exact_flagged > 0  # the benchmark subset itself self-hits
+
+
+def test_dedup_url_collapses_variant_classes(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.registry_curation import q_dedup_url
+
+    out = q_dedup_url(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # canonical forms carry no fragment / utm query / trailing slash
+        # and a lowercase host
+        assert "#" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        host = r.canonical_url.split("//")[1].split("/")[0]
+        assert host == host.lower()
+        assert r.n_variants >= 1
+    # at sf0.001 (500 docs) every (site, path) class receives all four
+    # injected spellings -> at least one canonical group with >1 variant
+    assert any(r.n_variants > 1 for r in out)
+
+
+def test_bpe_pair_stats_deterministic_topn(spark, sf_dir):
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_pair_stats
+
+    docs = table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in bpe_pair_stats(docs, 25).collect()]
+    b = [tuple(r) for r in bpe_pair_stats(docs, 25).collect()]
+    assert a == b and len(a) == 25
+    assert all(len(p) == 2 for p, _n in a)
+
+
+def test_cms_plan_partial_agg(spark, sf_dir):
+    """The sketch build must partial-aggregate map-side (two
+    HashAggregate phases around one exchange) — the mergeable-counter
+    property realized in the plan."""
+    from bb_bigdata_log_tools_spark.operators.sketches import cms_buckets
+
+    plan = (
+        cms_buckets(table(spark, sf_dir, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2, plan[:1200]
+    assert "rangepartitioning" not in plan.lower()
