@@ -937,3 +937,78 @@ def dedup_url(
         )
     )
     return small_sort(out, "canonical_url") if sort else out
+
+
+def corpus_curate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    qf: dict | None = None,
+    decon_n: int = 3,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    sort: bool = True,
+) -> DataFrame:
+    """The END-TO-END curation decision list — one row per document
+    through the full standard pre-training pipeline, first applicable
+    reason wins:
+
+    1. ``quality`` — fails the gopher-style :func:`quality_filter`
+       (detail = the failing rule);
+    2. ``dup_exact`` / ``dup_near`` — dropped by
+       :func:`~bb_bigdata_log_tools_spark.operators.dedup.dedup_resolve`
+       (detail = the transitively-resolved keeper doc_id);
+    3. ``contaminated`` — shares an n-gram with the held-out benchmark
+       (:func:`decontaminate`, detail = hit count);
+    4. ``kept`` — detail carries the deterministic train/val/test
+       split from :func:`~bb_bigdata_log_tools_spark.operators.
+       datasetops.split_assign`.
+
+    The per-stage ops are this pipeline's diagnostics; this is the
+    deliverable (the :func:`~bb_bigdata_log_tools_spark.operators.dedup.
+    dedup_resolve` pattern, widened to the whole pipeline). Tiers are
+    evaluated on the FULL corpus and combined by precedence — a
+    deliberate, documented policy: decisions stay stable when
+    thresholds of an earlier tier move, at the cost of a dup keeper
+    possibly being itself quality-dropped (consumers keep only rows
+    marked 'kept', so no dangling reference escapes).
+
+    100 TB shape: quality and split are zero-shuffle scan algebra; the
+    dedup tier rides the salted LSH + checkpointed components pipeline;
+    decontamination broadcasts the benchmark shingles. The four
+    decision relations join on doc_id — counts/labels only, never text.
+    """
+    from bb_bigdata_log_tools_spark.operators.datasetops import split_assign
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_resolve
+
+    qf = qf or {}
+    q = quality_filter(documents, **qf).select("doc_id", "fail_reason")
+    r = dedup_resolve(documents).withColumnRenamed("decision", "dup_decision")
+    c = decontaminate(documents, benchmark, n=decon_n, sort=False).select(
+        "doc_id", "n_shingle_hits", "contaminated"
+    )
+    s = split_assign(
+        documents, val_frac=val_frac, test_frac=test_frac
+    ).select("doc_id", "split")
+    decision = (
+        F.when(F.col("fail_reason") != "ok", F.lit("quality"))
+        .when(F.col("dup_decision") == "exact", F.lit("dup_exact"))
+        .when(F.col("dup_decision") == "near", F.lit("dup_near"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    detail = (
+        F.when(F.col("fail_reason") != "ok", F.col("fail_reason"))
+        .when(
+            F.col("dup_decision").isin("exact", "near"),
+            F.col("keeper_doc_id").cast("string"),
+        )
+        .when(F.col("contaminated"), F.col("n_shingle_hits").cast("string"))
+        .otherwise(F.col("split"))
+    )
+    out = (
+        q.join(r, "doc_id")
+        .join(c, "doc_id")
+        .join(s, "doc_id")
+        .select("doc_id", decision.alias("decision"), detail.alias("detail"))
+    )
+    return small_sort(out, "doc_id") if sort else out

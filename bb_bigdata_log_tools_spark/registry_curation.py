@@ -1058,3 +1058,111 @@ ORDER BY canonical_url
 
 CURATION_QUERIES["dedup_url"] = q_dedup_url
 CURATION_ORACLES["dedup_url"] = SQL_DEDUP_URL
+
+
+# --------------------------------------------------------------------------
+# round-6 capstone: the end-to-end curation decision list
+# --------------------------------------------------------------------------
+
+_SPLIT_DENOM = 1_000_000
+_SPLIT_VAL_CUT = int(0.05 * _SPLIT_DENOM)
+_SPLIT_TEST_CUT = _SPLIT_VAL_CUT + int(0.05 * _SPLIT_DENOM)
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return curation.corpus_curate(docs, bench, qf=QF, decon_n=DECON_N)
+
+
+def _corpus_curate_oracle() -> str:
+    from bb_bigdata_log_tools_spark.registry_pipeline import (
+        SQL_MINHASH_PAIRS_CTES,
+    )
+
+    split_hash = (
+        "('0x' || substring(md5('split:' || source || ':' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_SPLIT_DENOM}"
+    )
+    return f"""
+WITH RECURSIVE {SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_id1 AS a, doc_id2 AS b FROM pairs
+  UNION
+  SELECT doc_id2, doc_id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+),
+exact AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+         strlen(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(strlen(replace(text, ' ', '')) AS DOUBLE) AS sum_tok_len,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS DOUBLE) AS n_uniq
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < {QF['min_chars']} THEN 'too_short'
+              WHEN n_chars > {QF['max_chars']} THEN 'too_long'
+              WHEN n_tokens < {QF['min_tokens']} THEN 'too_few_tokens'
+              WHEN round(CASE WHEN n_tokens > 0 THEN sum_tok_len / n_tokens
+                              ELSE 0 END, 4) > {QF['max_mean_token_len']}
+                THEN 'long_tokens'
+              WHEN round(CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens
+                              ELSE 0 END, 4) < {QF['min_unique_ratio']}
+                THEN 'repetitive'
+              ELSE 'ok' END AS fail_reason
+  FROM qm
+),
+bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0),
+decon AS (
+  SELECT sh.doc_id, CAST(count(DISTINCT sh.h) AS BIGINT) AS n_shingle_hits
+  FROM sh JOIN bench USING (h) GROUP BY sh.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN {split_hash} < {_SPLIT_VAL_CUT} THEN 'val'
+              WHEN {split_hash} < {_SPLIT_TEST_CUT} THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT e.doc_id,
+       CASE WHEN q.fail_reason <> 'ok' THEN 'quality'
+            WHEN e.doc_id <> e.exact_keeper THEN 'dup_exact'
+            WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
+              THEN 'dup_near'
+            WHEN COALESCE(d.n_shingle_hits, 0) > 0 THEN 'contaminated'
+            ELSE 'kept' END AS decision,
+       CASE WHEN q.fail_reason <> 'ok' THEN q.fail_reason
+            WHEN e.doc_id <> e.exact_keeper
+              THEN CAST(COALESCE(c.cluster_id, e.exact_keeper) AS VARCHAR)
+            WHEN c.cluster_id IS NOT NULL AND e.doc_id <> c.cluster_id
+              THEN CAST(c.cluster_id AS VARCHAR)
+            WHEN COALESCE(d.n_shingle_hits, 0) > 0
+              THEN CAST(d.n_shingle_hits AS VARCHAR)
+            ELSE spl.split END AS detail
+FROM exact e
+JOIN q USING (doc_id)
+LEFT JOIN clusters c ON e.doc_id = c.doc_id
+LEFT JOIN decon d ON e.doc_id = d.doc_id
+JOIN spl ON e.doc_id = spl.doc_id
+ORDER BY e.doc_id
+"""
+
+
+CURATION_QUERIES["corpus_curate"] = q_corpus_curate
+CURATION_ORACLES["corpus_curate"] = _corpus_curate_oracle()

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "bloom_decontaminate",
     "bpe_pair_stats",
     "dedup_url",
+    "corpus_curate",
 ]
 
 

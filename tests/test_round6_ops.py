@@ -82,3 +82,28 @@ def test_cms_plan_partial_agg(spark, sf_dir):
     )
     assert plan.count("HashAggregate") >= 2, plan[:1200]
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_corpus_curate_decisions(spark, sf_dir):
+    """The capstone emits every document exactly once, decisions span
+    multiple classes at fixture scale, and 'kept' details are splits."""
+    from bb_bigdata_log_tools_spark.registry_curation import q_corpus_curate
+
+    docs = table(spark, sf_dir, "documents")
+    out = q_corpus_curate(spark, sf_dir).collect()
+    assert len(out) == docs.count()
+    classes = {r.decision for r in out}
+    assert "kept" in classes and len(classes) >= 2, classes
+    for r in out:
+        if r.decision == "kept":
+            assert r.detail in ("train", "val", "test")
+        elif r.decision in ("dup_exact", "dup_near"):
+            keeper = int(r.detail)
+            assert keeper != r.doc_id
+    # every dup keeper must itself be a kept doc (transitive resolution)
+    kept_or_self = {r.doc_id for r in out if r.decision in ("kept", "contaminated", "quality")}
+    for r in out:
+        if r.decision in ("dup_exact", "dup_near"):
+            k = int(r.detail)
+            dec = next(x.decision for x in out if x.doc_id == k)
+            assert dec not in ("dup_exact", "dup_near"), (r.doc_id, k, dec)
