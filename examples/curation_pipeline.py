@@ -64,6 +64,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     split.groupBy("split").count().show()
     datasetops.shuffle_shards(kept, n_shards=8).show(5)
 
+    # 6. or run the whole thing as ONE decision list — quality gate,
+    #    exact/near dedup (transitively-resolved keepers), benchmark
+    #    decontamination, split — the corpus_curate capstone:
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    decisions = curation.corpus_curate(docs, bench)
+    decisions.groupBy("decision").count().orderBy("decision").show()
+
     spark.stop()
 
 
