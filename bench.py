@@ -257,13 +257,19 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     payload = run_bench(spark, sf_dir, QUERIES, BENCH_QUERIES)
+    for line in emit_lines(payload):
+        print(line, flush=True)
+    spark.stop()
 
-    # Emit a SMALL parseable summary line first AND last: the driver
-    # captures only a bounded tail of stdout, so a single giant JSON
-    # line (145 per-query entries) arrives head-truncated and fails to
-    # parse (BENCH_r04/r05 "parsed": null). Per-query timings go out in
-    # small chunked lines between the two summaries so any head- or
-    # tail-capture window contains complete parseable lines.
+
+def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
+    """Render the bench payload as SMALL parseable JSON lines: summary
+    first AND last (the driver captures only a bounded tail of stdout,
+    so a single giant JSON line — 145+ per-query entries — arrives
+    head-truncated and fails to parse: BENCH_r04/r05 "parsed": null),
+    with per-query timings chunked between the two summaries so any
+    head- or tail-capture window contains complete parseable lines.
+    """
     timings = payload["queries"]
     summary = {
         "metric": payload["metric"],
@@ -274,18 +280,15 @@ def main() -> None:
     }
     if "errors" in payload:
         summary["error_count"] = len(payload["errors"])
-    print(json.dumps(summary), flush=True)
+    lines = [json.dumps(summary)]
     names = list(timings)
-    for i in range(0, len(names), 15):
-        chunk = {n: timings[n] for n in names[i : i + 15]}
-        print(
-            json.dumps({"bench_part": i // 15 + 1, "queries": chunk}),
-            flush=True,
-        )
+    for i in range(0, len(names), chunk_size):
+        chunk = {n: timings[n] for n in names[i : i + chunk_size]}
+        lines.append(json.dumps({"bench_part": i // chunk_size + 1, "queries": chunk}))
     if "errors" in payload:
-        print(json.dumps({"bench_errors": payload["errors"]}), flush=True)
-    print(json.dumps(summary), flush=True)
-    spark.stop()
+        lines.append(json.dumps({"bench_errors": payload["errors"]}))
+    lines.append(json.dumps(summary))
+    return lines
 
 
 if __name__ == "__main__":

@@ -38,3 +38,33 @@ def test_missing_query_names_are_skipped(spark, sf_dir):
     payload = run_bench(spark, sf_dir, {}, ["nope"])
     assert payload["queries"] == {}
     assert "errors" not in payload
+
+
+def test_emit_lines_every_line_small_and_parseable():
+    """The driver's bounded tail capture must always contain complete
+    parseable lines: summary first AND last, chunks bounded."""
+    import json
+
+    from bench import emit_lines
+
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"q{i:03d}": round(0.1 * i, 3) for i in range(160)},
+        "sf": 0.1,
+        "errors": {"boom": "RuntimeError: x"},
+    }
+    lines = emit_lines(payload)
+    parsed = [json.loads(l) for l in lines]  # every line parses alone
+    assert all(len(l) < 1500 for l in lines), max(len(l) for l in lines)
+    assert parsed[0] == parsed[-1]
+    assert parsed[0]["value"] == 123.456
+    assert parsed[0]["queries"] == 160  # count, not the giant map
+    assert parsed[0]["error_count"] == 1
+    merged = {}
+    for d in parsed:
+        if "bench_part" in d:
+            merged.update(d["queries"])
+    assert merged == payload["queries"]
+    assert any("bench_errors" in d for d in parsed)
