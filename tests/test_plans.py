@@ -673,3 +673,39 @@ def test_sketch_shuffle_carries_registers_not_values(spark, sf_dir):
     )
     n_groups = ev.select("event_type").distinct().count()
     assert regs.count() <= n_groups * m
+
+
+def test_bloom_decontaminate_broadcasts_no_sortmerge(spark, sf_dir):
+    """The bloom position set (≤ m_bits rows) and benchmark shingles
+    must broadcast; the corpus side never sort-merge joins."""
+    from bb_bigdata_log_tools_spark.operators.curation import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    plan = plan_of(bloom_decontaminate(docs, bench, sort=False))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_dedup_url_prunes_to_text_column(spark, sf_dir):
+    """URL extraction is scan-side column algebra: the parquet read
+    must carry ONLY the text column, and the single aggregate pair
+    (countDistinct two-phase) is the only exchange."""
+    from bb_bigdata_log_tools_spark.operators.curation import dedup_url
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plan_of(dedup_url(docs, sort=False))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" in m.group(1) and "source" not in m.group(1), (
+        m.group(0) if m else plan[:400]
+    )
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bpe_pair_stats_take_ordered(spark, sf_dir):
+    """Top-N must be TakeOrderedAndProject — never a global sort of the
+    full pair relation."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_pair_stats
+
+    plan = plan_of(bpe_pair_stats(table(spark, sf_dir, "documents"), 50))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
