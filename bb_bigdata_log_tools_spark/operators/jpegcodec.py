@@ -358,16 +358,22 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 
 
 def _decode_scan(data, pos, w, h, comps, scan, qt, huff, restart_interval):
+    """Entropy decode collects dequantized coefficient blocks; the IDCT
+    and pixel scatter run BATCHED in numpy afterwards (one einsum over
+    all blocks of a component instead of 1024 Python multiplies per
+    block — the decode hot spot; Huffman bit-reading stays scalar by
+    nature). Rounding (half-to-even) matches the scalar reference
+    :func:`_idct_block` kept for unit comparison."""
+    import numpy as np
+
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = []
+    blocks: list[list] = [[] for _ in comps]  # per-comp (px0, py0, coef)
     for c in comps:
-        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-        planes.append(bytearray(pw * ph))
-        c["pw"], c["ph"] = pw, ph
+        c["pw"], c["ph"] = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
@@ -386,20 +392,31 @@ def _decode_scan(data, pos, w, h, comps, scan, qt, huff, restart_interval):
                     return None
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        blk = _decode_block(br, dc_tab, ac_tab, q, preds, ci)
-                        if blk is None:
+                        coef = _decode_block_coefs(br, dc_tab, ac_tab, q, preds, ci)
+                        if coef is None:
                             return None
-                        px0 = (mx * comp["h"] + bx) * 8
-                        py0 = (my * comp["v"] + by) * 8
-                        plane, pw = planes[ci], comp["pw"]
-                        for y in range(8):
-                            base = (py0 + y) * pw + px0
-                            plane[base : base + 8] = bytes(blk[y * 8 : y * 8 + 8])
+                        blocks[ci].append(
+                            ((mx * comp["h"] + bx) * 8, (my * comp["v"] + by) * 8, coef)
+                        )
             mcu_count += 1
+    m = np.asarray(_BASIS)  # m[x][u]
+    planes = []
+    for ci, comp in enumerate(comps):
+        plane = np.zeros((comp["ph"], comp["pw"]), dtype=np.uint8)
+        if blocks[ci]:
+            coefs = np.asarray([b[2] for b in blocks[ci]]).reshape(-1, 8, 8)
+            # out[n,y,x] = Σv Σu m[y][v]·C[n,v,u]·m[x][u] (== _idct_block)
+            spatial = np.einsum("yv,nvu,xu->nyx", m, coefs, m)
+            pix = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.uint8)
+            for (px0, py0, _), blk in zip(blocks[ci], pix):
+                plane[py0 : py0 + 8, px0 : px0 + 8] = blk
+        planes.append(plane)
     return _planes_to_rows(w, h, comps, planes, hmax, vmax)
 
 
-def _decode_block(br, dc_tab, ac_tab, q, preds, ci):
+def _decode_block_coefs(br, dc_tab, ac_tab, q, preds, ci):
+    """One block's Huffman decode → 64 dequantized natural-order
+    coefficients (floats), or None on malformed input."""
     s = _decode_huff(br, dc_tab)
     if s is None:
         return None
@@ -431,38 +448,31 @@ def _decode_block(br, dc_tab, ac_tab, q, preds, ci):
             return None
         coef[ZIGZAG[k]] = _extend(v, size) * q[k]
         k += 1
-    return _idct_block(coef)
+    return coef
 
 
 def _planes_to_rows(w, h, comps, planes, hmax, vmax):
-    rows = []
+    """Vectorized chroma upsampling + JFIF YCbCr→RGB over whole planes;
+    rows come out in the module's (b, g, r) tuple convention."""
+    import numpy as np
+
     if len(comps) == 1:
-        plane, pw = planes[0], comps[0]["pw"]
-        for y in range(h):
-            base = y * pw
-            rows.append([(v, v, v) for v in plane[base : base + w]])
+        rows = [
+            [(v, v, v) for v in line] for line in planes[0][:h, :w].tolist()
+        ]
         return (w, h, rows)
-    cy, cb, cr = planes
-    for y in range(h):
-        row = []
-        for x in range(w):
-            yy = cy[(y * comps[0]["v"] // vmax) * comps[0]["pw"]
-                    + (x * comps[0]["h"] // hmax)]
-            pb = cb[(y * comps[1]["v"] // vmax) * comps[1]["pw"]
-                    + (x * comps[1]["h"] // hmax)] - 128
-            pr = cr[(y * comps[2]["v"] // vmax) * comps[2]["pw"]
-                    + (x * comps[2]["h"] // hmax)] - 128
-            r = int(round(yy + 1.402 * pr))
-            g = int(round(yy - 0.344136 * pb - 0.714136 * pr))
-            b = int(round(yy + 1.772 * pb))
-            row.append(
-                (
-                    0 if b < 0 else (255 if b > 255 else b),
-                    0 if g < 0 else (255 if g > 255 else g),
-                    0 if r < 0 else (255 if r > 255 else r),
-                )
-            )
-        rows.append(row)
+
+    def up(ci):
+        yi = (np.arange(h) * comps[ci]["v"]) // vmax
+        xi = (np.arange(w) * comps[ci]["h"]) // hmax
+        return planes[ci][np.ix_(yi, xi)].astype(np.float64)
+
+    yy, pb, pr = up(0), up(1) - 128.0, up(2) - 128.0
+    r = np.clip(np.rint(yy + 1.402 * pr), 0, 255).astype(np.uint8)
+    g = np.clip(np.rint(yy - 0.344136 * pb - 0.714136 * pr), 0, 255).astype(np.uint8)
+    b = np.clip(np.rint(yy + 1.772 * pb), 0, 255).astype(np.uint8)
+    bgr = np.stack([b, g, r], axis=-1)
+    rows = [[tuple(px) for px in line] for line in bgr.tolist()]
     return (w, h, rows)
 
 
