@@ -107,3 +107,37 @@ def test_corpus_curate_decisions(spark, sf_dir):
             k = int(r.detail)
             dec = next(x.decision for x in out if x.doc_id == k)
             assert dec not in ("dup_exact", "dup_near"), (r.doc_id, k, dec)
+
+
+def test_parquet_footer_max_and_int96_fallback(spark, sf_dir, tmp_path):
+    """The stream_sessionize sentinel reads max(ts) from parquet footer
+    stats; INT96-encoded timestamps carry no stats and must return None
+    (scan fallback), TIMESTAMP_MICROS must return the exact max."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.registry_streaming import _parquet_footer_max
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+
+    d_int96 = str(tmp_path / "int96")
+    spark.conf.set(key, "INT96")
+    ev.write.mode("overwrite").parquet(d_int96)
+    assert _parquet_footer_max(d_int96, "ts") is None
+
+    d_micros = str(tmp_path / "micros")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    ev.write.mode("overwrite").parquet(d_micros)
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+    fm = _parquet_footer_max(d_micros, "ts")
+    assert fm is not None
+    scan_max = ev.agg(F.max("ts")).collect()[0][0]
+    assert fm.replace(tzinfo=None) == scan_max
+    # missing column name -> honest None
+    assert _parquet_footer_max(d_micros, "no_such_col") is None
+    # empty dir -> None
+    assert _parquet_footer_max(str(tmp_path / "empty"), "ts") is None
