@@ -266,3 +266,113 @@ def cms_freq_estimate(
         (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
     )
     return small_sort(out, "item") if sort else out
+
+
+def overlap_kmv(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+    sort: bool = True,
+) -> DataFrame:
+    """KMV set ALGEBRA between groups (Beyer et al. 2007): estimated
+    union size and Jaccard overlap of every group pair's distinct-value
+    sets, computed from the per-group bottom-k sketches alone — with
+    the exact numbers alongside as the accuracy report.
+
+    The property that makes this scale: bottomk(A ∪ B) ⊆ bottomk(A) ∪
+    bottomk(B), and for any h ≤ kth(A ∪ B) ≤ kth(A): h ∈ A ⟺
+    h ∈ bottomk(A). So union/intersection estimates for EVERY pair are
+    computed from |groups| × k sketch rows — the raw values are
+    scanned exactly once to build the sketches, and the pairwise
+    algebra never touches them again. That is the 100 TB story:
+    per-source/day sketches persist at KB scale and answer overlap
+    questions later without re-reading data. Pairs with union < k are
+    EXACT (the sketch holds the whole set — standard KMV contract).
+
+    Estimates: est_union = (k−1)·H/h₍ₖ₎; jaccard_est = |bottomk(A∪B) ∩
+    A ∩ B| / k (ρ of the union sketch).
+
+    Output: (grp_a, grp_b, n_union_exact, union_est, jaccard_exact,
+    jaccard_est).
+    """
+    salts = 16
+    h = md5_long(F.col(value_col).cast("string"))
+    hashes = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    # per-group bottom-k sketch (salted two-phase, the KMV discipline)
+    w1 = Window.partitionBy("grp", F.pmod(F.col("h"), F.lit(salts))).orderBy("h")
+    survivors = (
+        hashes.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    wnd = Window.partitionBy("grp").orderBy("h")
+    sketch = (
+        survivors.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= k)
+        .select("grp", "h")
+    )
+    groups = sketch.select("grp").distinct()
+    gpairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"), F.col("ga.grp") < F.col("gb.grp"))
+        .select(F.col("ga.grp").alias("grp_a"), F.col("gb.grp").alias("grp_b"))
+    )
+    # pair × sketch-union relation: ≤ 2k rows per pair
+    pa = gpairs.join(
+        sketch.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    pb = gpairs.join(
+        sketch.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    uni = (
+        pa.unionByName(pb)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    topk = uni.withColumn("rk", F.row_number().over(wu)).filter(F.col("rk") <= k)
+    agg = topk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias(
+            "n_both"
+        ),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS)) / F.col("kth"))
+    jacc_est = F.col("n_both") / F.col("n_kept")
+    # exact side (report-only): full distinct sets per pair
+    ea = gpairs.join(
+        hashes.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    eb = gpairs.join(
+        hashes.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    ex = (
+        ea.unionByName(eb)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_exact"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("n_inter_exact"),
+        )
+    )
+    out = (
+        agg.join(ex, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_union_exact",
+            F.round(union_est, 2).alias("union_est"),
+            F.round(
+                F.col("n_inter_exact") / F.col("n_union_exact"), 4
+            ).alias("jaccard_exact"),
+            F.round(jacc_est, 4).alias("jaccard_est"),
+        )
+    )
+    return small_sort(out, "grp_a", "grp_b") if sort else out

@@ -411,6 +411,7 @@ _WINDOW_PRIORITY: list[str] = [
     "bpe_pair_stats",
     "dedup_url",
     "corpus_curate",
+    "overlap_kmv",
     # --- fillers: already-green keys whose code changes in round 6 ---
     # ADVICE fixes touch the HLL sketches, the attribution window, the
     # variant-extract bucketing, contrastive negatives and dedup_resolve

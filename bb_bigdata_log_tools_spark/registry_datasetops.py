@@ -1404,3 +1404,95 @@ FROM est ORDER BY item
 
 DATASETOPS_QUERIES.update({"cms_freq_estimate": q_cms_freq_estimate})
 DATASETOPS_ORACLES.update({"cms_freq_estimate": _cms_oracle()})
+
+
+# --------------------------------------------------------------------------
+# round-6: KMV set algebra — pairwise source overlap from sketches
+# --------------------------------------------------------------------------
+
+_OKMV_K = 64
+
+
+def q_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    return sketches.overlap_kmv(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "event_type",
+        "user_id",
+        _OKMV_K,
+    )
+
+
+def _overlap_kmv_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS
+
+    h = _SK_MD5.format(x="CAST(user_id AS VARCHAR)")
+    hspace = float(1 << HASH_BITS)
+    k = _OKMV_K
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS grp, {h} AS h FROM events
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+    FROM hashes
+  ) WHERE rk <= {k}
+),
+groups AS (SELECT DISTINCT grp FROM sk),
+gp AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM groups a JOIN groups b ON a.grp < b.grp
+),
+uni AS (
+  SELECT grp_a, grp_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT gp.grp_a, gp.grp_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM gp JOIN sk s ON s.grp = gp.grp_a
+    UNION ALL
+    SELECT gp.grp_a, gp.grp_b, s.h, 0, 1
+    FROM gp JOIN sk s ON s.grp = gp.grp_b
+  ) GROUP BY grp_a, grp_b, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rk
+    FROM uni
+  ) WHERE rk <= {k}
+),
+agg AS (
+  SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS n_kept,
+         max(CASE WHEN rk = {k} THEN h END) AS kth,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM topk GROUP BY grp_a, grp_b
+),
+ep AS (
+  SELECT grp_a, grp_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT gp.grp_a, gp.grp_b, hh.h, 1 AS in_a, 0 AS in_b
+    FROM gp JOIN hashes hh ON hh.grp = gp.grp_a
+    UNION ALL
+    SELECT gp.grp_a, gp.grp_b, hh.h, 0, 1
+    FROM gp JOIN hashes hh ON hh.grp = gp.grp_b
+  ) GROUP BY grp_a, grp_b, h
+),
+ex AS (
+  SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS n_union_exact,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inter_exact
+  FROM ep GROUP BY grp_a, grp_b
+)
+SELECT a.grp_a, a.grp_b, ex.n_union_exact,
+       round(CASE WHEN a.n_kept < {k} THEN CAST(a.n_kept AS DOUBLE)
+                  ELSE {float(k - 1)} * {hspace} / a.kth END, 2) AS union_est,
+       round(ex.n_inter_exact * 1.0 / ex.n_union_exact, 4) AS jaccard_exact,
+       round(a.n_both * 1.0 / a.n_kept, 4) AS jaccard_est
+FROM agg a JOIN ex ON a.grp_a = ex.grp_a AND a.grp_b = ex.grp_b
+ORDER BY a.grp_a, a.grp_b
+"""
+
+
+DATASETOPS_QUERIES.update({"overlap_kmv": q_overlap_kmv})
+DATASETOPS_ORACLES.update({"overlap_kmv": _overlap_kmv_oracle()})

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "bpe_pair_stats",
     "dedup_url",
     "corpus_curate",
+    "overlap_kmv",
 ]
 
 

@@ -141,3 +141,19 @@ def test_parquet_footer_max_and_int96_fallback(spark, sf_dir, tmp_path):
     assert _parquet_footer_max(d_micros, "no_such_col") is None
     # empty dir -> None
     assert _parquet_footer_max(str(tmp_path / "empty"), "ts") is None
+
+
+def test_overlap_kmv_sketch_contract(spark, sf_dir):
+    """Pairs whose true union fits in the sketch are EXACT; estimates
+    stay within the expected KMV error envelope otherwise."""
+    from bb_bigdata_log_tools_spark.operators.sketches import overlap_kmv
+
+    out = overlap_kmv(table(spark, sf_dir, "events"), k=64).collect()
+    assert len(out) > 0
+    for r in out:
+        if r.n_union_exact < 64:  # sketch holds the whole union
+            assert r.union_est == float(r.n_union_exact)
+            assert r.jaccard_est == r.jaccard_exact
+        else:
+            assert abs(r.union_est - r.n_union_exact) / r.n_union_exact < 0.5
+            assert abs(r.jaccard_est - r.jaccard_exact) <= 0.3
