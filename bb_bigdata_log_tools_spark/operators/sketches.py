@@ -3,7 +3,8 @@ algebra — deterministic, so the DuckDB oracle reproduces every register
 and estimate bit-for-bit (unlike ``approx_count_distinct``, whose
 engine-internal HLL cannot be cross-checked).
 
-Two classical sketches over the same md5-derived 60-bit hash space:
+Four classical sketch families over the same md5-derived 60-bit hash
+space:
 
 - :func:`approx_distinct_hll` — HyperLogLog (Flajolet et al. 2007):
   per (group, register) max leading-zero rank, harmonic-mean estimate
@@ -15,6 +16,12 @@ Two classical sketches over the same md5-derived 60-bit hash space:
   2002): the k smallest distinct hashes per group; est =
   (k−1)·H/h₍ₖ₎ for hash space of size H. State is the k-row bottom
   set per group — mergeable by re-ranking the union.
+- :func:`cms_freq_estimate` — Count-Min (Cormode & Muthukrishnan
+  2005): depth×width counter relation, mergeable by ``sum``; frequency
+  estimates = min over depth rows, never an underestimate.
+- :func:`overlap_kmv` — KMV set ALGEBRA (Beyer et al. 2007): pairwise
+  union-size and Jaccard estimates computed from the per-group bottom-k
+  sketches alone.
 
 Scale notes (100 TB): both sketches reduce to one partial-agg groupBy
 over (group, derived-column) — the shuffle carries registers or bottom-k
