@@ -116,3 +116,75 @@ def test_bmp_resize_integration():
     assert out is not None
     parsed = parse_image_dimensions(out)
     assert parsed == ("bmp", 8, 6)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 34),
+        h=st.integers(1, 34),
+        sub=st.sampled_from([1, 2]),
+        rst=st.sampled_from([0, 1, 3]),
+        a=st.integers(0, 12),
+        b=st.integers(0, 12),
+        c=st.integers(0, 200),
+    )
+    def test_roundtrip_property_smooth(w, h, sub, rst, a, b, c):
+        """Any size (including 1×1 and non-multiples of the MCU), any
+        subsampling, with or without restart markers: smooth content
+        round-trips within quantization tolerance. (Step-edge content
+        legitimately rings at Annex-K quality — that is JPEG, not a
+        codec bug — so the tight bound is asserted on gradients.)"""
+        rows = [
+            [
+                (
+                    min(a * x + b * y + c, 255),
+                    min(b * x + a * y + c // 2, 255),
+                    min((a + b) * x + c // 3, 255),
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        p = make_jpeg(w, h, rows, subsample=sub, restart_interval=rst)
+        out = jpeg_parse_pixels(p)
+        assert out is not None and (out[0], out[1]) == (w, h)
+        errs = [
+            abs(u - v)
+            for y in range(h)
+            for x in range(w)
+            for u, v in zip(out[2][y][x], rows[y][x])
+        ]
+        # the min(·,255) clamp itself introduces a gradient kink, so the
+        # bound is looser than the pure-gradient cases (~10)
+        assert max(errs) <= 32, max(errs)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        w=st.integers(1, 25),
+        h=st.integers(1, 25),
+        seed=st.integers(0, 10**6),
+    )
+    def test_roundtrip_property_noise_decodes(w, h, seed):
+        """Arbitrary (high-frequency) content must still DECODE to the
+        right dimensions — pixel error may legitimately be large."""
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        for sub in (1, 2):
+            out = jpeg_parse_pixels(make_jpeg(w, h, rows, subsample=sub))
+            assert out is not None and (out[0], out[1]) == (w, h)
