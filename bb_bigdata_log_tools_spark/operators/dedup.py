@@ -1348,3 +1348,52 @@ def dedup_resolve(
         )
     )
     return small_sort(out, "doc_id")
+
+
+def minhash_bucket_stats(
+    documents: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    sort: bool = True,
+) -> DataFrame:
+    """LSH TUNING diagnostic: per-band bucket-size distribution of the
+    banded minhash signature — the report that tells you whether the
+    (num_perm, bands) choice is generating a sane candidate load BEFORE
+    the pair join runs. ``candidate_pairs`` = Σ C(size, 2) per band is
+    exactly the pair-join output the dedup pipeline will pay for;
+    ``max_bucket`` is the straggler that the salt spreads
+    (:func:`dedup_minhash_lsh`). Run it when onboarding a new corpus:
+    a boilerplate-heavy source shows up as a few enormous buckets here
+    long before a 10× probe would.
+
+    Output per band: (band_idx, n_buckets, n_docs, max_bucket,
+    n_colliding, candidate_pairs). Two partial-agg groupBys over the
+    thin (doc_id, band) relation — never touches text after the
+    signature scan.
+    """
+    b = minhash_bands(documents, n, num_perm, bands)
+    sizes = b.groupBy("band_idx", "band_sig").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    out = (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("sz").alias("n_docs"),
+            F.max("sz").alias("max_bucket"),
+            F.sum((F.col("sz") > 1).cast("long")).alias("n_colliding"),
+            # integer `div`: the product is even, and exact int math
+            # avoids the 2^53 double hazard entirely
+            F.sum(F.expr("sz * (sz - 1) div 2")).alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band_idx").cast("int").alias("band_idx"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "n_colliding",
+            "candidate_pairs",
+        )
+    )
+    return small_sort(out, "band_idx") if sort else out

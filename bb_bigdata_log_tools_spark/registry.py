@@ -412,6 +412,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_url",
     "corpus_curate",
     "overlap_kmv",
+    "minhash_bucket_stats",
     # --- fillers: already-green keys whose code changes in round 6 ---
     # ADVICE fixes touch the HLL sketches, the attribution window, the
     # variant-extract bucketing, contrastive negatives and dedup_resolve

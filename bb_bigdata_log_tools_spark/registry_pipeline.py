@@ -1214,3 +1214,33 @@ ORDER BY e.doc_id
 
 PIPELINE_QUERIES["dedup_resolve"] = q_dedup_resolve
 PIPELINE_ORACLES["dedup_resolve"] = SQL_DEDUP_RESOLVE
+
+
+# --------------------------------------------------------------------------
+# round-6: LSH bucket-size tuning diagnostic
+# --------------------------------------------------------------------------
+
+
+def q_minhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_bucket_stats(
+        ensure_parallelism(table(spark, sf_dir, "documents"))
+    )
+
+
+SQL_MINHASH_BUCKET_STATS = f"""
+WITH {SQL_MINHASH_PAIRS_CTES},
+bsz AS (
+  SELECT band_idx, band_sig, CAST(count(*) AS BIGINT) AS sz
+  FROM bandsigs GROUP BY band_idx, band_sig
+)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM bsz GROUP BY band_idx ORDER BY band_idx
+"""
+
+PIPELINE_QUERIES["minhash_bucket_stats"] = q_minhash_bucket_stats
+PIPELINE_ORACLES["minhash_bucket_stats"] = SQL_MINHASH_BUCKET_STATS

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "dedup_url",
     "corpus_curate",
     "overlap_kmv",
+    "minhash_bucket_stats",
 ]
 
 
