@@ -375,6 +375,13 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # new round-4 keys) to the front so every key accumulates hard evidence
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
+#
+# Round-7 rotation policy: once CORRECTNESS_r06 lands green, every one
+# of the 180 registry keys has a driver-hard row (148 from r1-r5 + the
+# 32 leading this window). From round 7 on, lead the window with (a)
+# any key registered in round 7 and (b) keys whose operator code
+# changed that round, then fill with the keys whose driver evidence is
+# oldest (r1/r3 vintage) so evidence stays fresh as code evolves.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-6 rotation: the 24 keys with no driver-green row yet ---
     # (registered after the round-5 window filled; all judge-green in the
