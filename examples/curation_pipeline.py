@@ -25,8 +25,10 @@ from bb_bigdata_log_tools_spark.operators import (  # noqa: E402
 from bb_bigdata_log_tools_spark.session import get_spark, table  # noqa: E402
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    spark = get_spark()
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark()
     docs = table(spark, sf_dir, "documents")
 
     # 0. cheapest signals first: whole template families in one pass,
@@ -71,7 +73,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     decisions = curation.corpus_curate(docs, bench)
     decisions.groupBy("decision").count().orderBy("decision").show()
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -23,21 +23,24 @@ from bb_bigdata_log_tools_spark.sources.logs import events_as_logs  # noqa: E402
 from bb_bigdata_log_tools_spark.sqlapi import sql  # noqa: E402
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    spark = get_spark()
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark()
     logs = events_as_logs(table(spark, sf_dir, "events"))
 
     # loggrep: regex over a time window (predicate pushdown to the scan)
     logops.grep(logs, '"k": 4[0-9]}', 0, 10**15).show(5, truncate=60)
 
-    # hourly volumes (map-side partial aggregation)
+    # hourly volumes (map-side partial aggregation), keyed by the
+    # message's leading token; log_stats_hourly needs the raw ms `ts`
     log_stats_hourly(
         logs.select(
-            F.timestamp_millis("ts").alias("event_time"),
+            "ts",
             F.split("message", " ").getItem(0).alias("component"),
             "message",
         )
-    ).orderBy("window_start").show(5)
+    ).show(5)
 
     # syslog-style "last message repeated N times"
     logops.log_dedup_window(logs).show(5, truncate=40)
@@ -59,7 +62,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
            GROUP BY 1 ORDER BY n DESC""",
     ).show()
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
