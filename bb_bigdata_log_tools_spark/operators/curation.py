@@ -229,9 +229,13 @@ def decontaminate(
     """
     from bb_bigdata_log_tools_spark.operators.dedup import doc_shingle_hashes
 
-    train_sh = doc_shingle_hashes(documents.select("doc_id", text_col), n)
+    train_sh = doc_shingle_hashes(
+        documents.select("doc_id", F.col(text_col).alias("text")), n
+    )
     bench_sh = (
-        doc_shingle_hashes(benchmark.select("doc_id", text_col), n)
+        doc_shingle_hashes(
+            benchmark.select("doc_id", F.col(text_col).alias("text")), n
+        )
         .select(F.col("doc_id").alias("bench_id"), "h")
         .distinct()
     )
@@ -862,9 +866,13 @@ def bloom_decontaminate(
             "*", F.pmod(g1 + F.col("k") * g2, F.lit(m_bits)).alias("pos")
         )
 
-    train_sh = doc_shingle_hashes(documents.select("doc_id", text_col), n).distinct()
+    train_sh = doc_shingle_hashes(
+        documents.select("doc_id", F.col(text_col).alias("text")), n
+    ).distinct()
     bench_sh = (
-        doc_shingle_hashes(benchmark.select("doc_id", text_col), n)
+        doc_shingle_hashes(
+            benchmark.select("doc_id", F.col(text_col).alias("text")), n
+        )
         .select("h")
         .distinct()
     )
@@ -926,7 +934,9 @@ def dedup_url(
     head = F.lower(F.regexp_extract(F.col("url"), r"^(https?://[^/?#]+)", 1))
     tail = F.regexp_replace(F.col("url"), r"^https?://[^/?#]+", "")
     tail = F.regexp_replace(tail, "#.*$", "")
-    tail = F.regexp_replace(tail, r"\?utm_[^ ]*$", "")
+    # strip the query only when EVERY parameter is a utm_* tracker —
+    # ?utm_source=x&id=1 keeps its query (id distinguishes resources)
+    tail = F.regexp_replace(tail, r"\?utm_[^&#? ]*(&utm_[^&#? ]*)*$", "")
     tail = F.regexp_replace(tail, "/$", "")
     out = (
         urls.select("url", F.concat(head, tail).alias("canonical_url"))
@@ -982,7 +992,9 @@ def corpus_curate(
 
     qf = qf or {}
     q = quality_filter(documents, **qf).select("doc_id", "fail_reason")
-    r = dedup_resolve(documents).withColumnRenamed("decision", "dup_decision")
+    r = dedup_resolve(documents, sort=False).withColumnRenamed(
+        "decision", "dup_decision"
+    )
     c = decontaminate(documents, benchmark, n=decon_n, sort=False).select(
         "doc_id", "n_shingle_hits", "contaminated"
     )

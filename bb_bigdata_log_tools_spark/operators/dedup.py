@@ -1285,6 +1285,7 @@ def dedup_resolve(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    sort: bool = True,
 ) -> DataFrame:
     """The END-TO-END drop list: one keep/drop decision per document,
     combining the dedup strategies in precedence order — what a user
@@ -1347,7 +1348,10 @@ def dedup_resolve(
             .alias("keeper_doc_id"),
         )
     )
-    return small_sort(out, "doc_id")
+    # sort=False lets composers (corpus_curate) skip the small-result
+    # sort: its localCheckpoint+repartition(1) would run eagerly only
+    # for the order to be destroyed by the downstream doc_id joins
+    return small_sort(out, "doc_id") if sort else out
 
 
 def minhash_bucket_stats(

@@ -204,8 +204,20 @@ class _BitReader:
         # scan forward to the 0xFF of the marker
         while self.pos + 1 < len(d):
             if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
-                m = d[self.pos + 1]
-                self.pos += 2
+                # T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # precede the marker code byte
+                j = self.pos + 1
+                while j < len(d) and d[j] == 0xFF:
+                    j += 1
+                if j >= len(d):
+                    return None
+                if d[j] == 0x00:
+                    # stuffed data byte after the fill run — not a
+                    # marker; keep scanning
+                    self.pos = j + 1
+                    continue
+                m = d[j]
+                self.pos = j + 1
                 self.marker = None
                 return m
             self.pos += 1
@@ -340,6 +352,11 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 return None
             w, h, comps = frame
             ns = body[0]
+            if ns != len(comps):
+                # non-interleaved multi-scan baseline (one SOS per
+                # component): this decoder only handles the single
+                # interleaved scan — honest stub, never corrupt pixels
+                return None
             scan = []
             for c in range(ns):
                 cs = body[1 + 2 * c]
@@ -348,6 +365,12 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if ns == 1 and (scan[0][0]["h"] > 1 or scan[0][0]["v"] > 1):
+                # a single-component scan is non-interleaved by
+                # definition (MCU = one data unit, sampling ignored);
+                # the interleaved MCU geometry below would misplace
+                # blocks — stub rather than decode wrong
+                return None
             return _decode_scan(
                 payload, pos + 2 + seglen, w, h, comps, scan, qt, huff,
                 restart_interval,

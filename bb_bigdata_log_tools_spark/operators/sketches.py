@@ -245,6 +245,23 @@ def cms_freq_estimate(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
+    return cms_estimate_from_sketch(sketch, exact, depth, width, top_n, sort)
+
+
+def cms_estimate_from_sketch(
+    sketch: DataFrame,
+    exact: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+    sort: bool = True,
+) -> DataFrame:
+    """The CMS probe/estimate step over a PREBUILT counter relation —
+    shared by the batch sketch and the streaming drain (the hash family
+    and min-over-depth closed form must stay in lockstep with the
+    DuckDB oracle; one copy, not two). ``sketch`` is (d, bucket, cnt);
+    ``exact`` is (v, n_exact) and supplies the top-N probe targets.
+    """
     # TakeOrderedAndProject (orderBy+limit), not a single-partition rank
     # window — the heavy-hitter report stays distributed at any |items|.
     top = exact.orderBy(F.desc("n_exact"), F.col("v")).limit(top_n)

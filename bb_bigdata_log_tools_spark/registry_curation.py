@@ -1045,7 +1045,7 @@ canon AS (
                 regexp_replace(
                   regexp_replace(url, '^https?://[^/?#]+', ''),
                   '#.*$', ''),
-                '\\?utm_[^ ]*$', ''),
+                '\\?utm_[^&#? ]*(&utm_[^&#? ]*)*$', ''),
               '/$', '') AS canonical_url
   FROM urls
 )

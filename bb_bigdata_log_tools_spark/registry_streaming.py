@@ -641,7 +641,9 @@ def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter estimates are computed from the drained counter table
     with the same min-over-depth closed form as the batch sketch, so
     the batch CMS oracle applies verbatim."""
-    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        cms_estimate_from_sketch,
+    )
     from bb_bigdata_log_tools_spark.streaming.ops import stream_cms_buckets
 
     ev = _stream_events(spark, sf_dir).select("user_id")
@@ -656,61 +658,26 @@ def q_stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    top = exact.orderBy(F.desc("n_exact"), F.col("v")).limit(_SCMS_TOP)
-    probes = top.select(
-        "v",
-        "n_exact",
-        F.explode(F.array(*[F.lit(d) for d in range(_SCMS_D)])).alias("d"),
-    ).select(
-        "v",
-        "n_exact",
-        "d",
-        F.pmod(
-            md5_long(
-                F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v"))
-            ),
-            F.lit(_SCMS_W),
-        ).alias("bucket"),
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
-        .groupBy("v", "n_exact")
-        .agg(F.min("cnt").alias("cms_estimate"))
-        .select(
-            F.col("v").alias("item"),
-            "n_exact",
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
-        )
-        .orderBy("item")
+    # the estimate step is the batch sketch's own (one copy of the hash
+    # family / min-over-depth form — the oracle below is the batch one)
+    return cms_estimate_from_sketch(
+        sketch, exact, _SCMS_D, _SCMS_W, _SCMS_TOP
     )
 
 
 def _stream_cms_oracle() -> str:
-    h = "('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':' || v), 1, 15))::BIGINT"
-    return f"""
-WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
-ds AS (SELECT unnest(range({_SCMS_D})) AS d),
-sketch AS (
-  SELECT d, {h} % {_SCMS_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
-  FROM vals CROSS JOIN ds GROUP BY 1, 2
-),
-exact AS (
-  SELECT v, CAST(count(*) AS BIGINT) AS n_exact FROM vals GROUP BY v
-),
-top AS (SELECT v, n_exact FROM exact ORDER BY n_exact DESC, v LIMIT {_SCMS_TOP}),
-probes AS (
-  SELECT v, n_exact, d, {h} % {_SCMS_W} AS bucket FROM top CROSS JOIN ds
-),
-est AS (
-  SELECT p.v, p.n_exact, min(s.cnt) AS cms_estimate
-  FROM probes p JOIN sketch s USING (d, bucket)
-  GROUP BY p.v, p.n_exact
-)
-SELECT v AS item, n_exact, cms_estimate,
-       cms_estimate - n_exact AS overestimate
-FROM est ORDER BY item
-"""
+    # the drained streaming counters equal the batch sketch exactly
+    # (sum is associative), so the batch CMS oracle applies verbatim —
+    # import it rather than keeping a second SQL copy in lockstep.
+    from bb_bigdata_log_tools_spark.registry_datasetops import (
+        _CMS_D,
+        _CMS_TOP,
+        _CMS_W,
+        _cms_oracle,
+    )
+
+    assert (_CMS_D, _CMS_W, _CMS_TOP) == (_SCMS_D, _SCMS_W, _SCMS_TOP)
+    return _cms_oracle()
 
 
 STREAMING_QUERIES["stream_cms_freq"] = q_stream_cms_freq

@@ -562,25 +562,12 @@ def stream_cms_buckets(
     Replay caveat (vs HLL's idempotent ``max``): ``sum`` counters are
     NOT idempotent, so exactly-once sinks/checkpointing are required
     under retries — the standard CMS-over-streams contract.
-    """
-    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
 
-    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
-    v = F.col(value_col).cast("string")
-    return (
-        events.select(v.alias("v"))
-        .select("v", rows)
-        .select(
-            "d",
-            F.pmod(
-                md5_long(
-                    F.concat(
-                        F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v")
-                    )
-                ),
-                F.lit(width),
-            ).alias("bucket"),
-        )
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    The plan IS the batch builder's — :func:`cms_buckets` is pure
+    streaming-compatible column algebra, so this delegates rather than
+    carrying a second copy that could silently diverge from the
+    "batch oracle applies verbatim" contract.
+    """
+    from bb_bigdata_log_tools_spark.operators.sketches import cms_buckets
+
+    return cms_buckets(events, value_col=value_col, depth=depth, width=width)

@@ -288,7 +288,15 @@ def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
         chunk = {n: timings[n] for n in names[i : i + chunk_size]}
         lines.append(json.dumps({"bench_part": i // chunk_size + 1, "queries": chunk}))
     if "errors" in payload:
-        lines.append(json.dumps({"bench_errors": payload["errors"]}))
+        # errors chunk like timings: a broken session can fail ~150
+        # queries x 500-char messages, and one giant bench_errors line
+        # would re-create the head-truncation the chunking exists for
+        enames = list(payload["errors"])
+        for i in range(0, len(enames), 5):
+            chunk = {n: payload["errors"][n] for n in enames[i : i + 5]}
+            lines.append(
+                json.dumps({"bench_errors_part": i // 5 + 1, "errors": chunk})
+            )
     lines.append(json.dumps(summary))
     return lines
 

@@ -53,18 +53,23 @@ def test_emit_lines_every_line_small_and_parseable():
         "unit": "sec",
         "queries": {f"q{i:03d}": round(0.1 * i, 3) for i in range(160)},
         "sf": 0.1,
-        "errors": {"boom": "RuntimeError: x"},
+        # worst case: most queries fail with long messages — errors
+        # must chunk like timings, never one giant line
+        "errors": {f"e{i:03d}": "RuntimeError: " + "x" * 480 for i in range(150)},
     }
     lines = emit_lines(payload)
     parsed = [json.loads(l) for l in lines]  # every line parses alone
-    assert all(len(l) < 1500 for l in lines), max(len(l) for l in lines)
+    assert all(len(l) < 3000 for l in lines), max(len(l) for l in lines)
     assert parsed[0] == parsed[-1]
     assert parsed[0]["value"] == 123.456
     assert parsed[0]["queries"] == 160  # count, not the giant map
-    assert parsed[0]["error_count"] == 1
+    assert parsed[0]["error_count"] == 150
     merged = {}
+    merged_errors = {}
     for d in parsed:
         if "bench_part" in d:
             merged.update(d["queries"])
+        if "bench_errors_part" in d:
+            merged_errors.update(d["errors"])
     assert merged == payload["queries"]
-    assert any("bench_errors" in d for d in parsed)
+    assert merged_errors == payload["errors"]

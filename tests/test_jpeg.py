@@ -109,6 +109,50 @@ def test_truncated_payload_returns_none():
     assert jpeg_parse_pixels(b"not a jpeg") is None
 
 
+def test_noninterleaved_multiscan_rejected():
+    """A scan covering fewer components than the frame (ns < ncomp —
+    the first scan of a spec-legal non-interleaved baseline file) must
+    stub to None, never decode Y-only garbage flagged as pixels."""
+    p = make_jpeg(W, H, ROWS)
+    i = p.index(b"\xff\xda")
+    seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+    body = p[i + 4 : i + 2 + seglen]  # ns, (cs,tt) pairs, ss, se, ahal
+    assert body[0] == 3
+    new_body = bytes([1]) + body[1:3] + body[-3:]  # Y-only scan header
+    patched = (
+        p[: i + 2]
+        + (2 + len(new_body)).to_bytes(2, "big")
+        + new_body
+        + p[i + 2 + seglen :]
+    )
+    assert jpeg_parse_pixels(patched) is None
+
+
+def test_single_component_subsampled_scan_rejected():
+    """ns=1 with sampling factors >1: non-interleaved MCU geometry this
+    decoder does not implement — must return None, not misplace blocks."""
+    p = bytearray(make_jpeg(W, H, ROWS, grayscale=True))
+    i = p.index(b"\xff\xc0")
+    assert p[i + 11] == 0x11  # SOF0 comp-0 h/v nibbles
+    p[i + 11] = 0x22
+    assert jpeg_parse_pixels(bytes(p)) is None
+
+
+def test_fill_bytes_before_restart_marker_tolerated():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker —
+    an extra FF before an RSTn must not fail the decode."""
+    p = make_jpeg(W, H, ROWS, restart_interval=2)
+    base = jpeg_parse_pixels(p)
+    assert base is not None
+    j = p.index(b"\xff\xda")
+    while True:
+        j = p.index(b"\xff", j + 1)
+        if 0xD0 <= p[j + 1] <= 0xD7:
+            break
+    padded = p[:j] + b"\xff" + p[j:]
+    assert jpeg_parse_pixels(padded) == base
+
+
 def test_bmp_resize_integration():
     """media_resize's decode dispatch reaches JPEG: the resized BMP is
     produced and re-parses to the requested dimensions."""

@@ -157,3 +157,22 @@ def test_overlap_kmv_sketch_contract(spark, sf_dir):
         else:
             assert abs(r.union_est - r.n_union_exact) / r.n_union_exact < 0.5
             assert abs(r.jaccard_est - r.jaccard_exact) <= 0.3
+
+
+def test_decontaminate_text_col_plumbs_through(spark, sf_dir):
+    """Both decontamination variants accept a non-default text column
+    (doc_shingle_hashes hardcodes 'text' internally — the call sites
+    must alias; a bare .select('doc_id', text_col) crashed)."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumnRenamed("text", "body")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    exact = decontaminate(docs, bench, text_col="body").collect()
+    bloom = bloom_decontaminate(docs, bench, text_col="body").collect()
+    assert len(exact) > 0 and len(bloom) > 0
+    # same docs flagged as the default-column run on the same data
+    flagged = {r.doc_id for r in exact if r.contaminated}
+    assert flagged == {r.doc_id for r in bloom if r.flagged_exact}
