@@ -1463,8 +1463,8 @@ def events_seasonality(events: DataFrame) -> DataFrame:
     ms = F.unix_millis(F.col("ts"))
     cells = (
         events.select(
-            (((ms / F.lit(86_400_000)).cast("long") + 4) % 7).alias("dow"),
-            ((ms / F.lit(3_600_000)).cast("long") % 24).alias("hour"),
+            ((F.floor(ms / F.lit(86_400_000)) + 4) % 7).alias("dow"),
+            (F.floor(ms / F.lit(3_600_000)) % 24).alias("hour"),
         )
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1497,7 +1497,7 @@ def events_autocorrelation(
     Pearson r rounds at 4 dp (float sums over ≤|hours| terms are
     ulp-stable far below that).
     """
-    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
     hourly = (
         events.select(hour.alias("h"))
         .groupBy("h")
@@ -1551,7 +1551,7 @@ def events_forecast_baseline(
     aggregate. Volumes are integer counts, so the MAEs are exact
     rationals rounded at 4 dp — cross-engine stable.
     """
-    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
     hourly = (
         events.groupBy(F.col("event_type"), hour.alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1601,7 +1601,7 @@ def events_cohort_matrix(events: DataFrame) -> DataFrame:
     O(|users|)), then one partial-agg groupBy over the small
     (cohort, offset) domain via distinct-user pre-aggregation.
     """
-    wk = (F.unix_millis(F.col("ts")) / F.lit(604_800_000)).cast("long")
+    wk = F.floor(F.unix_millis(F.col("ts")) / F.lit(604_800_000))
     uw = events.select(F.col("user_id"), wk.alias("week"))
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     cells = (
@@ -1673,8 +1673,8 @@ def events_user_lifespan(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     lifespan = (
-        (F.col("last_ms") / F.lit(86_400_000)).cast("long")
-        - (F.col("first_ms") / F.lit(86_400_000)).cast("long")
+        F.floor(F.col("last_ms") / F.lit(86_400_000))
+        - F.floor(F.col("first_ms") / F.lit(86_400_000))
     ).alias("lifespan_days")
     return (
         per_user.select(lifespan, "n_events")
@@ -1706,7 +1706,7 @@ def events_bot_detection(
     shuffle carries minute buckets, not events — then a per-user
     rollup; no windows over raw events, no joins.
     """
-    minute = (F.unix_millis(F.col("ts")) / F.lit(60_000)).cast("long")
+    minute = F.floor(F.unix_millis(F.col("ts")) / F.lit(60_000))
     per_min = (
         events.select("user_id", minute.alias("minute"))
         .groupBy("user_id", "minute")
@@ -1822,7 +1822,7 @@ def events_rollup_cube(events: DataFrame) -> DataFrame:
     ``events_seasonality`` convention).
     """
     dow = (
-        ((F.unix_millis(F.col("ts")) / F.lit(86_400_000)).cast("long") + 4) % 7
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(86_400_000)) + 4) % 7
     ).alias("dow")
     return (
         events.select(F.col("event_type"), dow, F.col("value"))

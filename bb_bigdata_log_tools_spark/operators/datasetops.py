@@ -333,7 +333,7 @@ def zorder_layout(
     is non-trivial at every data scale; integer ``div`` keeps the
     rescale bit-exact cross-engine.
     """
-    hour = (F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("long")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
     base = events.select(F.col("user_id").cast("long").alias("uid"), hour.alias("h"))
     bounds = base.agg(
         F.min("uid").alias("u0"),

@@ -392,7 +392,7 @@ def log_volume_trend(logs: DataFrame) -> DataFrame:
     (component, day) aggregate — never the raw lines.
     """
     comp = F.split(F.col("message"), " ").getItem(0)
-    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
+    day = F.floor(F.col("ts") / F.lit(86_400_000))
     daily = (
         logs.select(comp.alias("component"), day.alias("day"))
         .groupBy("component", "day")
