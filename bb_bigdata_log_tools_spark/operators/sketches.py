@@ -3,8 +3,9 @@ algebra — deterministic, so the DuckDB oracle reproduces every register
 and estimate bit-for-bit (unlike ``approx_count_distinct``, whose
 engine-internal HLL cannot be cross-checked).
 
-Four classical sketch families over the same md5-derived 60-bit hash
-space:
+Five classical sketch families (the quantile histogram at the end of
+this module works on raw values, the rest share the same md5-derived
+60-bit hash space):
 
 - :func:`approx_distinct_hll` — HyperLogLog (Flajolet et al. 2007):
   per (group, register) max leading-zero rank, harmonic-mean estimate
@@ -22,6 +23,10 @@ space:
 - :func:`overlap_kmv` — KMV set ALGEBRA (Beyer et al. 2007): pairwise
   union-size and Jaccard estimates computed from the per-group bottom-k
   sketches alone.
+- :func:`quantile_sketch` — mergeable sign × octave × second-bit
+  histogram (≤ ~256 bins per group over the whole int64 domain);
+  quantile estimates from bin midpoints, ≤ 25% relative error by
+  construction, counters mergeable by ``sum`` like the CMS state.
 
 Scale notes (100 TB): both sketches reduce to one partial-agg groupBy
 over (group, derived-column) — the shuffle carries registers or bottom-k
@@ -400,3 +405,124 @@ def overlap_kmv(
         )
     )
     return small_sort(out, "grp_a", "grp_b") if sort else out
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.5, 0.9, 0.99),
+    scale: int = 1000,
+    sort: bool = True,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fifth classical sketch family
+    beside HLL/KMV/CMS/Bloom: a sign × octave × second-bit histogram
+    (≤ ~256 bins per group for the whole int64 domain, ≤ 25% relative
+    bin half-width) whose counter relation merges by ``sum`` exactly
+    like the CMS state. Per (group, q) the sketch's bin-midpoint
+    estimate is reported with the EXACT rank-``ceil(q·n)`` value
+    alongside — like the other sketch ops, the output doubles as the
+    sketch's own accuracy report, and the exact side is what a
+    production deployment drops.
+
+    Bin rule is pure integer algebra, bit-identical in DuckDB:
+    ``a = |floor(v·scale)|``; octave ``o = length(bin(a))`` (0 for
+    a=0 — the HLL leading-zero trick, no float log2 boundary hazard);
+    sub-bit ``b = (a >> (o-2)) & 1``. The bin [2^(o-1)+b·2^(o-2),
+    +2^(o-2)) has relative width ≤ 1/2, so the midpoint estimate is
+    within 25% of any value in it. Estimate = midpoint of the first
+    bin (ascending signed bin key) whose cumulative count reaches the
+    target rank.
+
+    100 TB shape: the sketch build is ONE partial-agg groupBy over
+    (group, sign, octave, sub) — the shuffle carries bins, never
+    values; the pick windows run over the ≤256-bin relation. The exact
+    side (a per-group rank window over raw values) is report-only.
+
+    Output: (``group_col``, q, n, sketch_est, exact_val, abs_err).
+    """
+    grp = F.col(group_col)
+    v = F.col(value_col)
+    scaled = F.floor(v * F.lit(float(scale)))  # long
+    keys = df.select(
+        grp.alias("grp"),
+        F.when(scaled < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s"),
+        F.abs(scaled).alias("a"),
+    ).select(
+        "grp",
+        "s",
+        F.when(F.col("a") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("a"))))
+        .cast("long")
+        .alias("o"),
+        "a",
+    ).select(
+        "grp",
+        "s",
+        "o",
+        F.when(
+            F.col("o") >= 2,
+            F.expr("shiftright(a, cast(o - 2 as int)) % 2"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("b"),
+    )
+    sk = keys.groupBy("grp", "s", "o", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bin_key = (F.col("s") * (F.col("o") * 2 + F.col("b"))).alias("bin_key")
+    mid = (
+        F.when(F.col("o") == 0, F.lit(0.0))
+        .when(F.col("o") == 1, F.col("s").cast("double"))
+        .otherwise(
+            F.col("s")
+            * (
+                F.pow(F.lit(2.0), F.col("o") - 1)
+                + F.col("b") * F.pow(F.lit(2.0), F.col("o") - 2)
+                + F.pow(F.lit(2.0), F.col("o") - 2) / 2
+            )
+        )
+        / F.lit(float(scale))
+    ).alias("mid")
+    wcum = Window.partitionBy("grp").orderBy("bin_key")
+    cum = sk.select("grp", "cnt", bin_key, mid).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    qrows = (
+        sk.groupBy("grp")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "grp",
+            "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("long"))
+    )
+    est = (
+        qrows.join(F.broadcast(cum), "grp")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("grp", "q", "n", "r")
+        .agg(F.min_by("mid", "bin_key").alias("est_raw"))
+    )
+    wv = Window.partitionBy("grp").orderBy(value_col)
+    ranked = df.select(grp.alias("grp"), v).withColumn(
+        "rn", F.row_number().over(wv)
+    )
+    exact = qrows.join(ranked, "grp").filter(
+        F.col("rn") == F.col("r")
+    ).select("grp", "q", F.col(value_col).alias("exact_raw"))
+    out = (
+        est.join(exact, ["grp", "q"])
+        .select(
+            F.col("grp").alias(group_col),
+            "q",
+            "n",
+            F.round("est_raw", 4).alias("sketch_est"),
+            F.round("exact_raw", 4).alias("exact_val"),
+            F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+    return small_sort(out, group_col, "q") if sort else out

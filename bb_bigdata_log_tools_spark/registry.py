@@ -377,8 +377,8 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # relative order after it.
 #
 # Round-7 rotation policy: once CORRECTNESS_r06 lands green, every one
-# of the 180 registry keys has a driver-hard row (148 from r1-r5 + the
-# 32 leading this window). From round 7 on, lead the window with (a)
+# of the 181 registry keys has a driver-hard row (148 from r1-r5 + the
+# 33 leading this window). From round 7 on, lead the window with (a)
 # any key registered in round 7 and (b) keys whose operator code
 # changed that round, then fill with the keys whose driver evidence is
 # oldest (r1/r3 vintage) so evidence stays fresh as code evolves.
@@ -420,6 +420,7 @@ _WINDOW_PRIORITY: list[str] = [
     "corpus_curate",
     "overlap_kmv",
     "minhash_bucket_stats",
+    "quantile_sketch",
     # --- fillers: already-green keys whose code changes in round 6 ---
     # ADVICE fixes touch the HLL sketches, the attribution window, the
     # variant-extract bucketing, contrastive negatives and dedup_resolve

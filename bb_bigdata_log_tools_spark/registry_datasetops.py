@@ -1496,3 +1496,87 @@ ORDER BY a.grp_a, a.grp_b
 
 DATASETOPS_QUERIES.update({"overlap_kmv": q_overlap_kmv})
 DATASETOPS_ORACLES.update({"overlap_kmv": _overlap_kmv_oracle()})
+
+
+# --------------------------------------------------------------------------
+# round-6: mergeable quantile sketch — the fifth sketch family
+# --------------------------------------------------------------------------
+
+_QSK_QS = (0.5, 0.9, 0.99)
+_QSK_SCALE = 1000
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    return sketches.quantile_sketch(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        "event_type",
+        "value",
+        _QSK_QS,
+        _QSK_SCALE,
+    )
+
+
+def _quantile_sketch_oracle() -> str:
+    qlist = ", ".join(f"{q}::DOUBLE" for q in _QSK_QS)
+    return f"""
+WITH base AS (SELECT event_type AS grp, value AS v FROM events),
+binned AS (
+  SELECT grp,
+         CASE WHEN floor(v * {_QSK_SCALE}) < 0 THEN -1 ELSE 1 END AS s,
+         abs(CAST(floor(v * {_QSK_SCALE}) AS BIGINT)) AS a
+  FROM base
+),
+keys AS (
+  SELECT grp, s,
+         CASE WHEN a = 0 THEN 0 ELSE length(bin(a)) END AS o,
+         CASE WHEN (CASE WHEN a = 0 THEN 0 ELSE length(bin(a)) END) >= 2
+              THEN (a >> ((CASE WHEN a = 0 THEN 0
+                                ELSE length(bin(a)) END) - 2)) & 1
+              ELSE 0 END AS b
+  FROM binned
+),
+sk AS (
+  SELECT grp, s, o, b, s * (o * 2 + b) AS bin_key,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM keys GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin_key) AS cum,
+         CASE WHEN o = 0 THEN 0.0
+              WHEN o = 1 THEN s * 1.0
+              ELSE s * (power(2, o - 1) + b * power(2, o - 2)
+                        + power(2, o - 2) / 2) END / {_QSK_SCALE} AS mid
+  FROM sk
+),
+qs AS (
+  SELECT grp, n, q, CAST(ceil(q * n) AS BIGINT) AS r
+  FROM (SELECT grp, sum(cnt) AS n FROM sk GROUP BY grp)
+  CROSS JOIN (SELECT unnest([{qlist}]) AS q)
+),
+est AS (
+  SELECT qs.grp, qs.q, qs.n, min_by(c.mid, c.bin_key) AS est_raw
+  FROM qs JOIN cum c ON qs.grp = c.grp AND c.cum >= qs.r
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+  FROM base
+),
+ex AS (
+  SELECT qs.grp, qs.q, r.v AS exact_raw
+  FROM qs JOIN ranked r ON qs.grp = r.grp AND r.rn = qs.r
+)
+SELECT est.grp AS event_type, est.q AS q, est.n AS n,
+       round(est.est_raw, 4) AS sketch_est,
+       round(ex.exact_raw, 4) AS exact_val,
+       round(abs(est.est_raw - ex.exact_raw), 4) AS abs_err
+FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+ORDER BY event_type, q
+"""
+
+
+DATASETOPS_QUERIES.update({"quantile_sketch": q_quantile_sketch})
+DATASETOPS_ORACLES.update({"quantile_sketch": _quantile_sketch_oracle()})

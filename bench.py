@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "corpus_curate",
     "overlap_kmv",
     "minhash_bucket_stats",
+    "quantile_sketch",
 ]
 
 

@@ -176,3 +176,42 @@ def test_decontaminate_text_col_plumbs_through(spark, sf_dir):
     # same docs flagged as the default-column run on the same data
     flagged = {r.doc_id for r in exact if r.contaminated}
     assert flagged == {r.doc_id for r in bloom if r.flagged_exact}
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """The defining guarantee of the sign/octave/sub-bit histogram: the
+    bin's relative half-width is <= 25%, so the midpoint estimate of
+    the rank-r bin is within 25% of the true rank-r value whenever that
+    value is >= 2/scale (below that, bins are exact points)."""
+    from bb_bigdata_log_tools_spark.registry_datasetops import q_quantile_sketch
+
+    out = q_quantile_sketch(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n > 0
+        if abs(r.exact_val) >= 0.002:
+            assert r.abs_err <= 0.25 * abs(r.exact_val) + 1e-9, r
+        # the estimate is always a bin midpoint: reconstructable sign
+        assert (r.sketch_est >= 0) == (r.exact_val >= 0) or r.sketch_est == 0
+
+
+def test_quantile_sketch_state_bounded_and_mergeable(spark, sf_dir):
+    """The sketch state is <= ~256 bins per group (bounded for the whole
+    int64 domain) and merges by sum: building one sketch over a 2x
+    duplicated corpus equals doubling the counters of the original."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.sketches import quantile_sketch
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    doubled = ev.unionByName(ev)
+    a = {
+        (r.event_type, r.q): r.sketch_est
+        for r in quantile_sketch(ev).collect()
+    }
+    b = {
+        (r.event_type, r.q): r.sketch_est
+        for r in quantile_sketch(doubled).collect()
+    }
+    # doubling every count leaves all quantile ranks in the same bins
+    assert a == b
