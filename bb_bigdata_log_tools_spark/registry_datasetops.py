@@ -1553,7 +1553,7 @@ cum AS (
 ),
 qs AS (
   SELECT grp, n, q, CAST(ceil(q * n) AS BIGINT) AS r
-  FROM (SELECT grp, sum(cnt) AS n FROM sk GROUP BY grp)
+  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY grp)
   CROSS JOIN (SELECT unnest([{qlist}]) AS q)
 ),
 est AS (

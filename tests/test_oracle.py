@@ -74,6 +74,27 @@ def test_oracle_match(spark, key):
     assert not mismatches, f"{key}: first value mismatches: {mismatches[:3]}"
 
 
+def test_no_wide_numeric_oracle_output_types():
+    """DESCRIBE every oracle and reject HUGEINT/UHUGEINT/DECIMAL output
+    columns.  The replica above stringifies via fetchall(), where DuckDB's
+    HUGEINT arrives as a Python int — so a `sum(BIGINT)` projected straight
+    to output looks identical here yet renders as `2006.0` through an
+    Arrow/pandas canonicalizer, hash-failing the external gate with
+    rows/schema green (the round-6 quantile_sketch red row).  Enforce the
+    house convention: wrap wide aggregates in CAST(... AS BIGINT/DOUBLE)."""
+    con = duck_con(SF_DIR)
+    bad = []
+    for key, sql in entrymod.oracle_sql().items():
+        for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            base = typ.split("(")[0].upper()
+            if base in ("HUGEINT", "UHUGEINT", "DECIMAL"):
+                bad.append((key, name, typ))
+    assert not bad, (
+        "oracle output columns with driver-unsafe wide numeric types "
+        f"(CAST them to BIGINT/DOUBLE): {bad}"
+    )
+
+
 def test_all_oracles_parse_in_duckdb():
     """EXPLAIN every oracle against the registered views — a syntax or
     binding error here would otherwise surface only inside the external
