@@ -339,6 +339,10 @@ from bb_bigdata_log_tools_spark.registry_textprep import (  # noqa: E402
     TEXTPREP_ORACLES,
     TEXTPREP_QUERIES,
 )
+from bb_bigdata_log_tools_spark.registry_sinks import (  # noqa: E402
+    SINK_ORACLES,
+    SINK_QUERIES,
+)
 from bb_bigdata_log_tools_spark.registry_datasetops import (  # noqa: E402
     DATASETOPS_ORACLES,
     DATASETOPS_QUERIES,
@@ -367,6 +371,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **TEXTPREP_QUERIES,
     **DATASETOPS_QUERIES,
     **STREAMING_QUERIES,
+    **SINK_QUERIES,
 }
 
 # The external correctness gate verifies only the FIRST 50 ``queries()``
@@ -484,4 +489,5 @@ ORACLES: dict[str, str] = {
     **TEXTPREP_ORACLES,
     **DATASETOPS_ORACLES,
     **STREAMING_ORACLES,
+    **SINK_ORACLES,
 }

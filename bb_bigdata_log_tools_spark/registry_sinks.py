@@ -1,0 +1,351 @@
+"""Registry part 12: sink round-trip queries (SURVEY.md §2 rows 12, 75,
+85) — the formerly tests-only write paths surfaced as driver-oracled
+queries.
+
+Each key stages a DETERMINISTIC write into a tmp store (the
+``log_cat_by_time`` store discipline: md5(sf_dir)-keyed directory,
+write-then-read in one query), reads the files back through the paired
+source, and returns a DataFrame whose oracle is plain SQL over the
+ORIGINAL table — so a driver-green row certifies the full
+write → bytes-on-disk → read loop, not just the reader.
+
+Reference parity: ``boom/BoomWriter.java`` (boom_write) plus the
+training-export sinks the reference's HDFS-era pipeline lacked
+(JSONL shards, WebDataset tar shards). Determinism comes from the
+``shuffle_shards`` md5 discipline — retries and re-runs are
+bit-identical, so the oracle can be exact.
+
+Scale notes (100 TB): every write here is one hash exchange on the
+shard/hour key + one executor task per output file (the minimum any
+shard-file layout needs); reads are whole-file parallel via the
+``binaryFile``/JSON sources. Nothing passes through the driver but
+the ≤ n_shards-row manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bb_bigdata_log_tools_spark.registry_datasetops import _MD5_BUCKET
+from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
+from bb_bigdata_log_tools_spark.sources.boom import read_boom, write_boom_tree
+from bb_bigdata_log_tools_spark.sources.jsonl import read_jsonl, write_jsonl_shards
+from bb_bigdata_log_tools_spark.sources.logs import EVENTS_AS_LOGS_SQL, events_as_logs
+from bb_bigdata_log_tools_spark.sources.webdataset import (
+    read_webdataset,
+    samples_from_members,
+    write_webdataset,
+)
+
+N_JSONL_SHARDS = 8
+N_WDS_SHARDS = 8
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    """sf_dir-keyed tmp store path (stable across processes)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"bb_{name}_{key}")
+
+
+# --------------------------------------------------------------------------
+# boom_write: events → hourly .bm tree → boom read (§2 row 12)
+# --------------------------------------------------------------------------
+
+
+def q_boom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the distributed .bm writer: the events table
+    (as canonical log lines) → ``write_boom_tree``'s hourly
+    ``<dc>/<svc>/<type>/<date>/<HH>/<comp>/data`` layout → distributed
+    boom read. Oracle = the same line set straight from events, so a
+    green row certifies BoomWriter-parity block encoding end-to-end
+    (``boom/BoomWriter.java``, ``mapreduce/boom/PigBoomHourlyOutputFormat.java``)."""
+    root = _tmp("boom_write", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    logs = events_as_logs(ensure_parallelism(table(spark, sf_dir, "events")))
+    write_boom_tree(logs, root, "dc1", "svc", "apache", "comp1")
+    data_glob = os.path.join(root, "dc1", "svc", "apache", "*", "*", "comp1", "data")
+    return (
+        read_boom(spark, data_glob)
+        .select("ts", "message", "event_id")
+        .orderBy("ts", "message", "event_id")
+    )
+
+
+SQL_BOOM_WRITE = f"""
+WITH logs AS ({EVENTS_AS_LOGS_SQL})
+SELECT ts, message, CAST(event_id AS INTEGER) AS event_id
+FROM logs
+ORDER BY ts, message, event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# JSONL shard sink + reader (§2 row 75)
+# --------------------------------------------------------------------------
+
+_JSONL_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard_pos", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("shard", T.IntegerType()),  # partition column
+    ]
+)
+
+
+def q_write_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the JSONL shard sink: documents →
+    ``write_jsonl_shards`` (md5 shard + intra-shard order) → JSON read.
+    Oracle recomputes the deterministic layout in SQL and md5-hashes
+    the payload text, so a green row certifies both the physical
+    ``shard=N`` layout and byte-faithful JSON round-tripping."""
+    out = _tmp("jsonl_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_jsonl_shards(docs, out, n_shards=N_JSONL_SHARDS, key_col="doc_id")
+    back = read_jsonl(spark, out, schema=_JSONL_WRITE_SCHEMA)
+    return back.select(
+        "shard",
+        "shard_pos",
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    ).orderBy("shard", "shard_pos")
+
+
+SQL_WRITE_JSONL_SHARDS = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CAST({_MD5_BUCKET.format(salt='shard')} % {N_JSONL_SHARDS} AS INTEGER)
+           AS shard,
+         {_MD5_BUCKET.format(salt='pos')} AS pos_key
+  FROM documents
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY pos_key, doc_id)
+            AS INTEGER) AS shard_pos,
+       doc_id,
+       md5(text) AS text_md5
+FROM s
+ORDER BY shard, shard_pos
+"""
+
+_JSONL_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard_pos", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("shard", T.IntegerType()),  # partition column
+    ]
+)
+
+
+def _jsonl_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the (doc_id, source, n_chars) JSONL store once per sf_dir
+    (the writer's _SUCCESS marker doubles as the staged flag, the
+    ``log_cat_by_time`` discipline)."""
+    out = _tmp("jsonl_store", sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        write_jsonl_shards(docs, out, n_shards=N_JSONL_SHARDS, key_col="doc_id")
+    return out
+
+
+def q_read_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSONL read over the staged shard store (single-pass, no
+    inference scan) + a per-shard aggregate — the consumer-side check
+    that every staged document is readable with correct types and
+    partition-column discovery."""
+    out = _jsonl_store(spark, sf_dir)
+    back = read_jsonl(spark, out, schema=_JSONL_STORE_SCHEMA)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_READ_JSONL = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         CAST({_MD5_BUCKET.format(salt='shard')} % {N_JSONL_SHARDS} AS INTEGER)
+           AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar-shard sink + reader (§2 row 85)
+# --------------------------------------------------------------------------
+
+# Each document becomes one WebDataset sample with two members:
+# <doc_id>.txt (the text) and <doc_id>.json (a tiny metadata record).
+_WDS_META_SQL = """'{"doc_id":' || CAST(doc_id AS VARCHAR) || '}'"""
+
+
+def _wds_members(docs: DataFrame) -> DataFrame:
+    meta = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id").cast("string"), F.lit("}")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("sample_key"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("txt").alias("ext"),
+                    F.encode("text", "UTF-8").alias("payload"),
+                ),
+                F.struct(
+                    F.lit("json").alias("ext"),
+                    F.encode(meta, "UTF-8").alias("payload"),
+                ),
+            )
+        ).alias("m"),
+    ).select("sample_key", F.col("m.ext").alias("ext"), F.col("m.payload").alias("payload"))
+
+
+def q_write_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WebDataset export of the documents corpus (two
+    members per sample) → the per-shard manifest. Oracle recomputes the
+    md5 shard assignment and byte totals from the source table, so a
+    green row certifies sample co-location and payload-byte fidelity of
+    the executor-side tar writer."""
+    out = _tmp("wds_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    members = _wds_members(table(spark, sf_dir, "documents"))
+    manifest = write_webdataset(members, out, n_shards=N_WDS_SHARDS)
+    return manifest.select(
+        "shard_id", "n_samples", "n_members", "total_bytes"
+    ).orderBy("shard_id")
+
+
+SQL_WRITE_WEBDATASET = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('wds:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {N_WDS_SHARDS} AS INTEGER) AS shard_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+         CAST(octet_length(encode({_WDS_META_SQL})) AS BIGINT) AS json_bytes
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(*) * 2 AS BIGINT) AS n_members,
+       CAST(sum(txt_bytes + json_bytes) AS BIGINT) AS total_bytes
+FROM s
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _wds_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the tar-shard store once per sf_dir. The write itself is
+    distributed; the ≤ n_shards-row manifest collect is sink plumbing."""
+    out = _tmp("wds_store", sf_dir)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        members = _wds_members(table(spark, sf_dir, "documents"))
+        write_webdataset(members, out, n_shards=N_WDS_SHARDS).collect()
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def q_read_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level read-back of the staged tar shards: one row per tar
+    member with the payload md5 — certifies the WebDataset key/ext
+    split rule and byte-exact payload recovery against the source
+    table."""
+    store = _wds_store(spark, sf_dir)
+    m = read_webdataset(spark, os.path.join(store, "*.tar"))
+    return m.select(
+        "sample_key", "ext", "n_bytes", F.md5("payload").alias("payload_md5")
+    ).orderBy("sample_key", "ext")
+
+
+SQL_READ_WEBDATASET = f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sample_key,
+         'txt' AS ext,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_md5
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) AS sample_key,
+         'json' AS ext,
+         CAST(octet_length(encode({_WDS_META_SQL})) AS BIGINT) AS n_bytes,
+         md5({_WDS_META_SQL}) AS payload_md5
+  FROM documents
+)
+SELECT sample_key, ext, n_bytes, payload_md5
+FROM m
+ORDER BY sample_key, ext
+"""
+
+
+def q_samples_from_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample reassembly over the staged shards: one row per SAMPLE with
+    its sorted extension list and total payload bytes — the grouping
+    contract multimodal consumers rely on."""
+    store = _wds_store(spark, sf_dir)
+    m = read_webdataset(spark, os.path.join(store, "*.tar"))
+    s = samples_from_members(m)
+    return s.select(
+        "sample_key",
+        F.array_join("exts", ",").alias("exts_csv"),
+        "total_bytes",
+    ).orderBy("sample_key")
+
+
+SQL_SAMPLES_FROM_MEMBERS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS sample_key,
+       'json,txt' AS exts_csv,
+       CAST(octet_length(encode(text))
+            + octet_length(encode({_WDS_META_SQL})) AS BIGINT) AS total_bytes
+FROM documents
+ORDER BY sample_key
+"""
+
+
+SINK_QUERIES = {
+    "boom_write": q_boom_write,
+    "write_jsonl_shards": q_write_jsonl_shards,
+    "read_jsonl": q_read_jsonl,
+    "write_webdataset": q_write_webdataset,
+    "read_webdataset": q_read_webdataset,
+    "samples_from_members": q_samples_from_members,
+}
+
+SINK_ORACLES = {
+    "boom_write": SQL_BOOM_WRITE,
+    "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
+    "read_jsonl": SQL_READ_JSONL,
+    "write_webdataset": SQL_WRITE_WEBDATASET,
+    "read_webdataset": SQL_READ_WEBDATASET,
+    "samples_from_members": SQL_SAMPLES_FROM_MEMBERS,
+}
