@@ -428,16 +428,26 @@ def quantile_sketch(
     Bin rule is pure integer algebra, bit-identical in DuckDB:
     ``a = |floor(v·scale)|``; octave ``o = length(bin(a))`` (0 for
     a=0 — the HLL leading-zero trick, no float log2 boundary hazard);
-    sub-bit ``b = (a >> (o-2)) & 1``. The bin [2^(o-1)+b·2^(o-2),
-    +2^(o-2)) has relative width ≤ 1/2, so the midpoint estimate is
-    within 25% of any value in it. Estimate = midpoint of the first
-    bin (ascending signed bin key) whose cumulative count reaches the
-    target rank.
+    sub-bit ``b = (a >> (o-2)) & 1``. For o ≥ 2 the bin
+    [2^(o-1)+b·2^(o-2), +2^(o-2)) has relative width ≤ 1/2, so the
+    midpoint estimate is within 25% of any value in it. The ≤25%
+    bound therefore holds for |floor(v·scale)| ≥ 2; the single o=1
+    bin [1/scale, 2/scale) has no sub-bit and reports its low edge
+    (s·1/scale), whose relative error approaches 50% as v → 2/scale
+    — values within 2/scale of zero sit below the sketch's
+    resolution floor by construction. Estimate = midpoint of the
+    first bin (ascending signed bin key) whose cumulative count
+    reaches the target rank.
 
     100 TB shape: the sketch build is ONE partial-agg groupBy over
     (group, sign, octave, sub) — the shuffle carries bins, never
-    values; the pick windows run over the ≤256-bin relation. The exact
-    side (a per-group rank window over raw values) is report-only.
+    values; the pick windows run over the ≤256-bin relation. The
+    report-only exact side is TWO-PHASE (no per-group sort of raw
+    values): a fine histogram at the sketch's own 1/scale resolution
+    (partial-agg groupBy; relation size is value-DOMAIN-bound, not
+    row-count-bound) locates the one bucket containing each target
+    rank, then ``row_number`` runs only over the rows inside a target
+    bucket — the grouped_topk_per_source survivors discipline.
 
     Output: (``group_col``, q, n, sketch_est, exact_val, abs_err).
     """
@@ -505,13 +515,40 @@ def quantile_sketch(
         .groupBy("grp", "q", "n", "r")
         .agg(F.min_by("mid", "bin_key").alias("est_raw"))
     )
-    wv = Window.partitionBy("grp").orderBy(value_col)
-    ranked = df.select(grp.alias("grp"), v).withColumn(
-        "rn", F.row_number().over(wv)
+    # exact side, phase 1: fine histogram at 1/scale resolution,
+    # cumulated per group to find, for each rank r, its one bucket and
+    # the count strictly before that bucket.
+    hist = (
+        df.select(grp.alias("grp"), scaled.alias("k"))
+        .groupBy("grp", "k")
+        .agg(F.count(F.lit(1)).alias("kcnt"))
     )
-    exact = qrows.join(ranked, "grp").filter(
-        F.col("rn") == F.col("r")
-    ).select("grp", "q", F.col(value_col).alias("exact_raw"))
+    wk = Window.partitionBy("grp").orderBy("k")
+    hcum = hist.withColumn("kcum", F.sum("kcnt").over(wk))
+    tgt = (
+        qrows.join(hcum, "grp")
+        .filter(F.col("kcum") >= F.col("r"))
+        .groupBy("grp", "q", "r")
+        .agg(F.min_by(F.struct("k", "kcnt", "kcum"), "k").alias("t"))
+        .select(
+            "grp",
+            "q",
+            "r",
+            F.col("t.k").alias("k"),
+            (F.col("t.kcum") - F.col("t.kcnt")).alias("cum_before"),
+        )
+    )
+    # phase 2: rank ONLY the survivors inside a target bucket (per
+    # (grp, q) at most one bucket's rows — never the whole group).
+    surv = df.select(grp.alias("grp"), v.alias("val"), scaled.alias("k")).join(
+        F.broadcast(tgt), ["grp", "k"]
+    )
+    wq = Window.partitionBy("grp", "q").orderBy("val")
+    exact = (
+        surv.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("r") - F.col("cum_before"))
+        .select("grp", "q", F.col("val").alias("exact_raw"))
+    )
     out = (
         est.join(exact, ["grp", "q"])
         .select(

@@ -709,3 +709,23 @@ def test_bpe_pair_stats_take_ordered(spark, sf_dir):
 
     plan = plan_of(bpe_pair_stats(table(spark, sf_dir, "documents"), 50))
     assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_quantile_sketch_exact_two_phase(spark, sf_dir):
+    """The report-only exact side must never sort a group's raw value
+    stream in one task (VERDICT r6): the only row_number window runs
+    over the in-bucket SURVIVORS broadcast join, partitioned by
+    (grp, q) — a Window partitioned by grp alone ordering raw values
+    would be the per-group global sort this test forbids."""
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    ev = table(spark, sf_dir, "events")
+    plan = plan_of(sketches.quantile_sketch(ev, sort=False))
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, plan[:1500]
+    for spec in rn_specs:
+        # partition spec must carry both grp and q before the ordering
+        assert re.search(r"grp#\d+, .*q#\d+", spec), spec
+    # survivors arrive via a broadcast join on (grp, k) — the bucket
+    # filter — so the windowed relation is never the raw scan
+    assert re.search(r"BroadcastHashJoin \[grp#\d+, k#\d+L?\]", plan), plan[:1500]
