@@ -850,7 +850,9 @@ def bloom_decontaminate(
     100 TB shape: the bloom position set is ≤ m_bits rows — BROADCAST
     (vs. decontaminate's full benchmark shingle set, which for a large
     benchmark may not fit); the corpus side is one scan + k-way map-side
-    probe, no corpus shuffle.
+    probe, no TEXT shuffle — the per-doc hit groupBy does exchange the
+    k-expanded (doc_id, h) hash relation, but it is narrow (hashes
+    only, map-side partial agg), never the documents themselves.
     """
     from bb_bigdata_log_tools_spark.operators.dedup import doc_shingle_hashes
 

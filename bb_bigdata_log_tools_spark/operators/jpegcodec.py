@@ -295,6 +295,12 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip the run so the marker byte is never
+        # misread as a segment length (the entropy path's
+        # align_and_skip_marker already tolerates these).
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
             pos += 2

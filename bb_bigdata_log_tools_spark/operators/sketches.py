@@ -283,8 +283,13 @@ def cms_estimate_from_sketch(
             F.lit(width),
         ).alias("bucket"),
     )
+    # LEFT join + coalesce(cnt, 0): a probe whose bucket rows are absent
+    # from the sketch (possible when sketch and probes come from
+    # different inputs, e.g. a partially drained stream) must report
+    # estimate 0, not silently vanish from the report.
     est = (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
         .groupBy("v", "n_exact")
         .agg(F.min("cnt").alias("cms_estimate"))
     )

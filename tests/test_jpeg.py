@@ -232,3 +232,28 @@ if HAVE_HYPOTHESIS:
         for sub in (1, 2):
             out = jpeg_parse_pixels(make_jpeg(w, h, rows, subsample=sub))
             assert out is not None and (out[0], out[1]) == (w, h)
+
+
+def test_fill_bytes_between_header_segments_tolerated():
+    """T.81 B.1.1.2 also allows 0xFF fill byte runs BETWEEN header
+    segments (before DQT/DHT/SOF/SOS, not only before RSTn). The header
+    walk must skip the run instead of misreading the marker byte as a
+    segment length (ADVICE r6)."""
+    p = make_jpeg(W, H, ROWS)
+    base = jpeg_parse_pixels(p)
+    assert base is not None
+    # pad before every header-segment marker up to SOS (DQT/DHT/SOF/SOS)
+    padded = bytearray(p[:2])
+    pos = 2
+    while True:
+        marker = p[pos + 1]
+        padded += b"\xff\xff\xff"  # a 3-byte fill run before the marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim and stop
+            padded += p[pos:]
+            break
+        import struct as _s
+
+        (seglen,) = _s.unpack_from(">H", p, pos + 2)
+        padded += p[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert jpeg_parse_pixels(bytes(padded)) == base

@@ -215,3 +215,25 @@ def test_quantile_sketch_state_bounded_and_mergeable(spark, sf_dir):
     }
     # doubling every count leaves all quantile ranks in the same bins
     assert a == b
+
+
+def test_cms_missing_bucket_probe_reports_zero(spark, sf_dir):
+    """A probe item whose bucket rows are absent from the sketch (e.g. a
+    partially drained stream) must surface with estimate 0, never drop
+    from the report (ADVICE r6): left join + coalesce(cnt, 0)."""
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        cms_buckets,
+        cms_estimate_from_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    # sketch built from clicks only; probes drawn from ALL event types,
+    # so some probe buckets have no sketch rows at all
+    sketch = cms_buckets(ev.filter(F.col("event_type") == "click"), "user_id")
+    exact = ev.groupBy(F.col("user_id").cast("string").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    out = cms_estimate_from_sketch(sketch, exact, top_n=20).collect()
+    assert len(out) == min(20, exact.count())
+    for r in out:
+        assert r.cms_estimate >= 0
