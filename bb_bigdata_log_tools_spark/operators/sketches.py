@@ -253,6 +253,68 @@ def cms_freq_estimate(
     return cms_estimate_from_sketch(sketch, exact, depth, width, top_n, sort)
 
 
+def cms_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+    sort: bool = True,
+) -> DataFrame:
+    """WEIGHTED Count-Min: counters accumulate ``sum(weight)`` instead
+    of row counts, estimating each item's total non-negative weight —
+    the token/byte-weighted corpus statistic a curation pipeline needs
+    ("which items contribute the most tokens", not "which appear most
+    often"). Same hash family and min-over-depth estimator as the
+    unweighted sketch (one copy — ``cms_estimate_from_sketch``); the
+    CMS guarantee estimate ≥ exact holds because weights are ≥ 0, and
+    the counter relation still merges by ``sum`` across partitions /
+    days / streams.
+
+    Output: (item, w_exact, w_estimate, overestimate).
+
+    100 TB shape: identical to ``cms_freq_estimate`` — the build is
+    ONE partial-agg groupBy to depth×width counters; the exact side is
+    the report-only accuracy column.
+    """
+    base = df.select(
+        F.col(value_col).cast("string").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+    sketch = (
+        base.select("v", "w", rows)
+        .select(
+            "d",
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("v"),
+                    )
+                ),
+                F.lit(width),
+            ).alias("bucket"),
+            "w",
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+    exact = base.groupBy("v").agg(F.sum("w").alias("n_exact"))
+    out = cms_estimate_from_sketch(
+        sketch, exact, depth, width, top_n, sort=False
+    ).select(
+        "item",
+        F.col("n_exact").alias("w_exact"),
+        F.col("cms_estimate").alias("w_estimate"),
+        "overestimate",
+    )
+    return small_sort(out, "item") if sort else out
+
+
 def cms_estimate_from_sketch(
     sketch: DataFrame,
     exact: DataFrame,
@@ -412,6 +474,78 @@ def overlap_kmv(
     return small_sort(out, "grp_a", "grp_b") if sort else out
 
 
+def _octave_keys(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int,
+    extra: dict | None = None,
+) -> DataFrame:
+    """Per-row sign × octave × sub-bit keys (grp, s, o, b [, extra…]) —
+    the shared bin algebra of the quantile-sketch family. ``extra`` maps
+    output name → source expression (evaluated against ``df``, carried
+    through by name). Pure integer column expressions, bit-identical in
+    DuckDB (see quantile_sketch)."""
+    grp = F.col(group_col)
+    v = F.col(value_col)
+    extra = dict(extra or {})  # name -> expr, applied in the FIRST select
+    names = [F.col(nm) for nm in extra]
+    scaled = F.floor(v * F.lit(float(scale)))  # long
+    return (
+        df.select(
+            grp.alias("grp"),
+            F.when(scaled < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s"),
+            F.abs(scaled).alias("a"),
+            *[expr.alias(nm) for nm, expr in extra.items()],
+        )
+        .select(
+            "grp",
+            "s",
+            F.when(F.col("a") == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("a"))))
+            .cast("long")
+            .alias("o"),
+            "a",
+            *names,
+        )
+        .select(
+            "grp",
+            "s",
+            "o",
+            F.when(
+                F.col("o") >= 2,
+                F.expr("shiftright(a, cast(o - 2 as int)) % 2"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("b"),
+            *names,
+        )
+    )
+
+
+def _bin_key_col():
+    return (F.col("s") * (F.col("o") * 2 + F.col("b"))).alias("bin_key")
+
+
+def _bin_mid_col(scale: int):
+    return (
+        (
+            F.when(F.col("o") == 0, F.lit(0.0))
+            .when(F.col("o") == 1, F.col("s").cast("double"))
+            .otherwise(
+                F.col("s")
+                * (
+                    F.pow(F.lit(2.0), F.col("o") - 1)
+                    + F.col("b") * F.pow(F.lit(2.0), F.col("o") - 2)
+                    + F.pow(F.lit(2.0), F.col("o") - 2) / 2
+                )
+            )
+        )
+        / F.lit(float(scale))
+    ).alias("mid")
+
+
 def quantile_sketch(
     df: DataFrame,
     group_col: str = "event_type",
@@ -459,47 +593,12 @@ def quantile_sketch(
     grp = F.col(group_col)
     v = F.col(value_col)
     scaled = F.floor(v * F.lit(float(scale)))  # long
-    keys = df.select(
-        grp.alias("grp"),
-        F.when(scaled < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s"),
-        F.abs(scaled).alias("a"),
-    ).select(
-        "grp",
-        "s",
-        F.when(F.col("a") == 0, F.lit(0))
-        .otherwise(F.length(F.bin(F.col("a"))))
-        .cast("long")
-        .alias("o"),
-        "a",
-    ).select(
-        "grp",
-        "s",
-        "o",
-        F.when(
-            F.col("o") >= 2,
-            F.expr("shiftright(a, cast(o - 2 as int)) % 2"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("b"),
-    )
+    keys = _octave_keys(df, group_col, value_col, scale)
     sk = keys.groupBy("grp", "s", "o", "b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    bin_key = (F.col("s") * (F.col("o") * 2 + F.col("b"))).alias("bin_key")
-    mid = (
-        F.when(F.col("o") == 0, F.lit(0.0))
-        .when(F.col("o") == 1, F.col("s").cast("double"))
-        .otherwise(
-            F.col("s")
-            * (
-                F.pow(F.lit(2.0), F.col("o") - 1)
-                + F.col("b") * F.pow(F.lit(2.0), F.col("o") - 2)
-                + F.pow(F.lit(2.0), F.col("o") - 2) / 2
-            )
-        )
-        / F.lit(float(scale))
-    ).alias("mid")
+    bin_key = _bin_key_col()
+    mid = _bin_mid_col(scale)
     wcum = Window.partitionBy("grp").orderBy("bin_key")
     cum = sk.select("grp", "cnt", bin_key, mid).withColumn(
         "cum", F.sum("cnt").over(wcum)
@@ -566,5 +665,108 @@ def quantile_sketch(
                 "abs_err"
             ),
         )
+    )
+    return small_sort(out, group_col, "q") if sort else out
+
+
+def quantile_sketch_weighted(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    scale: int = 1,
+    sort: bool = True,
+) -> DataFrame:
+    """WEIGHTED quantile sketch: the q-quantile is the smallest value v
+    with cumulative WEIGHT(values ≤ v) ≥ ceil(q·W) — e.g. "the document
+    length below which half the corpus TOKENS lie", the token-weighted
+    statistic that drives packing/budget decisions (an unweighted doc
+    median badly misstates where the token mass sits).
+
+    Same sign × octave × sub-bit bins as :func:`quantile_sketch` (one
+    copy of the bin algebra — ``_octave_keys``); the counters are
+    ``sum(weight)`` so the state stays a ≤ ~256-bins-per-group relation
+    that merges by ``sum``, and the same o ≥ 2 ≤ 25% bound applies to
+    the estimate. Non-negative integer weights required (rank
+    arithmetic stays exact cross-engine).
+
+    Exact side (report-only) is the same two-phase navigate-then-
+    survivors shape as the unweighted sketch, with RANGE-frame running
+    weights: cumulative-at-v includes ALL ties of v in both engines,
+    so the pick ``min(v) where cum ≥ r`` is deterministic without a
+    tie-break column.
+
+    Output: (``group_col``, q, w_total, sketch_est, exact_val, abs_err).
+    """
+    grp = F.col(group_col)
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long")
+    scaled = F.floor(v * F.lit(float(scale)))  # long
+    keys = _octave_keys(df, group_col, value_col, scale, extra={"w": w})
+    sk = keys.groupBy("grp", "s", "o", "b").agg(F.sum("w").alias("cnt"))
+    wcum = Window.partitionBy("grp").orderBy("bin_key")
+    cum = sk.select("grp", "cnt", _bin_key_col(), _bin_mid_col(scale)).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    qrows = (
+        sk.groupBy("grp")
+        .agg(F.sum("cnt").alias("w_total"))
+        .select(
+            "grp",
+            "w_total",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("r", F.ceil(F.col("q") * F.col("w_total")).cast("long"))
+    )
+    est = (
+        qrows.join(F.broadcast(cum), "grp")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("grp", "q", "w_total", "r")
+        .agg(F.min_by("mid", "bin_key").alias("est_raw"))
+    )
+    # exact side, two-phase (see quantile_sketch): fine weight histogram
+    # at 1/scale resolution locates each rank's bucket …
+    hist = (
+        df.select(grp.alias("grp"), scaled.alias("k"), w.alias("w"))
+        .groupBy("grp", "k")
+        .agg(F.sum("w").alias("kw"))
+    )
+    wk = Window.partitionBy("grp").orderBy("k")
+    hcum = hist.withColumn("kcum", F.sum("kw").over(wk))
+    tgt = (
+        qrows.join(hcum, "grp")
+        .filter(F.col("kcum") >= F.col("r"))
+        .groupBy("grp", "q", "r")
+        .agg(F.min_by(F.struct("k", "kw", "kcum"), "k").alias("t"))
+        .select(
+            "grp",
+            "q",
+            "r",
+            F.col("t.k").alias("k"),
+            (F.col("t.kcum") - F.col("t.kw")).alias("cum_before"),
+        )
+    )
+    # … then only the in-bucket survivors carry a running RANGE-frame
+    # weight; min(val) over the qualifying suffix is the exact quantile.
+    surv = df.select(
+        grp.alias("grp"), v.alias("val"), scaled.alias("k"), w.alias("w")
+    ).join(F.broadcast(tgt), ["grp", "k"])
+    wq = Window.partitionBy("grp", "q").orderBy("val")
+    exact = (
+        surv.withColumn("cw", F.sum("w").over(wq))
+        .filter(F.col("cum_before") + F.col("cw") >= F.col("r"))
+        .groupBy("grp", "q")
+        .agg(F.min("val").alias("exact_raw"))
+    )
+    out = est.join(exact, ["grp", "q"]).select(
+        F.col("grp").alias(group_col),
+        "q",
+        "w_total",
+        F.round("est_raw", 4).alias("sketch_est"),
+        F.round(F.col("exact_raw").cast("double"), 4).alias("exact_val"),
+        F.round(
+            F.abs(F.col("est_raw") - F.col("exact_raw")), 4
+        ).alias("abs_err"),
     )
     return small_sort(out, group_col, "q") if sort else out

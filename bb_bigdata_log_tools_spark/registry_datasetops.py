@@ -1580,3 +1580,154 @@ ORDER BY event_type, q
 
 DATASETOPS_QUERIES.update({"quantile_sketch": q_quantile_sketch})
 DATASETOPS_ORACLES.update({"quantile_sketch": _quantile_sketch_oracle()})
+
+
+# --------------------------------------------------------------------------
+# round-7: weighted sketch variants — token/byte-weighted corpus stats
+# --------------------------------------------------------------------------
+
+_WQS_QS = (0.5, 0.9, 0.99)
+
+
+def q_weighted_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document-length quantiles per language: 'the
+    n_chars below which q of the corpus TOKENS lie' — the weighted
+    statistic that drives packing/budget decisions."""
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    d = docs.select("lang", "n_chars", toks.cast("long").alias("n_tokens"))
+    return sketches.quantile_sketch_weighted(
+        d, "lang", "n_chars", "n_tokens", _WQS_QS, scale=1
+    )
+
+
+def _weighted_quantile_sketch_oracle() -> str:
+    qlist = ", ".join(f"{q}::DOUBLE" for q in _WQS_QS)
+    return f"""
+WITH base AS (
+  SELECT lang AS grp, n_chars AS v,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS w
+  FROM documents
+),
+binned AS (
+  SELECT grp, w,
+         CASE WHEN floor(v * 1) < 0 THEN -1 ELSE 1 END AS s,
+         abs(CAST(floor(v * 1) AS BIGINT)) AS a
+  FROM base
+),
+keys AS (
+  SELECT grp, w, s,
+         CASE WHEN a = 0 THEN 0 ELSE length(bin(a)) END AS o,
+         CASE WHEN (CASE WHEN a = 0 THEN 0 ELSE length(bin(a)) END) >= 2
+              THEN (a >> ((CASE WHEN a = 0 THEN 0
+                                ELSE length(bin(a)) END) - 2)) & 1
+              ELSE 0 END AS b
+  FROM binned
+),
+sk AS (
+  SELECT grp, s, o, b, s * (o * 2 + b) AS bin_key,
+         CAST(sum(w) AS BIGINT) AS cnt
+  FROM keys GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin_key) AS cum,
+         CASE WHEN o = 0 THEN 0.0
+              WHEN o = 1 THEN s * 1.0
+              ELSE s * (power(2, o - 1) + b * power(2, o - 2)
+                        + power(2, o - 2) / 2) END / 1 AS mid
+  FROM sk
+),
+qs AS (
+  SELECT grp, w_total, q, CAST(ceil(q * w_total) AS BIGINT) AS r
+  FROM (SELECT grp, CAST(sum(cnt) AS BIGINT) AS w_total FROM sk GROUP BY grp)
+  CROSS JOIN (SELECT unnest([{qlist}]) AS q)
+),
+est AS (
+  SELECT qs.grp, qs.q, qs.w_total, min_by(c.mid, c.bin_key) AS est_raw
+  FROM qs JOIN cum c ON qs.grp = c.grp AND c.cum >= qs.r
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT grp, v, sum(w) OVER (PARTITION BY grp ORDER BY v) AS cw
+  FROM base
+),
+ex AS (
+  SELECT qs.grp, qs.q, min(r2.v) AS exact_raw
+  FROM qs JOIN ranked r2 ON qs.grp = r2.grp AND r2.cw >= qs.r
+  GROUP BY 1, 2
+)
+SELECT est.grp AS lang, est.q AS q, est.w_total AS w_total,
+       round(est.est_raw, 4) AS sketch_est,
+       round(CAST(ex.exact_raw AS DOUBLE), 4) AS exact_val,
+       round(abs(est.est_raw - ex.exact_raw), 4) AS abs_err
+FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+ORDER BY lang, q
+"""
+
+
+_WCMS_TOP = 20
+
+
+def q_cms_weighted_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-weighted word heavy hitters: which words contribute the
+    most characters to the corpus (weight = word length), estimated by
+    a weighted Count-Min sketch with the exact mass alongside."""
+    from bb_bigdata_log_tools_spark.operators import sketches
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("wd")
+    ).filter(F.col("wd") != "")
+    wdf = words.select("wd", F.length("wd").cast("long").alias("wt"))
+    return sketches.cms_weighted(
+        wdf, "wd", "wt", _CMS_D, _CMS_W, _WCMS_TOP
+    )
+
+
+def _cms_weighted_oracle() -> str:
+    h = _SK_MD5.format(x="'cms' || CAST(d AS VARCHAR) || ':' || v")
+    return f"""
+WITH vals AS (
+  SELECT wd AS v, CAST(length(wd) AS BIGINT) AS w
+  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+  WHERE wd <> ''
+),
+ds AS (SELECT unnest(range({_CMS_D})) AS d),
+sketch AS (
+  SELECT d, {h} % {_CMS_W} AS bucket, CAST(sum(w) AS BIGINT) AS cnt
+  FROM vals CROSS JOIN ds GROUP BY 1, 2
+),
+exact AS (
+  SELECT v, CAST(sum(w) AS BIGINT) AS w_exact FROM vals GROUP BY v
+),
+top AS (SELECT v, w_exact FROM exact ORDER BY w_exact DESC, v LIMIT {_WCMS_TOP}),
+probes AS (
+  SELECT v, w_exact, d, {h} % {_CMS_W} AS bucket FROM top CROSS JOIN ds
+),
+est AS (
+  SELECT p.v, p.w_exact, min(coalesce(s.cnt, 0)) AS w_estimate
+  FROM probes p LEFT JOIN sketch s USING (d, bucket)
+  GROUP BY p.v, p.w_exact
+)
+SELECT v AS item, w_exact, CAST(w_estimate AS BIGINT) AS w_estimate,
+       CAST(w_estimate - w_exact AS BIGINT) AS overestimate
+FROM est ORDER BY item
+"""
+
+
+DATASETOPS_QUERIES.update(
+    {
+        "weighted_quantile_sketch": q_weighted_quantile_sketch,
+        "cms_weighted_freq": q_cms_weighted_freq,
+    }
+)
+DATASETOPS_ORACLES.update(
+    {
+        "weighted_quantile_sketch": _weighted_quantile_sketch_oracle(),
+        "cms_weighted_freq": _cms_weighted_oracle(),
+    }
+)
