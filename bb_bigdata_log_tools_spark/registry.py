@@ -381,83 +381,68 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-7 rotation policy: once CORRECTNESS_r06 lands green, every one
-# of the 181 registry keys has a driver-hard row (148 from r1-r5 + the
-# 33 leading this window). From round 7 on, lead the window with (a)
-# any key registered in round 7 and (b) keys whose operator code
-# changed that round, then fill with the keys whose driver evidence is
-# oldest (r1/r3 vintage) so evidence stays fresh as code evolves.
+# Round-7 rotation (policy above, executed): (a) quantile_sketch — the
+# one key never driver-green (r6 oracle HUGEINT fix + two-phase exact
+# side) — leads; (b) the 8 keys first oracled in round 7 (the two
+# weighted sketches and the six sink round-trips); (c) cms_freq_estimate,
+# whose estimator body changed this round (left-join missing-bucket
+# fix; stream_cms_freq shares that single copy and rotates next
+# round); then (d) the 40 keys whose last driver evidence is r3 — the
+# oldest-evidence cohort. 1 + 8 + 1 + 40 = exactly the 50-key gate.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-6 rotation: the 24 keys with no driver-green row yet ---
-    # (registered after the round-5 window filled; all judge-green in the
-    # round-5 370-test local suite; CORRECTNESS_r05 was 50/50 green so
-    # every previous window key already has driver-hard evidence).
-    "log_templates",
-    "log_volume_trend",
-    "bigram_perplexity",
-    "token_fertility_by_lang",
-    "vocab_zipf_fit",
-    "quality_feature_matrix",
-    "approx_distinct_hll",
-    "approx_distinct_kmv",
-    "audio_pcm_stats",
-    "audio_resample",
-    "stream_approx_distinct",
-    "dedup_graph_triangles",
-    "boom_read_split",
-    "events_bot_detection",
-    "contrastive_pairs",
-    "mlm_mask_preview",
-    "source_quality_report",
-    "events_conversion_attribution",
-    "events_rollup_cube",
-    "events_user_pivot",
-    "events_variant_extract",
-    "dedup_winnowing",
-    "shard_skew_report",
-    "dedup_resolve",
-    # --- round-6 NEW operators (each needs a first driver check) ---
-    "cms_freq_estimate",
-    "stream_cms_freq",
-    "bloom_decontaminate",
-    "bpe_pair_stats",
-    "dedup_url",
-    "corpus_curate",
-    "overlap_kmv",
-    "minhash_bucket_stats",
     "quantile_sketch",
-    # --- fillers: already-green keys whose code changes in round 6 ---
-    # ADVICE fixes touch the HLL sketches, the attribution window, the
-    # variant-extract bucketing, contrastive negatives and dedup_resolve
-    # (all already in the 24 above); JPEG decode touches the media ops;
-    # the stream-sessionize sentinel and CLI small-sort paths re-verify
-    # their queries. Anything past position 50 is harmlessly skipped.
-    "multimodal_meta",
-    "media_resize",
-    "media_frame_sample",
-    "stream_sessionize",
-    "log_format_sort",
-    "dedup_cluster",
-    "dedup_pagerank",
-    "cluster_size_stats",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "semdedup",
-    "tfidf_cosine_pairs",
-    "dedup_suffix_array",
-    "tpch_q1",
-    "tpch_q3",
-    "log_grep",
-    "dedup_exact",
-    "events_asof_join",
-    "events_sessionize",
-    "tpch_q2",
-    "dedup_edit_distance",
-    "minhash_recall_eval",
-    "sample_reservoir",
-    "boom_read_pushdown",
+    # --- round-7 new keys ---
+    "weighted_quantile_sketch",
+    "cms_weighted_freq",
+    "boom_write",
+    "write_jsonl_shards",
+    "read_jsonl",
+    "write_webdataset",
+    "read_webdataset",
+    "samples_from_members",
+    # --- changed estimator copy ---
+    "cms_freq_estimate",
+    # --- oldest-evidence cohort (last green r3) ---
     "log_cat",
+    "log_search",
+    "log_multisearch_or",
+    "log_multisearch_and",
+    "log_index",
+    "log_stats_hourly",
+    "log_query_index",
+    "log_cat_by_time",
+    "boom_read",
+    "ts_parse_rfc5424",
+    "ts_parse_rfc3164",
+    "text_to_boom",
+    "gzip_text_read",
+    "hfind",
+    "multimodal_decode",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "events_sessionize",
+    "events_topk_users",
+    "events_funnel",
+    "events_moving_avg",
+    "events_hourly_anomaly",
+    "text_ngram_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_repetition",
 ]
 
 QUERIES: dict[str, QueryFn] = {
