@@ -179,6 +179,14 @@ BENCH_QUERIES = [
     "overlap_kmv",
     "minhash_bucket_stats",
     "quantile_sketch",
+    "weighted_quantile_sketch",
+    "cms_weighted_freq",
+    "boom_write",
+    "write_jsonl_shards",
+    "read_jsonl",
+    "write_webdataset",
+    "read_webdataset",
+    "samples_from_members",
 ]
 
 

@@ -15,13 +15,14 @@ def _parts():
     from bb_bigdata_log_tools_spark.registry_datasetops import DATASETOPS_QUERIES
     from bb_bigdata_log_tools_spark.registry_misc import MISC_QUERIES
     from bb_bigdata_log_tools_spark.registry_pipeline import PIPELINE_QUERIES
+    from bb_bigdata_log_tools_spark.registry_sinks import SINK_QUERIES
     from bb_bigdata_log_tools_spark.registry_streaming import STREAMING_QUERIES
     from bb_bigdata_log_tools_spark.registry_textprep import TEXTPREP_QUERIES
 
     return [
         PIPELINE_QUERIES, BOOM_QUERIES, MISC_QUERIES, ANALYTICS2_QUERIES,
         AVRO_QUERIES, CURATION_QUERIES, TEXTPREP_QUERIES, DATASETOPS_QUERIES,
-        STREAMING_QUERIES,
+        STREAMING_QUERIES, SINK_QUERIES,
     ]
 
 
