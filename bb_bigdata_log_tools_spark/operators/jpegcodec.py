@@ -292,6 +292,10 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     frame = None
     restart_interval = 0
     n = len(payload)
+    # multi-scan accumulation (baseline non-interleaved: one SOS per
+    # component, T.81 A.2.2): coefficient blocks per FRAME component
+    # index, finalized at EOI once every component has a scan
+    blocks_store: dict[int, list] = {}
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -306,7 +310,7 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
             pos += 2
             continue
         if marker == 0xD9:
-            return None  # EOI before SOS: header-only skeleton
+            break  # EOI: fall through to the finalize check below
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -358,86 +362,169 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 return None
             w, h, comps = frame
             ns = body[0]
-            if ns != len(comps):
-                # non-interleaved multi-scan baseline (one SOS per
-                # component): this decoder only handles the single
-                # interleaved scan — honest stub, never corrupt pixels
+            if ns != len(comps) and ns != 1:
+                # partial interleave (e.g. 2 of 3 components in one
+                # scan) — rare; honest stub, never corrupt pixels
                 return None
             scan = []
             for c in range(ns):
                 cs = body[1 + 2 * c]
                 tt = body[2 + 2 * c]
-                comp = next((cc for cc in comps if cc["id"] == cs), None)
+                comp = next(
+                    (i for i, cc in enumerate(comps) if cc["id"] == cs), None
+                )
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            if ns == 1 and (scan[0][0]["h"] > 1 or scan[0][0]["v"] > 1):
-                # a single-component scan is non-interleaved by
-                # definition (MCU = one data unit, sampling ignored);
-                # the interleaved MCU geometry below would misplace
-                # blocks — stub rather than decode wrong
-                return None
-            return _decode_scan(
+            if any(ci in blocks_store for ci, _, _ in scan):
+                return None  # component scanned twice: corrupt
+            # T.81 A.2: a scan is interleaved iff Ns > 1; an Ns=1 scan
+            # rasters the component's own block grid (sampling only
+            # sets the component's dimensions, MCU = one data unit)
+            decoded = _entropy_decode_scan(
                 payload, pos + 2 + seglen, w, h, comps, scan, qt, huff,
-                restart_interval,
+                restart_interval, interleaved=ns > 1,
             )
+            if decoded is None:
+                return None
+            scan_blocks, pos = decoded
+            blocks_store.update(scan_blocks)
+            continue  # pos now sits at the next marker's 0xFF
         # all other markers (APPn, COM): skip
         pos += 2 + seglen
+    # EOI (or end of data after the last scan): finalize once every
+    # frame component has its scan; header-only skeletons and
+    # incomplete multi-scan files stay rejected
+    if frame is not None and blocks_store and set(blocks_store) == set(
+        range(len(frame[2]))
+    ):
+        return _idct_assemble(frame[0], frame[1], frame[2], blocks_store)
     return None
 
 
-def _decode_scan(data, pos, w, h, comps, scan, qt, huff, restart_interval):
-    """Entropy decode collects dequantized coefficient blocks; the IDCT
-    and pixel scatter run BATCHED in numpy afterwards (one einsum over
-    all blocks of a component instead of 1024 Python multiplies per
-    block — the decode hot spot; Huffman bit-reading stays scalar by
-    nature). Rounding (half-to-even) matches the scalar reference
-    :func:`_idct_block` kept for unit comparison."""
+def _scan_end(data: bytes, pos: int) -> int:
+    """First real-marker position (0xFF + non-stuffing byte) at or
+    after ``pos`` — where the header walk resumes after a scan's
+    entropy segment (padding bits and stuffed 0xFF00 pairs skipped)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return n
+
+
+def _entropy_decode_scan(
+    data, pos, w, h, comps, scan, qt, huff, restart_interval, interleaved
+):
+    """Entropy-decode ONE scan into dequantized coefficient blocks.
+
+    ``scan`` holds (frame-component index, dc table id, ac table id)
+    per scan component. Returns ({component index: [(px0, py0, coef)]},
+    next-marker position) or None on malformed input. Also records each
+    scanned component's plane size on its comp dict.
+
+    Interleaved (Ns > 1): MCU = hᵢ×vᵢ blocks per component, raster over
+    the frame MCU grid (T.81 A.2.3). Non-interleaved (Ns = 1): MCU =
+    one data unit; the component rasters its OWN block grid of
+    ceil(ceil(w·hᵢ/hmax)/8) × ceil(ceil(h·vᵢ/vmax)/8) blocks
+    (T.81 A.2.2) — the multi-scan baseline layout. Restart markers
+    count MCUs in both cases.
+    """
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+    blocks: dict[int, list] = {ci: [] for ci, _, _ in scan}
+    tabs = []
+    for ci, td, ta in scan:
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        q = qt.get(comps[ci]["tq"])
+        if dc_tab is None or ac_tab is None or q is None:
+            return None
+        tabs.append((dc_tab, ac_tab, q))
+    preds = [0] * len(scan)
+    mcu_count = 0
+
+    def check_restart() -> bool:
+        nonlocal preds
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            m = br.align_and_skip_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                return False
+            preds = [0] * len(scan)
+        return True
+
+    if interleaved:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        for ci, _, _ in scan:
+            comps[ci]["pw"] = mcus_x * comps[ci]["h"] * 8
+            comps[ci]["ph"] = mcus_y * comps[ci]["v"] * 8
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if not check_restart():
+                    return None
+                for si, (ci, _, _) in enumerate(scan):
+                    comp = comps[ci]
+                    dc_tab, ac_tab, q = tabs[si]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            coef = _decode_block_coefs(
+                                br, dc_tab, ac_tab, q, preds, si
+                            )
+                            if coef is None:
+                                return None
+                            blocks[ci].append(
+                                (
+                                    (mx * comp["h"] + bx) * 8,
+                                    (my * comp["v"] + by) * 8,
+                                    coef,
+                                )
+                            )
+                mcu_count += 1
+    else:
+        ci, _, _ = scan[0]
+        comp = comps[ci]
+        dc_tab, ac_tab, q = tabs[0]
+        xc = -(-w * comp["h"] // hmax)  # component dims (ceil)
+        yc = -(-h * comp["v"] // vmax)
+        bxs, bys = -(-xc // 8), -(-yc // 8)
+        comp["pw"], comp["ph"] = bxs * 8, bys * 8
+        for by in range(bys):
+            for bx in range(bxs):
+                if not check_restart():
+                    return None
+                coef = _decode_block_coefs(br, dc_tab, ac_tab, q, preds, 0)
+                if coef is None:
+                    return None
+                blocks[ci].append((bx * 8, by * 8, coef))
+                mcu_count += 1
+    return blocks, _scan_end(data, br.pos)
+
+
+def _idct_assemble(w, h, comps, blocks_store):
+    """IDCT + pixel scatter over the accumulated blocks of ALL scans,
+    BATCHED in numpy (one einsum over all blocks of a component instead
+    of 1024 Python multiplies per block — the decode hot spot; Huffman
+    bit-reading stays scalar by nature). Rounding (half-to-even)
+    matches the scalar reference :func:`_idct_block` kept for unit
+    comparison."""
     import numpy as np
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    blocks: list[list] = [[] for _ in comps]  # per-comp (px0, py0, coef)
-    for c in comps:
-        c["pw"], c["ph"] = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-    br = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                m = br.align_and_skip_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    return None
-                preds = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
-                dc_tab = huff.get((0, td))
-                ac_tab = huff.get((1, ta))
-                q = qt.get(comp["tq"])
-                if dc_tab is None or ac_tab is None or q is None:
-                    return None
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coef = _decode_block_coefs(br, dc_tab, ac_tab, q, preds, ci)
-                        if coef is None:
-                            return None
-                        blocks[ci].append(
-                            ((mx * comp["h"] + bx) * 8, (my * comp["v"] + by) * 8, coef)
-                        )
-            mcu_count += 1
     m = np.asarray(_BASIS)  # m[x][u]
     planes = []
     for ci, comp in enumerate(comps):
         plane = np.zeros((comp["ph"], comp["pw"]), dtype=np.uint8)
-        if blocks[ci]:
-            coefs = np.asarray([b[2] for b in blocks[ci]]).reshape(-1, 8, 8)
+        blks = blocks_store.get(ci, [])
+        if blks:
+            coefs = np.asarray([b[2] for b in blks]).reshape(-1, 8, 8)
             # out[n,y,x] = Σv Σu m[y][v]·C[n,v,u]·m[x][u] (== _idct_block)
             spatial = np.einsum("yv,nvu,xu->nyx", m, coefs, m)
             pix = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.uint8)
-            for (px0, py0, _), blk in zip(blocks[ci], pix):
+            for (px0, py0, _), blk in zip(blks, pix):
                 plane[py0 : py0 + 8, px0 : px0 + 8] = blk
         planes.append(plane)
     return _planes_to_rows(w, h, comps, planes, hmax, vmax)
@@ -594,6 +681,7 @@ def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
 def make_jpeg(
     width: int, height: int, rows, subsample: int = 1,
     restart_interval: int = 0, grayscale: bool = False,
+    interleaved: bool = True,
 ) -> bytes:
     """REAL baseline JPEG (Annex K tables) from pixel rows (top row
     first, (b, g, r) tuples — the module convention). ``subsample=1`` →
@@ -601,8 +689,12 @@ def make_jpeg(
     real-world shape — exercises the decoder's MCU interleave and
     upsampling paths). ``restart_interval=N`` emits a DRI segment and
     RSTn markers every N MCUs (exercises the decoder's predictor-reset
-    path). Deterministic: integer quantization of a fixed float FDCT,
-    so fixture bytes are platform-stable."""
+    path). ``interleaved=False`` emits one SOS per component
+    (non-interleaved baseline, T.81 A.2.2: each component rasters its
+    own block grid; the restart MCU count and marker modulo reset per
+    scan) — the multi-scan layout real crawls contain. Deterministic:
+    integer quantization of a fixed float FDCT, so fixture bytes are
+    platform-stable."""
     if subsample not in (1, 2):
         raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
     s = 1 if grayscale else subsample
@@ -656,27 +748,61 @@ def make_jpeg(
             ac_l if ci == 0 else ac_c,
         )
 
-    # MCU interleave (T.81 A.2.3): s×s luma blocks, then one Cb, one Cr
-    # (grayscale scans are non-interleaved: one luma block per MCU).
-    mcu_count = 0
-    for my in range(ch // 8):
-        for mx in range(cw // 8):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes(
-                    [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
-                )
-                preds[0] = preds[1] = preds[2] = 0
-            if grayscale:
-                emit(yplane, pw, mx, my, 0)
-            else:
-                for by in range(s):
-                    for bx in range(s):
-                        emit(yplane, pw, mx * s + bx, my * s + by, 0)
-                emit(cb, cw, mx, my, 1)
-                emit(cr, cw, mx, my, 2)
-            mcu_count += 1
-    bw.flush()
+    scans: list[bytes] = []  # entropy bytes per SOS (1 interleaved or 3)
+    if interleaved or grayscale:
+        # MCU interleave (T.81 A.2.3): s×s luma blocks, then one Cb,
+        # one Cr (grayscale scans are non-interleaved: one luma block
+        # per MCU — identical geometry for a 1-component frame).
+        mcu_count = 0
+        for my in range(ch // 8):
+            for mx in range(cw // 8):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes(
+                        [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                    )
+                    preds[0] = preds[1] = preds[2] = 0
+                if grayscale:
+                    emit(yplane, pw, mx, my, 0)
+                else:
+                    for by in range(s):
+                        for bx in range(s):
+                            emit(yplane, pw, mx * s + bx, my * s + by, 0)
+                    emit(cb, cw, mx, my, 1)
+                    emit(cr, cw, mx, my, 2)
+                mcu_count += 1
+        bw.flush()
+        scans.append(bytes(bw.out))
+    else:
+        # non-interleaved: one scan per component over its OWN block
+        # grid (luma dims = image dims; chroma dims = ceil(dim/s));
+        # restart MCU count (= blocks) and marker modulo reset per scan
+        cwd, chd = -(-width // s), -(-height // s)  # chroma dims (ceil)
+        grids = [
+            (yplane, pw, 0, -(-width // 8), -(-height // 8)),
+            (cb, cw, 1, -(-cwd // 8), -(-chd // 8)),
+            (cr, cw, 2, -(-cwd // 8), -(-chd // 8)),
+        ]
+        for plane, plane_w, ci, bxs, bys in grids:
+            bw = _BitWriter()
+            preds[ci] = 0
+            blk_count = 0
+            for by in range(bys):
+                for bx in range(bxs):
+                    if (
+                        restart_interval
+                        and blk_count
+                        and blk_count % restart_interval == 0
+                    ):
+                        bw.flush()
+                        bw.out += bytes(
+                            [0xFF, 0xD0 + ((blk_count // restart_interval - 1) % 8)]
+                        )
+                        preds[ci] = 0
+                    emit(plane, plane_w, bx, by, ci)
+                    blk_count += 1
+            bw.flush()
+            scans.append(bytes(bw.out))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -698,7 +824,7 @@ def make_jpeg(
             0xC0,
             struct.pack(">BHH", 8, height, width) + b"\x01" + bytes([1, 0x11, 0]),
         )
-        sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+        sos_headers = [seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")]
     else:
         sof = seg(
             0xC0,
@@ -706,19 +832,29 @@ def make_jpeg(
             + b"\x03"
             + bytes([1, (s << 4) | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
-        sos = seg(
-            0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
-        )
+        if interleaved:
+            sos_headers = [
+                seg(
+                    0xDA,
+                    b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00",
+                )
+            ]
+        else:
+            sos_headers = [
+                seg(0xDA, b"\x01" + bytes([cid, tt]) + b"\x00\x3f\x00")
+                for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11))
+            ]
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
+    body_out = b"".join(hdr + ent for hdr, ent in zip(sos_headers, scans))
     return (
         b"\xff\xd8" + app0 + dqt(0, QUANT_LUMA) + dqt(1, QUANT_CHROMA)
         + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
         + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
         + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-        + dri + sof + sos + bytes(bw.out) + b"\xff\xd9"
+        + dri + sof + body_out + b"\xff\xd9"
     )

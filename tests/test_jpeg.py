@@ -46,6 +46,10 @@ def _roundtrip_errs(payload):
         ({"subsample": 2}, 32, 6.0),  # 4:2:0 (chroma detail lost)
         ({"subsample": 2, "restart_interval": 2}, 32, 6.0),  # + RSTn
         ({"restart_interval": 1}, 16, 4.0),  # RST every MCU
+        ({"interleaved": False}, 16, 4.0),  # non-interleaved 4:4:4
+        ({"interleaved": False, "subsample": 2}, 32, 6.0),
+        ({"interleaved": False, "subsample": 2, "restart_interval": 3}, 32, 6.0),
+        ({"interleaved": False, "restart_interval": 1}, 16, 4.0),
     ],
 )
 def test_roundtrip_modes(kwargs, max_tol, mean_tol):
@@ -109,10 +113,11 @@ def test_truncated_payload_returns_none():
     assert jpeg_parse_pixels(b"not a jpeg") is None
 
 
-def test_noninterleaved_multiscan_rejected():
-    """A scan covering fewer components than the frame (ns < ncomp —
-    the first scan of a spec-legal non-interleaved baseline file) must
-    stub to None, never decode Y-only garbage flagged as pixels."""
+def test_noninterleaved_multiscan_incomplete_rejected():
+    """A file whose only scan covers fewer components than the frame
+    (here: an interleaved file whose SOS is patched to Y-only, so Cb/Cr
+    never get a scan) must return None at EOI — non-interleaved decode
+    finalizes only when EVERY component has been scanned."""
     p = make_jpeg(W, H, ROWS)
     i = p.index(b"\xff\xda")
     seglen = int.from_bytes(p[i + 2 : i + 4], "big")
@@ -128,14 +133,19 @@ def test_noninterleaved_multiscan_rejected():
     assert jpeg_parse_pixels(patched) is None
 
 
-def test_single_component_subsampled_scan_rejected():
-    """ns=1 with sampling factors >1: non-interleaved MCU geometry this
-    decoder does not implement — must return None, not misplace blocks."""
+def test_single_component_subsampled_scan_decodes():
+    """ns=1 with sampling factors >1 on a single-component frame: a
+    non-interleaved scan rasters the component's OWN block grid, and
+    with one component hᵢ=hmax so the grid is unchanged — the decode
+    must equal the unpatched grayscale decode (T.81 A.2.2), not
+    misplace blocks."""
     p = bytearray(make_jpeg(W, H, ROWS, grayscale=True))
+    base = jpeg_parse_pixels(bytes(p))
+    assert base is not None
     i = p.index(b"\xff\xc0")
     assert p[i + 11] == 0x11  # SOF0 comp-0 h/v nibbles
     p[i + 11] = 0x22
-    assert jpeg_parse_pixels(bytes(p)) is None
+    assert jpeg_parse_pixels(bytes(p)) == base
 
 
 def test_fill_bytes_before_restart_marker_tolerated():
@@ -209,9 +219,13 @@ if HAVE_HYPOTHESIS:
             for x in range(w)
             for u, v in zip(out[2][y][x], rows[y][x])
         ]
-        # the min(·,255) clamp itself introduces a gradient kink, so the
-        # bound is looser than the pure-gradient cases (~10)
-        assert max(errs) <= 32, max(errs)
+        # the min(·,255) clamp itself introduces a gradient kink, and a
+        # steep gradient along the 4:2:0-subsampled axis (e.g. b=12,
+        # w=15/h=5) costs up to ~3 extra levels of chroma box-average
+        # error, so the bound is looser than the pure-gradient cases
+        # (~10); 34 observed on (w=15,h=5,sub=2,a=0,b=12,c=0) with the
+        # round-6 decoder too — content, not codec
+        assert max(errs) <= 40, max(errs)
 
     @settings(max_examples=10, deadline=None)
     @given(
@@ -257,3 +271,12 @@ def test_fill_bytes_between_header_segments_tolerated():
         padded += p[pos : pos + 2 + seglen]
         pos += 2 + seglen
     assert jpeg_parse_pixels(bytes(padded)) == base
+
+
+def test_noninterleaved_matches_interleaved_exactly():
+    """The two scan layouts carry IDENTICAL quantized coefficients, so
+    the decodes must agree bit-for-bit across sampling/restart modes."""
+    for kw in [{}, {"subsample": 2}, {"subsample": 2, "restart_interval": 2}]:
+        di = jpeg_parse_pixels(make_jpeg(W, H, ROWS, **kw))
+        dn = jpeg_parse_pixels(make_jpeg(W, H, ROWS, interleaved=False, **kw))
+        assert di is not None and dn == di, kw
