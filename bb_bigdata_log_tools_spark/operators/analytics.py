@@ -854,6 +854,66 @@ def events_asof_join(
     )
 
 
+def events_asof_inner_strict(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    sort: bool = True,
+) -> DataFrame:
+    """INNER, STRICT as-of join — SQL `ASOF JOIN` parity: for every
+    ``left_type`` event, the most recent ``right_type`` event of the
+    same user STRICTLY before it; left events with no predecessor are
+    dropped (inner semantics, DuckDB's `ASOF JOIN … ON l.ts > r.ts`).
+
+    Two deltas vs :func:`events_asof_join`: (a) strictness — at equal
+    ts the left row sorts BEFORE the right row in the union pass, so a
+    simultaneous right event is not yet visible to the carry-forward;
+    (b) the right side is pre-collapsed to one row per (user, ts)
+    (max event_id) so the ASOF tie-break is well-defined in BOTH
+    engines — DuckDB's ASOF leaves duplicate-timestamp picks
+    unspecified, and an oracle needs determinism.
+
+    Same scale story as events_asof_join: the union trick is ONE
+    user_id shuffle + a linear per-user window pass — never the
+    per-user cross product a naive `l.ts > r.ts` range join plans to.
+
+    Output: (event_id, user_id, ts, matched_event_id, matched_ts,
+    lag_us), inner rows only.
+    """
+    left = events.filter(F.col("event_type") == left_type).select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side")
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts", F.lit(1).alias("side"))
+    )
+    sides = left.unionByName(right)
+    # left (side 0) before right (side 1) at equal ts → strict ts<
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_id = F.when(F.col("side") == 1, F.col("event_id"))
+    right_ts = F.when(F.col("side") == 1, F.col("ts"))
+    return (
+        sides.withColumn("matched_event_id", F.last(right_id, True).over(w))
+        .withColumn("matched_ts", F.last(right_ts, True).over(w))
+        .filter((F.col("side") == 0) & F.col("matched_event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "matched_event_id",
+            "matched_ts",
+            (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("lag_us"),
+        )
+        .transform(lambda d: small_sort(d, "event_id") if sort else d)
+    )
+
+
 def time_rollup(events: DataFrame, sort: bool = True) -> DataFrame:
     """Multi-grain time rollup (hour → day → week), hypertable-style:
     the hour aggregate is computed from the raw events (the ONE

@@ -1731,3 +1731,38 @@ DATASETOPS_ORACLES.update(
         "cms_weighted_freq": _cms_weighted_oracle(),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# round-7: strict inner as-of join — native SQL ASOF JOIN parity
+# --------------------------------------------------------------------------
+
+_ASOF2_LEFT, _ASOF2_RIGHT = "purchase", "click"
+
+
+def q_events_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner strict as-of join, oracled against DuckDB's NATIVE `ASOF
+    JOIN` operator — an independent engine-level check of the union
+    trick (events_asof_join's oracle is a hand-written LATERAL)."""
+    return analytics.events_asof_inner_strict(
+        ensure_parallelism(table(spark, sf_dir, "events")),
+        _ASOF2_LEFT,
+        _ASOF2_RIGHT,
+    )
+
+
+SQL_EVENTS_ASOF_STRICT = f"""
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = '{_ASOF2_LEFT}'),
+r AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+      WHERE event_type = '{_ASOF2_RIGHT}' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS matched_event_id, r.ts AS matched_ts,
+       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+ORDER BY l.event_id
+"""
+
+
+DATASETOPS_QUERIES.update({"events_asof_strict": q_events_asof_strict})
+DATASETOPS_ORACLES.update({"events_asof_strict": SQL_EVENTS_ASOF_STRICT})

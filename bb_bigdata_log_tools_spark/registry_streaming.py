@@ -682,3 +682,52 @@ def _stream_cms_oracle() -> str:
 
 STREAMING_QUERIES["stream_cms_freq"] = q_stream_cms_freq
 STREAMING_ORACLES["stream_cms_freq"] = _stream_cms_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-7: per-key watermark skew as-of attribution (custom stateful)
+# --------------------------------------------------------------------------
+
+SKEW_ASOF_WITHIN_MS = 3_600_000
+
+
+def q_stream_skew_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key-watermark as-of attribution (purchase → latest click
+    within 1 h). Bounded drain: the per-key batch sort makes the
+    output equal the batch LATERAL as-of exactly — FULL oracle; see
+    streaming/ops.py:stream_skew_asof_join for the per-key eviction
+    story the built-in stream-stream join cannot express."""
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_skew_asof_join
+
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("event_time"),
+    )
+    out = stream_skew_asof_join(ev, SKEW_ASOF_WITHIN_MS)
+    return _drain_to_memory(out, "stream_skew_asof_sink", "append").orderBy(
+        "purchase_id"
+    )
+
+
+SQL_STREAM_SKEW_ASOF = f"""
+WITH c AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id AS purchase_id, m.event_id AS click_id,
+       epoch_ms(p.ts) AS purchase_ts, epoch_ms(m.ts) AS click_ts,
+       epoch_ms(p.ts) - epoch_ms(m.ts) AS lag_ms
+FROM p JOIN LATERAL (
+  SELECT c2.event_id, c2.ts FROM c c2
+  WHERE c2.user_id = p.user_id AND c2.ts <= p.ts
+    AND epoch_ms(p.ts) - epoch_ms(c2.ts) <= {SKEW_ASOF_WITHIN_MS}
+  ORDER BY c2.ts DESC, c2.event_id DESC LIMIT 1
+) m ON TRUE
+ORDER BY purchase_id
+"""
+
+
+STREAMING_QUERIES["stream_skew_asof_join"] = q_stream_skew_asof_join
+STREAMING_ORACLES["stream_skew_asof_join"] = SQL_STREAM_SKEW_ASOF

@@ -331,6 +331,154 @@ def stream_stream_join(
     )
 
 
+def stream_skew_asof_join(
+    events: DataFrame,
+    within_ms: int = 3_600_000,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    reorder_ms: int | None = None,
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream as-of attribution with PER-KEY watermark skew handling:
+    for every ``left_type`` event, the latest ``right_type`` event of
+    the same user at-or-before it within ``within_ms`` (inner, ties on
+    ts to the highest event id).
+
+    Why a custom operator: the built-in stream-stream join evicts
+    buffered state at the GLOBAL watermark, so tolerating one source
+    that lags by hours (a device uploading late, a skewed Kafka
+    partition) forces a delay that long for EVERY key — and state for
+    the whole stream is retained for the whole skew horizon. Here the
+    GLOBAL watermark is set conservatively large (correctness: late
+    data still reaches the operator, and only drives idle-key
+    timeouts), while each key trims its own buffer by its OWN
+    frontier: per-key watermark = max event time seen for that key −
+    ``reorder_ms``. State per key is O(right events inside
+    within+reorder of the key's frontier) regardless of how far the
+    key lags the rest of the stream.
+
+    Late-data contract (the per-key analog of stream_rate_limit's
+    straggler rule): a left event older than its key's per-key
+    watermark is DROPPED (its candidate right rows may already be
+    evicted; emitting a partial match could disagree with the batch
+    answer), and a right event that old can no longer match anything.
+    In a bounded drain the per-key batch sort makes the output equal
+    the batch LATERAL as-of exactly — FULL oracle.
+
+    Output: (user_id, purchase_id, click_id, purchase_ts, click_ts,
+    lag_ms).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    if reorder_ms is None:
+        reorder_ms = within_ms
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("purchase_ts", T.LongType()),
+            T.StructField("click_ts", T.LongType()),
+            T.StructField("lag_ms", T.LongType()),
+        ]
+    )
+    state_schema = "c_ts ARRAY<LONG>, c_id ARRAY<LONG>, frontier LONG"
+
+    def update(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []  # (ts_ms, side, id): side 0 = right/click first at ties
+        for pdf in pdfs:
+            ms = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000_000
+            )
+            for t, ty, eid in zip(ms, pdf[type_col], pdf[id_col]):
+                if ty == right_type:
+                    rows.append((int(t), 0, int(eid)))
+                elif ty == left_type:
+                    rows.append((int(t), 1, int(eid)))
+        if not rows and not state.exists:
+            return
+        rows.sort()
+        if state.exists:
+            c_ts, c_id, frontier = state.get
+            buf = sorted(zip(c_ts, c_id))
+        else:
+            buf, frontier = [], None
+        key_wm = frontier - reorder_ms if frontier is not None else None
+        matched = []
+        for t, side, eid in rows:
+            if side == 0:
+                buf.append((t, eid))
+                # cross-batch out-of-order: keep buf (ts, id)-sorted
+                if len(buf) > 1 and buf[-2] > buf[-1]:
+                    buf.sort()
+            else:
+                if key_wm is not None and t < key_wm:
+                    continue  # per-key-late left row: drop, never partial-match
+                best = None
+                for ct, cid in reversed(buf):
+                    if ct <= t:
+                        if t - ct <= within_ms:
+                            best = (ct, cid)
+                        break
+                if best is not None:
+                    matched.append(
+                        (user_id, eid, best[1], t, best[0], t - best[0])
+                    )
+        batch_max = rows[-1][0] if rows else None
+        if frontier is None:
+            new_frontier = batch_max
+        elif batch_max is None:
+            new_frontier = frontier
+        else:
+            new_frontier = max(frontier, batch_max)
+        if new_frontier is not None:
+            key_wm = new_frontier - reorder_ms
+            buf = [(t, i) for t, i in buf if t + within_ms >= key_wm]
+            state.update(
+                ([t for t, _ in buf], [i for _, i in buf], new_frontier)
+            )
+            state.setTimeoutTimestamp(new_frontier + within_ms + reorder_ms)
+        if matched:
+            yield pd.DataFrame(
+                matched,
+                columns=[
+                    "user_id",
+                    "purchase_id",
+                    "click_id",
+                    "purchase_ts",
+                    "click_ts",
+                    "lag_ms",
+                ],
+            )
+
+    return (
+        events.filter(F.col(type_col).isin([left_type, right_type]))
+        .withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_rate_limit(
     events: DataFrame,
     limit: int = 1,

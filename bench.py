@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "write_webdataset",
     "read_webdataset",
     "samples_from_members",
+    "events_asof_strict",
+    "stream_skew_asof_join",
 ]
 
 

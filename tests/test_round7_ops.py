@@ -57,3 +57,116 @@ def test_weighted_quantile_state_mergeable(spark, sf_dir):
         ).collect()
     }
     assert one == two
+
+
+def _skew_stream_from_dir(spark, src):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.format("text")
+        .option("path", str(src))
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .withColumn("event_time", F.to_timestamp(F.substring("value", 1, 19)))
+        .withColumn("user_id", F.split("value", " ").getItem(1).cast("long"))
+        .withColumn("event_type", F.split("value", " ").getItem(2))
+        .withColumn("event_id", F.split("value", " ").getItem(3).cast("long"))
+        .select("event_id", "user_id", "event_type", "event_time")
+    )
+
+
+def test_stream_skew_asof_per_key_watermark(spark, tmp_path):
+    """The per-key frontier must let a key that LAGS the stream by
+    hours still match, while the lagging key's own buffer is trimmed by
+    its OWN frontier — the property the built-in stream-stream join
+    (global-watermark eviction) cannot express without retaining every
+    key's state for the whole skew horizon.
+
+    Batch 1 (file a): fast user 1 at 10:00-12:00. Batch 2 (file b,
+    later mtime): slow user 2 arrives with 06:00-06:30 events — six
+    hours behind user 1's frontier. With within=1h the slow pair must
+    still match (its OWN frontier is 06:30), and user 1's second
+    purchase matches its in-window click across batches."""
+    import time
+
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_skew_asof_join
+
+    src = tmp_path / "skew"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "2024-01-01T10:00:00 1 click 100\n"
+        "2024-01-01T10:30:00 1 purchase 101\n"
+        "2024-01-01T12:00:00 1 click 102\n"
+    )
+    time.sleep(1.1)  # file-source orders by mtime: b drains after a
+    (src / "b.txt").write_text(
+        "2024-01-01T06:00:00 2 click 200\n"
+        "2024-01-01T06:30:00 2 purchase 201\n"
+        "2024-01-01T12:30:00 1 purchase 103\n"
+    )
+    out = stream_skew_asof_join(
+        _skew_stream_from_dir(spark, src), within_ms=3_600_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skew_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, r.purchase_id, r.click_id, r.lag_ms)
+        for r in spark.sql("SELECT * FROM skew_asof").collect()
+    }
+    # fast key, batch 1: purchase 101 <- click 100 (30 min)
+    assert (1, 101, 100, 1_800_000) in rows
+    # SLOW key, batch 2, six hours behind the global frontier: still
+    # matched, because eviction is per-key, not global
+    assert (2, 201, 200, 1_800_000) in rows
+    # fast key cross-batch: purchase 103 (12:30) <- click 102 (12:00)
+    assert (1, 103, 102, 1_800_000) in rows
+    assert len(rows) == 3
+
+
+def test_stream_skew_asof_state_trims_by_own_frontier(spark, tmp_path):
+    """A click that falls out of a key's own (within + reorder) horizon
+    is evicted and cannot match a much later purchase — state is
+    bounded by the key's frontier, and a per-key-late purchase is
+    dropped rather than partially matched."""
+    import time
+
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_skew_asof_join
+
+    src = tmp_path / "trim"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "2024-01-01T00:00:00 5 click 500\n"
+        "2024-01-01T09:00:00 5 click 501\n"  # frontier 09:00
+    )
+    time.sleep(1.1)
+    (src / "b.txt").write_text(
+        # purchase at 00:10 is BELOW the key watermark (09:00 - 1h
+        # reorder = 08:00): dropped, not matched against evicted 500
+        "2024-01-01T00:10:00 5 purchase 502\n"
+        # purchase at 09:30 matches the in-horizon click 501
+        "2024-01-01T09:30:00 5 purchase 503\n"
+    )
+    out = stream_skew_asof_join(
+        _skew_stream_from_dir(spark, src),
+        within_ms=3_600_000,
+        reorder_ms=3_600_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skew_trim")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM skew_trim").collect()
+    }
+    assert rows == {(503, 501)}
