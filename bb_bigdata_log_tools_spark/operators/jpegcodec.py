@@ -296,21 +296,27 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     # component, T.81 A.2.2): coefficient blocks per FRAME component
     # index, finalized at EOI once every component has a scan
     blocks_store: dict[int, list] = {}
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
         # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
         # fill bytes — skip the run so the marker byte is never
         # misread as a segment length (the entropy path's
-        # align_and_skip_marker already tolerates these).
-        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+        # align_and_skip_marker already tolerates these). The pos+2
+        # bound (not pos+4) keeps a fill run before a trailing EOI
+        # in-reach — only segment markers need the 2 length bytes.
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > n:
+            break  # fill run to EOF: finalize with what was decoded
         marker = payload[pos + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
             pos += 2
             continue
         if marker == 0xD9:
             break  # EOI: fall through to the finalize check below
+        if pos + 4 > n:
+            break  # truncated segment header: finalize check decides
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

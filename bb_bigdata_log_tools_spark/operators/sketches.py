@@ -190,6 +190,7 @@ def cms_buckets(
     value_col: str = "user_id",
     depth: int = 4,
     width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The Count-Min sketch STATE as a relation: (d, bucket, cnt) for
     ``depth`` independent hash rows of ``width`` buckets (Cormode &
@@ -197,7 +198,9 @@ def cms_buckets(
     mergeable by ``sum`` groupBy — partial sketches from partitions /
     days / streams union without re-reading raw data, which is the
     whole 100 TB story: frequency-estimate a trillion rows with
-    depth×width counters.
+    depth×width counters. With ``weight_col`` the counters accumulate
+    ``sum(weight)`` instead of row counts (the weighted sketch) — ONE
+    copy of the hash family serves both.
 
     Hash row d uses md5_long('cms<d>:' || value) % width — pure integer
     column algebra, bit-identical in DuckDB.
@@ -206,19 +209,25 @@ def cms_buckets(
         F.array(*[F.lit(d) for d in range(depth)])
     ).alias("d")
     v = F.col(value_col).cast("string")
-    return (
-        df.select(v.alias("v"))
-        .select("v", rows)
+    cols = [v.alias("v")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
+    keyed = (
+        df.select(*cols)
+        .select("*", rows)
         .select(
             "d",
             F.pmod(
                 md5_long(F.concat(F.lit("cms"), F.col("d").cast("string"), F.lit(":"), F.col("v"))),
                 F.lit(width),
             ).alias("bucket"),
+            *([F.col("w")] if weight_col is not None else []),
         )
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if weight_col is not None:
+        return keyed.agg(F.sum("w").alias("cnt"))
+    return keyed.agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def cms_freq_estimate(
@@ -278,32 +287,15 @@ def cms_weighted(
     ONE partial-agg groupBy to depth×width counters; the exact side is
     the report-only accuracy column.
     """
-    base = df.select(
-        F.col(value_col).cast("string").alias("v"),
-        F.col(weight_col).cast("long").alias("w"),
-    )
-    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
-    sketch = (
-        base.select("v", "w", rows)
-        .select(
-            "d",
-            F.pmod(
-                md5_long(
-                    F.concat(
-                        F.lit("cms"),
-                        F.col("d").cast("string"),
-                        F.lit(":"),
-                        F.col("v"),
-                    )
-                ),
-                F.lit(width),
-            ).alias("bucket"),
-            "w",
+    sketch = cms_buckets(df, value_col, depth, width, weight_col=weight_col)
+    exact = (
+        df.select(
+            F.col(value_col).cast("string").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
         )
-        .groupBy("d", "bucket")
-        .agg(F.sum("w").alias("cnt"))
+        .groupBy("v")
+        .agg(F.sum("w").alias("n_exact"))
     )
-    exact = base.groupBy("v").agg(F.sum("w").alias("n_exact"))
     out = cms_estimate_from_sketch(
         sketch, exact, depth, width, top_n, sort=False
     ).select(

@@ -236,7 +236,14 @@ def q_write_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     members = _wds_members(table(spark, sf_dir, "documents"))
-    manifest = write_webdataset(members, out, n_shards=N_WDS_SHARDS)
+    # Materialize the write ONCE (the ≤ n_shards-row manifest collect is
+    # sink plumbing): returning the lazy applyInPandas manifest would
+    # re-run the whole distributed tar export on every downstream action.
+    rows = write_webdataset(members, out, n_shards=N_WDS_SHARDS).collect()
+    manifest = spark.createDataFrame(
+        rows, "shard_id int, path string, n_samples long,"
+        " n_members long, total_bytes long"
+    )
     return manifest.select(
         "shard_id", "n_samples", "n_members", "total_bytes"
     ).orderBy("shard_id")

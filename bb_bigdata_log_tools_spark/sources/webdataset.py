@@ -189,7 +189,14 @@ def write_webdataset(
             key=lambda r: (r[0], r[1]),
         )
         total = 0
-        tmp = path + ".inprogress"
+        # attempt-unique temp name: a retried/speculative attempt of the
+        # same shard task must not interleave writes into one file; the
+        # atomic os.replace publish makes last-writer-wins safe.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+        tmp = f"{path}.inprogress.{attempt}"
         with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
             for key, ext, payload in rows:
                 payload = bytes(payload)

@@ -366,8 +366,18 @@ def stream_skew_asof_join(
     watermark is DROPPED (its candidate right rows may already be
     evicted; emitting a partial match could disagree with the batch
     answer), and a right event that old can no longer match anything.
-    In a bounded drain the per-key batch sort makes the output equal
-    the batch LATERAL as-of exactly — FULL oracle.
+    Matching is AS-OF ARRIVAL for the right side: each left row is
+    resolved against the right rows seen so far (within a batch the
+    per-key sort repairs ordering; ``reorder_ms`` only bounds buffer
+    EVICTION). A right row that arrives in a LATER batch than a left
+    row it precedes in event time does not retro-match — append mode
+    cannot retract an emission. The alternative (holding every left
+    row for ``reorder_ms`` before resolving) restores cross-batch
+    reorder exactness at the cost of emission latency and a flush
+    signal for stream tails; a deployment wanting that trades on the
+    same seam. In a bounded drain (one batch per key) the per-key
+    sort makes the output equal the batch LATERAL as-of exactly —
+    FULL oracle.
 
     Output: (user_id, purchase_id, click_id, purchase_ts, click_ts,
     lag_ms).

@@ -280,3 +280,16 @@ def test_noninterleaved_matches_interleaved_exactly():
         di = jpeg_parse_pixels(make_jpeg(W, H, ROWS, **kw))
         dn = jpeg_parse_pixels(make_jpeg(W, H, ROWS, interleaved=False, **kw))
         assert di is not None and dn == di, kw
+
+
+def test_fill_byte_runs_before_trailing_eoi():
+    """A run of 0xFF fill bytes immediately before the trailing EOI
+    (spec-legal padding) must not discard the decoded image — the
+    round-7 review found k>=2 fills tripping the pos+4 loop guard."""
+    p = make_jpeg(W, H, ROWS)
+    base = jpeg_parse_pixels(p)
+    assert base is not None
+    assert p[-2:] == b"\xff\xd9"
+    for k in (1, 2, 3, 7):
+        padded = p[:-2] + b"\xff" * k + b"\xff\xd9"
+        assert jpeg_parse_pixels(padded) == base, k

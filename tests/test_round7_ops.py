@@ -170,3 +170,44 @@ def test_stream_skew_asof_state_trims_by_own_frontier(spark, tmp_path):
         for r in spark.sql("SELECT * FROM skew_trim").collect()
     }
     assert rows == {(503, 501)}
+
+
+def test_stream_skew_asof_right_rows_match_as_of_arrival(spark, tmp_path):
+    """Documented contract: the right side matches AS-OF ARRIVAL — a
+    click delivered in a LATER batch than a purchase it precedes in
+    event time does not retro-match (append mode cannot retract), while
+    a later purchase of the same key does see it."""
+    import time
+
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_skew_asof_join
+
+    src = tmp_path / "arrival"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "2024-01-01T10:00:00 9 click 900\n"
+        "2024-01-01T10:30:00 9 purchase 901\n"
+    )
+    time.sleep(1.1)
+    (src / "b.txt").write_text(
+        # event-time 10:20 precedes purchase 901, but arrives after it
+        "2024-01-01T10:20:00 9 click 902\n"
+        "2024-01-01T10:40:00 9 purchase 903\n"
+    )
+    out = stream_skew_asof_join(
+        _skew_stream_from_dir(spark, src), within_ms=3_600_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skew_arrival")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM skew_arrival").collect()
+    }
+    # 901 resolved in batch 1 against click 900 (902 not yet arrived);
+    # 903 resolved in batch 2 against the now-buffered 902
+    assert rows == {(901, 900), (903, 902)}
