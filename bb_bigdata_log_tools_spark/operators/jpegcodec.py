@@ -368,9 +368,7 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 return None
             w, h, comps = frame
             ns = body[0]
-            if ns != len(comps) and ns != 1:
-                # partial interleave (e.g. 2 of 3 components in one
-                # scan) — rare; honest stub, never corrupt pixels
+            if not 1 <= ns <= len(comps):
                 return None
             scan = []
             for c in range(ns):
@@ -382,8 +380,11 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            if any(ci in blocks_store for ci, _, _ in scan):
-                return None  # component scanned twice: corrupt
+            scan_cis = [ci for ci, _, _ in scan]
+            if len(set(scan_cis)) != len(scan_cis) or any(
+                ci in blocks_store for ci in scan_cis
+            ):
+                return None  # component repeated / scanned twice: corrupt
             # T.81 A.2: a scan is interleaved iff Ns > 1; an Ns=1 scan
             # rasters the component's own block grid (sampling only
             # sets the component's dimensions, MCU = one data unit)
@@ -687,7 +688,7 @@ def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
 def make_jpeg(
     width: int, height: int, rows, subsample: int = 1,
     restart_interval: int = 0, grayscale: bool = False,
-    interleaved: bool = True,
+    interleaved: bool = True, y_cbcr_split: bool = False,
 ) -> bytes:
     """REAL baseline JPEG (Annex K tables) from pixel rows (top row
     first, (b, g, r) tuples — the module convention). ``subsample=1`` →
@@ -698,9 +699,12 @@ def make_jpeg(
     path). ``interleaved=False`` emits one SOS per component
     (non-interleaved baseline, T.81 A.2.2: each component rasters its
     own block grid; the restart MCU count and marker modulo reset per
-    scan) — the multi-scan layout real crawls contain. Deterministic:
-    integer quantization of a fixed float FDCT, so fixture bytes are
-    platform-stable."""
+    scan) — the multi-scan layout real crawls contain.
+    ``y_cbcr_split=True`` emits the classic PARTIAL-interleave pair: a
+    non-interleaved Y scan followed by ONE interleaved Cb+Cr scan
+    (T.81 allows any component subset per scan; the frame MCU grid is
+    identical for every subset). Deterministic: integer quantization
+    of a fixed float FDCT, so fixture bytes are platform-stable."""
     if subsample not in (1, 2):
         raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
     s = 1 if grayscale else subsample
@@ -754,8 +758,41 @@ def make_jpeg(
             ac_l if ci == 0 else ac_c,
         )
 
-    scans: list[bytes] = []  # entropy bytes per SOS (1 interleaved or 3)
-    if interleaved or grayscale:
+    scans: list[bytes] = []  # entropy bytes per SOS (1, 2, or 3)
+    if y_cbcr_split and not grayscale:
+        # scan 1: non-interleaved Y over its own block grid
+        bw = _BitWriter()
+        blk_count = 0
+        for by in range(-(-height // 8)):
+            for bx in range(-(-width // 8)):
+                if restart_interval and blk_count and blk_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes(
+                        [0xFF, 0xD0 + ((blk_count // restart_interval - 1) % 8)]
+                    )
+                    preds[0] = 0
+                emit(yplane, pw, bx, by, 0)
+                blk_count += 1
+        bw.flush()
+        scans.append(bytes(bw.out))
+        # scan 2: INTERLEAVED Cb+Cr over the frame MCU grid (one block
+        # of each per MCU since chroma sampling is 1×1)
+        bw = _BitWriter()
+        mcu_count = 0
+        for my in range(ch // 8):
+            for mx in range(cw // 8):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes(
+                        [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                    )
+                    preds[1] = preds[2] = 0
+                emit(cb, cw, mx, my, 1)
+                emit(cr, cw, mx, my, 2)
+                mcu_count += 1
+        bw.flush()
+        scans.append(bytes(bw.out))
+    elif interleaved or grayscale:
         # MCU interleave (T.81 A.2.3): s×s luma blocks, then one Cb,
         # one Cr (grayscale scans are non-interleaved: one luma block
         # per MCU — identical geometry for a 1-component frame).
@@ -838,7 +875,15 @@ def make_jpeg(
             + b"\x03"
             + bytes([1, (s << 4) | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
-        if interleaved:
+        if y_cbcr_split:
+            sos_headers = [
+                seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"),
+                seg(
+                    0xDA,
+                    b"\x02" + bytes([2, 0x11, 3, 0x11]) + b"\x00\x3f\x00",
+                ),
+            ]
+        elif interleaved:
             sos_headers = [
                 seg(
                     0xDA,

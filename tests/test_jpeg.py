@@ -293,3 +293,14 @@ def test_fill_byte_runs_before_trailing_eoi():
     for k in (1, 2, 3, 7):
         padded = p[:-2] + b"\xff" * k + b"\xff\xd9"
         assert jpeg_parse_pixels(padded) == base, k
+
+
+def test_partial_interleave_y_cbcr_split():
+    """T.81 allows any component subset per scan: the classic
+    non-interleaved-Y + interleaved-CbCr pair must decode bit-identical
+    to the single fully-interleaved scan (the frame MCU grid is the
+    same for every subset)."""
+    for kw in [{}, {"subsample": 2}, {"subsample": 2, "restart_interval": 2}]:
+        di = jpeg_parse_pixels(make_jpeg(W, H, ROWS, **kw))
+        ds = jpeg_parse_pixels(make_jpeg(W, H, ROWS, y_cbcr_split=True, **kw))
+        assert di is not None and ds == di, kw
