@@ -612,18 +612,30 @@ def write_boom_tree(
     — the ``PigBoomHourlyOutputFormat`` / ``BoomHourlyStoreFunc`` role
     (``mapreduce/boom/PigBoomHourlyOutputFormat.java``).
 
-    Rows are repartitioned by (date, hour) so each executor partition
-    writes whole hourly files; ``root`` must be a filesystem all
-    executors share (local FS in local mode, NFS/fuse mount on a
-    cluster — for object stores prefer ``write_log_store``'s parquet
-    layout). ``file_tag`` namespaces the part files (e.g. a streaming
-    micro-batch id) so repeated appends into the same hour — and
-    recovery re-runs of the SAME batch — land on distinct/idempotent
-    names. Returns the number of lines written.
+    One EXECUTOR TASK writes one hourly file (``applyInPandas`` over
+    the (date, hour) groups — the same one-task-per-output-file shape
+    as the WebDataset sink): the only exchange is the group hash any
+    hourly layout needs, parallelism is |hours touched| (full cluster
+    width on a month of logs; the previous per-partition form serially
+    wrote ~hours/partitions files per task), and memory per task is
+    one hour of lines. Lines are sorted (ts, message, event_id) before
+    encoding so each hourly file's BYTES are deterministic across
+    runs, retries, and cluster sizes; the write lands on an
+    attempt-unique temp name and publishes via atomic rename, so a
+    retried/speculative attempt cannot interleave into a published
+    file. ``root`` must be a filesystem all executors share (local FS
+    in local mode, NFS/fuse mount on a cluster — for object stores
+    prefer ``write_log_store``'s parquet layout). ``file_tag``
+    namespaces the part files (e.g. a streaming micro-batch id) so
+    repeated appends into the same hour land on distinct names and a
+    recovery re-run of the SAME batch overwrites its own file rather
+    than duplicating lines. Returns the number of lines written.
     """
     import os as _os
 
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     with_dh = logs.select(
         "ts",
@@ -631,31 +643,32 @@ def write_boom_tree(
         F.coalesce(F.col("event_id"), F.lit(0)).alias("event_id"),
         F.date_format(F.timestamp_millis(F.col("ts")), "yyyyMMdd").alias("date"),
         F.date_format(F.timestamp_millis(F.col("ts")), "HH").alias("hour"),
-    ).repartition("date", "hour")
+    )
+    tag = f"{file_tag}." if file_tag else ""
+    count_schema = T.StructType([T.StructField("n", T.LongType())])
 
-    def write_part(idx, rows):
-        by_dh: dict = {}
-        for r in rows:
-            by_dh.setdefault((r["date"], r["hour"]), []).append(
-                (r["ts"], r["message"], r["event_id"])
-            )
-        n = 0
-        for (d, h), lines in by_dh.items():
-            dirp = _os.path.join(root, dc, service, log_type, d, h, component, "data")
-            _os.makedirs(dirp, exist_ok=True)
-            write_boom_local(
-                _os.path.join(
-                    dirp,
-                    f"part-{file_tag + '.' if file_tag else ''}"
-                    f"{idx:05d}.00000.{d}-{h}.bm",
-                ),
-                lines,
-                create_time=create_time,
-            )
-            n += len(lines)
-        return [n]
+    def write_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from pyspark import TaskContext
 
-    return sum(with_dh.rdd.mapPartitionsWithIndex(write_part).collect())
+        d, h = str(pdf["date"].iloc[0]), str(pdf["hour"].iloc[0])
+        dirp = _os.path.join(root, dc, service, log_type, d, h, component, "data")
+        _os.makedirs(dirp, exist_ok=True)
+        path = _os.path.join(dirp, f"part-{tag}00000.{d}-{h}.bm")
+        lines = sorted(
+            (int(t), str(m), int(e))
+            for t, m, e in zip(pdf["ts"], pdf["message"], pdf["event_id"])
+        )
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else _os.getpid()
+        tmp = f"{path}.inprogress.{attempt}"
+        write_boom_local(tmp, lines, create_time=create_time)
+        _os.replace(tmp, path)
+        return pd.DataFrame({"n": [len(lines)]})
+
+    counts = with_dh.groupBy("date", "hour").applyInPandas(
+        write_group, schema=count_schema
+    )
+    return sum(r["n"] for r in counts.collect())
 
 
 # ---------------------------------------------------------------------------
