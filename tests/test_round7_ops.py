@@ -211,3 +211,33 @@ def test_stream_skew_asof_right_rows_match_as_of_arrival(spark, tmp_path):
     # 901 resolved in batch 1 against click 900 (902 not yet arrived);
     # 903 resolved in batch 2 against the now-buffered 902
     assert rows == {(901, 900), (903, 902)}
+
+
+def test_write_boom_tree_bytes_deterministic(spark, tmp_path):
+    """The one-task-per-hourly-file writer sorts lines before encoding
+    and publishes via atomic rename — two runs over the same input must
+    produce byte-identical trees (retry/rerun reproducibility)."""
+    import hashlib
+    import os
+
+    from bb_bigdata_log_tools_spark.session import table
+    from bb_bigdata_log_tools_spark.sources.boom import write_boom_tree
+    from bb_bigdata_log_tools_spark.sources.logs import events_as_logs
+
+    logs = events_as_logs(table(spark, "/root/testdata/sf0.001", "events"))
+
+    def tree_digest(root):
+        n = write_boom_tree(logs, root, "dc1", "svc1", "logs", "comp1")
+        digests = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                digests[rel] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return n, digests
+
+    n1, d1 = tree_digest(str(tmp_path / "t1"))
+    n2, d2 = tree_digest(str(tmp_path / "t2"))
+    assert n1 == n2 > 0
+    assert d1 == d2
+    assert not any(".inprogress" in k for k in d1)
