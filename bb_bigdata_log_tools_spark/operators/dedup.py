@@ -1401,3 +1401,67 @@ def minhash_bucket_stats(
         )
     )
     return small_sort(out, "band_idx") if sort else out
+
+
+def dedup_lines(
+    documents: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+    sort: bool = True,
+) -> DataFrame:
+    """LINE-level cross-corpus dedup — the C4 cleaning discipline
+    (Raffel et al. 2020, §2.2: discard any line occurring more than
+    once in the corpus): boilerplate lines (navigation chrome, cookie
+    banners, "all rights reserved") repeat across thousands of pages
+    while real prose lines are unique, so dropping every line whose
+    corpus-wide occurrence count reaches ``min_count`` strips
+    boilerplate without touching content. The eighth lexical dedup
+    family — the only one operating BELOW document granularity on
+    exact units (the winnowing/suffix-array families find fuzzy
+    overlap; this one removes exact repeated lines in place).
+
+    Line key = lower(trim(line)); a line repeated within ONE document
+    counts too (C4 behavior). Documents come back REASSEMBLED: kept
+    lines in original order, so the output is a drop-in cleaned
+    corpus.
+
+    100 TB shape: posexplode is narrow; ONE hash shuffle on the line
+    key builds the counts (map-side partial agg) and the count join
+    reuses that partitioning; reassembly is one doc_id shuffle with
+    collect_list over (pos, line) structs — state per doc is the
+    document itself, never the corpus. No broadcast of the flagged
+    set is needed (adversarially boilerplate-heavy corpora can have
+    millions of repeated lines — the join stays sound regardless).
+
+    Output: (doc_id, n_lines, n_removed, n_chars_kept, kept_md5).
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("k", F.lower(F.trim("line")))
+    counts = lines.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = lines.join(counts, "k")
+    removed = F.col("cnt") >= min_count
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(~removed, F.struct("pos", "line")))
+    )
+    kept_text = F.array_join(
+        F.transform(kept_structs, lambda s: s["line"]), sep
+    )
+    out = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(removed.cast("long")).alias("n_removed"),
+            kept_text.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            F.length("kept").alias("n_chars_kept"),
+            F.md5(F.encode("kept", "UTF-8")).alias("kept_md5"),
+        )
+    )
+    return small_sort(out, "doc_id") if sort else out

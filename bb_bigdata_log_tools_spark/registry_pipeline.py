@@ -1244,3 +1244,95 @@ FROM bsz GROUP BY band_idx ORDER BY band_idx
 
 PIPELINE_QUERIES["minhash_bucket_stats"] = q_minhash_bucket_stats
 PIPELINE_ORACLES["minhash_bucket_stats"] = SQL_MINHASH_BUCKET_STATS
+
+
+# --------------------------------------------------------------------------
+# round-7: C4-style line-level corpus dedup (eighth lexical family)
+# --------------------------------------------------------------------------
+
+_LD_WORDS_PER_LINE = 8
+_LD_B1 = "subscribe to our newsletter for updates"
+_LD_B2 = "all rights reserved example corp"
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line dedup over a deterministically LINEIFIED corpus: the
+    synthetic documents are single-line word streams, so the prep
+    splits each into 8-word lines and plants two boilerplate lines on
+    doc_id % 7 / % 11 (the _inject_urls fixture-enrichment pattern) —
+    those repeat corpus-wide and must be stripped; every real line is
+    unique at this vocabulary and must survive."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_lines
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    nlines = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(_LD_WORDS_PER_LINE))).cast("int"),
+        F.lit(1),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * _LD_WORDS_PER_LINE + 1, _LD_WORDS_PER_LINE),
+                " ",
+            ),
+        ),
+        "\n",
+    )
+    text2 = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_LD_B1 + "\n")).otherwise(F.lit("")),
+        body,
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\n" + _LD_B2)).otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", text2.alias("text2"))
+    return dedup_lines(aug, min_count=2, text_col="text2")
+
+
+SQL_DEDUP_LINES = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+aug AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN '{_LD_B1}' || chr(10) ELSE '' END)
+         || list_aggr(
+              list_transform(
+                range(greatest(CAST(ceil(len(words) / {_LD_WORDS_PER_LINE}.0)
+                                    AS INT), 1)),
+                i -> array_to_string(
+                       words[i * {_LD_WORDS_PER_LINE} + 1 :
+                             i * {_LD_WORDS_PER_LINE} + {_LD_WORDS_PER_LINE}],
+                       ' ')),
+              'string_agg', chr(10))
+         || (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '{_LD_B2}' ELSE '' END)
+           AS text2
+  FROM w
+),
+l AS (
+  SELECT doc_id, string_split(text2, chr(10))[i] AS line, i AS pos
+  FROM aug, LATERAL (
+    SELECT unnest(generate_series(1, len(string_split(text2, chr(10))))) AS i
+  )
+),
+k AS (
+  SELECT doc_id, line, pos,
+         count(*) OVER (PARTITION BY lower(trim(line))) AS cnt
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(coalesce(length(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE cnt < 2)), 0) AS INTEGER)
+         AS n_chars_kept,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE cnt < 2), '')) AS kept_md5
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+PIPELINE_QUERIES["dedup_lines"] = q_dedup_lines
+PIPELINE_ORACLES["dedup_lines"] = SQL_DEDUP_LINES

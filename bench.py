@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "samples_from_members",
     "events_asof_strict",
     "stream_skew_asof_join",
+    "dedup_lines",
 ]
 
 

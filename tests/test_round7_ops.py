@@ -241,3 +241,43 @@ def test_write_boom_tree_bytes_deterministic(spark, tmp_path):
     assert n1 == n2 > 0
     assert d1 == d2
     assert not any(".inprogress" in k for k in d1)
+
+
+def test_dedup_lines_strips_boilerplate_keeps_prose(spark, sf_dir):
+    """C4 discipline on a controlled corpus: corpus-repeated lines
+    (boilerplate planted in two docs, plus an intra-doc repeat) are
+    stripped; unique prose lines survive in original order."""
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal prose one\nunique line alpha"),
+            (2, "cookie banner\nreal prose two"),  # case-insensitive repeat
+            (3, "solo document line\nrepeat me\nrepeat me"),  # intra-doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, min_count=2).collect()}
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[2].n_lines == 2 and out[2].n_removed == 1
+    assert out[3].n_lines == 3 and out[3].n_removed == 2
+    import hashlib
+
+    assert out[1].kept_md5 == hashlib.md5(
+        b"real prose one\nunique line alpha"
+    ).hexdigest()
+    assert out[3].kept_md5 == hashlib.md5(b"solo document line").hexdigest()
+
+
+def test_dedup_lines_registry_removes_at_least_planted(spark, sf_dir):
+    """Registry fixture: every doc carrying planted boilerplate removes
+    AT LEAST those lines (the synthetic corpus also contains duplicate
+    documents whose real lines legitimately repeat corpus-wide)."""
+    from bb_bigdata_log_tools_spark.registry_pipeline import q_dedup_lines
+
+    rows = {r.doc_id: r for r in q_dedup_lines(spark, sf_dir).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        planted = (1 if doc_id % 7 == 0 else 0) + (1 if doc_id % 11 == 0 else 0)
+        assert r.n_removed >= planted, (doc_id, r)
+        assert r.n_lines > planted
