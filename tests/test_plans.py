@@ -729,3 +729,21 @@ def test_quantile_sketch_exact_two_phase(spark, sf_dir):
     # survivors arrive via a broadcast join on (grp, k) — the bucket
     # filter — so the windowed relation is never the raw scan
     assert re.search(r"BroadcastHashJoin \[grp#\d+, k#\d+L?\]", plan), plan[:1500]
+
+
+def test_dedup_lines_two_keyed_exchanges_only(spark, sf_dir):
+    """dedup_lines must shuffle exactly on the line key (count build)
+    and on doc_id (reassembly) — never a cartesian, never a range
+    partition; AQE is free to broadcast the counts side when small."""
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_lines
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("text2")
+    )
+    df = dedup_lines(docs, text_col="text2", sort=False)
+    df.count()  # let AQE finalize
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    hashed = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert set(hashed) <= {"k", "doc_id"}, hashed
