@@ -1026,3 +1026,72 @@ def corpus_curate(
         .select("doc_id", decision.alias("decision"), detail.alias("detail"))
     )
     return small_sort(out, "doc_id") if sort else out
+
+
+def sample_weighted_exact(
+    df: DataFrame,
+    n: int = 100,
+    weight_col: str = "wt",
+    key_col: str = "doc_id",
+    max_tickets: int = 256,
+    salts: int = 32,
+    seed_tag: str = "wx",
+) -> DataFrame:
+    """Exact-N PROPORTIONAL-TO-WEIGHT sample WITHOUT replacement in
+    pure integer arithmetic — the deterministic, cross-engine-exact
+    analog of Efraimidis-Spirtes u^(1/w) keys (whose float ``pow``
+    is not bit-stable between engines, so it could never pass a
+    hash-exact oracle).
+
+    Ticket scheme: a row with weight w holds min(w, ``max_tickets``)
+    tickets; ticket t hashes to md5(seed:key:t) and the row's DRAW KEY
+    is its minimum ticket hash. Ordering rows by draw key is a
+    weighted random permutation: the first pick owns the global
+    minimum ticket, every ticket is equally likely to be that minimum,
+    so P(first = row) = tickets_row / Σ tickets, and successive minima
+    draw without replacement ∝ weight. ``max_tickets`` quantizes very
+    heavy weights (documented cap — beyond it a row's marginal
+    probability gain per weight unit drops to zero; raise it when the
+    weight distribution is heavy-tailed). Rows with weight ≤ 0 are
+    never sampled.
+
+    100 TB shape: the draw key is a PER-ROW JVM expression
+    (array_min over ≤ max_tickets md5s — no ticket explode, no
+    shuffle); selection is the salted TWO-PHASE top-N
+    (sample_reservoir's machinery): phase 1 ranks inside key%salts
+    partitions keeping n survivors each, phase 2 ranks the ≤ n·salts
+    survivors — never a global single-task sort.
+
+    Output: input columns + (draw_key, sample_rank), the n winners.
+    """
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    key_s = F.col(key_col).cast("string")
+    ntick = F.least(F.col(weight_col).cast("long"), F.lit(max_tickets))
+    draw = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), ntick.cast("int")),
+            lambda t: md5_long(
+                F.concat(
+                    F.lit(seed_tag + ":"), key_s, F.lit(":"), t.cast("string")
+                )
+            ),
+        )
+    )
+    eligible = df.filter(F.col(weight_col) > 0).withColumn("draw_key", draw)
+    salt = F.pmod(F.col(key_col), F.lit(salts))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("draw_key").asc(), F.col(key_col).asc()
+    )
+    survivors = (
+        eligible.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= n)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy().orderBy(
+        F.col("draw_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n)
+    )

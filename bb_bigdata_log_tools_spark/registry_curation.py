@@ -1166,3 +1166,56 @@ ORDER BY e.doc_id
 
 CURATION_QUERIES["corpus_curate"] = q_corpus_curate
 CURATION_ORACLES["corpus_curate"] = _corpus_curate_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-7: exact-N weighted sample (integer ticketed min-hash draw)
+# --------------------------------------------------------------------------
+
+_SWX_N = 100
+_SWX_CAP = 256
+
+
+def q_sample_weighted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-100 token-weighted corpus sample: long documents are
+    proportionally more likely to be drawn (the sampling mode a
+    token-budgeted training mix needs), with every draw reproducible
+    in pure integer md5 arithmetic."""
+    from bb_bigdata_log_tools_spark.operators.curation import sample_weighted_exact
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    d = docs.select("doc_id", "source", toks.cast("long").alias("wt"))
+    out = sample_weighted_exact(d, n=_SWX_N, max_tickets=_SWX_CAP)
+    return out.select("sample_rank", "doc_id", "source", "wt", "draw_key").orderBy(
+        "sample_rank"
+    )
+
+
+SQL_SAMPLE_WEIGHTED_EXACT = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS wt
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, wt,
+         list_min(list_transform(
+           range(1, CAST(least(wt, {_SWX_CAP}) AS INT) + 1),
+           t -> ('0x' || substring(md5('wx:' || CAST(doc_id AS VARCHAR)
+                                       || ':' || CAST(t AS VARCHAR)), 1, 15)
+                )::BIGINT
+         )) AS draw_key
+  FROM w WHERE wt > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY draw_key, doc_id) AS INTEGER)
+         AS sample_rank,
+       doc_id, source, wt, draw_key
+FROM d
+ORDER BY draw_key, doc_id
+LIMIT {_SWX_N}
+"""
+
+CURATION_QUERIES["sample_weighted_exact"] = q_sample_weighted_exact
+CURATION_ORACLES["sample_weighted_exact"] = SQL_SAMPLE_WEIGHTED_EXACT

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "events_asof_strict",
     "stream_skew_asof_join",
     "dedup_lines",
+    "sample_weighted_exact",
 ]
 
 

@@ -281,3 +281,37 @@ def test_dedup_lines_registry_removes_at_least_planted(spark, sf_dir):
         planted = (1 if doc_id % 7 == 0 else 0) + (1 if doc_id % 11 == 0 else 0)
         assert r.n_removed >= planted, (doc_id, r)
         assert r.n_lines > planted
+
+
+def test_sample_weighted_exact_semantics(spark, sf_dir):
+    """Ticketed min-hash draw: exact-N, zero-weight rows never drawn,
+    rerun-deterministic, and adding tickets (weight) can only improve
+    (never worsen) a row's draw key — the monotonicity that makes the
+    scheme proportional-to-weight."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_exact,
+    )
+
+    base = spark.createDataFrame(
+        [(i, (i % 5) * 10) for i in range(200)], "doc_id long, wt long"
+    )
+    out1 = sample_weighted_exact(base, n=20).collect()
+    out2 = sample_weighted_exact(base, n=20).collect()
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
+    assert len(out1) == 20
+    zero_ids = {i for i in range(200) if (i % 5) == 0}
+    assert not ({r.doc_id for r in out1} & zero_ids)
+    # monotonicity: doubling every weight only lowers each draw key
+    doubled = base.withColumn("wt", F.col("wt") * 2)
+    k1 = {
+        r.doc_id: r.draw_key
+        for r in sample_weighted_exact(base, n=200).collect()
+    }
+    k2 = {
+        r.doc_id: r.draw_key
+        for r in sample_weighted_exact(doubled, n=200).collect()
+    }
+    for doc_id, dk in k1.items():
+        assert k2[doc_id] <= dk
