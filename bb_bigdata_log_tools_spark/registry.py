@@ -383,15 +383,17 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 #
 # Round-7 rotation (policy above, executed): (a) quantile_sketch — the
 # one key never driver-green (r6 oracle HUGEINT fix + two-phase exact
-# side) — leads; (b) the 10 keys first oracled in round 7 (the two
+# side) — leads; (b) the 12 keys first oracled in round 7 (the two
 # weighted sketches, the six sink round-trips, the native-ASOF strict
-# join and the per-key-skew stream join); (c) cms_freq_estimate,
+# join, the per-key-skew stream join, the C4 line dedup, and the
+# integer-exact weighted sample); (c) cms_freq_estimate,
 # whose estimator body changed this round (left-join missing-bucket
 # fix; stream_cms_freq shares that single copy and rotates next
 # round); then (d) the keys whose last driver evidence is r3 — the
-# oldest-evidence cohort. 1 + 10 + 1 + 38 = exactly the 50-key gate;
-# the cohort's last two (text_fingerprint, text_repetition) sit at
-# positions 51-52 and lead the r8 rotation instead.
+# oldest-evidence cohort. 1 + 12 + 1 + 36 = exactly the 50-key gate;
+# the cohort's last four (text_quality, text_token_count,
+# text_fingerprint, text_repetition) sit at positions 51-54 and lead
+# the r8 rotation instead.
 _WINDOW_PRIORITY: list[str] = [
     "quantile_sketch",
     # --- round-7 new keys ---
@@ -405,6 +407,8 @@ _WINDOW_PRIORITY: list[str] = [
     "samples_from_members",
     "events_asof_strict",
     "stream_skew_asof_join",
+    "dedup_lines",
+    "sample_weighted_exact",
     # --- changed estimator copy ---
     "cms_freq_estimate",
     # --- oldest-evidence cohort (last green r3) ---
