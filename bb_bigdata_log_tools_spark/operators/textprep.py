@@ -469,3 +469,102 @@ def bpe_pair_stats(
         .limit(top_n)
         .orderBy("pair")
     )
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus (Sennrich et al.
+    2016): the iterative tokenizer-training loop itself, one step up
+    from the single-snapshot :func:`bpe_pair_stats` diagnostic.
+
+    The classic formulation — and the whole 100 TB story: the corpus
+    is scanned ONCE into the (word, freq) vocabulary relation, and
+    every merge iteration runs on that |vocab|-sized table (pair
+    explode → weighted count → argmax → apply merge), never touching
+    the corpus again. Each word starts as wrapped single-char tokens
+    plus the ``</w>`` end-of-word marker; the best pair per step is
+    picked by (frequency DESC, pair ASC) — a deterministic tie-break,
+    TakeOrdered(1), never a global sort.
+
+    Merge application uses a WRAPPED-TOKEN string form (every token
+    as " tok ", concatenated) so plain ``replace`` of " L  R " with
+    " LR " merges left-to-right non-overlapping occurrences with
+    byte-identical semantics in Spark and DuckDB — including adjacent
+    repeats ("L R L R" → "LR LR"), which a single-space encoding gets
+    wrong because neighbors would share the delimiter. Lineage is
+    localCheckpoint-bounded per iteration (the kmeans discipline).
+
+    Output: one row per merge step —
+    (step, left, right, merged, pair_freq).
+    """
+    sep = "\x01"  # pair-key separator: never occurs in corpus tokens
+    words = (
+        documents.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    wrapped = F.concat(
+        F.aggregate(
+            chars,
+            F.lit(""),
+            lambda acc, c: F.concat(acc, F.lit(" "), c, F.lit(" ")),
+        ),
+        F.lit(" </w> "),
+    )
+    cur = words.select("w", "freq", wrapped.alias("toks")).localCheckpoint()
+
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("toks")), "  ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(sep), F.element_at(arr, i + F.lit(1))
+            ),
+        )
+        pc = (
+            cur.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = (
+            pc.orderBy(F.desc("pair_freq"), F.asc("p"))
+            .limit(1)
+            .select(
+                F.split_part(F.col("p"), F.lit(sep), F.lit(1)).alias("left"),
+                F.split_part(F.col("p"), F.lit(sep), F.lit(2)).alias("right"),
+                "pair_freq",
+            )
+            .localCheckpoint()
+        )
+        merge_rows.append(best.select(F.lit(step).alias("step"), "*"))
+        pattern = F.concat(
+            F.lit(" "), F.col("left"), F.lit("  "), F.col("right"), F.lit(" ")
+        )
+        replacement = F.concat(
+            F.lit(" "), F.col("left"), F.col("right"), F.lit(" ")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .withColumn("toks", F.replace(F.col("toks"), pattern, replacement))
+            .select("w", "freq", "toks")
+            .localCheckpoint()
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step",
+        "left",
+        "right",
+        F.concat(F.col("left"), F.col("right")).alias("merged"),
+        "pair_freq",
+    ).orderBy("step")

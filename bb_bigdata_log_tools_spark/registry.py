@@ -383,17 +383,18 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 #
 # Round-7 rotation (policy above, executed): (a) quantile_sketch — the
 # one key never driver-green (r6 oracle HUGEINT fix + two-phase exact
-# side) — leads; (b) the 12 keys first oracled in round 7 (the two
+# side) — leads; (b) the 13 keys first oracled in round 7 (the two
 # weighted sketches, the six sink round-trips, the native-ASOF strict
-# join, the per-key-skew stream join, the C4 line dedup, and the
-# integer-exact weighted sample); (c) cms_freq_estimate,
+# join, the per-key-skew stream join, the C4 line dedup, the
+# integer-exact weighted sample, and the BPE trainer);
+# (c) cms_freq_estimate,
 # whose estimator body changed this round (left-join missing-bucket
 # fix; stream_cms_freq shares that single copy and rotates next
 # round); then (d) the keys whose last driver evidence is r3 — the
-# oldest-evidence cohort. 1 + 12 + 1 + 36 = exactly the 50-key gate;
-# the cohort's last four (text_quality, text_token_count,
-# text_fingerprint, text_repetition) sit at positions 51-54 and lead
-# the r8 rotation instead.
+# oldest-evidence cohort. 1 + 13 + 1 + 35 = exactly the 50-key gate;
+# the cohort's last five (text_lang_id, text_quality,
+# text_token_count, text_fingerprint, text_repetition) sit at
+# positions 51-55 and lead the r8 rotation instead.
 _WINDOW_PRIORITY: list[str] = [
     "quantile_sketch",
     # --- round-7 new keys ---
@@ -409,6 +410,7 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_skew_asof_join",
     "dedup_lines",
     "sample_weighted_exact",
+    "bpe_train",
     # --- changed estimator copy ---
     "cms_freq_estimate",
     # --- oldest-evidence cohort (last green r3) ---

@@ -327,3 +327,72 @@ SELECT pair, n_occurrences FROM top ORDER BY pair
 
 TEXTPREP_QUERIES["bpe_pair_stats"] = q_bpe_pair_stats
 TEXTPREP_ORACLES["bpe_pair_stats"] = SQL_BPE_PAIR_STATS
+
+
+# --------------------------------------------------------------------------
+# round-7: iterative BPE tokenizer training (unrolled-oracle, the kmeans
+# discipline)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_train
+
+    return bpe_train(
+        ensure_parallelism(table(spark, sf_dir, "documents")), _BPE_MERGES
+    )
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
+    # each iteration unrolled as three CTEs (pair counts, best pair,
+    # merged vocab) — the full-fidelity oracle pattern established by
+    # kmeans_embeddings' 2-iteration unroll
+    parts = [
+        """
+WITH v AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+t0 AS (
+  SELECT w, freq,
+         list_aggr(list_transform(range(1, length(w) + 1),
+                                  i -> ' ' || w[i] || ' '),
+                   'string_agg', '') || ' </w> ' AS toks
+  FROM v
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT p, CAST(sum(freq) AS BIGINT) AS pair_freq
+  FROM (
+    SELECT freq, arr[j] || chr(1) || arr[j + 1] AS p
+    FROM (SELECT freq, string_split(trim(toks), '  ') AS arr FROM t{i - 1}),
+         LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS j)
+  ) GROUP BY p
+),
+b{i} AS (
+  SELECT string_split(p, chr(1))[1] AS l,
+         string_split(p, chr(1))[2] AS r,
+         pair_freq
+  FROM p{i} ORDER BY pair_freq DESC, p ASC LIMIT 1
+),
+t{i} AS (
+  SELECT w, freq,
+         replace(toks, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS toks
+  FROM t{i - 1}, b{i} b
+)""")
+    selects = [
+        f"""SELECT {i} AS step, l AS "left", r AS "right",
+       l || r AS merged, pair_freq FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+
+
+TEXTPREP_QUERIES["bpe_train"] = q_bpe_train
+TEXTPREP_ORACLES["bpe_train"] = _bpe_train_oracle()

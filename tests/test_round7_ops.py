@@ -315,3 +315,25 @@ def test_sample_weighted_exact_semantics(spark, sf_dir):
     }
     for doc_id, dk in k1.items():
         assert k2[doc_id] <= dk
+
+
+def test_bpe_train_textbook_semantics(spark, sf_dir):
+    """BPE on a controlled corpus: pair STATS count every adjacent
+    occurrence (overlapping — the classic get_stats), merge APPLICATION
+    is left-to-right non-overlapping, ties break (freq DESC, pair ASC),
+    and later merges build on earlier merged tokens."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, n_merges=2).collect()
+    # step 1: 'aaab' = [a,a,a,b,</w>] x3 -> (a,a) counts BOTH adjacent
+    # occurrences: 2*3 = 6; (a,b) = 3+1; (b,</w>) = 3+1 -> merge (a,a)
+    assert (out[0].left, out[0].right, out[0].pair_freq) == ("a", "a", 6)
+    assert out[0].merged == "aa"
+    # step 2: 'aaab' -> [aa,a,b,</w>] (non-overlapping application):
+    # (aa,a)=3, (a,b)=3+1=4, (b,</w>)=3+1=4 -> tie: 'a\x01b' < 'b\x01<'
+    # -> merge (a, b)
+    assert (out[1].left, out[1].right, out[1].pair_freq) == ("a", "b", 4)
+    assert out[1].merged == "ab"
