@@ -1043,17 +1043,22 @@ def sample_weighted_exact(
     is not bit-stable between engines, so it could never pass a
     hash-exact oracle).
 
-    Ticket scheme: a row with weight w holds min(w, ``max_tickets``)
-    tickets; ticket t hashes to md5(seed:key:t) and the row's DRAW KEY
-    is its minimum ticket hash. Ordering rows by draw key is a
-    weighted random permutation: the first pick owns the global
-    minimum ticket, every ticket is equally likely to be that minimum,
-    so P(first = row) = tickets_row / Σ tickets, and successive minima
-    draw without replacement ∝ weight. ``max_tickets`` quantizes very
-    heavy weights (documented cap — beyond it a row's marginal
-    probability gain per weight unit drops to zero; raise it when the
-    weight distribution is heavy-tailed). Rows with weight ≤ 0 are
-    never sampled.
+    Ticket scheme: a row with weight w holds min(ceil(w),
+    ``max_tickets``) tickets; ticket t hashes to md5(seed:key:t) and
+    the row's DRAW KEY is its minimum ticket hash. Ordering rows by
+    draw key is a weighted random permutation: the first pick owns the
+    global minimum ticket, every ticket is equally likely to be that
+    minimum, so P(first = row) = tickets_row / Σ tickets, and
+    successive minima draw without replacement ∝ weight.
+    ``max_tickets`` quantizes very heavy weights (documented cap —
+    beyond it a row's marginal probability gain per weight unit drops
+    to zero; raise it when the weight distribution is heavy-tailed),
+    and ``ceil`` quantizes fractional weights UP to whole tickets
+    (every eligible row holds ≥ 1 — without the clamp a weight in
+    (0,1) would cast to 0 tickets and Spark's ``sequence(1, 0)``
+    silently DESCENDS to the two-element [1, 0], handing the row MORE
+    tickets than a weight-1 row). Rows with weight ≤ 0 are never
+    sampled.
 
     100 TB shape: the draw key is a PER-ROW JVM expression
     (array_min over ≤ max_tickets md5s — no ticket explode, no
@@ -1067,7 +1072,9 @@ def sample_weighted_exact(
     from bb_bigdata_log_tools_spark.functions.hashing import md5_long
 
     key_s = F.col(key_col).cast("string")
-    ntick = F.least(F.col(weight_col).cast("long"), F.lit(max_tickets))
+    ntick = F.least(
+        F.ceil(F.col(weight_col)).cast("long"), F.lit(max_tickets)
+    )
     draw = F.array_min(
         F.transform(
             F.sequence(F.lit(1), ntick.cast("int")),
@@ -1079,7 +1086,10 @@ def sample_weighted_exact(
         )
     )
     eligible = df.filter(F.col(weight_col) > 0).withColumn("draw_key", draw)
-    salt = F.pmod(F.col(key_col), F.lit(salts))
+    # hash() so string keys salt too; the salt assignment never changes
+    # the OUTPUT (the global top-n is a subset of phase-1 survivors
+    # under any assignment), only the phase-1 partitioning.
+    salt = F.pmod(F.hash(F.col(key_col)), F.lit(salts))
     w1 = Window.partitionBy(salt).orderBy(
         F.col("draw_key").asc(), F.col(key_col).asc()
     )

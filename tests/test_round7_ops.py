@@ -317,6 +317,42 @@ def test_sample_weighted_exact_semantics(spark, sf_dir):
         assert k2[doc_id] <= dk
 
 
+def test_sample_weighted_exact_fractional_and_string_keys(spark, sf_dir):
+    """Public-seam hardening: a fractional weight in (0,1) quantizes UP
+    to exactly ONE ticket — without the ceil clamp it cast to 0 and
+    Spark's sequence(1, 0) silently DESCENDED to [1, 0], handing the
+    row TWO tickets (more than a weight-1.0 row).  And string keys
+    salt through hash() instead of failing pmod analysis."""
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_exact,
+    )
+
+    frac = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0)], "doc_id long, wt double"
+    )
+    rows = {r.doc_id: r for r in sample_weighted_exact(frac, n=2).collect()}
+    assert set(rows) == {1, 2}
+    # one ticket each: draw key IS md5("wx:<id>:1"), so recomputing it
+    # with an explicit single-ticket weight must match bit-for-bit
+    one = {
+        r.doc_id: r.draw_key
+        for r in sample_weighted_exact(
+            frac.withColumn("wt", F.lit(1.0)), n=2
+        ).collect()
+    }
+    assert rows[1].draw_key == one[1] and rows[2].draw_key == one[2]
+
+    skey = spark.createDataFrame(
+        [(f"doc-{i}", (i % 3) + 1) for i in range(50)],
+        "doc_id string, wt long",
+    )
+    out = sample_weighted_exact(skey, n=10, key_col="doc_id").collect()
+    assert len(out) == 10
+    assert [r.sample_rank for r in out] == list(range(1, 11))
+
+
 def test_bpe_train_textbook_semantics(spark, sf_dir):
     """BPE on a controlled corpus: pair STATS count every adjacent
     occurrence (overlapping — the classic get_stats), merge APPLICATION
