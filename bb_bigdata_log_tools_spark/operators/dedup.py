@@ -22,6 +22,8 @@ everything before the joins is a single scan with map-side column work.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1436,9 +1438,15 @@ def dedup_lines(
 
     Output: (doc_id, n_lines, n_removed, n_chars_kept, kept_md5).
     """
+    # F.split takes a Java REGEX but sep is a LITERAL separator (the
+    # reassembly array_join and the DuckDB oracle's string_split both
+    # treat it literally): escape it, or sep="|" / "." would split on
+    # every character.
     lines = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "line"
+        ),
     ).withColumn("k", F.lower(F.trim("line")))
     counts = lines.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
     joined = lines.join(counts, "k")

@@ -524,12 +524,22 @@ def bpe_train(
     merge_rows = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("toks")), "  ")
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat(
-                F.element_at(arr, i), F.lit(sep), F.element_at(arr, i + F.lit(1))
+        # a FULLY-MERGED word (single token, e.g. "a</w>" after the
+        # (a, </w>) merge wins) contributes no pairs: guard the
+        # size-1 case, where sequence(1, size-1) = sequence(1, 0)
+        # silently DESCENDS to [1, 0] and element_at(arr, 2) throws —
+        # the oracle's generate_series(1, 0) is simply empty.
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i),
+                    F.lit(sep),
+                    F.element_at(arr, i + F.lit(1)),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         pc = (
             cur.select(F.explode(pairs).alias("p"), "freq")
             .groupBy("p")

@@ -24,10 +24,8 @@ the ≤ n_shards-row manifest.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,9 +47,10 @@ N_WDS_SHARDS = 8
 
 
 def _tmp(name: str, sf_dir: str) -> str:
-    """sf_dir-keyed tmp store path (stable across processes)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"bb_{name}_{key}")
+    """sf_dir-keyed tmp store path — one shared keying rule (session.py)."""
+    from bb_bigdata_log_tools_spark.session import tmp_store_path
+
+    return tmp_store_path(name, sf_dir)
 
 
 # --------------------------------------------------------------------------

@@ -81,6 +81,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def tmp_store_path(name: str, sf_dir: str) -> str:
+    """sf_dir-keyed tmp store path, stable across processes — the ONE
+    copy of the keying rule shared by every build-once store (the
+    log_cat_by_time parquet log store, the sink round-trip stores): a
+    keying change (e.g. a version suffix when fixtures regenerate)
+    must hit all stores at once or one family reads stale data."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"bb_{name}_{key}")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table, normalizing timestamp precision.
 

@@ -353,6 +353,39 @@ def test_sample_weighted_exact_fractional_and_string_keys(spark, sf_dir):
     assert [r.sample_rank for r in out] == list(range(1, 11))
 
 
+def test_bpe_train_fully_merged_word(spark, sf_dir):
+    """A word whose tokens fully merge into ONE token must contribute
+    no pairs to later steps instead of crashing: sequence(1, size-1)
+    with size=1 descends to [1, 0] and element_at(arr, 2) threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT before the size guard.  Corpus
+    'a a a a': step 1 merges (a, </w>) making every word the single
+    token 'a</w>'; step 2 must yield no merge row, not an abort."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_train
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    out = bpe_train(docs, n_merges=2).collect()
+    assert len(out) == 1
+    assert (out[0].step, out[0].left, out[0].right, out[0].pair_freq) == (
+        1, "a", "</w>", 4,
+    )
+
+
+def test_dedup_lines_literal_separator(spark, sf_dir):
+    """sep is a LITERAL separator, not a regex: '|' must split on pipes
+    only (pre-fix, F.split treated it as regex alternation and
+    exploded every character into its own 'line')."""
+    from bb_bigdata_log_tools_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "keep me|boiler|x"), (2, "unique line|boiler|y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_lines(docs, sep="|").collect()}
+    assert rows[1].n_lines == 3 and rows[1].n_removed == 1
+    assert rows[2].n_lines == 3 and rows[2].n_removed == 1
+    assert rows[1].n_chars_kept == len("keep me|x")
+
+
 def test_bpe_train_textbook_semantics(spark, sf_dir):
     """BPE on a controlled corpus: pair STATS count every adjacent
     occurrence (overlapping — the classic get_stats), merge APPLICATION
