@@ -538,6 +538,39 @@ def _bin_mid_col(scale: int):
     ).alias("mid")
 
 
+def quantile_estimate_from_bins(
+    sk: DataFrame, qs: tuple, scale: int
+) -> DataFrame:
+    """(grp, s, o, b, cnt) octave-bin relation → (grp, q, n, r,
+    est_raw): the ONE copy of the bin-navigate estimate shared by the
+    batch :func:`quantile_sketch` and the drained streaming bins
+    (stream_quantile) — the relation merges by ``sum`` so the same
+    closed form reads either source. The pick windows run over the
+    ≤256-bin relation, never values."""
+    bin_key = _bin_key_col()
+    mid = _bin_mid_col(scale)
+    wcum = Window.partitionBy("grp").orderBy("bin_key")
+    cum = sk.select("grp", "cnt", bin_key, mid).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    qrows = (
+        sk.groupBy("grp")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "grp",
+            "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("long"))
+    )
+    return (
+        qrows.join(F.broadcast(cum), "grp")
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("grp", "q", "n", "r")
+        .agg(F.min_by("mid", "bin_key").alias("est_raw"))
+    )
+
+
 def quantile_sketch(
     df: DataFrame,
     group_col: str = "event_type",
@@ -589,28 +622,8 @@ def quantile_sketch(
     sk = keys.groupBy("grp", "s", "o", "b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    bin_key = _bin_key_col()
-    mid = _bin_mid_col(scale)
-    wcum = Window.partitionBy("grp").orderBy("bin_key")
-    cum = sk.select("grp", "cnt", bin_key, mid).withColumn(
-        "cum", F.sum("cnt").over(wcum)
-    )
-    qrows = (
-        sk.groupBy("grp")
-        .agg(F.sum("cnt").alias("n"))
-        .select(
-            "grp",
-            "n",
-            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-        )
-        .withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("long"))
-    )
-    est = (
-        qrows.join(F.broadcast(cum), "grp")
-        .filter(F.col("cum") >= F.col("r"))
-        .groupBy("grp", "q", "n", "r")
-        .agg(F.min_by("mid", "bin_key").alias("est_raw"))
-    )
+    est = quantile_estimate_from_bins(sk, qs, scale)
+    qrows = est.select("grp", "q", "n", "r")
     # exact side, phase 1: fine histogram at 1/scale resolution,
     # cumulated per group to find, for each rank r, its one bucket and
     # the count strictly before that bucket.

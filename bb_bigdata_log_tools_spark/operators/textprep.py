@@ -500,6 +500,30 @@ def bpe_train(
     Output: one row per merge step —
     (step, left, right, merged, pair_freq).
     """
+    merge_rows, _ = _bpe_vocab_merges(documents, n_merges, text_col)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step",
+        "left",
+        "right",
+        F.concat(F.col("left"), F.col("right")).alias("merged"),
+        "pair_freq",
+    ).orderBy("step")
+
+
+def _bpe_vocab_merges(
+    documents: DataFrame, n_merges: int, text_col: str
+) -> tuple[list, DataFrame]:
+    """Shared BPE core: build the wrapped-token (word, freq, toks)
+    vocab relation, run ``n_merges`` merge iterations on it, and return
+    (per-step 1-row merge DataFrames, final merged vocab). Used by
+    :func:`bpe_train` (wants the merge list) and :func:`bpe_apply`
+    (wants the tokenized vocab). Stops early if the corpus EXHAUSTS
+    (every word fully merged → no pairs left): the merge list ends and
+    the last non-empty vocab is returned — the empty `best` must not
+    cross-join the vocab away."""
     sep = "\x01"  # pair-key separator: never occurs in corpus tokens
     words = (
         documents.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -555,6 +579,8 @@ def bpe_train(
             )
             .localCheckpoint()
         )
+        if best.isEmpty():
+            break
         merge_rows.append(best.select(F.lit(step).alias("step"), "*"))
         pattern = F.concat(
             F.lit(" "), F.col("left"), F.lit("  "), F.col("right"), F.lit(" ")
@@ -568,13 +594,50 @@ def bpe_train(
             .select("w", "freq", "toks")
             .localCheckpoint()
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.select(
-        "step",
-        "left",
-        "right",
-        F.concat(F.col("left"), F.col("right")).alias("merged"),
-        "pair_freq",
-    ).orderBy("step")
+    return merge_rows, cur
+
+
+def bpe_apply(
+    documents: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus with the merges :func:`bpe_train` learns on
+    it — the APPLY half of the tokenizer loop, reporting what a
+    token-budgeted training mix actually needs: per-document token
+    counts under the trained vocabulary.
+
+    100 TB shape: merges are learned and applied on the |vocab|-sized
+    relation (the word, never the document, carries the token string),
+    so the per-document cost is ONE explode + ONE equi-join on the
+    word key + a partial-agg groupBy — the corpus is scanned twice
+    (vocab build, tokenize join) and never holds per-word token
+    strings in a document row. The (word → n_tokens) relation is
+    domain-bound, not corpus-bound.
+
+    Output: (doc_id, n_words, n_tokens) — n_tokens counts the </w>
+    markers (one per word) as the classic open-vocabulary formulation
+    does.
+    """
+    _, vocab = _bpe_vocab_merges(documents, n_merges, text_col)
+    wt = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("toks")), "  ")).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    dw = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    out = (
+        dw.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    return small_sort(out, "doc_id") if sort else out

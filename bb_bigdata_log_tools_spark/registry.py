@@ -383,18 +383,20 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 #
 # Round-7 rotation (policy above, executed): (a) quantile_sketch — the
 # one key never driver-green (r6 oracle HUGEINT fix + two-phase exact
-# side) — leads; (b) the 13 keys first oracled in round 7 (the two
+# side) — leads; (b) the 15 keys first oracled in round 7 (the two
 # weighted sketches, the six sink round-trips, the native-ASOF strict
 # join, the per-key-skew stream join, the C4 line dedup, the
-# integer-exact weighted sample, and the BPE trainer);
+# integer-exact weighted sample, the BPE trainer + its corpus APPLY
+# half, and the streaming quantile sketch);
 # (c) cms_freq_estimate,
 # whose estimator body changed this round (left-join missing-bucket
 # fix; stream_cms_freq shares that single copy and rotates next
 # round); then (d) the keys whose last driver evidence is r3 — the
-# oldest-evidence cohort. 1 + 13 + 1 + 35 = exactly the 50-key gate;
-# the cohort's last five (text_lang_id, text_quality,
-# text_token_count, text_fingerprint, text_repetition) sit at
-# positions 51-55 and lead the r8 rotation instead.
+# oldest-evidence cohort. 1 + 15 + 1 + 33 = exactly the 50-key gate;
+# the cohort's last seven (ann_topk_bruteforce, ann_lsh_bucketed,
+# text_lang_id, text_quality, text_token_count, text_fingerprint,
+# text_repetition) sit at positions 51-57 and lead the r8 rotation
+# instead.
 _WINDOW_PRIORITY: list[str] = [
     "quantile_sketch",
     # --- round-7 new keys ---
@@ -411,6 +413,8 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_lines",
     "sample_weighted_exact",
     "bpe_train",
+    "bpe_apply",
+    "stream_quantile",
     # --- changed estimator copy ---
     "cms_freq_estimate",
     # --- oldest-evidence cohort (last green r3) ---

@@ -1518,7 +1518,12 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quantile_sketch_oracle() -> str:
+def _quantile_bins_ctes() -> str:
+    """The WITH chain through ``est`` (bin build + navigate estimate)
+    — the ONE SQL copy shared by the batch quantile_sketch oracle
+    (which appends the exact side) and the streaming stream_quantile
+    oracle (which reads ``est`` directly: the drained complete-mode
+    bins equal the batch bins exactly, sum being associative)."""
     qlist = ", ".join(f"{q}::DOUBLE" for q in _QSK_QS)
     return f"""
 WITH base AS (SELECT event_type AS grp, value AS v FROM events),
@@ -1560,7 +1565,11 @@ est AS (
   SELECT qs.grp, qs.q, qs.n, min_by(c.mid, c.bin_key) AS est_raw
   FROM qs JOIN cum c ON qs.grp = c.grp AND c.cum >= qs.r
   GROUP BY 1, 2, 3
-),
+)"""
+
+
+def _quantile_sketch_oracle() -> str:
+    return _quantile_bins_ctes() + f""",
 ranked AS (
   SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
   FROM base

@@ -685,6 +685,66 @@ STREAMING_ORACLES["stream_cms_freq"] = _stream_cms_oracle()
 
 
 # --------------------------------------------------------------------------
+# round-7: streaming quantile sketch — live mergeable octave bins
+# --------------------------------------------------------------------------
+
+
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch bins maintained as a COMPLETE-mode streaming
+    aggregation (sum is associative → bins exact under any micro-batch
+    slicing); the quantile estimates are navigated from the drained
+    bin table with the batch sketch's own closed form (one shared
+    copy: quantile_estimate_from_bins), so the batch oracle's bin CTEs
+    apply verbatim. The exact side is deliberately absent — that is
+    the production streaming deployment, where raw values are gone."""
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        quantile_estimate_from_bins,
+    )
+    from bb_bigdata_log_tools_spark.registry_datasetops import (
+        _QSK_QS,
+        _QSK_SCALE,
+    )
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_quantile_bins
+
+    ev = _stream_events(spark, sf_dir).select("event_type", "value")
+    sk = _drain_to_memory(
+        stream_quantile_bins(ev, "event_type", "value", _QSK_SCALE),
+        "stream_quantile_sink",
+        "complete",
+    ).localCheckpoint()  # estimate self-joins the bin table (qrows ×
+    # cum both derive from it): checkpoint the ≤256-bins-per-group
+    # relation so the memory-sink view resolves on both sides
+    est = quantile_estimate_from_bins(sk, _QSK_QS, _QSK_SCALE)
+    return est.select(
+        F.col("grp").alias("event_type"),
+        "q",
+        "n",
+        F.round("est_raw", 4).alias("sketch_est"),
+    ).orderBy("event_type", "q")
+
+
+def _stream_quantile_oracle() -> str:
+    # the drained complete-mode bins equal the batch bins exactly (sum
+    # is associative), so the batch oracle's bin CTEs apply verbatim —
+    # import the one copy rather than keeping a second chain in
+    # lockstep (the stream_cms_freq discipline).
+    from bb_bigdata_log_tools_spark.registry_datasetops import (
+        _quantile_bins_ctes,
+    )
+
+    return _quantile_bins_ctes() + """
+SELECT est.grp AS event_type, est.q AS q, est.n AS n,
+       round(est.est_raw, 4) AS sketch_est
+FROM est
+ORDER BY event_type, q
+"""
+
+
+STREAMING_QUERIES["stream_quantile"] = q_stream_quantile
+STREAMING_ORACLES["stream_quantile"] = _stream_quantile_oracle()
+
+
+# --------------------------------------------------------------------------
 # round-7: per-key watermark skew as-of attribution (custom stateful)
 # --------------------------------------------------------------------------
 

@@ -396,3 +396,50 @@ t{i} AS (
 
 TEXTPREP_QUERIES["bpe_train"] = q_bpe_train
 TEXTPREP_ORACLES["bpe_train"] = _bpe_train_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-7: apply the trained BPE merges back to the corpus
+# --------------------------------------------------------------------------
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the vocabulary bpe_train learns
+    on this corpus — the tokenizer loop's APPLY half, the number a
+    token-budgeted mix actually consumes."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_apply
+
+    return bpe_apply(
+        ensure_parallelism(table(spark, sf_dir, "documents")), _BPE_MERGES
+    )
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_MERGES) -> str:
+    # reuse the unrolled train chain through t{n} (the final merged
+    # vocab), then tokenize: per-word token count = len(split(toks)),
+    # joined back to the exploded corpus and summed per document
+    train = _bpe_train_oracle(n_merges)
+    chain = train.split("\nSELECT 1 AS step", 1)[0]
+    # _bpe_train_oracle ends with the UNION ALL selects; strip them by
+    # cutting at the first top-level SELECT after the CTE chain
+    cut = chain.rfind(")")
+    ctes = chain[: cut + 1]
+    return f"""{ctes},
+wt AS (
+  SELECT w, CAST(len(string_split(trim(toks), '  ')) AS BIGINT) AS n_toks
+  FROM t{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, w FROM dw WHERE w <> '') d JOIN wt USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+TEXTPREP_QUERIES["bpe_apply"] = q_bpe_apply
+TEXTPREP_ORACLES["bpe_apply"] = _bpe_apply_oracle()

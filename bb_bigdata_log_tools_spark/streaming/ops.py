@@ -729,3 +729,31 @@ def stream_cms_buckets(
     from bb_bigdata_log_tools_spark.operators.sketches import cms_buckets
 
     return cms_buckets(events, value_col=value_col, depth=depth, width=width)
+
+
+def stream_quantile_bins(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 1000,
+) -> DataFrame:
+    """Streaming quantile sketch state: maintain the (grp, s, o, b,
+    cnt) sign × octave × sub-bit bin relation as a live COMPLETE-mode
+    aggregation — ``sum`` is associative, so the bins are EXACT under
+    any micro-batch slicing; O(groups × ~256 bins) state, no watermark
+    needed. Same bin algebra as the batch :func:`~bb_bigdata_log_tools_
+    spark.operators.sketches.quantile_sketch` (``_octave_keys`` is pure
+    streaming-compatible column algebra — one copy, like the CMS pair),
+    so the drained bin table feeds the same bin-navigate estimate and
+    the batch oracle's bin CTEs apply verbatim.
+
+    Replay caveat (the stream_cms_buckets contract): ``sum`` counters
+    are not idempotent — exactly-once sinks/checkpointing required
+    under retries.
+    """
+    from bb_bigdata_log_tools_spark.operators.sketches import _octave_keys
+
+    keys = _octave_keys(events, group_col, value_col, scale)
+    return keys.groupBy("grp", "s", "o", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "dedup_lines",
     "sample_weighted_exact",
     "bpe_train",
+    "bpe_apply",
+    "stream_quantile",
 ]
 
 

@@ -80,6 +80,61 @@ def test_bpe_train_matches_reference(spark, seed):
     assert got == expected, (seed, text, got, expected)
 
 
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_bpe_apply_matches_reference(spark, seed):
+    """bpe_apply must tokenize each document to exactly the token
+    counts the reference BPE yields after the same merges."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_apply
+
+    rng = random.Random(seed)
+    alphabet = "ab"
+    vocab = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4)))
+        for _ in range(6)
+    ]
+    docs_py = {
+        doc_id: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        for doc_id in range(1, 5)
+    }
+    freqs: dict = {}
+    for t in docs_py.values():
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    n_merges = 2
+
+    # reference tokenization: re-run the reference merges and apply
+    toks = {w: tuple(list(w) + ["</w>"]) for w in freqs}
+    for left, right, _ in _ref_bpe(freqs, n_merges):
+        def apply(t, L=left, R=right):
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == L and t[i + 1] == R:
+                    out.append(L + R)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            return tuple(out)
+
+        toks = {w: apply(t) for w, t in toks.items()}
+    expected = {
+        doc_id: (
+            len(t.split(" ")),
+            sum(len(toks[w]) for w in t.split(" ")),
+        )
+        for doc_id, t in docs_py.items()
+    }
+
+    docs = spark.createDataFrame(
+        list(docs_py.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_apply(docs, n_merges=n_merges).collect()
+    }
+    assert got == expected, (seed, docs_py, got, expected)
+
+
 # --------------------------------------------------------- dedup_lines
 
 

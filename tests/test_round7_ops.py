@@ -386,6 +386,29 @@ def test_dedup_lines_literal_separator(spark, sf_dir):
     assert rows[1].n_chars_kept == len("keep me|x")
 
 
+def test_stream_quantile_equals_batch_sketch(spark, sf_dir):
+    """The drained complete-mode bins must equal the batch sketch's
+    bins exactly (sum is associative under any micro-batch slicing),
+    so the streaming estimates equal the batch sketch_est column
+    bit-for-bit on the same fixture."""
+    from bb_bigdata_log_tools_spark.registry_datasetops import (
+        q_quantile_sketch,
+    )
+    from bb_bigdata_log_tools_spark.registry_streaming import (
+        q_stream_quantile,
+    )
+
+    batch = {
+        (r.event_type, r.q): (r.n, r.sketch_est)
+        for r in q_quantile_sketch(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.event_type, r.q): (r.n, r.sketch_est)
+        for r in q_stream_quantile(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
 def test_bpe_train_textbook_semantics(spark, sf_dir):
     """BPE on a controlled corpus: pair STATS count every adjacent
     occurrence (overlapping — the classic get_stats), merge APPLICATION
