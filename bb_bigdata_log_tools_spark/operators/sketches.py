@@ -54,6 +54,84 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_register_relation(
+    df: DataFrame, group_col: str, value_col: str, p: int
+) -> DataFrame:
+    """(grp, reg, mx) HLL register relation — the ONE copy of the
+    register/rho derivation shared by the batch sketch and
+    ``streaming.ops.stream_hll_registers`` (``max`` is associative and
+    idempotent, so the same plan runs batch or streaming). NULL values
+    are ignored (countDistinct semantics): md5_long(NULL) is NULL and
+    would otherwise create a phantom (reg=NULL, mx=NULL) row that
+    inflates ``present`` without contributing to the harmonic sum —
+    skewing both the raw and small-range estimates."""
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = md5_long(F.col(value_col).cast("string"))
+    reg = F.pmod(h, F.lit(m))
+    # exact integer h // 2^p: shiftright, never double division — doubles
+    # are exact only to 2^53, so floor(h/m) on a 60-bit hash can round up
+    # near power-of-two boundaries and produce an invalid rho=0 register.
+    w = F.shiftright(h.cast("long"), p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def distinct_hash_relation(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(grp, h) distinct md5-hash relation feeding the KMV family.
+    NULL values are ignored (countDistinct semantics): md5_long(NULL)
+    is NULL and sorts NULLS FIRST, so it would steal rank 1 in the
+    bottom-k windows and shift every real hash's rank."""
+    h = md5_long(F.col(value_col).cast("string"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+    )
+
+
+def kmv_bottom_k_from_hashes(
+    hashes: DataFrame, k: int, salts: int = 16
+) -> DataFrame:
+    """(grp, h, rk) bottom-k relation from a (grp, h) hash relation —
+    the ONE copy of the salted two-phase KMV build shared by
+    ``approx_distinct_kmv`` and ``overlap_kmv`` (a single per-group
+    rank window would sort |distinct(group)| hashes in ONE task — the
+    grouped_topk discipline)."""
+    w1 = Window.partitionBy(
+        "grp", F.pmod(F.col("h"), F.lit(salts))
+    ).orderBy("h")
+    survivors = (
+        hashes.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    wnd = Window.partitionBy("grp").orderBy("h")
+    return survivors.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= k
+    )
+
+
+def kmv_bottom_k(
+    df: DataFrame, group_col: str, value_col: str, k: int, salts: int = 16
+) -> DataFrame:
+    """Bottom-k DISTINCT-hash sketch straight from a raw relation —
+    :func:`distinct_hash_relation` piped into
+    :func:`kmv_bottom_k_from_hashes`."""
+    return kmv_bottom_k_from_hashes(
+        distinct_hash_relation(df, group_col, value_col), k, salts
+    )
+
+
 def approx_distinct_hll(
     df: DataFrame,
     group_col: str = "event_type",
@@ -74,21 +152,7 @@ def approx_distinct_hll(
     Output: (group, n_exact, hll_estimate, rel_error).
     """
     m = 1 << p
-    wbits = HASH_BITS - p
-    h = md5_long(F.col(value_col).cast("string"))
-    reg = F.pmod(h, F.lit(m))
-    # exact integer h // 2^p: shiftright, never double division — doubles
-    # are exact only to 2^53, so floor(h/m) on a 60-bit hash can round up
-    # near power-of-two boundaries and produce an invalid rho=0 register.
-    w = F.shiftright(h.cast("long"), p)
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits) - F.length(F.bin(w)) + 1
-    )
-    regs = (
-        df.select(F.col(group_col).alias("grp"), reg.alias("reg"), rho.alias("rho"))
-        .groupBy("grp", "reg")
-        .agg(F.max("rho").alias("mx"))
-    )
+    regs = hll_register_relation(df, group_col, value_col, p)
     # harmonic sum over PRESENT registers; absent registers contribute
     # 2^0 = 1 each → add (m − present) after the aggregate.
     agg = regs.groupBy("grp").agg(
@@ -138,24 +202,7 @@ def approx_distinct_kmv(
     Output: (group, n_exact, kmv_estimate, rel_error). Expected
     relative error ≈ 1/√(k−2) ≈ 12.6 % at k=64.
     """
-    salts = 16
-    h = md5_long(F.col(value_col).cast("string"))
-    hashes = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
-        .distinct()
-    )
-    # salted two-phase bottom-k (the grouped_topk discipline): a single
-    # per-group rank window would sort |distinct(group)| in ONE task.
-    w1 = Window.partitionBy("grp", F.pmod(F.col("h"), F.lit(salts))).orderBy("h")
-    survivors = (
-        hashes.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k)
-        .drop("r1")
-    )
-    wnd = Window.partitionBy("grp").orderBy("h")
-    ranked = survivors.withColumn("rk", F.row_number().over(wnd)).filter(
-        F.col("rk") <= k
-    )
+    ranked = kmv_bottom_k(df, group_col, value_col, k)
     agg = ranked.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"),
@@ -203,11 +250,14 @@ def cms_buckets(
     copy of the hash family serves both.
 
     Hash row d uses md5_long('cms<d>:' || value) % width — pure integer
-    column algebra, bit-identical in DuckDB.
+    column algebra, bit-identical in DuckDB. NULL values are ignored
+    (the countDistinct convention of the sketch family): a NULL hashes
+    to NULL and would otherwise count into a phantom NULL bucket.
     """
     rows = F.explode(
         F.array(*[F.lit(d) for d in range(depth)])
     ).alias("d")
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("string")
     cols = [v.alias("v")]
     if weight_col is not None:
@@ -253,6 +303,10 @@ def cms_freq_estimate(
     report-only (a second groupBy on the value) and is what a sketch
     deployment drops.
     """
+    # exact side ignores NULLs exactly like the sketch build does
+    # (cms_buckets filters them) — a NULL group could otherwise enter
+    # the top-N and probe a phantom bucket
+    df = df.filter(F.col(value_col).isNotNull())
     sketch = cms_buckets(df, value_col, depth, width)
     exact = (
         df.select(F.col(value_col).cast("string").alias("v"))
@@ -287,6 +341,8 @@ def cms_weighted(
     ONE partial-agg groupBy to depth×width counters; the exact side is
     the report-only accuracy column.
     """
+    # exact side ignores NULLs like the sketch build (cms_buckets)
+    df = df.filter(F.col(value_col).isNotNull())
     sketch = cms_buckets(df, value_col, depth, width, weight_col=weight_col)
     exact = (
         df.select(
@@ -384,22 +440,10 @@ def overlap_kmv(
     Output: (grp_a, grp_b, n_union_exact, union_est, jaccard_exact,
     jaccard_est).
     """
-    salts = 16
-    h = md5_long(F.col(value_col).cast("string"))
-    hashes = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
-    # per-group bottom-k sketch (salted two-phase, the KMV discipline)
-    w1 = Window.partitionBy("grp", F.pmod(F.col("h"), F.lit(salts))).orderBy("h")
-    survivors = (
-        hashes.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k)
-        .drop("r1")
-    )
-    wnd = Window.partitionBy("grp").orderBy("h")
-    sketch = (
-        survivors.withColumn("rk", F.row_number().over(wnd))
-        .filter(F.col("rk") <= k)
-        .select("grp", "h")
-    )
+    hashes = distinct_hash_relation(df, group_col, value_col)
+    # per-group bottom-k sketch (salted two-phase, the KMV discipline —
+    # one shared copy with approx_distinct_kmv)
+    sketch = kmv_bottom_k_from_hashes(hashes, k).select("grp", "h")
     groups = sketch.select("grp").distinct()
     gpairs = (
         groups.alias("ga")
@@ -482,6 +526,11 @@ def _octave_keys(
     v = F.col(value_col)
     extra = dict(extra or {})  # name -> expr, applied in the FIRST select
     names = [F.col(nm) for nm in extra]
+    # NULL values are ignored (the countDistinct convention all sketch
+    # ops follow): floor(NULL·scale) is NULL, which would otherwise
+    # produce a (s=1, o=NULL, b=0) phantom bin that inflates n and
+    # sorts NULLS FIRST into every cumulative sum.
+    df = df.filter(v.isNotNull())
     scaled = F.floor(v * F.lit(float(scale)))  # long
     return (
         df.select(
@@ -617,6 +666,9 @@ def quantile_sketch(
     """
     grp = F.col(group_col)
     v = F.col(value_col)
+    # exact side must ignore NULLs exactly like the bin side
+    # (_octave_keys filters them) or n and the histogram diverge
+    df = df.filter(v.isNotNull())
     scaled = F.floor(v * F.lit(float(scale)))  # long
     keys = _octave_keys(df, group_col, value_col, scale)
     sk = keys.groupBy("grp", "s", "o", "b").agg(
@@ -707,29 +759,18 @@ def quantile_sketch_weighted(
     grp = F.col(group_col)
     v = F.col(value_col)
     w = F.col(weight_col).cast("long")
+    # NULL values/weights are ignored (the countDistinct convention;
+    # _octave_keys also drops NULL values for the bin side)
+    df = df.filter(v.isNotNull() & F.col(weight_col).isNotNull())
     scaled = F.floor(v * F.lit(float(scale)))  # long
     keys = _octave_keys(df, group_col, value_col, scale, extra={"w": w})
     sk = keys.groupBy("grp", "s", "o", "b").agg(F.sum("w").alias("cnt"))
-    wcum = Window.partitionBy("grp").orderBy("bin_key")
-    cum = sk.select("grp", "cnt", _bin_key_col(), _bin_mid_col(scale)).withColumn(
-        "cum", F.sum("cnt").over(wcum)
+    # the shared bin-navigate estimate (ONE copy — see
+    # quantile_estimate_from_bins); its n IS the total weight here
+    est = quantile_estimate_from_bins(sk, qs, scale).withColumnRenamed(
+        "n", "w_total"
     )
-    qrows = (
-        sk.groupBy("grp")
-        .agg(F.sum("cnt").alias("w_total"))
-        .select(
-            "grp",
-            "w_total",
-            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-        )
-        .withColumn("r", F.ceil(F.col("q") * F.col("w_total")).cast("long"))
-    )
-    est = (
-        qrows.join(F.broadcast(cum), "grp")
-        .filter(F.col("cum") >= F.col("r"))
-        .groupBy("grp", "q", "w_total", "r")
-        .agg(F.min_by("mid", "bin_key").alias("est_raw"))
-    )
+    qrows = est.select("grp", "q", "w_total", "r")
     # exact side, two-phase (see quantile_sketch): fine weight histogram
     # at 1/scale resolution locates each rank's bucket …
     hist = (

@@ -1078,6 +1078,7 @@ def _hll_oracle() -> str:
     return f"""
 WITH hashes AS (
   SELECT event_type AS grp, {h} AS h FROM events
+  WHERE user_id IS NOT NULL
 ),
 regs AS (
   SELECT grp, h % {m} AS reg,
@@ -1131,6 +1132,7 @@ def _kmv_oracle() -> str:
     return f"""
 WITH hashes AS (
   SELECT DISTINCT event_type AS grp, {h} AS h FROM events
+  WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
@@ -1378,7 +1380,8 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cms_oracle() -> str:
     h = _SK_MD5.format(x="'cms' || CAST(d AS VARCHAR) || ':' || v")
     return f"""
-WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+             WHERE user_id IS NOT NULL),
 ds AS (SELECT unnest(range({_CMS_D})) AS d),
 sketch AS (
   SELECT d, {h} % {_CMS_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
@@ -1433,6 +1436,7 @@ def _overlap_kmv_oracle() -> str:
     return f"""
 WITH hashes AS (
   SELECT DISTINCT event_type AS grp, {h} AS h FROM events
+  WHERE user_id IS NOT NULL
 ),
 sk AS (
   SELECT grp, h FROM (
@@ -1526,7 +1530,8 @@ def _quantile_bins_ctes() -> str:
     bins equal the batch bins exactly, sum being associative)."""
     qlist = ", ".join(f"{q}::DOUBLE" for q in _QSK_QS)
     return f"""
-WITH base AS (SELECT event_type AS grp, value AS v FROM events),
+WITH base AS (SELECT event_type AS grp, value AS v FROM events
+              WHERE value IS NOT NULL),
 binned AS (
   SELECT grp,
          CASE WHEN floor(v * {_QSK_SCALE}) < 0 THEN -1 ELSE 1 END AS s,
@@ -1620,6 +1625,7 @@ WITH base AS (
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS w
   FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 binned AS (
   SELECT grp, w,

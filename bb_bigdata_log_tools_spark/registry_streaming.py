@@ -600,6 +600,7 @@ def _stream_hll_oracle() -> str:
     return f"""
 WITH hashes AS (
   SELECT event_type AS grp, {h} AS h FROM events
+  WHERE user_id IS NOT NULL
 ),
 regs AS (
   SELECT grp, h % {m} AS reg,

@@ -43,19 +43,22 @@ def stream_hourly_stats(
     watermark: str = "2 hours",
     ts_col: str = "event_time",
     key_col: str = "component",
+    message_col: str = "message",
 ) -> DataFrame:
     """Hourly ingest volumes over event time with bounded state.
 
     Output schema: (window_start, window_end, <key>, line_count,
     total_bytes) — the streaming equivalent of
-    ``operators.index.log_stats_hourly``.
+    ``operators.index.log_stats_hourly``. ``message_col`` names the
+    byte-counted text column (the stream_grep convention — ts/key were
+    already parameterized, the text column must be too).
     """
     return (
         lines.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), "1 hour"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("line_count"),
-            F.sum(F.octet_length("message")).alias("total_bytes"),
+            F.sum(F.octet_length(message_col)).alias("total_bytes"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -86,6 +89,17 @@ def stream_sessionize(
     This is the streaming analog of ``operators.analytics.
     events_sessionize`` — state size is O(active users), independent of
     throughput; the only shuffle keys on user_id.
+
+    Cross-batch late-data contract (within the watermark; the per-key
+    analog of stream_skew_asof_join's as-of-arrival rule): a late event
+    inside or gap-adjacent to the OPEN session merges into it
+    (``last_ms`` never moves backwards — a regressed frontier caused
+    spurious gap splits and premature timeout flushes); a late event
+    older than the open session by more than the gap closes immediately
+    as its own 1-event session, since its true session may already be
+    emitted and append mode cannot retract. In a bounded drain (one
+    batch per key) the in-batch sort makes the output equal the batch
+    sessionize exactly — FULL oracle.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -134,8 +148,23 @@ def stream_sessionize(
                 elif t - last_ms > gap_ms:
                     closed.append((user_id, start_ms, last_ms, n))
                     start_ms, last_ms, n = t, t, 1
+                elif t >= start_ms:
+                    # within-span or forward extension; last_ms must
+                    # NEVER move backwards (a cross-batch late event
+                    # older than last_ms used to regress it, causing
+                    # spurious gap splits and premature timeout flush)
+                    last_ms, n = max(last_ms, t), n + 1
+                elif start_ms - t <= gap_ms:
+                    # late event just before the open session: extend
+                    # the span backwards — the batch answer merges it
+                    start_ms, n = t, n + 1
                 else:
-                    last_ms, n = t, n + 1
+                    # late singleton older than the open session by
+                    # more than the gap: its true session may already
+                    # be emitted (append mode cannot retract), so it
+                    # closes immediately as its own 1-event session —
+                    # the documented as-of-arrival late contract
+                    closed.append((user_id, t, t, 1))
             if start_ms is not None:
                 state.update((start_ms, last_ms, n))
                 state.setTimeoutTimestamp(last_ms + gap_ms)
@@ -180,9 +209,13 @@ def stream_funnel_match(
     earliest qualifying click), so the emission equals the batch
     nested-EXISTS min — which is exactly the DuckDB oracle.
 
-    State per user: (stage, last_us, done) — 3 longs, O(active users)
-    total, emission is immediate (no watermark/timeout dependence, so
-    the bounded drain needs no sentinel).
+    State per user: (stage, last_us, done) — 3 longs, and ONLY for
+    users whose machine has advanced: non-step events are filtered
+    before the groupBy and a no-advance batch writes no state, so the
+    NoTimeout state store is bounded by FUNNEL PARTICIPANTS, not by
+    every user the stream has ever seen. Emission is immediate (no
+    watermark/timeout dependence, so the bounded drain needs no
+    sentinel).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -223,25 +256,37 @@ def stream_funnel_match(
         # (t > last_us fails) — matching the oracle's strict <.
         evts.sort()
         out = []
+        advanced = False
         for t, idx in evts:
             if done:
                 break
             if idx == stage and (stage == 0 or t > last_us):
                 stage += 1
                 last_us = t
+                advanced = True
                 if stage == n_steps:
                     out.append((user_id, t))
                     done = 1
-        state.update((stage, last_us, done))
+        # only write state for users whose machine moved: combined with
+        # the pre-groupBy step filter, a user never emitting a funnel
+        # step allocates NO permanent state row (NoTimeout state is
+        # never evicted — unconditional update() grew it with every
+        # distinct user ever seen, funnel participant or not)
+        if advanced or state.exists:
+            state.update((stage, last_us, done))
         if out:
             yield pd.DataFrame(out, columns=["user_id", "completed_us"])
 
-    return events.groupBy(user_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -680,27 +725,15 @@ def stream_hll_registers(
     as the batch :func:`~bb_bigdata_log_tools_spark.operators.sketches.
     approx_distinct_hll`.
     """
-    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
-    from bb_bigdata_log_tools_spark.operators.sketches import HASH_BITS
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        hll_register_relation,
+    )
 
-    m = 1 << p
-    wbits = HASH_BITS - p
-    h = md5_long(F.col(value_col).cast("string"))
-    # exact integer h // 2^p via shiftright (see approx_distinct_hll:
-    # double division is exact only to 2^53, 60-bit hashes are not).
-    w = F.shiftright(h.cast("long"), p)
-    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits) - F.length(F.bin(w)) + 1
-    )
-    return (
-        events.select(
-            F.col(group_col).alias("grp"),
-            F.pmod(h, F.lit(m)).alias("reg"),
-            rho.alias("rho"),
-        )
-        .groupBy("grp", "reg")
-        .agg(F.max("rho").alias("mx"))
-    )
+    # the batch builder IS the streaming plan — pure streaming-
+    # compatible column algebra, one copy (the stream_cms_buckets /
+    # stream_quantile_bins discipline: a second register/rho derivation
+    # here could silently diverge from the batch oracle).
+    return hll_register_relation(events, group_col, value_col, p)
 
 
 def stream_cms_buckets(

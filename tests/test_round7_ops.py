@@ -59,6 +59,44 @@ def test_weighted_quantile_state_mergeable(spark, sf_dir):
     assert one == two
 
 
+def test_sketches_ignore_null_values(spark, sf_dir):
+    """Every sketch op follows the countDistinct convention: NULL
+    values contribute NOTHING. Pre-fix, md5_long(NULL)=NULL created a
+    phantom HLL register (inflating `present`), stole rank 1 in the
+    KMV bottom-k windows (NULLS FIRST), counted into a phantom CMS
+    bucket, and binned into a (s=1, o=NULL) quantile bin that inflated
+    n and every cumulative sum."""
+    from bb_bigdata_log_tools_spark.operators.sketches import (
+        approx_distinct_hll,
+        approx_distinct_kmv,
+        cms_freq_estimate,
+        overlap_kmv,
+        quantile_sketch,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", i % 37, float(i % 11)) for i in range(300)]
+        + [("b", i % 19, float(i % 7)) for i in range(150)],
+        "event_type string, user_id long, value double",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", None, None)] * 25 + [("b", None, None)] * 10,
+            "event_type string, user_id long, value double",
+        )
+    )
+    for op in (
+        lambda d: approx_distinct_hll(d),
+        lambda d: approx_distinct_kmv(d, k=16),
+        lambda d: cms_freq_estimate(d, top_n=5),
+        lambda d: overlap_kmv(d, k=16),
+        lambda d: quantile_sketch(d),
+    ):
+        assert sorted(map(tuple, op(clean).collect())) == sorted(
+            map(tuple, op(dirty).collect())
+        )
+
+
 def _skew_stream_from_dir(spark, src):
     from pyspark.sql import functions as F
 
@@ -211,6 +249,61 @@ def test_stream_skew_asof_right_rows_match_as_of_arrival(spark, tmp_path):
     # 901 resolved in batch 1 against click 900 (902 not yet arrived);
     # 903 resolved in batch 2 against the now-buffered 902
     assert rows == {(901, 900), (903, 902)}
+
+
+def test_stream_sessionize_cross_batch_late_events(spark, tmp_path):
+    """The session frontier must NEVER move backwards: a cross-batch
+    late event inside/adjacent to the open session merges into it
+    (pre-fix it regressed last_ms, splitting the session spuriously and
+    emitting session_end < session_start), and a late event older than
+    the open session by more than the gap closes immediately as its own
+    1-event session (its true session may already be emitted)."""
+    import time
+
+    from bb_bigdata_log_tools_spark.streaming.ops import stream_sessionize
+
+    src = tmp_path / "late_sess"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "2024-01-01T12:00:00 7 click 1\n"
+        "2024-01-01T12:10:00 7 click 2\n"  # open session [12:00, 12:10]
+    )
+    time.sleep(1.1)
+    (src / "b.txt").write_text(
+        "2024-01-01T10:00:00 7 click 3\n"  # > gap older: late singleton
+        "2024-01-01T11:55:00 7 click 4\n"  # gap-adjacent: extends start
+        "2024-01-01T12:35:00 7 click 5\n"  # forward extension
+        "2024-01-01T13:30:00 7 click 6\n"  # > gap: closes the session
+    )
+    out = stream_sessionize(
+        _skew_stream_from_dir(spark, src),
+        gap_minutes=30,
+        ts_col="event_time",
+        watermark="3 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM late_sess").collect()
+    }
+    base = 1704067200000  # 2024-01-01T00:00:00Z
+    h, m = 3_600_000, 60_000
+    assert rows == {
+        (base + 10 * h, base + 10 * h, 1),  # late singleton
+        # merged open session: backward-extended to 11:55, forward to
+        # 12:35, five events (2 from batch 1 + late 4 + 5... the late
+        # singleton 3 is its own row), closed by the 13:30 gap
+        (base + 11 * h + 55 * m, base + 12 * h + 35 * m, 4),
+    }
+    for start, end, _ in rows:
+        assert start <= end
 
 
 def test_write_boom_tree_bytes_deterministic(spark, tmp_path):
