@@ -88,16 +88,18 @@ def dedup_incremental(
     — the "don't re-ingest what's already in the corpus" step of an
     incremental pipeline.
 
-    Implemented as a LEFT ANTI join on the 60-bit md5 content hash:
-    both sides shuffle on the hash (uniformly distributed — no skew by
-    construction), map-side distinct on the seen side keeps the shuffle
-    at one row per distinct hash. At 100 TB the seen-side hash set is
-    usually orders of magnitude smaller than its text and often
-    broadcast-able; AQE picks broadcast when it fits, and an
-    approximate pre-filter (bloom) would only change the constant, not
-    the shape.
+    Implemented as a LEFT ANTI join on the FULL 128-bit md5 content
+    hash (the dedup_exact identity — a 60-bit key collides at ~1e10
+    seen docs often enough to silently and permanently drop unique
+    documents from ingestion): both sides shuffle on the hash
+    (uniformly distributed — no skew by construction), map-side
+    distinct on the seen side keeps the shuffle at one row per
+    distinct hash. At 100 TB the seen-side hash set is usually orders
+    of magnitude smaller than its text and often broadcast-able; AQE
+    picks broadcast when it fits, and an approximate pre-filter
+    (bloom) would only change the constant, not the shape.
     """
-    h = md5_long(text_col)
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
     seen_hashes = seen.select(h.alias("content_h")).distinct()
     return batch.withColumn("content_h", h).join(
         seen_hashes, "content_h", "left_anti"
@@ -115,12 +117,18 @@ def pii_scrub(
     phone numbers); a production pass would chain model-based NER
     behind this filter, gated on ``pii_total > 0`` so the expensive
     path only sees flagged documents.
+
+    Each kind is COUNTED on the progressively-scrubbed text (the same
+    string its replacement then runs on), so every count equals the
+    number of ``<KIND>`` masks actually emitted — counting everything
+    on the original text reported a phantom unmasked phone inside an
+    already-masked email (patterns can overlap).
     """
     out = df
     scrubbed = F.col(text_col)
     total = F.lit(0)
     for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(f"pii_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"pii_{kind}", F.regexp_count(scrubbed, F.lit(pat)))
         total = total + F.col(f"pii_{kind}")
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("pii_total", total).withColumn(out_col, scrubbed)
@@ -298,11 +306,20 @@ def pack_sequences(
     bounds = documents.agg(
         F.min("doc_id").alias("doc_lo"), F.max("doc_id").alias("doc_hi")
     )
-    span = (F.col("doc_hi") - F.col("doc_lo") + 1).cast("double")
+    # cast BEFORE subtracting: long − long wraps when ids span more
+    # than half the int64 range (e.g. signed 64-bit content hashes as
+    # ids), breaking the docstring's order-preserving guarantee; the
+    # double subtraction loses only low-bit precision, which shifts
+    # bucket BOUNDARIES (parallelism), never the ordering values
+    span = (
+        F.col("doc_hi").cast("double") - F.col("doc_lo").cast("double") + 1.0
+    )
     bucket = F.least(
         F.lit(n_part - 1),
         F.floor(
-            (F.col("doc_id") - F.col("doc_lo")).cast("double") / span * n_part
+            (F.col("doc_id").cast("double") - F.col("doc_lo").cast("double"))
+            / span
+            * n_part
         ),
     ).cast("int")
     parts = (
@@ -601,15 +618,26 @@ def token_budget_plan(
             "n_tokens",
             "weight",
             "target_tokens",
-            F.least(
-                F.col("n_docs"),
-                F.floor(
-                    F.col("target_tokens") * F.col("n_docs") / F.col("n_tokens")
-                ).cast("long"),
-            ).alias("quota_docs"),
-            F.round(F.col("target_tokens") / F.col("n_tokens"), 4).alias(
-                "fill_ratio"
-            ),
+            # ratio FIRST in double: target_tokens * n_docs as long·long
+            # overflows int64 at real corpus scale (2.5e13 tokens ×
+            # 2e9 docs ≫ 2^63) and wraps silently in non-ANSI mode; a
+            # zero-token source (all-empty texts) floors to quota 0
+            # instead of NULL
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.col("n_docs"),
+                    F.floor(
+                        F.col("target_tokens")
+                        / F.col("n_tokens")
+                        * F.col("n_docs")
+                    ).cast("long"),
+                )
+            )
+            .alias("quota_docs"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("target_tokens") / F.col("n_tokens"), 4))
+            .alias("fill_ratio"),
         )
         .transform(lambda d: small_sort(d, "source"))
     )
@@ -675,7 +703,12 @@ def sample_reservoir(
     provably containing the true global top-N.
     """
     rank = md5_long(F.concat(F.lit(seed_tag + ":"), F.col(key_col).cast("string")))
-    salt = F.pmod(F.col(key_col), F.lit(salts))
+    # hash() so string keys salt too — pmod on a string casts to NULL,
+    # collapsing every row into ONE window partition (the single-task
+    # sort this function exists to prevent); the salt assignment never
+    # changes the OUTPUT (global top-N ⊆ phase-1 survivors under any
+    # assignment) — the sample_weighted_exact fix applied here too.
+    salt = F.pmod(F.hash(F.col(key_col)), F.lit(salts))
     w1 = Window.partitionBy(salt).orderBy(rank.asc(), F.col(key_col).asc())
     survivors = (
         df.withColumn("r1", F.row_number().over(w1))

@@ -181,6 +181,15 @@ def minhash_bands_from_hashes(
     band_sig is the md5 of the comma-joined band slice, so the band
     bucketing is reproducible in any SQL engine.
     """
+    if bands <= 0 or num_perm % bands != 0:
+        # bands > num_perm would make rows_per_band 0 → every band_sig
+        # is md5('') and the LSH bucket join degenerates to the full
+        # N²/2 cross product; a non-divisor silently drops trailing
+        # permutations and changes the tuned S-curve. Fail loudly (the
+        # dedup_simhash parameter-validation convention).
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows_per_band = num_perm // bands
     sig = minhash_signature_relational(sh, num_perm)
     band_cols = []
@@ -536,7 +545,12 @@ def dedup_keep_best(
     from bb_bigdata_log_tools_spark.operators.textqc import text_quality
 
     clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
-    quality = text_quality(documents).select("doc_id", "quality_score")
+    # sort=False: the default small_sort would localCheckpoint + count
+    # + globally sort the CORPUS-sized quality relation, and the join
+    # below reshuffles it anyway (the dedup_resolve discipline)
+    quality = text_quality(documents, sort=False).select(
+        "doc_id", "quality_score"
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
@@ -672,13 +686,19 @@ def dedup_edit_distance(
 
     Block key = (first ``prefix_len`` chars, ``n_chars // len_band``):
     two docs within ``max_dist`` edits of each other that share a
-    prefix and length band meet in one block; candidates pair via an
-    equi-join on the block key with ``doc_id1 < doc_id2`` halving, and
-    only candidates pay the O(len²) ``levenshtein`` (JVM codegen,
-    nothing Python-side). The prefix block trades recall for bound
-    (edits inside the first ``prefix_len`` chars split a pair across
-    blocks) — the standard windowed-blocking compromise; tighten with a
-    second pass on suffix blocks if recall matters more than cost.
+    prefix meet in the SAME or ADJACENT length bands (their lengths
+    differ by ≤ max_dist ≤ len_band), so each group also joins the
+    next band up via a bridge copy — without it, a pair straddling a
+    band boundary (lengths 31 and 34 at len_band=16) was silently
+    lost even with identical prefixes. Emission is exactly-once:
+    equal-band pairs order by gid, cross-band pairs emit from the
+    lower band. Only candidates pay the O(len²) ``levenshtein`` (JVM
+    codegen, nothing Python-side). The prefix block trades recall for
+    bound (edits inside the first ``prefix_len`` chars split a pair
+    across blocks) — the standard windowed-blocking compromise;
+    tighten with a second pass on suffix blocks if recall matters more
+    than cost. Requires ``len_band ≥ max_dist`` for the adjacent-band
+    property to hold.
 
     ``max_block`` caps the per-block fan-out the same way ``max_df``
     caps hot shingles in :func:`jaccard_pairs`: a block of B docs emits
@@ -746,14 +766,32 @@ def dedup_edit_distance(
             F.lit(0).cast("int").alias("edit_dist"),
         )
     )
-    # inter-group: levenshtein once per distinct-text pair, then expand
-    a, b = groups.alias("a"), groups.alias("b")
+    # inter-group: levenshtein once per distinct-text pair, then expand.
+    # The left side carries a BRIDGE copy in band+1 so boundary-
+    # straddling pairs meet; the (band<, or gid< at equal band) rule
+    # emits each pair exactly once — equal-band pairs match only via
+    # the jband == blk_len copy, cross-band only from the lower band.
+    a = (
+        groups.withColumn(
+            "jband",
+            F.explode(F.array(F.col("blk_len"), F.col("blk_len") + F.lit(1))),
+        )
+        .repartition(n_part, "blk_prefix", "jband")
+        .alias("a")
+    )
+    b = groups.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.blk_prefix") == F.col("b.blk_prefix"))
-            & (F.col("a.blk_len") == F.col("b.blk_len"))
-            & (F.col("a.gid") < F.col("b.gid")),
+            & (F.col("a.jband") == F.col("b.blk_len"))
+            & (
+                (F.col("a.blk_len") < F.col("b.blk_len"))
+                | (
+                    (F.col("a.blk_len") == F.col("b.blk_len"))
+                    & (F.col("a.gid") < F.col("b.gid"))
+                )
+            ),
         )
         .select(
             F.col("a.members").alias("ma"),
@@ -791,11 +829,22 @@ def minhash_recall_eval(
     exercises the real plans; the comparison is a full outer join on
     the (small, pair-level) outputs plus one global aggregate — cost is
     dominated by the two finders themselves. The (doc_id, h) shingle
-    relation is materialized ONCE (localCheckpoint) and fed to both
-    finders — an eval runs them together by construction, so here the
-    share is free, unlike the production finders' recompute default.
+    relation is CAPPED at ``max_df`` once and materialized ONCE
+    (localCheckpoint), then fed to BOTH finders — so truth and approx
+    score the SAME Jaccard definition. Feeding the LSH side the
+    uncapped relation made threshold-boundary pairs flip between the
+    sets for cap reasons unrelated to LSH recall (capped truth J vs
+    uncapped verification J disagree whenever a shared shingle is
+    hotter than max_df).
     """
-    sh = doc_shingle_hashes(documents, n).localCheckpoint()
+    raw = doc_shingle_hashes(documents, n)
+    hot = (
+        raw.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    sh = raw.join(hot, "h", "left_anti").localCheckpoint()
     truth = dedup_ngram_jaccard(
         documents, n, threshold, max_df, shingles=sh
     ).select("doc_id1", "doc_id2", F.lit(1).alias("in_truth"))
@@ -1129,17 +1178,39 @@ def contrastive_pairs(
     Output: (anchor_id, positive_id, negative_id, jaccard).
 
     100 TB shape: the pair relation is LSH-bounded; the negative pick
-    is ONE window rank over the corpus ids plus an equi-join on the
-    anchor's rank successor — no corpus self-join, no rand().
+    is a bucketed-parallel global rank over the corpus ids plus an
+    equi-join on the anchor's rank successor — no corpus self-join, no
+    rand(). The rank is exact-global WITHOUT an unpartitioned window
+    (which would sort every corpus id in ONE task): the 60-bit seeded
+    hash's top 6 bits form 64 ORDERED buckets, ids rank within their
+    bucket in parallel, and the tiny 64-row bucket-count relation
+    yields the offsets — rank = offset + local rank reproduces the
+    single-window ordering bit-for-bit.
     """
     pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
-    ids = documents.select("doc_id")
+    rank_h = md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string")))
+    ids = documents.select("doc_id", rank_h.alias("rh"))
     n_docs = ids.count()
-    w = Window.partitionBy().orderBy(
-        md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"),
+    # top 6 of the 60 hash bits → 64 buckets whose boundaries respect
+    # the (rh, doc_id) global order; md5-collision ties share a bucket
+    bkt = F.shiftright(F.col("rh"), 60 - 6)
+    wloc = Window.partitionBy("bkt").orderBy("rh", "doc_id")
+    loc = ids.withColumn("bkt", bkt).withColumn(
+        "lrk", F.row_number().over(wloc)
     )
-    ranked = ids.withColumn("rk", F.row_number().over(w))
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # 64-row relation: the single-task window is trivially small
+    offs = (
+        loc.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+        .select("bkt", "off")
+    )
+    ranked = (
+        loc.join(F.broadcast(offs), "bkt")
+        .select("doc_id", (F.col("off") + F.col("lrk")).alias("rk"))
+    )
     r_anchor = ranked.alias("ra")
     r1 = ranked.alias("r1")
     r2 = ranked.alias("r2")

@@ -71,11 +71,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_INCREMENTAL = f"""
+SQL_DEDUP_INCREMENTAL = """
 SELECT doc_id, lang, source FROM documents b
 WHERE doc_id % 5 = 0
-  AND {_MD5_LONG.format(x='b.text')} NOT IN (
-    SELECT {_MD5_LONG.format(x='s.text')} FROM documents s WHERE doc_id % 5 <> 0)
+  AND md5(b.text) NOT IN (
+    SELECT md5(s.text) FROM documents s WHERE doc_id % 5 <> 0)
 ORDER BY doc_id
 """
 
@@ -131,12 +131,23 @@ _PHONE = curation.PII_PATTERNS["phone"]
 SQL_PII_SCRUB = f"""
 WITH aug AS (SELECT doc_id, {_INJECT_SQL} AS text2 FROM documents)
 SELECT doc_id,
+  -- each kind counted on the progressively-scrubbed text, matching
+  -- the operator (counts == emitted masks even when patterns overlap)
   CAST(len(regexp_extract_all(text2, '{_EMAIL}')) AS INTEGER) AS pii_email,
-  CAST(len(regexp_extract_all(text2, '{_IPV4}')) AS INTEGER) AS pii_ipv4,
-  CAST(len(regexp_extract_all(text2, '{_PHONE}')) AS INTEGER) AS pii_phone,
+  CAST(len(regexp_extract_all(
+      regexp_replace(text2, '{_EMAIL}', '<EMAIL>', 'g'),
+      '{_IPV4}')) AS INTEGER) AS pii_ipv4,
+  CAST(len(regexp_extract_all(
+      regexp_replace(regexp_replace(text2, '{_EMAIL}', '<EMAIL>', 'g'),
+                     '{_IPV4}', '<IPV4>', 'g'),
+      '{_PHONE}')) AS INTEGER) AS pii_phone,
   CAST(len(regexp_extract_all(text2, '{_EMAIL}'))
-     + len(regexp_extract_all(text2, '{_IPV4}'))
-     + len(regexp_extract_all(text2, '{_PHONE}')) AS INTEGER) AS pii_total,
+     + len(regexp_extract_all(
+         regexp_replace(text2, '{_EMAIL}', '<EMAIL>', 'g'), '{_IPV4}'))
+     + len(regexp_extract_all(
+         regexp_replace(regexp_replace(text2, '{_EMAIL}', '<EMAIL>', 'g'),
+                        '{_IPV4}', '<IPV4>', 'g'),
+         '{_PHONE}')) AS INTEGER) AS pii_total,
   md5(regexp_replace(regexp_replace(regexp_replace(text2,
       '{_EMAIL}', '<EMAIL>', 'g'),
       '{_IPV4}', '<IPV4>', 'g'),
@@ -665,10 +676,14 @@ planned AS (
   FROM mix, tot
 )
 SELECT source, n_docs, n_tokens, weight, target_tokens,
-       least(n_docs,
-             CAST(floor(target_tokens * n_docs / CAST(n_tokens AS DOUBLE))
-                  AS BIGINT)) AS quota_docs,
-       round(target_tokens / CAST(n_tokens AS DOUBLE), 4) AS fill_ratio
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE least(n_docs,
+                       CAST(floor(target_tokens / CAST(n_tokens AS DOUBLE)
+                                  * n_docs) AS BIGINT))
+       END AS quota_docs,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(target_tokens / CAST(n_tokens AS DOUBLE), 4)
+       END AS fill_ratio
 FROM planned
 ORDER BY source
 """

@@ -91,16 +91,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_minhash_lsh(ensure_parallelism(table(spark, sf_dir, "documents")), 3, 64, 16, 0.6)
 
 
-# CTE chain ending in `pairs(doc_id1, doc_id2, jaccard)` — shared by the
-# minhash oracle and the recursive-closure clustering oracle.
-SQL_MINHASH_PAIRS_CTES = f"""{SQL_SHINGLES},
-perms(pid, a, b) AS (VALUES
+def _minhash_pairs_tail(sh_rel: str = "sh", sizes_rel: str = "sizes") -> str:
+    """CTE tail (perms → … → pairs(doc_id1, doc_id2, jaccard)) over a
+    caller-named shingle/sizes relation — one copy serving the
+    production minhash oracle (uncapped ``sh``/``sizes``) and the
+    recall-eval oracle (capped ``shc``/``csizes``, so truth and approx
+    score the same Jaccard definition)."""
+    return f"""perms(pid, a, b) AS (VALUES
     {_perm_values(64)}
 ),
 mh AS (
   SELECT doc_id, pid,
          min((a * (h % {MERSENNE_31}) + b) % {MERSENNE_31}) AS mv
-  FROM sh, perms
+  FROM {sh_rel}, perms
   GROUP BY doc_id, pid
 ),
 bandsigs AS (
@@ -117,18 +120,24 @@ candidates AS (
 common AS (
   SELECT c.doc_id1, c.doc_id2, count(*) AS common
   FROM candidates c
-  JOIN sh x ON x.doc_id = c.doc_id1
-  JOIN sh y ON y.doc_id = c.doc_id2 AND y.h = x.h
+  JOIN {sh_rel} x ON x.doc_id = c.doc_id1
+  JOIN {sh_rel} y ON y.doc_id = c.doc_id2 AND y.h = x.h
   GROUP BY 1, 2
 ),
 pairs AS (
   SELECT doc_id1, doc_id2,
          round(common / (sa.sz + sb.sz - common), 4) AS jaccard
   FROM common
-  JOIN sizes sa ON doc_id1 = sa.doc_id
-  JOIN sizes sb ON doc_id2 = sb.doc_id
+  JOIN {sizes_rel} sa ON doc_id1 = sa.doc_id
+  JOIN {sizes_rel} sb ON doc_id2 = sb.doc_id
   WHERE round(common / (sa.sz + sb.sz - common), 4) >= 0.6
 )"""
+
+
+# CTE chain ending in `pairs(doc_id1, doc_id2, jaccard)` — shared by the
+# minhash oracle and the recursive-closure clustering oracle.
+SQL_MINHASH_PAIRS_CTES = f"""{SQL_SHINGLES},
+{_minhash_pairs_tail()}"""
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {SQL_MINHASH_PAIRS_CTES}
@@ -533,11 +542,13 @@ blocked AS (
   SELECT b.* FROM blocked0 b
   ANTI JOIN hot h USING (blk_prefix, blk_len)
 )
-SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+SELECT least(a.doc_id, b.doc_id) AS doc_id1,
+       greatest(a.doc_id, b.doc_id) AS doc_id2,
        CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
 FROM blocked a
-JOIN blocked b ON a.blk_prefix = b.blk_prefix AND a.blk_len = b.blk_len
-              AND a.doc_id < b.doc_id
+JOIN blocked b ON a.blk_prefix = b.blk_prefix
+              AND b.blk_len - a.blk_len BETWEEN 0 AND 1
+              AND (a.blk_len < b.blk_len OR a.doc_id < b.doc_id)
 WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
 ORDER BY doc_id1, doc_id2
 """
@@ -550,12 +561,25 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Both sides over the SAME max_df-capped shingle relation (shc/csizes)
+# — matching minhash_recall_eval, so truth and approx score one Jaccard
+# definition and the eval measures LSH recall, not cap disagreements.
 SQL_MINHASH_RECALL_EVAL = f"""
-WITH truth AS (
-  SELECT doc_id1, doc_id2 FROM ({SQL_DEDUP_NGRAM_JACCARD}) t
+WITH {SQL_SHINGLES},
+hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > {NGRAM_MAX_DF}),
+shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+csizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+{_minhash_pairs_tail("shc", "csizes")},
+truth AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN csizes sa ON a.doc_id = sa.doc_id
+  JOIN csizes sb ON b.doc_id = sb.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+  HAVING round(count(*) / (sa.sz + sb.sz - count(*)), 4) >= 0.6
 ),
 approx AS (
-  SELECT doc_id1, doc_id2 FROM ({SQL_DEDUP_MINHASH_LSH}) a
+  SELECT doc_id1, doc_id2 FROM pairs
 ),
 j AS (
   SELECT coalesce(t.doc_id1, a.doc_id1) AS d1,
