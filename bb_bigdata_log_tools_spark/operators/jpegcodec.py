@@ -9,9 +9,13 @@ used for deterministic fixtures. Both read/write the tables carried IN
 the file (DQT/DHT segments), so the pair is self-consistent regardless
 of table choice; the encoder emits the T.81 Annex K example tables.
 
-Honest-stub boundary (returns None → ``decoded=false`` downstream):
-progressive (SOF2) and all other non-baseline frame types, arithmetic
-coding (DAC), 12-bit precision, and component counts other than 1 or 3.
+Progressive (SOF2) files ALSO really decode — spectral selection and
+successive approximation, all four Annex G procedures (DC/AC ×
+first/refinement), with EOB block runs and restart markers; the
+encoder can emit a full successive-approximation scan script for
+fixtures. Honest-stub boundary (returns None → ``decoded=false``
+downstream): lossless/hierarchical frame types, arithmetic coding
+(DAC), 12-bit precision, and component counts other than 1 or 3.
 A production deployment plugs libjpeg-turbo/Pillow into the same
 ``image_parse_pixels`` seam for throughput; this decoder is
 dependency-free and deterministic, which is what the value-hash oracle
@@ -110,6 +114,16 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex K
+# tables do not contain (their code space is full but for the reserved
+# all-ones slot), so progressive files carry this flat table instead —
+# every 8-bit symbol at length 8 or 9, Kraft sum 49152 < 65536 with the
+# all-ones prefix left unused, exactly like real optimized-table files
+# carry their own DHT. The decoder always builds from the file's DHT,
+# so this is encoder-only.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
 
 # Separable IDCT/FDCT basis: M[x][u] = 0.5 * C(u) * cos((2x+1)uπ/16),
 # so spatial = M · F · Mᵀ and F = Mᵀ · spatial · M.
@@ -290,12 +304,16 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     n = len(payload)
     # multi-scan accumulation (baseline non-interleaved: one SOS per
     # component, T.81 A.2.2): coefficient blocks per FRAME component
     # index, finalized at EOI once every component has a scan
     blocks_store: dict[int, list] = {}
+    # progressive accumulation (T.81 Annex G): per-component quantized
+    # coefficient arrays refined across scans, finalized at EOI
+    prog: dict[int, dict] = {}
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -342,7 +360,7 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 vals = list(body[b + 17 : b + 17 + nv])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 b += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision, h, w = struct.unpack_from(">BHH", body, 0)
             if precision != 8:
                 return None
@@ -358,9 +376,10 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                      "tq": body[8 + 3 * c]}
                 )
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
-            return None  # progressive / hierarchical / arithmetic: stub
+            return None  # lossless / hierarchical / arithmetic: stub
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -380,6 +399,19 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if progressive:
+                if len(body) < 1 + 2 * ns + 3:
+                    return None
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                nxt = _progressive_decode_scan(
+                    payload, pos + 2 + seglen, frame, prog, scan,
+                    ss, se, ah, al, huff, restart_interval,
+                )
+                if nxt is None:
+                    return None
+                pos = nxt
+                continue
             scan_cis = [ci for ci, _, _ in scan]
             if len(set(scan_cis)) != len(scan_cis) or any(
                 ci in blocks_store for ci in scan_cis
@@ -402,6 +434,8 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     # EOI (or end of data after the last scan): finalize once every
     # frame component has its scan; header-only skeletons and
     # incomplete multi-scan files stay rejected
+    if progressive:
+        return _progressive_finalize(frame, prog, qt)
     if frame is not None and blocks_store and set(blocks_store) == set(
         range(len(frame[2]))
     ):
@@ -508,6 +542,310 @@ def _entropy_decode_scan(
                 blocks[ci].append((bx * 8, by * 8, coef))
                 mcu_count += 1
     return blocks, _scan_end(data, br.pos)
+
+
+# --------------------------------------------------------------------------
+# Progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation). Coefficients stay QUANTIZED integers across scans —
+# DC refinements OR in bit Al (two's complement, exact with Python
+# ints), AC refinements apply the G.1.2.3 correction-bit algorithm —
+# and are dequantized once at EOI.
+# --------------------------------------------------------------------------
+
+
+def _prog_own_grid(w, h, comp, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil(ceil(dim·sampling/max)/8)
+    (T.81 A.2.2) — SMALLER than the MCU-padded allocation at edges."""
+    xc = -(-w * comp["h"] // hmax)
+    yc = -(-h * comp["v"] // vmax)
+    return -(-xc // 8), -(-yc // 8)
+
+
+def _progressive_decode_scan(
+    data, pos, frame, prog, scan, ss, se, ah, al, huff, restart_interval
+):
+    """Decode ONE progressive scan into the persistent per-component
+    coefficient store ``prog``; returns the next-marker position or
+    None on malformed input / scan-script violations.
+
+    Scan-script validation (per coefficient, per component): the first
+    scan covering a coefficient must have Ah=0 (any Al); a refinement
+    must have Ah = previous Al and Al = Ah-1; AC scans are Ns=1 and
+    must follow the component's DC scan (T.81 G.1.1.1.1)."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for ci, c in enumerate(comps):
+        if ci not in prog:
+            bw_, bh_ = mcus_x * c["h"], mcus_y * c["v"]
+            prog[ci] = {
+                "coef": [[0] * 64 for _ in range(bw_ * bh_)],
+                "bw": bw_,
+                "bh": bh_,
+                "state": [-1] * 64,  # per-coefficient current Al; -1 unseen
+            }
+        c["pw"], c["ph"] = prog[ci]["bw"] * 8, prog[ci]["bh"] * 8
+    is_dc = ss == 0
+    if is_dc:
+        if se != 0:
+            return None
+    elif not (1 <= ss <= se <= 63) or len(scan) != 1:
+        return None
+    if ah and al != ah - 1:
+        return None
+    band = (0,) if is_dc else tuple(range(ss, se + 1))
+    for ci, _, _ in scan:
+        st = prog[ci]["state"]
+        for k in band:
+            if (st[k] != -1) if ah == 0 else (st[k] != ah):
+                return None
+        if not is_dc and st[0] == -1:
+            return None  # AC scan before the component's DC scan
+    br = _BitReader(data, pos)
+    ok = (
+        _prog_dc_scan(br, w, h, comps, prog, scan, ah, al, huff,
+                      restart_interval, mcus_x, mcus_y, hmax, vmax)
+        if is_dc
+        else _prog_ac_scan(br, w, h, comps, prog, scan[0], ss, se, ah, al,
+                           huff, restart_interval, hmax, vmax)
+    )
+    if not ok:
+        return None
+    for ci, _, _ in scan:
+        st = prog[ci]["state"]
+        for k in band:
+            st[k] = al
+    return _scan_end(data, br.pos)
+
+
+def _prog_dc_scan(
+    br, w, h, comps, prog, scan, ah, al, huff, restart_interval,
+    mcus_x, mcus_y, hmax, vmax
+):
+    """DC scan: first pass (Ah=0) Huffman-decodes shifted diffs per
+    T.81 G.2; a refinement appends one raw bit per block at position
+    Al. Interleaved (Ns>1) rasters the frame MCU grid including edge
+    dummy blocks; Ns=1 rasters the component's own grid."""
+    tabs = []
+    if ah == 0:
+        for _, td, _ in scan:
+            t = huff.get((0, td))
+            if t is None:
+                return False
+            tabs.append(t)
+    preds = [0] * len(scan)
+    mcu_count = 0
+
+    def check_restart() -> bool:
+        nonlocal preds
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            m = br.align_and_skip_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                return False
+            preds = [0] * len(scan)
+        return True
+
+    def decode_one(blk, si) -> bool:
+        if ah == 0:
+            s = _decode_huff(br, tabs[si])
+            if s is None:
+                return False
+            diff = 0
+            if s:
+                v = br.receive(s)
+                if v is None:
+                    return False
+                diff = _extend(v, s)
+            preds[si] += diff
+            blk[0] = preds[si] << al
+        else:
+            b = br.read_bit()
+            if b is None:
+                return False
+            if b:
+                blk[0] |= 1 << al
+        return True
+
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if not check_restart():
+                    return False
+                for si, (ci, _, _) in enumerate(scan):
+                    comp, p = comps[ci], prog[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = p["coef"][
+                                (my * comp["v"] + by) * p["bw"]
+                                + mx * comp["h"] + bx
+                            ]
+                            if not decode_one(blk, si):
+                                return False
+                mcu_count += 1
+    else:
+        ci, _, _ = scan[0]
+        p = prog[ci]
+        bxs, bys = _prog_own_grid(w, h, comps[ci], hmax, vmax)
+        for by in range(bys):
+            for bx in range(bxs):
+                if not check_restart():
+                    return False
+                if not decode_one(p["coef"][by * p["bw"] + bx], 0):
+                    return False
+                mcu_count += 1
+    return True
+
+
+def _prog_ac_scan(
+    br, w, h, comps, prog, sc, ss, se, ah, al, huff, restart_interval,
+    hmax, vmax
+):
+    """AC scan (always Ns=1, own block grid). First pass (Ah=0):
+    run-length symbols place ``value << Al`` with EOBn block-run
+    skips. Refinement (Ah>0): the correction-bit procedure — newly
+    nonzero coefficients arrive as ±2^Al, every already-nonzero
+    coefficient in the traversed span contributes one appended bit
+    (T.81 G.1.2.3 decode, mirroring the encoder's buffered-bit
+    order)."""
+    ci, _, ta = sc
+    ac_tab = huff.get((1, ta))
+    if ac_tab is None:
+        return False
+    p = prog[ci]
+    bxs, bys = _prog_own_grid(w, h, comps[ci], hmax, vmax)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    mcu_count = 0
+    for by in range(bys):
+        for bx in range(bxs):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                m = br.align_and_skip_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    return False
+                eobrun = 0
+            blk = p["coef"][by * p["bw"] + bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(br, ac_tab)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        if s:
+                            k += r
+                            if k > se:
+                                return False
+                            v = br.receive(s)
+                            if v is None:
+                                return False
+                            blk[ZIGZAG[k]] = _extend(v, s) << al
+                            k += 1
+                        elif r == 15:
+                            k += 16  # ZRL
+                        else:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                ext = br.receive(r)
+                                if ext is None:
+                                    return False
+                                eobrun += ext
+                            break
+            else:
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(br, ac_tab)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        if s:
+                            if s != 1:
+                                return False  # refinements carry ±1 only
+                            b = br.read_bit()
+                            if b is None:
+                                return False
+                            v = p1 if b else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                ext = br.receive(r)
+                                if ext is None:
+                                    return False
+                                eobrun += ext
+                            break
+                        else:
+                            v = 0  # ZRL: 16 zero-history positions
+                        # advance over r zero-history coefficients,
+                        # absorbing correction bits for nonzero ones
+                        while k <= se:
+                            z = ZIGZAG[k]
+                            if blk[z]:
+                                b = br.read_bit()
+                                if b is None:
+                                    return False
+                                if b and not (blk[z] & p1):
+                                    blk[z] += p1 if blk[z] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if v:
+                            if k > se:
+                                return False
+                            blk[ZIGZAG[k]] = v
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if blk[z]:
+                            b = br.read_bit()
+                            if b is None:
+                                return False
+                            if b and not (blk[z] & p1):
+                                blk[z] += p1 if blk[z] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+            mcu_count += 1
+    return True
+
+
+def _progressive_finalize(frame, prog, qt):
+    """Dequantize the accumulated coefficient store and IDCT-assemble.
+    Completion contract (the module's honest-stub stance — truncated
+    progressions return None, they don't render a blurry partial):
+    every component's DC must be fully refined (state 0) and every
+    AC coefficient that has appeared must be refined to Al=0; bands an
+    encoder never shipped decode as zero, like any DCT decoder."""
+    if frame is None or not prog or set(prog) != set(range(len(frame[2]))):
+        return None
+    w, h, comps = frame
+    blocks_store: dict[int, list] = {}
+    for ci, comp in enumerate(comps):
+        p = prog[ci]
+        st = p["state"]
+        if st[0] != 0 or any(s > 0 for s in st[1:]):
+            return None
+        q = qt.get(comp["tq"])
+        if q is None:
+            return None
+        qnat = [0] * 64
+        for k in range(64):
+            qnat[ZIGZAG[k]] = q[k]
+        out = []
+        bw_ = p["bw"]
+        for i, blk in enumerate(p["coef"]):
+            coef = [blk[j] * qnat[j] for j in range(64)]
+            out.append(((i % bw_) * 8, (i // bw_) * 8, coef))
+        blocks_store[ci] = out
+    return _idct_assemble(w, h, comps, blocks_store)
 
 
 def _idct_assemble(w, h, comps, blocks_store):
@@ -685,10 +1023,255 @@ def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
     return dc
 
 
+def _emit_progressive_scans(
+    width, height, grayscale, s, spectral_only, restart_interval,
+    blk_coefzz, planes_meta, mcu_geom, code_tabs,
+):
+    """Entropy-encode a progressive scan script over the already-
+    quantized coefficient blocks (T.81 Annex G encode procedures:
+    G.1.2.1 DC with point transform, G.1.2.2 AC first with EOBn block
+    runs, G.1.2.3 AC refinement with buffered correction bits).
+    Returns (scan entropy-bytes list, (scomps, Ss, Se, Ah, Al) list).
+
+    Interleaved DC scans raster the frame MCU grid (the padded planes
+    make every MCU real); AC scans are Ns=1 over each component's OWN
+    block grid — the encoder must NOT ship the MCU-padding dummy
+    blocks there (they exist only in interleaved scans, T.81 A.2.2),
+    which the own-grid bounds below enforce."""
+    dc_l, dc_c, ac_l, ac_c = code_tabs
+    mcus_x, mcus_y = mcu_geom
+    # quantized coefficient blocks per component, padded-grid raster
+    blocks = [
+        [
+            blk_coefzz(plane, plane_w, bx, by, ci)
+            for by in range(bh_)
+            for bx in range(bw_)
+        ]
+        for ci, (plane, plane_w, bw_, bh_) in enumerate(planes_meta)
+    ]
+
+    def own_grid(ci):
+        if ci == 0:
+            xc, yc = width, height
+        else:
+            xc, yc = -(-width // s), -(-height // s)
+        return -(-xc // 8), -(-yc // 8)
+
+    def rst_marker(bw2, cnt):
+        bw2.flush()
+        bw2.out += bytes(
+            [0xFF, 0xD0 + ((cnt // restart_interval - 1) % 8)]
+        )
+
+    def emit_dc_scan(scomps, ah, al):
+        bw2 = _BitWriter()
+        preds = [0] * len(scomps)
+        cnt = 0
+        if len(scomps) > 1:
+            order = []  # (scan idx, block idx) per MCU, frame MCU grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    mcu = []
+                    for si, ci in enumerate(scomps):
+                        hv = s if ci == 0 else 1
+                        bw_pad = planes_meta[ci][2]
+                        for by in range(hv):
+                            for bx in range(hv):
+                                mcu.append((si, ci, (my * hv + by) * bw_pad
+                                            + mx * hv + bx))
+                    order.append(mcu)
+        else:
+            ci = scomps[0]
+            bxs, bys = own_grid(ci)
+            bw_pad = planes_meta[ci][2]
+            order = [
+                [(0, ci, by * bw_pad + bx)]
+                for by in range(bys)
+                for bx in range(bxs)
+            ]
+        for mcu in order:
+            if restart_interval and cnt and cnt % restart_interval == 0:
+                rst_marker(bw2, cnt)
+                preds = [0] * len(scomps)
+            for si, ci, bi in mcu:
+                dc = blocks[ci][bi][0]
+                if ah == 0:
+                    v = dc >> al  # DC point transform: arithmetic shift
+                    diff = v - preds[si]
+                    preds[si] = v
+                    sz = _size_of(diff)
+                    code, ln = (dc_l if ci == 0 else dc_c)[sz]
+                    bw2.write(code, ln)
+                    if sz:
+                        bw2.write(
+                            diff if diff >= 0 else diff + (1 << sz) - 1, sz
+                        )
+                else:
+                    bw2.write((dc >> al) & 1, 1)
+            cnt += 1
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def emit_ac_first(ci, ss, se, al):
+        bw2 = _BitWriter()
+        ac_codes = ac_l if ci == 0 else ac_c
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                bw2.write(code, ln)
+                if r:
+                    bw2.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bxs, bys = own_grid(ci)
+        bw_pad = planes_meta[ci][2]
+        cnt = 0
+        for by in range(bys):
+            for bx in range(bxs):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    flush_eob()
+                    rst_marker(bw2, cnt)
+                blk = blocks[ci][by * bw_pad + bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    t = blk[k]
+                    # AC point transform truncates toward zero (G.1.2.2)
+                    tv = -((-t) >> al) if t < 0 else (t >> al)
+                    if tv == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw2.write(code, ln)
+                        run -= 16
+                    sz = _size_of(tv)
+                    code, ln = ac_codes[(run << 4) | sz]
+                    bw2.write(code, ln)
+                    bw2.write(tv if tv >= 0 else tv + (1 << sz) - 1, sz)
+                    run = 0
+                if run:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                cnt += 1
+        flush_eob()
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def emit_ac_refine(ci, ss, se, al):
+        bw2 = _BitWriter()
+        ac_codes = ac_l if ci == 0 else ac_c
+        eobrun = 0
+        pending: list[int] = []  # correction bits deferred to the EOBn
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                bw2.write(code, ln)
+                if r:
+                    bw2.write(eobrun - (1 << r), r)
+                for b in pending:
+                    bw2.write(b, 1)
+                pending = []
+                eobrun = 0
+
+        bxs, bys = own_grid(ci)
+        bw_pad = planes_meta[ci][2]
+        cnt = 0
+        for by in range(bys):
+            for bx in range(bxs):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    flush_eob()
+                    rst_marker(bw2, cnt)
+                blk = blocks[ci][by * bw_pad + bx]
+                absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                eob_k = ss - 1  # last NEWLY-nonzero position
+                for k in range(ss, se + 1):
+                    if absv[k - ss] == 1:
+                        eob_k = k
+                run = 0
+                br_bits: list[int] = []  # in-block buffered corrections
+                for k in range(ss, se + 1):
+                    tv = absv[k - ss]
+                    if tv == 0:
+                        run += 1
+                        continue
+                    # ZRLs only when not foldable into the EOB run
+                    while run > 15 and k <= eob_k:
+                        flush_eob()
+                        code, ln = ac_codes[0xF0]
+                        bw2.write(code, ln)
+                        run -= 16
+                        for b in br_bits:
+                            bw2.write(b, 1)
+                        br_bits = []
+                    if tv > 1:
+                        # already nonzero: one correction bit, no run use
+                        br_bits.append(tv & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw2.write(code, ln)
+                    bw2.write(1 if blk[k] > 0 else 0, 1)
+                    for b in br_bits:
+                        bw2.write(b, 1)
+                    br_bits = []
+                    run = 0
+                if run or br_bits:
+                    eobrun += 1
+                    pending.extend(br_bits)
+                    if eobrun == 0x7FFF or len(pending) > 900:
+                        flush_eob()
+                cnt += 1
+        flush_eob()
+        bw2.flush()
+        return bytes(bw2.out)
+
+    allc = [0] if grayscale else [0, 1, 2]
+    if spectral_only:
+        script = [("dc", allc, 0, 0, 0, 0)] + [
+            ("ac", c, 1, 63, 0, 0) for c in allc
+        ]
+    elif grayscale:
+        script = [
+            ("dc", allc, 0, 0, 0, 1), ("ac", 0, 1, 63, 0, 1),
+            ("dc", allc, 0, 0, 1, 0), ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:  # the classic simple-progression shape
+        script = [
+            ("dc", allc, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2), ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1), ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1), ("dc", allc, 0, 0, 1, 0),
+            ("ac", 1, 1, 63, 1, 0), ("ac", 2, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    scans, meta = [], []
+    for kind, who, ss, se, ah, al in script:
+        if kind == "dc":
+            scans.append(emit_dc_scan(who, ah, al))
+            meta.append((who, ss, se, ah, al))
+        else:
+            scans.append(
+                emit_ac_first(who, ss, se, al) if ah == 0
+                else emit_ac_refine(who, ss, se, al)
+            )
+            meta.append(([who], ss, se, ah, al))
+    return scans, meta
+
+
 def make_jpeg(
     width: int, height: int, rows, subsample: int = 1,
     restart_interval: int = 0, grayscale: bool = False,
     interleaved: bool = True, y_cbcr_split: bool = False,
+    progressive: bool = False, spectral_only: bool = False,
 ) -> bytes:
     """REAL baseline JPEG (Annex K tables) from pixel rows (top row
     first, (b, g, r) tuples — the module convention). ``subsample=1`` →
@@ -703,10 +1286,21 @@ def make_jpeg(
     ``y_cbcr_split=True`` emits the classic PARTIAL-interleave pair: a
     non-interleaved Y scan followed by ONE interleaved Cb+Cr scan
     (T.81 allows any component subset per scan; the frame MCU grid is
-    identical for every subset). Deterministic: integer quantization
+    identical for every subset). ``progressive=True`` emits an SOF2
+    frame with a full successive-approximation scan script (DC first
+    Al=1 → AC-first bands at Al=1/2 → AC refinements → DC refinement —
+    exercising all four Annex G decode procedures);
+    ``spectral_only=True`` narrows that to the spectral-selection-only
+    script (every scan Ah=Al=0). The quantized coefficients are
+    identical to the baseline layouts, so decodes are bit-identical
+    across all of these modes. Deterministic: integer quantization
     of a fixed float FDCT, so fixture bytes are platform-stable."""
     if subsample not in (1, 2):
         raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    if spectral_only and not progressive:
+        raise ValueError("spectral_only requires progressive=True")
+    if progressive and (y_cbcr_split or not interleaved):
+        raise ValueError("progressive replaces the scan-layout options")
     s = 1 if grayscale else subsample
     # luma padded to multiples of 8s (full MCUs); chroma to multiples of 8
     pw = -(-width // (8 * s)) * 8 * s
@@ -738,12 +1332,15 @@ def make_jpeg(
     qz_c = [QUANT_CHROMA[ZIGZAG[k]] for k in range(64)]
     dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if progressive:
+        ac_l = ac_c = _huff_codes(PROG_AC_BITS, PROG_AC_VALS)
+    else:
+        ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     bw = _BitWriter()
     preds = [0, 0, 0]
 
-    def emit(plane, plane_w, bx, by, ci):
+    def blk_coefzz(plane, plane_w, bx, by, ci):
         px = [
             plane[(by * 8 + y) * plane_w + bx * 8 + x]
             for y in range(8)
@@ -751,7 +1348,10 @@ def make_jpeg(
         ]
         coef = _fdct_block(px)
         qz = qz_l if ci == 0 else qz_c
-        coef_zz = [int(round(coef[ZIGZAG[k]] / qz[k])) for k in range(64)]
+        return [int(round(coef[ZIGZAG[k]] / qz[k])) for k in range(64)]
+
+    def emit(plane, plane_w, bx, by, ci):
+        coef_zz = blk_coefzz(plane, plane_w, bx, by, ci)
         preds[ci] = _encode_block(
             bw, coef_zz, preds[ci],
             dc_l if ci == 0 else dc_c,
@@ -759,7 +1359,19 @@ def make_jpeg(
         )
 
     scans: list[bytes] = []  # entropy bytes per SOS (1, 2, or 3)
-    if y_cbcr_split and not grayscale:
+    prog_meta: list[tuple] = []  # progressive: (scomps, ss, se, ah, al)
+    if progressive:
+        scans, prog_meta = _emit_progressive_scans(
+            width, height, grayscale, s, spectral_only, restart_interval,
+            blk_coefzz,
+            [(yplane, pw, pw // 8, ph // 8)] if grayscale
+            else [(yplane, pw, pw // 8, ph // 8),
+                  (cb, cw, cw // 8, ch // 8),
+                  (cr, cw, cw // 8, ch // 8)],
+            (pw // (8 * s), ph // (8 * s)),
+            (dc_l, dc_c, ac_l, ac_c),
+        )
+    elif y_cbcr_split and not grayscale:
         # scan 1: non-interleaved Y over its own block grid
         bw = _BitWriter()
         blk_count = 0
@@ -862,15 +1474,16 @@ def make_jpeg(
     app0 = seg(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
     )
+    sof_marker = 0xC2 if progressive else 0xC0
     if grayscale:
         sof = seg(
-            0xC0,
+            sof_marker,
             struct.pack(">BHH", 8, height, width) + b"\x01" + bytes([1, 0x11, 0]),
         )
         sos_headers = [seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")]
     else:
         sof = seg(
-            0xC0,
+            sof_marker,
             struct.pack(">BHH", 8, height, width)
             + b"\x03"
             + bytes([1, (s << 4) | s, 0, 2, 0x11, 1, 3, 0x11, 1]),
@@ -895,17 +1508,44 @@ def make_jpeg(
                 seg(0xDA, b"\x01" + bytes([cid, tt]) + b"\x00\x3f\x00")
                 for cid, tt in ((1, 0x00), (2, 0x11), (3, 0x11))
             ]
+    if progressive:
+        # DC scans carry (cid, td<<4), AC scans (cid, ta); table ids
+        # follow the baseline assignment (0 luma, 1 chroma).
+        sos_headers = [
+            seg(
+                0xDA,
+                bytes([len(scomps)])
+                + b"".join(
+                    bytes([
+                        ci + 1,
+                        ((0 if ci == 0 else 1) << 4)
+                        if ss_ == 0 else (0 if ci == 0 else 1),
+                    ])
+                    for ci in scomps
+                )
+                + bytes([ss_, se_, (ah_ << 4) | al_]),
+            )
+            for scomps, ss_, se_, ah_, al_ in prog_meta
+        ]
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
     body_out = b"".join(hdr + ent for hdr, ent in zip(sos_headers, scans))
+    if progressive:
+        ac_tabs = (
+            dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+            + dht(1, 1, PROG_AC_BITS, PROG_AC_VALS)
+        )
+    else:
+        ac_tabs = (
+            dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+            + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        )
     return (
         b"\xff\xd8" + app0 + dqt(0, QUANT_LUMA) + dqt(1, QUANT_CHROMA)
         + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
         + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-        + dri + sof + body_out + b"\xff\xd9"
+        + ac_tabs + dri + sof + body_out + b"\xff\xd9"
     )

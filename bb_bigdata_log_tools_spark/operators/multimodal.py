@@ -727,9 +727,9 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 
 def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     """Pixel rows from any codec this module really decodes (24bpp BMP,
-    8-bit non-interlaced PNG, baseline sequential JPEG — see
-    :mod:`.jpegcodec`); None → stub-flag path (progressive/arithmetic
-    JPEG, interlaced/16-bit PNG, everything else)."""
+    8-bit non-interlaced PNG, baseline sequential AND progressive JPEG —
+    see :mod:`.jpegcodec`); None → stub-flag path (arithmetic/lossless/
+    hierarchical JPEG, interlaced/16-bit PNG, everything else)."""
     from bb_bigdata_log_tools_spark.operators.jpegcodec import jpeg_parse_pixels
 
     return (
@@ -775,9 +775,10 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
     """Resize stage: REAL pixel-level nearest-neighbor resize for
     uncompressed 24bpp BMPs, 8-bit non-interlaced PNGs (full spec
     decode: zlib inflate + all five scanline filters) and BASELINE
-    sequential JPEGs (T.81 spec decode: Huffman entropy + IDCT + chroma
-    upsampling, 4:4:4/4:2:0/grayscale/restart markers — see
-    :mod:`.jpegcodec`); progressive/arithmetic JPEG and other payloads
+    sequential AND progressive JPEGs (T.81 spec decode: Huffman entropy
+    + IDCT + chroma upsampling, 4:4:4/4:2:0/grayscale/restart markers,
+    Annex G spectral selection + successive approximation — see
+    :mod:`.jpegcodec`); arithmetic/lossless JPEG and other payloads
     pass through the deterministic stub with
     ``decoded=false``. Emits the resized
     payload's size/digest rather than the bytes (the gate compares

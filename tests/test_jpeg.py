@@ -92,14 +92,85 @@ def test_determinism():
     )
 
 
-def test_progressive_rejected_but_dims_parse():
+def test_corrupt_progressive_rejected_but_dims_parse():
+    """A baseline stream whose SOF is patched to SOF2 is a CORRUPT
+    progressive file (its scan header says Ss=0, Se=63 — a DC scan must
+    have Se=0, G.1.1.1.1): scan-script validation rejects it, and the
+    dimension probe still reads the SOF header."""
     p = bytearray(make_jpeg(8, 8, [[(1, 2, 3)] * 8] * 8))
     p[p.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2
     p = bytes(p)
     assert jpeg_parse_pixels(p) is None
     assert image_parse_pixels(p) is None
-    # dimension probe still reads the SOF header — honest-stub contract
     assert parse_image_dimensions(p) == ("jpeg", 8, 8)
+
+
+def test_arithmetic_frame_rejected_but_dims_parse():
+    """Arithmetic-coded frames (SOF9) stay an honest stub."""
+    p = bytearray(make_jpeg(8, 8, [[(1, 2, 3)] * 8] * 8))
+    p[p.index(b"\xff\xc0") + 1] = 0xC9
+    p = bytes(p)
+    assert jpeg_parse_pixels(p) is None
+    assert parse_image_dimensions(p) == ("jpeg", 8, 8)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"spectral_only": True},
+        {"subsample": 2},
+        {"subsample": 2, "restart_interval": 2},
+        {"subsample": 2, "spectral_only": True},
+        {"restart_interval": 1},
+        {"grayscale": True},
+        {"grayscale": True, "spectral_only": True},
+    ],
+)
+def test_progressive_matches_baseline_exactly(kwargs):
+    """Progressive scans carry the SAME quantized coefficients as the
+    baseline layouts (the scan script only reorders/refines them), so
+    the decode must be bit-identical to the baseline decode — across
+    successive approximation, spectral-selection-only, 4:2:0, restart
+    markers, and grayscale."""
+    ref_kw = {k: v for k, v in kwargs.items() if k != "spectral_only"}
+    ref = jpeg_parse_pixels(make_jpeg(W, H, ROWS, **ref_kw))
+    out = jpeg_parse_pixels(make_jpeg(W, H, ROWS, progressive=True, **kwargs))
+    assert ref is not None and out == ref
+
+
+def test_progressive_truncated_progression_rejected():
+    """Dropping the final refinement scan leaves coefficients pending
+    at Al>0 — the completion contract must reject, not render a
+    partial-quality image."""
+    p = make_jpeg(W, H, ROWS, progressive=True)
+    trunc = p[: p.rindex(b"\xff\xda")] + b"\xff\xd9"
+    assert jpeg_parse_pixels(trunc) is None
+
+
+def test_progressive_double_first_scan_rejected():
+    """A scan covering a coefficient band already seen at Ah=0 (here:
+    the whole last AC scan duplicated) violates the per-coefficient
+    scan-script state machine."""
+    p = make_jpeg(W, H, ROWS, progressive=True, spectral_only=True)
+    i = p.rindex(b"\xff\xda")
+    dup = p[:-2] + p[i:-2] + b"\xff\xd9"
+    assert jpeg_parse_pixels(dup) is None
+
+
+def test_progressive_tiny_and_odd_sizes():
+    """1×1 and non-MCU-multiple sizes through the full scan script."""
+    for w, h in [(1, 1), (7, 3), (17, 9), (16, 16)]:
+        rows = [
+            [((x * 31) % 256, (y * 17) % 256, (x + y) % 256) for x in range(w)]
+            for y in range(h)
+        ]
+        for kw in ({}, {"subsample": 2}):
+            ref = jpeg_parse_pixels(make_jpeg(w, h, rows, **kw))
+            out = jpeg_parse_pixels(
+                make_jpeg(w, h, rows, progressive=True, **kw)
+            )
+            assert ref is not None and out == ref, (w, h, kw)
 
 
 def test_header_only_skeleton_rejected():
