@@ -1138,3 +1138,70 @@ def sample_weighted_exact(
         survivors.withColumn("sample_rank", F.row_number().over(w2))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def sample_weighted_stratified(
+    df: DataFrame,
+    n_per_group: int = 20,
+    group_col: str = "source",
+    weight_col: str = "wt",
+    key_col: str = "doc_id",
+    max_tickets: int = 256,
+    salts: int = 8,
+    seed_tag: str = "ws",
+) -> DataFrame:
+    """Exact-N-per-GROUP proportional-to-weight sample WITHOUT
+    replacement — :func:`sample_weighted_exact`'s ticketed min-hash
+    draw ranked WITHIN each stratum. The training-mix shape: "give me
+    N documents per source, long/high-quality ones proportionally more
+    likely", reproducible bit-for-bit (pure integer md5 arithmetic —
+    no float ``pow``, so it hash-matches across engines).
+
+    Ticket scheme as in :func:`sample_weighted_exact` (min(ceil(w),
+    ``max_tickets``) tickets per row, draw key = min ticket md5; rows
+    with weight ≤ 0 never sampled); a group smaller than
+    ``n_per_group`` eligible rows returns all of them.
+
+    100 TB shape: the draw key is a per-row JVM expression (no ticket
+    explode); ranking is the salted TWO-PHASE top-N per group — phase
+    1 partitions by (group, key%salts) keeping n survivors each, so
+    ONE giant stratum (the common skew: a dominant crawl source) never
+    becomes a single-task sort; phase 2 ranks the ≤ n·salts survivors
+    per group. Both windows shuffle only the survivors' columns.
+    """
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    key_s = F.col(key_col).cast("string")
+    ntick = F.least(
+        F.ceil(F.col(weight_col)).cast("long"), F.lit(max_tickets)
+    )
+    draw = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), ntick.cast("int")),
+            lambda t: md5_long(
+                F.concat(
+                    F.lit(seed_tag + ":"), key_s, F.lit(":"), t.cast("string")
+                )
+            ),
+        )
+    )
+    eligible = df.filter(F.col(weight_col) > 0).withColumn("draw_key", draw)
+    # hash() so string keys salt too (sample_weighted_exact's fix); the
+    # salt never changes the OUTPUT (each group's top-n is a subset of
+    # its phase-1 survivors under any assignment).
+    salt = F.pmod(F.hash(F.col(key_col)), F.lit(salts))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+        F.col("draw_key").asc(), F.col(key_col).asc()
+    )
+    survivors = (
+        eligible.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= n_per_group)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy(F.col(group_col)).orderBy(
+        F.col("draw_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )

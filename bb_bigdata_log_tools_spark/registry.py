@@ -392,11 +392,13 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # whose estimator body changed this round (left-join missing-bucket
 # fix; stream_cms_freq shares that single copy and rotates next
 # round); then (d) the keys whose last driver evidence is r3 — the
-# oldest-evidence cohort. 1 + 15 + 1 + 33 = exactly the 50-key gate;
-# the cohort's last seven (ann_topk_bruteforce, ann_lsh_bucketed,
-# text_lang_id, text_quality, text_token_count, text_fingerprint,
-# text_repetition) sit at positions 51-57 and lead the r8 rotation
-# instead.
+# oldest-evidence cohort. 1 + 16 + 1 + 32 = exactly the 50-key gate
+# (sample_weighted_stratified — the 10th and last new key under the
+# freeze, added in the third continuation session — joins the new-key
+# block); the cohort's last eight (dedup_embedding,
+# ann_topk_bruteforce, ann_lsh_bucketed, text_lang_id, text_quality,
+# text_token_count, text_fingerprint, text_repetition) sit at
+# positions 51-58 and lead the r8 rotation instead.
 _WINDOW_PRIORITY: list[str] = [
     "quantile_sketch",
     # --- round-7 new keys ---
@@ -412,6 +414,7 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_skew_asof_join",
     "dedup_lines",
     "sample_weighted_exact",
+    "sample_weighted_stratified",
     "bpe_train",
     "bpe_apply",
     "stream_quantile",

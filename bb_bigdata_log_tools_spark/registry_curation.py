@@ -1234,3 +1234,66 @@ LIMIT {_SWX_N}
 
 CURATION_QUERIES["sample_weighted_exact"] = q_sample_weighted_exact
 CURATION_ORACLES["sample_weighted_exact"] = SQL_SAMPLE_WEIGHTED_EXACT
+
+
+# --------------------------------------------------------------------------
+# round-7: exact-N-per-group weighted sample (stratified ticketed draw)
+# --------------------------------------------------------------------------
+
+_SWS_N = 20
+_SWS_CAP = 256
+
+
+def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20-per-source token-weighted sample: the per-stratum
+    training-mix draw (N docs from EVERY source, long documents
+    proportionally more likely within their source), reproducible in
+    pure integer md5 arithmetic."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_stratified,
+    )
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    d = docs.select("doc_id", "source", toks.cast("long").alias("wt"))
+    out = sample_weighted_stratified(
+        d, n_per_group=_SWS_N, group_col="source", max_tickets=_SWS_CAP
+    )
+    return out.select(
+        "source", "sample_rank", "doc_id", "wt", "draw_key"
+    ).orderBy("source", "sample_rank")
+
+
+SQL_SAMPLE_WEIGHTED_STRATIFIED = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS wt
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, wt,
+         list_min(list_transform(
+           range(1, CAST(least(wt, {_SWS_CAP}) AS INT) + 1),
+           t -> ('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)
+                                       || ':' || CAST(t AS VARCHAR)), 1, 15)
+                )::BIGINT
+         )) AS draw_key
+  FROM w WHERE wt > 0
+),
+r AS (
+  SELECT source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY draw_key, doc_id) AS INTEGER)
+           AS sample_rank,
+         doc_id, wt, draw_key
+  FROM d
+)
+SELECT source, sample_rank, doc_id, wt, draw_key
+FROM r
+WHERE sample_rank <= {_SWS_N}
+ORDER BY source, sample_rank
+"""
+
+CURATION_QUERIES["sample_weighted_stratified"] = q_sample_weighted_stratified
+CURATION_ORACLES["sample_weighted_stratified"] = SQL_SAMPLE_WEIGHTED_STRATIFIED

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "stream_skew_asof_join",
     "dedup_lines",
     "sample_weighted_exact",
+    "sample_weighted_stratified",
     "bpe_train",
     "bpe_apply",
     "stream_quantile",

@@ -522,3 +522,67 @@ def test_bpe_train_textbook_semantics(spark, sf_dir):
     # -> merge (a, b)
     assert (out[1].left, out[1].right, out[1].pair_freq) == ("a", "b", 4)
     assert out[1].merged == "ab"
+
+
+def test_sample_weighted_stratified_semantics(spark, sf_dir):
+    """Per-group exact-N: every group with >= n eligible rows yields
+    exactly n, smaller groups yield all eligible rows, zero-weight
+    rows never drawn, ranks are contiguous 1..k within each group,
+    and rerun-deterministic."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_stratified,
+    )
+
+    # group g0: 50 rows, g1: 3 rows, g2: only zero-weight rows
+    data = (
+        [(i, "g0", 5 + i % 7) for i in range(50)]
+        + [(100 + i, "g1", 2) for i in range(3)]
+        + [(200 + i, "g2", 0) for i in range(4)]
+    )
+    base = spark.createDataFrame(data, "doc_id long, source string, wt long")
+    out1 = sample_weighted_stratified(base, n_per_group=10).collect()
+    out2 = sample_weighted_stratified(base, n_per_group=10).collect()
+    assert sorted((r.source, r.sample_rank, r.doc_id) for r in out1) == sorted(
+        (r.source, r.sample_rank, r.doc_id) for r in out2
+    )
+    by_group = {}
+    for r in out1:
+        by_group.setdefault(r.source, []).append(r.sample_rank)
+    assert sorted(by_group["g0"]) == list(range(1, 11))
+    assert sorted(by_group["g1"]) == [1, 2, 3]  # all eligible, < n
+    assert "g2" not in by_group  # zero-weight stratum empty
+    # stratified with ONE group == the flat weighted sample's ranking
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_exact,
+    )
+
+    one = base.filter("source = 'g0'")
+    flat = sample_weighted_exact(one, n=10, seed_tag="ws").collect()
+    strat = [r for r in out1 if r.source == "g0"]
+    assert sorted(r.doc_id for r in flat) == sorted(r.doc_id for r in strat)
+
+
+def test_sample_weighted_stratified_plan_no_global_sort(spark, sf_dir):
+    """Phase-1 window partitions by (group, salt): the plan must not
+    contain a partition-less (single-task) window sort."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sample_weighted_stratified,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), 1 + i % 9) for i in range(100)],
+        "doc_id long, source string, wt long",
+    )
+    plan = sample_weighted_stratified(base, n_per_group=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    win_lines = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window", "+- Window"))
+        or "Window [" in ln
+    ]
+    assert win_lines, plan  # the operator is window-based
+    for ln in win_lines:
+        # Spark prints Window [exprs], [partition spec], [order spec] —
+        # every window here must partition by source (phase 1 adds the
+        # salt); a partition-less spec would be the single-task sort
+        # this operator exists to avoid
+        assert "[source" in ln, ln
