@@ -595,6 +595,8 @@ def _progressive_decode_scan(
         return None
     if ah and al != ah - 1:
         return None
+    if len({ci for ci, _, _ in scan}) != len(scan):
+        return None  # component repeated within one scan: corrupt
     band = (0,) if is_dc else tuple(range(ss, se + 1))
     for ci, _, _ in scan:
         st = prog[ci]["state"]

@@ -375,3 +375,19 @@ def test_partial_interleave_y_cbcr_split():
         di = jpeg_parse_pixels(make_jpeg(W, H, ROWS, **kw))
         ds = jpeg_parse_pixels(make_jpeg(W, H, ROWS, y_cbcr_split=True, **kw))
         assert di is not None and ds == di, kw
+
+
+def test_progressive_duplicate_component_scan_rejected():
+    """A DC scan naming the same component twice is corrupt — the
+    per-scan duplicate guard must reject before any entropy decode
+    (states only update after a successful scan, so without the guard
+    the duplicate would decode garbage without tripping validation)."""
+    p = make_jpeg(16, 16, [[(1, 2, 3)] * 16] * 16, progressive=True)
+    i = p.index(b"\xff\xda")
+    seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+    body = bytearray(p[i + 4 : i + 2 + seglen])
+    assert body[0] == 3
+    body[3] = body[1]  # second component id := first
+    patched = p[: i + 4] + bytes(body) + p[i + 2 + seglen :]
+    assert jpeg_parse_pixels(patched) is None
+    assert jpeg_parse_pixels(p) is not None
