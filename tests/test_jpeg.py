@@ -391,3 +391,38 @@ def test_progressive_duplicate_component_scan_rejected():
     patched = p[: i + 4] + bytes(body) + p[i + 2 + seglen :]
     assert jpeg_parse_pixels(patched) is None
     assert jpeg_parse_pixels(p) is not None
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 30),
+        h=st.integers(1, 30),
+        sub=st.sampled_from([1, 2]),
+        rst=st.sampled_from([0, 2]),
+        so=st.booleans(),
+        seed=st.integers(0, 10**6),
+    )
+    def test_progressive_property_bit_identical(w, h, sub, rst, so, seed):
+        """Any size, any subsampling, with/without restarts, full
+        successive-approximation or spectral-only script, arbitrary
+        (high-frequency) content: the progressive decode must be
+        BIT-IDENTICAL to the baseline decode of the same source —
+        noise content drives the EOBn-extension / ZRL-in-refinement /
+        correction-bit paths a smooth gradient never reaches."""
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        ref = jpeg_parse_pixels(
+            make_jpeg(w, h, rows, subsample=sub, restart_interval=rst)
+        )
+        out = jpeg_parse_pixels(
+            make_jpeg(w, h, rows, subsample=sub, restart_interval=rst,
+                      progressive=True, spectral_only=so)
+        )
+        assert ref is not None and out == ref
