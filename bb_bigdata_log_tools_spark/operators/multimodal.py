@@ -728,20 +728,25 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     """Pixel rows from any codec this module really decodes (24bpp BMP,
     8-bit non-interlaced PNG, baseline sequential AND progressive JPEG —
-    see :mod:`.jpegcodec`); None → stub-flag path (arithmetic/lossless/
-    hierarchical JPEG, interlaced/16-bit PNG, everything else)."""
+    see :mod:`.jpegcodec` — and first-frame GIF incl. interlace, LZW
+    and transparency — see :mod:`.gifcodec`); None → stub-flag path
+    (arithmetic/lossless/hierarchical JPEG, interlaced/16-bit PNG,
+    everything else)."""
+    from bb_bigdata_log_tools_spark.operators.gifcodec import gif_parse_pixels
     from bb_bigdata_log_tools_spark.operators.jpegcodec import jpeg_parse_pixels
 
     return (
         _bmp_parse_pixels(payload)
         or png_parse_pixels(payload)
         or jpeg_parse_pixels(payload)
+        or gif_parse_pixels(payload)
     )
 
 
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """REAL nearest-neighbor resize for uncompressed 24bpp BMPs, 8-bit
-    PNGs AND baseline JPEGs — decode, sample, re-encode as canonical
+    PNGs, JPEGs (baseline + progressive) AND first-frame GIFs —
+    decode, sample, re-encode as canonical
     24bpp BMP, all from the public specs (no image libraries). Returns
     None for any other payload. (Name kept for API stability; see
     :func:`image_parse_pixels` for the decode dispatch.)"""
@@ -778,8 +783,9 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
     sequential AND progressive JPEGs (T.81 spec decode: Huffman entropy
     + IDCT + chroma upsampling, 4:4:4/4:2:0/grayscale/restart markers,
     Annex G spectral selection + successive approximation — see
-    :mod:`.jpegcodec`); arithmetic/lossless JPEG and other payloads
-    pass through the deterministic stub with
+    :mod:`.jpegcodec`) and first-frame GIFs (LZW + interlace +
+    transparency — see :mod:`.gifcodec`); arithmetic/lossless JPEG and
+    other payloads pass through the deterministic stub with
     ``decoded=false``. Emits the resized
     payload's size/digest rather than the bytes (the gate compares
     values; the bytes themselves round-trip in unit tests).
