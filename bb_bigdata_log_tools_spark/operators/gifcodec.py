@@ -293,6 +293,45 @@ def _gif_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     return None
 
 
+def gif_frame_count(payload: bytes) -> int | None:
+    """Number of COMPLETE image descriptors (frames) in a GIF stream,
+    or None for a non-GIF payload. Animated GIFs report their true
+    frame count; a dimension-only skeleton (no descriptor) reports 0.
+    Walks block headers only — no LZW decode, O(#blocks)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n = len(payload)
+    count = 0
+    while pos < n:
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            sub = _read_subblocks(payload, pos + 2)
+            if sub is None:
+                break
+            _, pos = sub
+            continue
+        if b0 != 0x2C or pos + 10 > n:
+            break
+        fpacked = payload[pos + 9]
+        pos += 10
+        if fpacked & 0x80:
+            pos += 3 * (2 << (fpacked & 0x07))
+        if pos >= n:
+            break
+        sub = _read_subblocks(payload, pos + 1)  # skip mcs byte + data
+        if sub is None:
+            break
+        _, pos = sub
+        count += 1
+    return count
+
+
 # --------------------------------------------------------------------------
 # Encoder (fixture generator)
 # --------------------------------------------------------------------------
@@ -305,6 +344,7 @@ def make_gif(
     interlace: bool = False,
     transparent_bgr: tuple | None = None,
     frame_rect: tuple | None = None,
+    extra_frames: list | None = None,
 ) -> bytes:
     """REAL GIF89a from pixel rows (top row first, (b, g, r) tuples —
     the module convention) with greedy-LZW-compressed raster data.
@@ -314,18 +354,26 @@ def make_gif(
     via a GIF89a graphic control extension (decodes as the background,
     which is palette entry 0). ``frame_rect=(left, top, fw, fh)``
     writes the frame as a sub-rectangle of the logical screen (the
-    remainder renders as background). Deterministic: palette ordered
-    by first appearance."""
+    remainder renders as background). ``extra_frames`` is a list of
+    (rows, frame_rect) pairs appended as further image descriptors
+    (an ANIMATED GIF, each frame preceded by a graphic-control delay;
+    colors must share the global palette budget) — the decoder reads
+    only the first frame, :func:`gif_frame_count` counts them all.
+    Deterministic: palette ordered by first appearance."""
     if frame_rect is None:
         frame_rect = (0, 0, width, height)
-    left, top, fw, fh = frame_rect
-    if left + fw > width or top + fh > height:
-        raise ValueError("frame_rect outside the logical screen")
+    frames = [(rows, frame_rect)] + [
+        (fr, rect if rect is not None else (0, 0, width, height))
+        for fr, rect in (extra_frames or [])
+    ]
     palette: dict[tuple, int] = {}
-    for y in range(fh):
-        for px in rows[y][:fw]:
-            if px not in palette:
-                palette[px] = len(palette)
+    for frows, (left, top, fw, fh) in frames:
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame_rect outside the logical screen")
+        for y in range(fh):
+            for px in frows[y][:fw]:
+                if px not in palette:
+                    palette[px] = len(palette)
     if transparent_bgr is not None and transparent_bgr not in palette:
         palette[transparent_bgr] = len(palette)
     if len(palette) > 256:
@@ -335,11 +383,7 @@ def make_gif(
     table_size = 1 << gct_bits
     colors = list(palette)  # bgr tuples in first-appearance order
     colors += [(0, 0, 0)] * (table_size - len(colors))
-    indices = bytes(
-        palette[rows[y][x]] for y in _row_order(fh, interlace) for x in range(fw)
-    )
     mcs = max(2, gct_bits)
-    lzw = lzw_encode(indices, mcs)
     out = bytearray()
     out += b"GIF89a" + struct.pack("<HH", width, height)
     out.append(0x80 | (gct_bits - 1))  # GCT present, size
@@ -348,14 +392,25 @@ def make_gif(
         out += bytes((r, g, b))
     if transparent_bgr is not None:
         out += bytes((0x21, 0xF9, 4, 0x01, 0, 0, palette[transparent_bgr], 0))
-    out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
-    out.append(0x40 if interlace else 0x00)  # no LCT
-    out.append(mcs)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    for fi, (frows, (left, top, fw, fh)) in enumerate(frames):
+        if fi > 0:  # animation delay GCE before each later frame
+            out += bytes((0x21, 0xF9, 4, 0x00, 10, 0, 0, 0))
+        il = interlace and fi == 0
+        indices = bytes(
+            palette[frows[y][x]]
+            for y in _row_order(fh, il)
+            for x in range(fw)
+        )
+        lzw = lzw_encode(indices, mcs)
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out.append(0x40 if il else 0x00)  # no LCT
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -494,7 +494,17 @@ def _decode_payload(media_type: str, payload: bytes) -> tuple[int, int, int, boo
     if media_type == "image":
         dims = parse_image_dimensions(payload)
         if dims is not None:
-            return (dims[1], dims[2], 1, True)
+            n_frames = 1
+            if dims[0] == "gif":
+                # animated GIFs report their true descriptor count
+                # (gifcodec block walk); dimension-only skeletons (no
+                # complete descriptor) keep the single-image default
+                from bb_bigdata_log_tools_spark.operators.gifcodec import (
+                    gif_frame_count,
+                )
+
+                n_frames = gif_frame_count(payload) or 1
+            return (dims[1], dims[2], n_frames, True)
     if media_type == "audio":
         meta = parse_wav_meta(payload) or parse_mp3_meta(payload)
         if meta is not None:
@@ -552,7 +562,8 @@ def media_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     pipeline.
 
     The frame COUNT is real (parsed from the container header by
-    :func:`extract_features` — MP4 ``stts``, GIF/image = 1); the frame
+    :func:`extract_features` — MP4 ``stts``, animated GIF = its image
+    descriptor count, other images = 1); the frame
     PIXEL decode stays stubbed per the module policy, so downstream
     stages see the true (doc_id, frame_idx) shape with ``decoded``
     flagging which rows carry header-verified counts.

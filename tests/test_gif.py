@@ -121,3 +121,25 @@ def test_media_resize_integration():
 
 def test_determinism():
     assert make_gif(W, H, ROWS) == make_gif(W, H, ROWS)
+
+
+def test_animated_frame_count_and_first_frame_decode():
+    from bb_bigdata_log_tools_spark.operators.gifcodec import gif_frame_count
+    from bb_bigdata_log_tools_spark.operators.multimodal import make_gif_header
+
+    f0 = [[((x % 4) * 60, (y % 3) * 70, 0) for x in range(10)] for y in range(8)]
+    f1 = [[((x % 4) * 60, (y % 3) * 70, 40) for x in range(10)] for y in range(8)]
+    p = make_gif(10, 8, f0, extra_frames=[(f1, None), (f1, (2, 1, 8, 7))])
+    assert gif_frame_count(p) == 3
+    # decoder reads the FIRST frame only
+    assert gif_parse_pixels(p) == (10, 8, f0)
+    # single-frame and skeleton counts
+    assert gif_frame_count(make_gif(10, 8, f0)) == 1
+    assert gif_frame_count(make_gif_header(5, 5)) == 0
+    assert gif_frame_count(b"not a gif") is None
+    # extract_features: animated GIF n_frames is the descriptor count,
+    # skeleton keeps the single-image default
+    from bb_bigdata_log_tools_spark.operators.multimodal import _decode_payload
+
+    assert _decode_payload("image", p) == (10, 8, 3, True)
+    assert _decode_payload("image", make_gif_header(5, 5)) == (5, 5, 1, True)
