@@ -126,31 +126,23 @@ def make_png(width: int, height: int, pixel: bytes = b"\x80\x80\x80") -> bytes:
     )
 
 
-def make_png_rows(
-    width: int, height: int, rows: list, filter_type: int = 0
-) -> bytes:
-    """A valid 8-bit RGB PNG from explicit pixel rows (``rows[y][x]`` in
-    this module's BMP-native (b, g, r) convention), encoded with the
-    given scanline filter (0-4) — a real spec-grade writer used by the
-    fixtures and by the decoder's filter-coverage tests."""
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    stride = width * 3
+def _png_filter_lines(lines: list, stride: int, bpp: int, filter_type: int) -> bytes:
+    """Filter raw scanlines (bytes) with one of the five spec filters;
+    the previous-line state resets at the start (one Adam7 pass or the
+    whole sequential image)."""
     raw = bytearray()
     prev = bytearray(stride)
-    for y in range(height):
-        line = bytearray()
-        for x in range(width):
-            b, g, r = rows[y][x]
-            line += bytes((r, g, b))  # PNG stores RGB
+    for line in lines:
         filt = bytearray(stride)
         for i in range(stride):
-            a = line[i - 3] if i >= 3 else 0
+            a = line[i - bpp] if i >= bpp else 0
             up = prev[i]
-            c = prev[i - 3] if i >= 3 else 0
+            c = prev[i - bpp] if i >= bpp else 0
             if filter_type == 0:
                 pred = 0
             elif filter_type == 1:
@@ -166,12 +158,123 @@ def make_png_rows(
             filt[i] = (line[i] - pred) & 0xFF
         raw += bytes([filter_type]) + filt
         prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return bytes(raw)
+
+
+def make_png_rows(
+    width: int, height: int, rows: list, filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """A valid 8-bit RGB PNG from explicit pixel rows (``rows[y][x]`` in
+    this module's BMP-native (b, g, r) convention), encoded with the
+    given scanline filter (0-4), sequentially or Adam7-interlaced
+    (seven independently filtered passes) — a real spec-grade writer
+    used by the fixtures and by the decoder's coverage tests."""
+    rgb = [
+        bytearray(
+            b for x in range(width) for b in
+            (rows[y][x][2], rows[y][x][1], rows[y][x][0])  # PNG stores RGB
+        )
+        for y in range(height)
+    ]
+    if not interlace:
+        raw = _png_filter_lines(rgb, width * 3, 3, filter_type)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_lines = [
+                bytearray(
+                    b
+                    for i in range(pw)
+                    for b in rgb[y0 + j * dy][
+                        3 * (x0 + i * dx) : 3 * (x0 + i * dx) + 3
+                    ]
+                )
+                for j in range(ph)
+            ]
+            raw += _png_filter_lines(pass_lines, pw * 3, 3, filter_type)
+        raw = bytes(raw)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_palette(
+    width: int, height: int, rows: list, bit_depth: int = 8
+) -> bytes:
+    """A valid color-type-3 (palette) PNG from (b, g, r) pixel rows —
+    palette built in first-appearance order, indices packed MSB-first
+    at 1/2/4/8 bits (the PLTE profile the old decoder stubbed)."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette bit depth must be 1/2/4/8")
+    palette: dict[tuple, int] = {}
+    for y in range(height):
+        for px in rows[y]:
+            if px not in palette:
+                palette[px] = len(palette)
+    if len(palette) > (1 << bit_depth):
+        raise ValueError("too many colors for the bit depth")
+    lines = []
+    per = 8 // bit_depth
+    for y in range(height):
+        line = bytearray((width + per - 1) // per)
+        for x in range(width):
+            idx = palette[rows[y][x]]
+            line[x // per] |= idx << ((per - 1 - x % per) * bit_depth)
+        lines.append(line)
+    raw = _png_filter_lines(lines, len(lines[0]), 1, 0)
+    plte = b"".join(bytes((r, g, b)) for (b, g, r) in palette)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png_gray(
+    width: int, height: int, values: list, bit_depth: int = 8
+) -> bytes:
+    """A valid grayscale (color type 0) PNG at any legal bit depth
+    (1/2/4/8/16); ``values[y][x]`` in 0..2^depth-1, 16-bit samples
+    written big-endian."""
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError("gray bit depth must be 1/2/4/8/16")
+    lines = []
+    for y in range(height):
+        if bit_depth == 16:
+            line = bytearray(
+                b for x in range(width)
+                for b in (values[y][x] >> 8, values[y][x] & 0xFF)
+            )
+        elif bit_depth == 8:
+            line = bytearray(values[y][:width])
+        else:
+            per = 8 // bit_depth
+            line = bytearray((width + per - 1) // per)
+            for x in range(width):
+                line[x // per] |= values[y][x] << (
+                    (per - 1 - x % per) * bit_depth
+                )
+        lines.append(line)
+    bpp = 2 if bit_depth == 16 else 1
+    raw = _png_filter_lines(lines, len(lines[0]), bpp, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -650,30 +753,48 @@ def make_bmp(width: int, height: int, rows) -> bytes:
     )
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     """REAL PNG pixel decode from the public spec (RFC 2083): chunk
     walk → IDAT concat → zlib inflate → per-scanline unfilter (all five
     filter types: None/Sub/Up/Average/Paeth) → (width, height, rows of
-    (r, g, b)).
+    (b, g, r)).
 
-    Supports the dominant web profile: 8-bit depth, color types 0
-    (grayscale, replicated to RGB), 2 (RGB), 6 (RGBA, alpha dropped),
-    non-interlaced. Anything else (16-bit, palette, Adam7) returns None
-    and flows through the stub-flag contract — a production deployment
-    plugs libpng/Pillow into the same seam for throughput; this decoder
-    is bit-exact and dependency-free.
+    Covers EVERY standard still-PNG profile: color types 0 (grayscale,
+    bit depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette via PLTE, depths
+    1/2/4/8), 4 (gray+alpha, 8/16) and 6 (RGBA, 8/16); alpha dropped,
+    16-bit samples take the high byte (the standard 16→8 rendering),
+    sub-byte grays scaled to 0..255, and BOTH scanline layouts —
+    sequential and Adam7 interlaced (seven independently-filtered
+    passes scattered onto the raster). Truncated or inconsistent
+    streams return None (stub-flag contract); the decoder is bit-exact
+    and dependency-free.
     """
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte: list | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                return None
+            plte = [
+                (body[3 * i], body[3 * i + 1], body[3 * i + 2])
+                for i in range(length // 3)
+            ]
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -681,68 +802,140 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
         pos += 12 + length  # len + type + body + crc
     if ihdr is None or not idat:
         return None
-    w, h, depth, ctype_n, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype_n not in (0, 2, 6):
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    ok_depth = (
+        depth in (1, 2, 4, 8, 16)
+        if ctype_n == 0
+        else depth in (1, 2, 4, 8)
+        if ctype_n == 3
+        else depth in (8, 16)
+    )
+    if (
+        channels is None or not ok_depth or comp != 0 or filt != 0
+        or interlace not in (0, 1) or w == 0 or h == 0
+        or (ctype_n == 3 and not plte)
+    ):
         return None
-    bpp = {0: 1, 2: 3, 6: 4}[ctype_n]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * bpp
-    if len(raw) < h * (stride + 1):
-        return None
-    rows = []
-    prev = bytearray(stride)
-    off = 0
-    for _y in range(h):
-        f = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        off += 1 + stride
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif f != 0:
+    bpp = max(1, channels * depth // 8)
+
+    def unfilter(off: int, pw: int, ph: int):
+        """ph scanlines of a (sub-)image, unfiltered; (lines, off)."""
+        stride = (pw * channels * depth + 7) // 8
+        prev = bytearray(stride)
+        lines = []
+        for _ in range(ph):
+            if off + 1 + stride > len(raw):
+                return None
+            f = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            off += 1 + stride
+            if f == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif f != 0:
+                return None
+            prev = line
+            lines.append(line)
+        return lines, off
+
+    maxv = (1 << depth) - 1 if depth < 8 else 255
+
+    def line_pixels(line: bytearray, pw: int):
+        """One unfiltered scanline → pw (b, g, r) tuples (the module's
+        BMP-native convention) or None on a bad palette index."""
+        if depth == 8:
+            samples = line
+        elif depth == 16:
+            samples = line[0::2]  # high bytes: the standard 16→8 view
+        else:
+            samples = []
+            per = 8 // depth
+            for byte in line:
+                for k in range(per - 1, -1, -1):
+                    samples.append((byte >> (k * depth)) & maxv)
+        px = []
+        for i in range(pw):
+            base = i * channels
+            if ctype_n in (0, 4):
+                v = samples[base] * 255 // maxv
+                px.append((v, v, v))
+            elif ctype_n == 3:
+                vi = samples[base]
+                if vi >= len(plte):
+                    return None
+                r, g, b = plte[vi]
+                px.append((b, g, r))
+            else:  # 2 / 6: RGB(A), alpha dropped
+                px.append(
+                    (samples[base + 2], samples[base + 1], samples[base])
+                )
+        return px
+
+    if interlace == 0:
+        res = unfilter(0, w, h)
+        if res is None:
             return None
-        prev = line
-        # rows use the module's BMP-native (b, g, r) tuple convention
-        # (what make_bmp writes verbatim), so PNG's RGB is reversed.
-        if ctype_n == 0:
-            rows.append([(v, v, v) for v in line])
-        elif ctype_n == 2:
-            rows.append(
-                [(line[i + 2], line[i + 1], line[i]) for i in range(0, stride, 3)]
-            )
-        else:  # RGBA → drop alpha
-            rows.append(
-                [(line[i + 2], line[i + 1], line[i]) for i in range(0, stride, 4)]
-            )
+        lines, _ = res
+        rows = []
+        for ln in lines:
+            px = line_pixels(ln, w)
+            if px is None:
+                return None
+            rows.append(px)
+        return (w, h, rows)
+    # Adam7: seven independently filtered passes, scattered
+    rows = [[None] * w for _ in range(h)]
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty at this image size
+        res = unfilter(off, pw, ph)
+        if res is None:
+            return None
+        lines, off = res
+        for j, ln in enumerate(lines):
+            px = line_pixels(ln, pw)
+            if px is None:
+                return None
+            y = y0 + j * dy
+            for i in range(pw):
+                rows[y][x0 + i * dx] = px[i]
     return (w, h, rows)
 
 
 def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
-    """Pixel rows from any codec this module really decodes (24bpp BMP,
-    8-bit non-interlaced PNG, baseline sequential AND progressive JPEG —
-    see :mod:`.jpegcodec` — and first-frame GIF incl. interlace, LZW
-    and transparency — see :mod:`.gifcodec`); None → stub-flag path
-    (arithmetic/lossless/hierarchical JPEG, interlaced/16-bit PNG,
-    everything else)."""
+    """Pixel rows from any codec this module really decodes (24bpp BMP;
+    PNG in every standard profile — gray/RGB/palette/alpha at all legal
+    bit depths, sequential or Adam7; baseline sequential AND
+    progressive JPEG — see :mod:`.jpegcodec`; first-frame GIF incl.
+    interlace, LZW and transparency — see :mod:`.gifcodec`); None →
+    stub-flag path (arithmetic/lossless/hierarchical JPEG, everything
+    else)."""
     from bb_bigdata_log_tools_spark.operators.gifcodec import gif_parse_pixels
     from bb_bigdata_log_tools_spark.operators.jpegcodec import jpeg_parse_pixels
 
@@ -755,9 +948,9 @@ def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 
 
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
-    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs, 8-bit
-    PNGs, JPEGs (baseline + progressive) AND first-frame GIFs —
-    decode, sample, re-encode as canonical
+    """REAL nearest-neighbor resize for uncompressed 24bpp BMPs,
+    all-profile PNGs, JPEGs (baseline + progressive) AND first-frame
+    GIFs — decode, sample, re-encode as canonical
     24bpp BMP, all from the public specs (no image libraries). Returns
     None for any other payload. (Name kept for API stability; see
     :func:`image_parse_pixels` for the decode dispatch.)"""
@@ -789,8 +982,10 @@ RESIZE_SCHEMA = T.StructType(
 
 def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Resize stage: REAL pixel-level nearest-neighbor resize for
-    uncompressed 24bpp BMPs, 8-bit non-interlaced PNGs (full spec
-    decode: zlib inflate + all five scanline filters) and BASELINE
+    uncompressed 24bpp BMPs, PNGs in every standard profile (full spec
+    decode: zlib inflate + all five scanline filters,
+    gray/RGB/palette/alpha at all legal bit depths, sequential AND
+    Adam7 interlaced) and BASELINE
     sequential AND progressive JPEGs (T.81 spec decode: Huffman entropy
     + IDCT + chroma upsampling, 4:4:4/4:2:0/grayscale/restart markers,
     Annex G spectral selection + successive approximation — see

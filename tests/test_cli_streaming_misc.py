@@ -531,12 +531,15 @@ def test_png_decode_profiles_and_rejects():
     w, h, rows = png_parse_pixels(make_png(6, 3, b"\x10\x20\x30"))
     assert (w, h) == (6, 3)
     assert rows[0][0] == (0x30, 0x20, 0x10)
-    # unsupported profiles flow to the stub path, never crash
+    # corrupt profiles flow to the stub path, never crash: a 16-bit
+    # IHDR over 8-bit data is short by half its stride, and a palette
+    # color type without a PLTE chunk has no colors to index (REAL
+    # 16-bit / palette / interlaced PNGs decode — test_png_profiles)
     deep = bytearray(make_png(4, 4))
-    deep[24] = 16  # 16-bit depth
+    deep[24] = 16  # 16-bit depth claimed, 8-bit data present
     assert png_parse_pixels(bytes(deep)) is None
     pal = bytearray(make_png(4, 4))
-    pal[25] = 3  # palette color type
+    pal[25] = 3  # palette color type, no PLTE chunk
     assert png_parse_pixels(bytes(pal)) is None
     assert png_parse_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
     assert png_parse_pixels(b"not a png") is None
@@ -720,3 +723,57 @@ def test_wav_resample_roundtrip_properties():
     r = wav_resample(make_wav(8000, 2, samples=st), 4000)
     assert parse_wav_meta(r) == (4000, 2, 50)
     assert wav_resample(b"junk", 8000) is None
+
+
+def test_png_profiles():
+    """Every standard PNG profile decodes: gray 1/2/4/8/16, palette
+    1/2/4/8, RGB(A) 8/16, sequential and Adam7 — round-trips through
+    the spec-grade writers are exact (with the documented 16-bit high
+    byte and sub-byte gray scaling)."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_png_gray,
+        make_png_palette,
+        make_png_rows,
+        png_parse_pixels,
+    )
+
+    W, H = 19, 11
+    rows = [
+        [((x * 13) % 256, (y * 29) % 256, (x * 7 + y * 3) % 256) for x in range(W)]
+        for y in range(H)
+    ]
+    for ft in range(5):
+        seq = png_parse_pixels(make_png_rows(W, H, rows, filter_type=ft))
+        il = png_parse_pixels(
+            make_png_rows(W, H, rows, filter_type=ft, interlace=True)
+        )
+        assert seq == (W, H, rows) and il == seq, ft
+    # Adam7 at sizes below / at / above the pass-1 stride
+    for w, h in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 9)]:
+        rr = [
+            [((x * 11) % 256, (y * 17) % 256, (x + y) % 256) for x in range(w)]
+            for y in range(h)
+        ]
+        assert png_parse_pixels(make_png_rows(w, h, rr, interlace=True)) == (
+            w, h, rr,
+        ), (w, h)
+    pal_colors = [((i * 37) % 256, (i * 91) % 256, (i * 13) % 256) for i in range(256)]
+    for d in (1, 2, 4, 8):
+        nc = 1 << d
+        small = [[pal_colors[(x + y * 3) % nc] for x in range(W)] for y in range(H)]
+        assert png_parse_pixels(make_png_palette(W, H, small, bit_depth=d)) == (
+            W, H, small,
+        ), d
+    for d in (1, 2, 4, 8, 16):
+        maxv = (1 << d) - 1
+        vals = [[(x * y + x) % (maxv + 1) for x in range(W)] for y in range(H)]
+        out = png_parse_pixels(make_png_gray(W, H, vals, bit_depth=d))
+        assert out is not None
+        for y in range(H):
+            for x in range(W):
+                v = vals[y][x]
+                exp = (v >> 8) if d == 16 else v * 255 // maxv
+                assert out[2][y][x] == (exp, exp, exp), (d, x, y)
+    # truncated interlaced stream rejects
+    p = make_png_rows(W, H, rows, interlace=True)
+    assert png_parse_pixels(p[: len(p) // 2]) is None
