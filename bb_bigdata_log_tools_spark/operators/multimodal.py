@@ -306,30 +306,60 @@ def parse_wav_meta(payload: bytes) -> tuple[int, int, int] | None:
     return None
 
 
+# WAVE_FORMAT_EXTENSIBLE subformat GUID tail (fixed, per RFC 2361 /
+# the mmreg.h KSDATAFORMAT constants): first two bytes carry the
+# wrapped format code.
+_WAVEX_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def make_wav(
     sample_rate: int,
     channels: int = 1,
     n_samples: int = 0,
     bits: int = 16,
     samples: list | None = None,
+    float_fmt: bool = False,
+    extensible: bool = False,
 ) -> bytes:
     """A valid PCM WAV file built from the RIFF spec — a real writer
     for fixtures and round-trip tests. ``samples`` (optional) supplies
-    interleaved integer sample values (signed for 16-bit, unsigned
-    0-255 for 8-bit); default is silence."""
+    interleaved sample values (signed ints for 16/24/32-bit, unsigned
+    0-255 for 8-bit, floats for ``float_fmt``); default is silence.
+    ``float_fmt=True`` writes IEEE-float (format 3, 32-bit);
+    ``extensible=True`` wraps the format in WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE + subformat GUID) — the layout pro-audio tools emit."""
+    if float_fmt:
+        bits = 32
     block_align = channels * bits // 8
     if samples is not None:
         n_samples = len(samples) // channels
-        if bits == 16:
+        if float_fmt:
+            data = struct.pack(f"<{len(samples)}f", *samples)
+        elif bits == 16:
             data = struct.pack(f"<{len(samples)}h", *samples)
+        elif bits == 24:
+            data = b"".join(
+                int(v).to_bytes(3, "little", signed=True) for v in samples
+            )
+        elif bits == 32:
+            data = struct.pack(f"<{len(samples)}i", *samples)
         else:
             data = bytes(samples)
     else:
         data = b"\x00" * (n_samples * block_align)
-    fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
-        block_align, bits,
-    )
+    code = 3 if float_fmt else 1
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + struct.pack(
+            "<H", code
+        ) + _WAVEX_GUID_TAIL
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", code, channels, sample_rate, sample_rate * block_align,
+            block_align, bits,
+        )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -1033,14 +1063,82 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def _wav_fmt_data(payload: bytes) -> tuple[int, int, bytes] | None:
+    """(format_code, bits, data bytes) from the RIFF chunk walk, with
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved to its wrapped subformat
+    code (first two GUID bytes). None when either chunk is missing."""
+    pos, code, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            code = struct.unpack_from("<H", payload, pos + 8)[0]
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+            if code == 0xFFFE and size >= 40 and pos + 8 + 26 <= len(payload):
+                code = struct.unpack_from("<H", payload, pos + 8 + 24)[0]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if code is None or bits is None or data is None:
+        return None
+    return (code, bits, data)
+
+
+def _wav_decode_samples(payload: bytes):
+    """(int_or_float numpy array, full_scale, clip_lo, clip_hi) for
+    every REAL PCM/float profile — integer 8 (unsigned) / 16 / 24 /
+    32-bit and IEEE float32/float64, plain or EXTENSIBLE-wrapped —
+    or None for compressed codecs / malformed streams. Integer
+    profiles stay in exact int64 arithmetic (engine-stable values);
+    floats clip at |x| >= 1.0."""
+    import numpy as np
+
+    fd = _wav_fmt_data(payload)
+    if fd is None:
+        return None
+    code, bits, data = fd
+    if code == 1:
+        if bits == 16:
+            x = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+            x = x.astype(np.int64)
+            return (x, 32768.0, -32768, 32767)
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+            return (x, 128.0, -128, 127)
+        if bits == 24:
+            b3 = np.frombuffer(
+                data[: (len(data) // 3) * 3], dtype=np.uint8
+            ).reshape(-1, 3).astype(np.int64)
+            x = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            x -= (x >> 23) << 24  # sign-extend 24-bit
+            return (x, float(1 << 23), -(1 << 23), (1 << 23) - 1)
+        if bits == 32:
+            x = np.frombuffer(data[: (len(data) // 4) * 4], dtype="<i4")
+            x = x.astype(np.int64)
+            return (x, float(1 << 31), -(1 << 31), (1 << 31) - 1)
+        return None
+    if code == 3:
+        if bits == 32:
+            x = np.frombuffer(data[: (len(data) // 4) * 4], dtype="<f4")
+        elif bits == 64:
+            x = np.frombuffer(data[: (len(data) // 8) * 8], dtype="<f8")
+        else:
+            return None
+        return (x.astype(np.float64), 1.0, None, None)
+    return None
+
+
 def wav_pcm_stats(payload: bytes) -> tuple | None:
     """REAL signal statistics from PCM WAV sample data (not just
     headers): (duration_ms, rms, peak, clipped_frac) with amplitudes
-    normalized to [0, 1] full scale. 16-bit signed and 8-bit unsigned
-    PCM; anything else returns None (stub-flag path).
+    normalized to [0, 1] full scale. Every integer PCM width
+    (8 unsigned / 16 / 24 / 32 signed), IEEE float32/float64, and the
+    WAVE_FORMAT_EXTENSIBLE wrapper; compressed codecs return None
+    (stub-flag path).
 
-    rms/peak/clipped_frac are rounded to 4dp from exact integer sample
-    arithmetic, so the values are engine- and platform-stable.
+    rms/peak/clipped_frac are rounded to 4dp — exact integer sample
+    arithmetic for the integer widths (engine- and platform-stable),
+    |x| >= 1.0 counts as clipped for floats.
     """
     meta = parse_wav_meta(payload)
     if meta is None:
@@ -1048,40 +1146,26 @@ def wav_pcm_stats(payload: bytes) -> tuple | None:
     rate, channels, n_samples = meta
     if n_samples == 0 or rate == 0:
         return (0, 0.0, 0.0, 0.0)
-    # locate fmt bits + data chunk
-    pos, bits, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if cid == b"fmt ":
-            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)
-    if data is None or bits not in (8, 16):
-        return None
     import numpy as np
 
-    if bits == 16:
-        x = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2").astype(
-            np.int64
-        )
-        full = 32768.0
-        clipped = int(((x == 32767) | (x == -32768)).sum())
-    else:
-        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
-        full = 128.0
-        clipped = int(((x == 127) | (x == -128)).sum())
+    dec = _wav_decode_samples(payload)
+    if dec is None:
+        return None
+    x, full, clip_lo, clip_hi = dec
     n = len(x)
     if n == 0:
         return (0, 0.0, 0.0, 0.0)
+    if clip_lo is None:  # float profile
+        clipped = int((np.abs(x) >= 1.0).sum())
+    else:
+        clipped = int(((x == clip_hi) | (x == clip_lo)).sum())
     rms = float(np.sqrt((x.astype(np.float64) ** 2).mean())) / full
     peak = float(np.abs(x).max()) / full
     duration_ms = n_samples * 1000 // rate
     return (
         int(duration_ms),
         round(rms, 4),
-        round(peak, 4),
+        round(peak, 4),  # float WAVs may legitimately exceed 1.0
         round(clipped / n, 4),
     )
 
@@ -1139,36 +1223,43 @@ def wav_resample(payload: bytes, out_rate: int) -> bytes | None:
     """REAL nearest-sample rate conversion for PCM WAV (the audio
     sibling of :func:`bmp_resize`): decode samples, index-map to the
     target rate (zero-order hold — the deterministic baseline a real
-    pipeline swaps for a windowed-sinc resampler), re-encode. 16-bit
-    mono/stereo; returns None for anything else (stub-flag path)."""
+    pipeline swaps for a windowed-sinc resampler), re-encode as
+    CANONICAL 16-bit PCM (the training-format normalization every
+    audio pipeline performs). Decodes every integer PCM width and
+    IEEE float, plain or EXTENSIBLE (:func:`_wav_decode_samples`),
+    mono/stereo; compressed codecs return None (stub-flag path).
+    16-bit input passes through sample-exact; wider integers take the
+    high 16 bits (arithmetic shift), 8-bit shifts up, floats clamp to
+    [-1, 1] and scale — all deterministic integer math."""
     meta = parse_wav_meta(payload)
     if meta is None or out_rate < 1:
         return None
     rate, channels, n_samples = meta
     if rate == 0 or channels not in (1, 2):
         return None
-    pos, bits, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if cid == b"fmt ":
-            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)
-    if data is None or bits != 16:
-        return None
     import numpy as np
 
-    x = np.frombuffer(
-        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
-    ).reshape(-1, channels)
-    n_in = x.shape[0]
+    dec = _wav_decode_samples(payload)
+    if dec is None:
+        return None
+    x, full, clip_lo, _clip_hi = dec
+    if clip_lo is None:  # float -> clamp and scale to int16
+        x16 = np.clip(np.rint(np.clip(x, -1.0, 1.0) * 32767), -32768, 32767)
+        x16 = x16.astype(np.int64)
+    elif full == 32768.0:
+        x16 = x  # already 16-bit: sample-exact pass-through
+    elif full == 128.0:
+        x16 = x << 8
+    else:  # 24/32-bit: keep the high 16 bits
+        x16 = x >> (int(full).bit_length() - 16)
+    frames = len(x16) // channels
+    x16 = x16[: frames * channels].reshape(-1, channels)
+    n_in = x16.shape[0]
     n_out = max(0, n_in * out_rate // rate)
     if n_in == 0 or n_out == 0:
         return make_wav(out_rate, channels, samples=[])
     idx = (np.arange(n_out, dtype=np.int64) * rate) // out_rate
-    y = x[np.minimum(idx, n_in - 1)]
+    y = x16[np.minimum(idx, n_in - 1)]
     return make_wav(out_rate, channels, samples=[int(v) for v in y.reshape(-1)])
 
 
@@ -1189,7 +1280,8 @@ RESAMPLE_SCHEMA = T.StructType(
 def audio_resample(media: DataFrame, out_rate: int = 16_000) -> DataFrame:
     """Resample stage for audio payloads — the rate-normalization every
     audio-training pipeline runs before feature extraction. REAL for
-    16-bit PCM WAV (:func:`wav_resample`); other payloads flow through
+    every PCM/float WAV profile (:func:`wav_resample`, canonical
+    16-bit output); compressed payloads flow through
     the deterministic stub with ``decoded=false``. Emits the resampled
     payload's size/digest (the gate compares values; bytes round-trip
     in unit tests). Arrow-batched ``mapInPandas`` like the other media

@@ -777,3 +777,59 @@ def test_png_profiles():
     # truncated interlaced stream rejects
     p = make_png_rows(W, H, rows, interlace=True)
     assert png_parse_pixels(p[: len(p) // 2]) is None
+
+
+def test_wav_wide_profiles():
+    """24/32-bit PCM, IEEE float32 and WAVE_FORMAT_EXTENSIBLE all
+    yield the SAME normalized stats as the 16-bit rendering of the
+    same waveform, floats clip at |x| >= 1.0, and resampling any
+    profile produces canonical 16-bit output (bit-identical across
+    integer widths carrying the same waveform)."""
+    import math
+    import struct as _s
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_mp3,
+        make_wav,
+        parse_wav_meta,
+        wav_pcm_stats,
+        wav_resample,
+    )
+
+    sine16 = [
+        int(16384 * math.sin(2 * math.pi * 440 * i / 8000)) for i in range(800)
+    ]
+    base = wav_pcm_stats(make_wav(8000, 1, samples=sine16))
+    assert base is not None and base[1] > 0.3
+    s24 = [v << 8 for v in sine16]
+    s32 = [v << 16 for v in sine16]
+    assert wav_pcm_stats(make_wav(8000, 1, samples=s24, bits=24)) == base
+    assert wav_pcm_stats(make_wav(8000, 1, samples=s32, bits=32)) == base
+    assert wav_pcm_stats(make_wav(8000, 1, samples=sine16, extensible=True)) == base
+    stf = wav_pcm_stats(
+        make_wav(8000, 1, samples=[v / 32768.0 for v in sine16], float_fmt=True)
+    )
+    assert stf[0] == base[0] and abs(stf[1] - base[1]) <= 2e-4
+    clipf = wav_pcm_stats(
+        make_wav(8000, 1, samples=[1.5, -2.0, 0.5, 0.0], float_fmt=True)
+    )
+    assert clipf[3] == 0.5 and clipf[2] == 2.0  # peak may exceed 1.0
+    # resample: wider integer widths are sample-exact vs the 16-bit path
+    r16 = wav_resample(make_wav(8000, 1, samples=sine16), 4000)
+    assert r16 == wav_resample(make_wav(8000, 1, samples=s24, bits=24), 4000)
+    assert r16 == wav_resample(make_wav(8000, 1, samples=s32, bits=32), 4000)
+    r8 = wav_resample(
+        make_wav(8000, 1, samples=[128 + (100 if i % 2 else -100)
+                                   for i in range(100)], bits=8),
+        4000,
+    )
+    assert r8 is not None and parse_wav_meta(r8)[0] == 4000
+    rf = wav_resample(
+        make_wav(8000, 1, samples=[v / 32768.0 for v in sine16],
+                 float_fmt=True),
+        4000,
+    )
+    a = _s.unpack(f"<{(len(r16) - 44) // 2}h", r16[44:])
+    b = _s.unpack(f"<{(len(rf) - 44) // 2}h", rf[44:])
+    assert len(a) == len(b) and max(abs(u - v) for u, v in zip(a, b)) <= 1
+    assert wav_pcm_stats(make_mp3(44100, 1, 2)) is None  # compressed stub
