@@ -734,8 +734,13 @@ def media_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def _bmp_parse_pixels(payload: bytes):
-    """(width, height, rows) from an uncompressed 24bpp BMP, or None.
-    rows[y][x] = (b, g, r), top row first."""
+    """(width, height, rows) from a BMP, or None. rows[y][x] =
+    (b, g, r), top row first. Covers the BITMAPINFOHEADER profiles a
+    crawl actually contains: 24bpp and 32bpp uncompressed (alpha
+    dropped), 16bpp XRGB1555 (5-bit channels scaled to 0..255),
+    palette 1/4/8-bit uncompressed (MSB-first packing), and RLE8
+    (run/absolute/EOL/EOB/delta escapes; spec-bottom-up only).
+    Top-down (negative height) supported for the uncompressed forms."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -744,20 +749,112 @@ def _bmp_parse_pixels(payload: bytes):
         return None
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        return None
     top_down = height < 0
     h = abs(height)
-    row_size = (width * 3 + 3) & ~3
+    palette = None
+    if bpp in (1, 4, 8):
+        clr_used = struct.unpack_from("<I", payload, 46)[0]
+        ncolors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * ncolors > len(payload) or ncolors > (1 << bpp):
+            return None
+        palette = [
+            (
+                payload[pal_off + 4 * i],
+                payload[pal_off + 4 * i + 1],
+                payload[pal_off + 4 * i + 2],
+            )
+            for i in range(ncolors)
+        ]
+    if compression == 1:  # RLE8
+        if bpp != 8 or top_down or palette is None:
+            return None
+        idx = [[0] * width for _ in range(h)]  # bottom-up index raster
+        x = y = 0
+        i = data_off
+        while i + 1 < len(payload):
+            c, v = payload[i], payload[i + 1]
+            i += 2
+            if c > 0:  # encoded run
+                for _ in range(c):
+                    if x < width and y < h:
+                        idx[y][x] = v
+                    x += 1
+            elif v == 0:  # end of line
+                y += 1
+                x = 0
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if i + 2 > len(payload):
+                    return None
+                x += payload[i]
+                y += payload[i + 1]
+                i += 2
+            else:  # absolute run of v indices, word-padded
+                if i + v > len(payload):
+                    return None
+                for k in range(v):
+                    if x < width and y < h:
+                        idx[y][x] = payload[i + k]
+                    x += 1
+                i += v + (v & 1)
+        plen = len(palette)
+        rows = []
+        for y in range(h):
+            line = idx[h - 1 - y]
+            if any(ci >= plen for ci in line):
+                return None
+            rows.append([palette[ci] for ci in line])
+        return (width, h, rows)
+    if compression != 0:
+        return None
+    row_size = ((width * bpp + 31) // 32) * 4
     if data_off + row_size * h > len(payload):
         return None
     rows = []
     for y in range(h):
         src_y = y if top_down else h - 1 - y
         base = data_off + src_y * row_size
-        rows.append(
-            [tuple(payload[base + 3 * x : base + 3 * x + 3]) for x in range(width)]
-        )
+        if bpp == 24:
+            rows.append(
+                [
+                    tuple(payload[base + 3 * x : base + 3 * x + 3])
+                    for x in range(width)
+                ]
+            )
+        elif bpp == 32:  # BGRA stored; alpha dropped
+            rows.append(
+                [
+                    tuple(payload[base + 4 * x : base + 4 * x + 3])
+                    for x in range(width)
+                ]
+            )
+        elif bpp == 16:  # XRGB1555, channels scaled to 0..255
+            line = []
+            for x in range(width):
+                (v,) = struct.unpack_from("<H", payload, base + 2 * x)
+                line.append(
+                    (
+                        (v & 31) * 255 // 31,
+                        ((v >> 5) & 31) * 255 // 31,
+                        ((v >> 10) & 31) * 255 // 31,
+                    )
+                )
+            rows.append(line)
+        elif palette is not None:  # 1/4/8-bit indexed, MSB-first
+            per = 8 // bpp
+            mask = (1 << bpp) - 1
+            line = []
+            for x in range(width):
+                byte = payload[base + x // per]
+                ci = (byte >> ((per - 1 - x % per) * bpp)) & mask
+                if ci >= len(palette):
+                    return None
+                line.append(palette[ci])
+            rows.append(line)
+        else:
+            return None
     return (width, h, rows)
 
 
@@ -778,6 +875,101 @@ def make_bmp(width: int, height: int, rows) -> bytes:
     return (
         b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
         + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+                      2835, 2835, 0, 0)
+        + bytes(pix)
+    )
+
+
+def make_bmp_palette(
+    width: int, height: int, rows, bpp: int = 8, rle: bool = False
+) -> bytes:
+    """An indexed BMP (1/4/8-bit color table, MSB-first packing) from
+    (b, g, r) pixel rows, optionally RLE8-compressed (run + EOL + EOB
+    escapes — the real spec encoding) — fixture writer for the palette
+    profiles the decoder covers."""
+    if bpp not in (1, 4, 8):
+        raise ValueError("palette bpp must be 1/4/8")
+    if rle and bpp != 8:
+        raise ValueError("RLE fixtures are RLE8 only")
+    palette: dict[tuple, int] = {}
+    for y in range(height):
+        for px in rows[y][:width]:
+            if px not in palette:
+                palette[px] = len(palette)
+    if len(palette) > (1 << bpp):
+        raise ValueError("too many colors for the bit depth")
+    ncolors = 1 << bpp
+    pal_bytes = bytearray()
+    colors = list(palette) + [(0, 0, 0)] * (ncolors - len(palette))
+    for b, g, r in colors:
+        pal_bytes += bytes((b, g, r, 0))
+    pix = bytearray()
+    if rle:
+        for y in range(height - 1, -1, -1):  # bottom-up
+            x = 0
+            while x < width:
+                run = 1
+                ci = palette[rows[y][x]]
+                while (
+                    x + run < width
+                    and palette[rows[y][x + run]] == ci
+                    and run < 255
+                ):
+                    run += 1
+                pix += bytes((run, ci))
+                x += run
+            pix += b"\x00\x00"  # EOL
+        pix += b"\x00\x01"  # EOB
+        compression = 1
+    else:
+        row_size = ((width * bpp + 31) // 32) * 4
+        per = 8 // bpp
+        for y in range(height - 1, -1, -1):
+            line = bytearray(row_size)
+            for x in range(width):
+                line[x // per] |= palette[rows[y][x]] << (
+                    (per - 1 - x % per) * bpp
+                )
+            pix += line
+        compression = 0
+    data_off = 14 + 40 + len(pal_bytes)
+    total = data_off + len(pix)
+    return (
+        b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+                      len(pix), 2835, 2835, len(palette), 0)
+        + bytes(pal_bytes) + bytes(pix)
+    )
+
+
+def make_bmp_wide(width: int, height: int, rows, bpp: int = 32) -> bytes:
+    """A 32bpp (BGRA, opaque alpha) or 16bpp (XRGB1555, channels
+    truncated to 5 bits) uncompressed BMP from (b, g, r) rows —
+    fixture writer for the wide-pixel profiles."""
+    if bpp not in (16, 32):
+        raise ValueError("bpp must be 16 or 32")
+    pix = bytearray()
+    if bpp == 32:
+        for y in range(height - 1, -1, -1):
+            for x in range(width):
+                b, g, r = rows[y][x]
+                pix += bytes((b, g, r, 0xFF))
+    else:
+        row_size = (width * 2 + 3) & ~3
+        for y in range(height - 1, -1, -1):
+            line = bytearray()
+            for x in range(width):
+                b, g, r = rows[y][x]
+                line += struct.pack(
+                    "<H", (b >> 3) | ((g >> 3) << 5) | ((r >> 3) << 10)
+                )
+            line += b"\x00" * (row_size - len(line))
+            pix += line
+    data_off = 14 + 40
+    total = data_off + len(pix)
+    return (
+        b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pix),
                       2835, 2835, 0, 0)
         + bytes(pix)
     )
@@ -959,13 +1151,14 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
 
 
 def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
-    """Pixel rows from any codec this module really decodes (24bpp BMP;
-    PNG in every standard profile — gray/RGB/palette/alpha at all legal
-    bit depths, sequential or Adam7; baseline sequential AND
-    progressive JPEG — see :mod:`.jpegcodec`; first-frame GIF incl.
-    interlace, LZW and transparency — see :mod:`.gifcodec`); None →
-    stub-flag path (arithmetic/lossless/hierarchical JPEG, everything
-    else)."""
+    """Pixel rows from any codec this module really decodes (BMP in
+    its crawl profiles — 24/32bpp, 16bpp-555, palette 1/4/8-bit,
+    RLE8, top-down; PNG in every standard profile — gray/RGB/palette/
+    alpha at all legal bit depths, sequential or Adam7; baseline
+    sequential AND progressive JPEG — see :mod:`.jpegcodec`;
+    first-frame GIF incl. interlace, LZW and transparency — see
+    :mod:`.gifcodec`); None → stub-flag path
+    (arithmetic/lossless/hierarchical JPEG, everything else)."""
     from bb_bigdata_log_tools_spark.operators.gifcodec import gif_parse_pixels
     from bb_bigdata_log_tools_spark.operators.jpegcodec import jpeg_parse_pixels
 

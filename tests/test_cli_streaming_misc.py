@@ -833,3 +833,40 @@ def test_wav_wide_profiles():
     b = _s.unpack(f"<{(len(rf) - 44) // 2}h", rf[44:])
     assert len(a) == len(b) and max(abs(u - v) for u, v in zip(a, b)) <= 1
     assert wav_pcm_stats(make_mp3(44100, 1, 2)) is None  # compressed stub
+
+
+def test_bmp_profiles():
+    """BMP crawl profiles decode: palette 1/4/8-bit (uncompressed and
+    RLE8), 32bpp with alpha dropped, 16bpp XRGB1555 with 5-bit
+    scaling — exact round-trips through the spec writers."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        _bmp_parse_pixels,
+        make_bmp,
+        make_bmp_palette,
+        make_bmp_wide,
+    )
+
+    W, H = 17, 9
+    pal_colors = [((i * 53) % 256, (i * 29) % 256, (i * 11) % 256) for i in range(256)]
+    for bpp in (1, 4, 8):
+        nc = 1 << bpp
+        rows = [[pal_colors[(x + 2 * y) % nc] for x in range(W)] for y in range(H)]
+        assert _bmp_parse_pixels(make_bmp_palette(W, H, rows, bpp=bpp)) == (
+            W, H, rows,
+        ), bpp
+    rows8 = [[pal_colors[(x // 3 + y) % 7] for x in range(W)] for y in range(H)]
+    rle = make_bmp_palette(W, H, rows8, bpp=8, rle=True)
+    assert _bmp_parse_pixels(rle) == (W, H, rows8)
+    assert _bmp_parse_pixels(rle[:30]) is None
+    rows = [
+        [((x * 13) % 256, (y * 7) % 256, (x + y) % 256) for x in range(W)]
+        for y in range(H)
+    ]
+    assert _bmp_parse_pixels(make_bmp_wide(W, H, rows, bpp=32)) == (W, H, rows)
+    out = _bmp_parse_pixels(make_bmp_wide(W, H, rows, bpp=16))
+    assert out is not None
+    for y in range(H):
+        for x in range(W):
+            for got, orig in zip(out[2][y][x], rows[y][x]):
+                assert got == (orig >> 3) * 255 // 31
+    assert _bmp_parse_pixels(make_bmp(W, H, rows)) == (W, H, rows)
