@@ -1009,7 +1009,9 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                return None  # truncated header (fuzz-found crash)
+            ihdr = struct.unpack_from(">IIBBBBB", body)
         elif ctype == b"PLTE":
             if length % 3:
                 return None
@@ -1437,6 +1439,10 @@ def wav_resample(payload: bytes, out_rate: int) -> bytes | None:
         return None
     x, full, clip_lo, _clip_hi = dec
     if clip_lo is None:  # float -> clamp and scale to int16
+        # nan_to_num: corrupt float payloads may carry NaN/Inf bit
+        # patterns — NaN survives clip() and overflows the int16 pack
+        # (fuzz-found crash); map NaN to 0 and infinities to the rails
+        x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
         x16 = np.clip(np.rint(np.clip(x, -1.0, 1.0) * 32767), -32768, 32767)
         x16 = x16.astype(np.int64)
     elif full == 32768.0:

@@ -1,0 +1,117 @@
+"""Mutation fuzzing for the pure-Python media codecs: the stub-flag
+contract says malformed payloads return None (or decode to SOMETHING)
+but NEVER raise — every decode seam is driven with hundreds of
+byte-level mutations of valid files (flips, truncations, extensions).
+Seeded: failures reproduce."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from bb_bigdata_log_tools_spark.operators.gifcodec import (
+    gif_frame_count,
+    gif_parse_pixels,
+    make_gif,
+)
+from bb_bigdata_log_tools_spark.operators.jpegcodec import (
+    jpeg_parse_pixels,
+    make_jpeg,
+)
+from bb_bigdata_log_tools_spark.operators.multimodal import (
+    _bmp_parse_pixels,
+    make_bmp_palette,
+    make_gif_header,
+    make_png_rows,
+    make_wav,
+    parse_image_dimensions,
+    parse_mp3_meta,
+    parse_mp4_meta,
+    parse_wav_meta,
+    png_parse_pixels,
+    wav_pcm_stats,
+    wav_resample,
+)
+
+ROWS = [
+    [((x % 5) * 40, (y % 4) * 50, ((x + y) % 6) * 30) for x in range(18)]
+    for y in range(12)
+]
+
+
+def _mutations(payload: bytes, rng: random.Random, n: int):
+    """n deterministic mutants: byte flips, truncations, injections."""
+    out = []
+    for _ in range(n):
+        kind = rng.randrange(4)
+        b = bytearray(payload)
+        if kind == 0 and b:  # flip 1-4 bytes
+            for _ in range(rng.randint(1, 4)):
+                i = rng.randrange(len(b))
+                b[i] ^= rng.randint(1, 255)
+            out.append(bytes(b))
+        elif kind == 1 and b:  # truncate
+            out.append(bytes(b[: rng.randrange(len(b))]))
+        elif kind == 2:  # insert garbage
+            i = rng.randrange(len(b) + 1)
+            out.append(bytes(b[:i]) + rng.randbytes(rng.randint(1, 9)) + bytes(b[i:]))
+        else:  # overwrite a window
+            if len(b) > 8:
+                i = rng.randrange(len(b) - 8)
+                b[i : i + 8] = rng.randbytes(8)
+            out.append(bytes(b))
+    return out
+
+
+@pytest.mark.parametrize(
+    "name, payload, decoders",
+    [
+        (
+            "jpeg_baseline",
+            make_jpeg(18, 12, ROWS, subsample=2, restart_interval=2),
+            (jpeg_parse_pixels, parse_image_dimensions),
+        ),
+        (
+            "jpeg_progressive",
+            make_jpeg(18, 12, ROWS, progressive=True),
+            (jpeg_parse_pixels, parse_image_dimensions),
+        ),
+        (
+            "gif",
+            make_gif(18, 12, ROWS, interlace=True),
+            (gif_parse_pixels, gif_frame_count, parse_image_dimensions),
+        ),
+        (
+            "png_adam7",
+            make_png_rows(18, 12, ROWS, filter_type=4, interlace=True),
+            (png_parse_pixels, parse_image_dimensions),
+        ),
+        (
+            "bmp_rle8",
+            make_bmp_palette(18, 12, ROWS, bpp=8, rle=True),
+            (_bmp_parse_pixels, parse_image_dimensions),
+        ),
+        (
+            "wav_float",
+            make_wav(
+                8000, 1,
+                samples=[math.sin(i / 9.0) for i in range(300)],
+                float_fmt=True, extensible=True,
+            ),
+            (wav_pcm_stats, parse_wav_meta, lambda p: wav_resample(p, 4000)),
+        ),
+        (
+            "skeletons",
+            make_gif_header(9, 9),
+            (parse_image_dimensions, parse_mp3_meta, parse_mp4_meta),
+        ),
+    ],
+)
+def test_codec_fuzz_never_raises(name, payload, decoders):
+    rng = random.Random(hash(name) & 0xFFFF)
+    assert any(d(payload) is not None for d in decoders), name  # sane base
+    for mutant in _mutations(payload, rng, 150):
+        for dec in decoders:
+            dec(mutant)  # any return value is fine; raising is the bug
