@@ -143,3 +143,17 @@ def test_animated_frame_count_and_first_frame_decode():
 
     assert _decode_payload("image", p) == (10, 8, 3, True)
     assert _decode_payload("image", make_gif_header(5, 5)) == (5, 5, 1, True)
+
+
+def test_dictionary_cap_roundtrip():
+    """A raster large and random enough to push the LZW string table
+    past its 4096-entry cap (codes stop being added, width pinned at
+    12) must still round-trip exactly, plain and interlaced — the
+    boundary where encoder/decoder table-growth desyncs would show."""
+    rng = random.Random(42)
+    pal = [((i * 37) % 256, (i * 91) % 256, (i * 13) % 256) for i in range(256)]
+    rows = [[pal[rng.randrange(256)] for _ in range(120)] for _ in range(90)]
+    assert gif_parse_pixels(make_gif(120, 90, rows)) == (120, 90, rows)
+    assert gif_parse_pixels(make_gif(120, 90, rows, interlace=True)) == (
+        120, 90, rows,
+    )
