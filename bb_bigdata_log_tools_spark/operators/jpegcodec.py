@@ -652,8 +652,8 @@ def _prog_dc_scan(
     def decode_one(blk, si) -> bool:
         if ah == 0:
             s = _decode_huff(br, tabs[si])
-            if s is None:
-                return False
+            if s is None or s > 15:
+                return False  # bounded size category (fuzz-found)
             diff = 0
             if s:
                 v = br.receive(s)
@@ -881,7 +881,10 @@ def _decode_block_coefs(br, dc_tab, ac_tab, q, preds, ci):
     """One block's Huffman decode → 64 dequantized natural-order
     coefficients (floats), or None on malformed input."""
     s = _decode_huff(br, dc_tab)
-    if s is None:
+    if s is None or s > 15:
+        # a corrupt DHT can carry any byte as the DC size category;
+        # T.81 allows at most 11 (8-bit) — values beyond 15 would
+        # receive() astronomically large ints (fuzz-found crash)
         return None
     diff = 0
     if s:
