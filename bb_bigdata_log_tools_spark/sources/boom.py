@@ -180,6 +180,66 @@ def read_container_blocks(data: bytes) -> Iterator[tuple[dict, int, bytes]]:
         yield schema, count, payload
 
 
+def read_container_blocks_resync(data: bytes) -> Iterator[tuple[dict, int, bytes]]:
+    """:func:`read_container_blocks` with sync-marker RESYNC past
+    corrupt blocks — the Avro container's sync markers exist precisely
+    so a reader can recover mid-stream. Where the strict reader raises
+    (fail the task, the default ingest posture), this one scans
+    forward for the next VALIDATED block boundary (the split reader's
+    `_try_block` discipline: a real boundary must parse as count,
+    size, payload, trailing sync — false marker matches inside
+    payloads are rejected) and continues, silently dropping only the
+    unreadable span. At 100 TB one flipped block must not kill a
+    1000-executor job when the operator opts into salvage semantics
+    (`read_boom(skip_corrupt=True)` — the
+    `spark.sql.files.ignoreCorruptFiles` posture at block granularity).
+    """
+    dec = _Decoder(data)
+    if dec.read_fixed(4) != MAGIC:
+        return
+    try:
+        meta = dec.read_map_of_bytes()
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        sync = dec.read_fixed(16)
+    except Exception:  # noqa: BLE001 — unreadable header: nothing salvageable
+        return
+    n = len(data)
+    pos = dec.pos
+    while pos < n:
+        blk = _try_block(data, pos, sync, codec)
+        if blk is None:
+            # resync: first validated boundary after the damage
+            search_from = pos
+            while True:
+                hit = data.find(sync, search_from, n)
+                if hit < 0:
+                    return
+                cand = hit + 16
+                if _try_block(data, cand, sync, codec) is not None:
+                    pos = cand
+                    break
+                search_from = hit + 1
+            continue
+        payload, count, nxt = blk
+        yield schema, count, payload
+        pos = nxt
+
+
+def read_container_resync(data: bytes) -> Iterator[dict]:
+    """Decoded records via the resyncing block reader; a record-level
+    decode failure inside a validated block drops the REST of that
+    block only (varint streams cannot re-align mid-block — the next
+    sync is the recovery point)."""
+    for schema, count, payload in read_container_blocks_resync(data):
+        inner = _Decoder(payload)
+        try:
+            for _ in range(count):
+                yield inner.decode(schema)
+        except Exception:  # noqa: BLE001 — skip the block's damaged tail
+            continue
+
+
 def read_container(data: bytes) -> Iterator[dict]:
     """Yield decoded records from an Avro object-container byte string."""
     for schema, count, payload in read_container_blocks(data):
@@ -309,6 +369,7 @@ def read_boom(
     case_insensitive: bool = False,
     start_ms: int | None = None,
     end_ms: int | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Distributed .bm read: binaryFile source → per-file Arrow-batched
     decode in executors → canonical log schema.
@@ -322,8 +383,26 @@ def read_boom(
     may use it as a drop-in accelerator. On parquet-resident logs
     Catalyst's pushdown covers this; the seam exists for legacy .bm
     trees where the scan cost lives inside our own decoder.
+
+    ``skip_corrupt=True`` opts into SALVAGE semantics for damaged
+    trees: corrupt container blocks are resynced past via the Avro
+    sync markers (:func:`read_container_blocks_resync`) instead of
+    failing the task, and a file with an unreadable header yields
+    zero rows — the ``spark.sql.files.ignoreCorruptFiles`` posture at
+    block granularity, for when one flipped block must not kill a
+    1000-executor ingest. Default OFF: silent data loss is the wrong
+    default, and the maintenance integrity checks rely on strict
+    reads. Mutually exclusive with ``search_terms`` (the push-down
+    byte-scan assumes intact containers — salvage first, then search).
     """
     import pandas as pd
+
+    if skip_corrupt and search_terms is not None:
+        raise ValueError(
+            "skip_corrupt and search_terms are mutually exclusive: the "
+            "FastSearch byte-scan assumes intact containers — salvage "
+            "the tree first, then search"
+        )
 
     cols = ["ts", "message", "event_id", "create_time", "block_no", "line_no"]
 
@@ -331,7 +410,11 @@ def read_boom(
         for pdf in batches:
             for content in pdf["content"]:
                 data = bytes(content)
-                if search_terms is not None:
+                if skip_corrupt:
+                    rows = list(
+                        flatten_log_blocks(read_container_resync(data))
+                    )
+                elif search_terms is not None:
                     rows = list(
                         scan_boom_bytes(
                             data,

@@ -350,3 +350,55 @@ def test_read_boom_split_distributed(spark, tmp_path):
     got = sorted(tuple(r) for r in split.collect())
     assert got == full and len(got) == len(lines)
     assert split.rdd.getNumPartitions() > 3
+
+
+def test_read_boom_skip_corrupt_salvages_blocks(spark, tmp_path):
+    """skip_corrupt=True resyncs past a damaged container block via the
+    Avro sync markers (block-granularity ignoreCorruptFiles): the four
+    intact blocks' lines survive, the wrecked block's are dropped, and
+    the strict default still fails loudly. A header-wrecked file
+    yields zero rows instead of killing the task."""
+    import pytest
+
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        _parse_boom_header,
+        _try_block,
+        read_boom,
+        write_boom_local,
+    )
+
+    d = tmp_path / "tree"
+    d.mkdir()
+    p = d / "t.bm"
+    lines = [
+        (s * 1000 + i, f"line s{s} i{i}", s * 10 + i)
+        for s in range(5)
+        for i in range(3)
+    ]
+    write_boom_local(str(p), lines)
+    data = p.read_bytes()
+    schema, sync, header_end, codec = _parse_boom_header(data)
+    pos = header_end
+    for _ in range(2):
+        _, _, pos = _try_block(data, pos, sync, codec)
+    bad = bytearray(data)
+    for k in range(6):
+        bad[pos + k] ^= 0xFF  # wreck block 3's count/size varints
+    p.write_bytes(bytes(bad))
+    # strict default: the decode task fails loudly
+    with pytest.raises(Exception):
+        read_boom(spark, str(d)).collect()
+    # salvage: 12 of 15 lines, exactly the intact seconds
+    rows = read_boom(spark, str(d), skip_corrupt=True).collect()
+    msgs = {r["message"] for r in rows}
+    assert len(rows) == 12
+    assert not any(" s2 " in m for m in msgs)
+    for s in (0, 1, 3, 4):
+        for i in range(3):
+            assert any(f"s{s} i{i}" in m for m in msgs)
+    # salvage + push-down search is an explicit usage error
+    with pytest.raises(ValueError):
+        read_boom(spark, str(d), search_terms=["x"], skip_corrupt=True)
+    # unreadable header: zero rows under salvage
+    p.write_bytes(b"Obj\x01" + b"\x00" * 10)
+    assert read_boom(spark, str(d), skip_corrupt=True).count() == 0
