@@ -231,9 +231,14 @@ def _load(opts: dict, tool: str, extra: list[str]) -> tuple:
         sys.stderr.write("; no matching log directories\n")
         raise SystemExit(0)
     spark = _spark()
-    df = read_boom(spark, paths[0])
+    # --skipCorrupt: salvage damaged .bm trees (sync-marker resync past
+    # corrupt blocks) instead of failing the run — see read_boom
+    skip_corrupt = "skipCorrupt" in opts["flags"]
+    df = read_boom(spark, paths[0], skip_corrupt=skip_corrupt)
     for extra_path in paths[1:]:
-        df = df.unionByName(read_boom(spark, extra_path))
+        df = df.unionByName(
+            read_boom(spark, extra_path, skip_corrupt=skip_corrupt)
+        )
     return df, start_ms, end_ms, values
 
 

@@ -402,3 +402,56 @@ def test_read_boom_skip_corrupt_salvages_blocks(spark, tmp_path):
     # unreadable header: zero rows under salvage
     p.write_bytes(b"Obj\x01" + b"\x00" * 10)
     assert read_boom(spark, str(d), skip_corrupt=True).count() == 0
+
+
+def test_cli_logcat_skip_corrupt_flag(tmp_path):
+    """--skipCorrupt lets logcat serve a tree containing one damaged
+    .bm (salvaging the intact blocks); the strict default fails."""
+    import os
+    import subprocess
+    import sys
+
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        _parse_boom_header,
+        _try_block,
+        write_boom_local,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "service"
+    d = root / "99" / "svc" / "logs" / "20240105" / "10" / "comp" / "data"
+    d.mkdir(parents=True)
+    base_ms = 1704448800000  # 2024-01-05T10:00Z
+    lines = [
+        (base_ms + s * 1000 + i, f"line s{s} i{i}", s * 10 + i)
+        for s in range(5)
+        for i in range(3)
+    ]
+    p = d / "x.bm"
+    write_boom_local(str(p), lines)
+    data = p.read_bytes()
+    schema, sync, header_end, codec = _parse_boom_header(data)
+    pos = header_end
+    for _ in range(2):
+        _, _, pos = _try_block(data, pos, sync, codec)
+    bad = bytearray(data)
+    for k in range(6):
+        bad[pos + k] ^= 0xFF
+    p.write_bytes(bytes(bad))
+    args = [
+        sys.executable,
+        os.path.join(repo, "bb_bigdata_log_tools_spark/cli.py"),
+        "logcat", "-dc=99", "-svc=svc", "-comp=comp",
+        "-start=Jan 5, 2024 09:00", "-end=Jan 5, 2024 11:00",
+        f"-root={root}",
+    ]
+    env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
+    strict = subprocess.run(args, capture_output=True, text=True,
+                            timeout=300, env=env)
+    assert strict.returncode != 0  # loud failure by default
+    salvage = subprocess.run(args + ["--skipCorrupt"], capture_output=True,
+                             text=True, timeout=300, env=env)
+    assert salvage.returncode == 0, salvage.stderr[-1500:]
+    out = [ln for ln in salvage.stdout.splitlines() if ln.strip()]
+    assert len(out) == 12
+    assert not any(" s2 " in ln for ln in out)
