@@ -188,6 +188,12 @@ def _gif_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     w, h = struct.unpack_from("<HH", payload, 6)
     if w == 0 or h == 0:
         return None
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        MAX_DECODE_PIXELS,
+    )
+
+    if w * h > MAX_DECODE_PIXELS:
+        return None  # decompression-bomb guard (screen raster alloc)
     packed = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -243,6 +249,8 @@ def _gif_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
         palette = lct or gct
         if palette is None or fw == 0 or fh == 0:
             return None
+        if fw * fh > MAX_DECODE_PIXELS:
+            return None  # frame raster bomb guard
         if pos >= n:
             return None
         mcs = payload[pos]

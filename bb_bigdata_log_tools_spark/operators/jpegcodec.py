@@ -364,6 +364,12 @@ def _jpeg_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
             precision, h, w = struct.unpack_from(">BHH", body, 0)
             if precision != 8:
                 return None
+            from bb_bigdata_log_tools_spark.operators.multimodal import (
+                MAX_DECODE_PIXELS,
+            )
+
+            if w * h > MAX_DECODE_PIXELS:
+                return None  # decompression-bomb guard (coef stores ~ w*h)
             ncomp = body[5]
             if ncomp not in (1, 3):
                 return None

@@ -751,6 +751,8 @@ def _bmp_parse_pixels(payload: bytes):
     compression = struct.unpack_from("<I", payload, 30)[0]
     top_down = height < 0
     h = abs(height)
+    if width * h > MAX_DECODE_PIXELS:
+        return None  # decompression-bomb guard (RLE allocates w*h)
     palette = None
     if bpp in (1, 4, 8):
         clr_used = struct.unpack_from("<I", payload, 46)[0]
@@ -975,6 +977,14 @@ def make_bmp_wide(width: int, height: int, rows, bpp: int = 32) -> bytes:
     )
 
 
+# Decompression-bomb guard shared by the pixel decoders: header-claimed
+# dimensions beyond this pixel budget return None (stub-flag path)
+# BEFORE any raster allocation or inflate — a 100-byte payload claiming
+# a 4-gigapixel canvas must not OOM an executor (fuzz-found: mutated
+# dimension fields drove multi-GB allocations). 2^26 ≈ 67 MP covers
+# every real crawl image (8K video frames are 33 MP).
+MAX_DECODE_PIXELS = 1 << 26
+
 # Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -1039,10 +1049,16 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
         channels is None or not ok_depth or comp != 0 or filt != 0
         or interlace not in (0, 1) or w == 0 or h == 0
         or (ctype_n == 3 and not plte)
+        or w * h > MAX_DECODE_PIXELS
     ):
         return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: never produce more than the raster the
+        # header's dimensions justify (≤2 bytes/sample + a filter byte
+        # per scanline across all Adam7 passes) — a zlib bomb stops at
+        # the cap instead of materializing gigabytes
+        max_raw = h * (w * channels * 2 + 2) + 15 * (w * channels * 2 + 2)
+        raw = zlib.decompressobj().decompress(bytes(idat), max_raw)
     except zlib.error:
         return None
     bpp = max(1, channels * depth // 8)

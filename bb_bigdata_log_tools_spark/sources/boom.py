@@ -64,7 +64,15 @@ class _Decoder:
     read_int = read_long
 
     def read_bytes(self) -> bytes:
+        # STRICT bounds: python slicing silently truncates past the end
+        # and a corrupt NEGATIVE varint length would move pos BACKWARD
+        # (fuzz-found: count=huge + length=-1 elements net zero forward
+        # progress = an effectively infinite decode loop); out-of-range
+        # lengths must raise so both the strict reader (loud failure)
+        # and the salvage reader (skip to next sync) terminate.
         n = self.read_long()
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("bytes length out of range")
         out = self.buf[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -73,6 +81,8 @@ class _Decoder:
         return self.read_bytes().decode("utf-8")
 
     def read_fixed(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("fixed read out of range")
         out = self.buf[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -195,9 +205,9 @@ def read_container_blocks_resync(data: bytes) -> Iterator[tuple[dict, int, bytes
     `spark.sql.files.ignoreCorruptFiles` posture at block granularity).
     """
     dec = _Decoder(data)
-    if dec.read_fixed(4) != MAGIC:
-        return
     try:
+        if dec.read_fixed(4) != MAGIC:
+            return
         meta = dec.read_map_of_bytes()
         schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
@@ -411,9 +421,17 @@ def read_boom(
             for content in pdf["content"]:
                 data = bytes(content)
                 if skip_corrupt:
-                    rows = list(
-                        flatten_log_blocks(read_container_resync(data))
-                    )
+                    # file-level fallback on top of block-level resync:
+                    # a mutated header can even yield a DIFFERENT valid
+                    # schema whose records don't flatten — under salvage
+                    # semantics that file contributes zero rows, it
+                    # never kills the task
+                    try:
+                        rows = list(
+                            flatten_log_blocks(read_container_resync(data))
+                        )
+                    except Exception:  # noqa: BLE001
+                        rows = []
                 elif search_terms is not None:
                     rows = list(
                         scan_boom_bytes(

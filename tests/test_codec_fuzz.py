@@ -120,3 +120,75 @@ def test_codec_fuzz_never_raises(name, payload, decoders):
     for mutant in _mutations(payload, rng, 400):
         for dec in decoders:
             dec(mutant)  # any return value is fine; raising is the bug
+
+
+def test_dimension_bombs_rejected_fast():
+    """A small payload whose header claims a multi-gigapixel canvas
+    must return None in microseconds, BEFORE any raster allocation or
+    inflate — the decompression-bomb guard (fuzz-found OOM: mutated
+    dimension fields drove multi-GB allocations)."""
+    import struct
+    import time
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_png_rows as _mpr,
+    )
+
+    rows = ROWS
+    t0 = time.time()
+    p = bytearray(_mpr(18, 12, rows))
+    i = p.index(b"IHDR") + 4
+    p[i : i + 8] = struct.pack(">II", 60000, 60000)
+    assert png_parse_pixels(bytes(p)) is None
+    g = bytearray(make_gif(18, 12, rows))
+    g[6:10] = struct.pack("<HH", 65000, 65000)
+    assert gif_parse_pixels(bytes(g)) is None
+    j = bytearray(make_jpeg(18, 12, rows))
+    i = j.index(b"\xff\xc0") + 5
+    j[i : i + 4] = struct.pack(">HH", 65000, 65000)
+    assert jpeg_parse_pixels(bytes(j)) is None
+    b = bytearray(make_bmp_palette(18, 12, rows, bpp=8, rle=True))
+    b[18:26] = struct.pack("<ii", 500000, 500000)
+    assert _bmp_parse_pixels(bytes(b)) is None
+    assert time.time() - t0 < 2.0  # rejection is header-time, not alloc-time
+
+
+def test_boom_salvage_and_strict_fuzz_never_raises_or_hangs():
+    """The salvage reader exists FOR corrupt input: mutants must never
+    raise and must terminate (fuzz-found: negative varint lengths let
+    pos move backward — an unbounded decode loop — before _Decoder
+    grew strict bounds). The strict reader may raise ValueError-family
+    errors but must also terminate."""
+    import os
+    import tempfile
+
+    from bb_bigdata_log_tools_spark.sources.boom import (
+        flatten_log_blocks,
+        read_container,
+        read_container_resync,
+        write_boom_local,
+    )
+
+    tmp = tempfile.mkdtemp()
+    p = os.path.join(tmp, "t.bm")
+    lines = [
+        (s * 1000 + i, f"line s{s} i{i}", i) for s in range(4) for i in range(3)
+    ]
+    write_boom_local(p, lines)
+    with open(p, "rb") as f:
+        payload = f.read()
+    rng = random.Random(4242)
+    assert len(list(flatten_log_blocks(read_container_resync(payload)))) == 12
+    for mutant in _mutations(payload, rng, 300):
+        list(read_container_resync(mutant))  # the READER never raises
+        try:
+            # flattening may legitimately fail when a mutated header
+            # yields a different valid schema — read_boom's salvage
+            # branch wraps this in a file-level fallback
+            list(flatten_log_blocks(read_container_resync(mutant)))
+        except Exception:
+            pass
+        try:
+            list(flatten_log_blocks(read_container(mutant)))
+        except Exception:
+            pass  # strict path: raising is the contract; hanging is the bug
