@@ -24,6 +24,8 @@ from bb_bigdata_log_tools_spark.operators.multimodal import (
     _bmp_parse_pixels,
     make_bmp_palette,
     make_gif_header,
+    make_mp3,
+    make_mp4,
     make_png_rows,
     make_wav,
     parse_image_dimensions,
@@ -106,6 +108,16 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
             "skeletons",
             make_gif_header(9, 9),
             (parse_image_dimensions, parse_mp3_meta, parse_mp4_meta),
+        ),
+        (
+            "mp4",
+            make_mp4(320, 180, 48),
+            (parse_mp4_meta, parse_image_dimensions),
+        ),
+        (
+            "mp3",
+            make_mp3(44100, 2, 7),
+            (parse_mp3_meta, parse_image_dimensions),
         ),
     ],
 )
