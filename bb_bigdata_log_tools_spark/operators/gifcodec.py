@@ -85,7 +85,7 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray | No
             continue
         if code == end:
             break
-        if code < len(table) and code != end:
+        if code < len(table):
             entry = table[code]
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
@@ -218,10 +218,14 @@ def _gif_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 return None
             label = payload[pos + 1]
             # GCE layout: 0x21 0xF9 04 <flags> <delay lo> <delay hi>
-            # <transparent index> 00
+            # <transparent index> 00. Last GCE wins (the reference-
+            # renderer behavior): a later GCE WITHOUT the transparency
+            # flag clears an earlier one's transparent index.
             if label == 0xF9 and pos + 8 <= n and payload[pos + 2] == 4:
                 if payload[pos + 3] & 0x01:  # transparency flag
                     transparent = payload[pos + 6]
+                else:
+                    transparent = None
             sub = _read_subblocks(payload, pos + 2)
             if sub is None:
                 return None

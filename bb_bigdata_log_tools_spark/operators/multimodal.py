@@ -1023,8 +1023,8 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
                 return None  # truncated header (fuzz-found crash)
             ihdr = struct.unpack_from(">IIBBBBB", body)
         elif ctype == b"PLTE":
-            if length % 3:
-                return None
+            if length % 3 or len(body) < length:
+                return None  # truncated inside PLTE (fuzz/review-found)
             plte = [
                 (body[3 * i], body[3 * i + 1], body[3 * i + 2])
                 for i in range(length // 3)

@@ -870,3 +870,21 @@ def test_bmp_profiles():
             for got, orig in zip(out[2][y][x], rows[y][x]):
                 assert got == (orig >> 3) * 255 // 31
     assert _bmp_parse_pixels(make_bmp(W, H, rows)) == (W, H, rows)
+
+
+def test_png_truncated_plte_rejected():
+    """A palette PNG cut off inside its PLTE chunk must return None,
+    not raise (the chunk-length field survives while the body is
+    short — review/fuzz-found crash)."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        make_png_palette,
+        png_parse_pixels,
+    )
+
+    rows = [[((x % 4) * 37, (y % 4) * 53, 0) for x in range(13)]
+            for y in range(8)]
+    p = make_png_palette(13, 8, rows, bit_depth=4)
+    i = p.index(b"PLTE")
+    plte_len = int.from_bytes(p[i - 4 : i], "big")
+    for cut in (i + 6, i + 11, i + 4 + plte_len - 1):
+        assert png_parse_pixels(p[:cut]) is None, cut

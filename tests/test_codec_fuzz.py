@@ -26,6 +26,7 @@ from bb_bigdata_log_tools_spark.operators.multimodal import (
     make_gif_header,
     make_mp3,
     make_mp4,
+    make_png_palette,
     make_png_rows,
     make_wav,
     parse_image_dimensions,
@@ -88,6 +89,17 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
         (
             "png_adam7",
             make_png_rows(18, 12, ROWS, filter_type=4, interlace=True),
+            (png_parse_pixels, parse_image_dimensions),
+        ),
+        (
+            "png_palette",  # PLTE chunk: the seed the truncated-PLTE
+            # crash hid behind (review-found)
+            make_png_palette(
+                18, 12,
+                [[((x % 4) * 37, (y % 4) * 53, 0) for x in range(18)]
+                 for y in range(12)],
+                bit_depth=4,
+            ),
             (png_parse_pixels, parse_image_dimensions),
         ),
         (

@@ -157,3 +157,26 @@ def test_dictionary_cap_roundtrip():
     assert gif_parse_pixels(make_gif(120, 90, rows, interlace=True)) == (
         120, 90, rows,
     )
+
+
+def test_last_gce_wins_clears_transparency():
+    """Two GCEs before the first frame, the second WITHOUT the
+    transparency flag: the superseding GCE clears the earlier
+    transparent index (reference-renderer last-wins behavior) —
+    without the reset, stale transparency painted those pixels as
+    background (review-found)."""
+    rows = [
+        [(10, 20, 30) if (x + y) % 3 else (200, 100, 50) for x in range(6)]
+        for y in range(4)
+    ]
+    p = make_gif(6, 4, rows, transparent_bgr=(10, 20, 30))
+    i = p.index(b"\x21\xf9")
+    gce_off = p[i : i + 8]
+    cleared = bytearray(gce_off)
+    cleared[3] &= ~0x01  # drop the transparency flag
+    # original (transparent) decode differs from the plain decode...
+    plain = gif_parse_pixels(make_gif(6, 4, rows))
+    assert gif_parse_pixels(p) != plain
+    # ...but inserting a superseding flagless GCE restores plain pixels
+    superseded = p[: i + 8] + bytes(cleared) + p[i + 8 :]
+    assert gif_parse_pixels(superseded) == plain
