@@ -586,3 +586,37 @@ def test_sample_weighted_stratified_plan_no_global_sort(spark, sf_dir):
         # salt); a partition-less spec would be the single-task sort
         # this operator exists to avoid
         assert "[source" in ln, ln
+
+
+def test_ticket_draw_inclusion_proportional_to_weight():
+    """Statistical validation of the ticketed min-hash draw SCHEME
+    (pure Python, engine-independent — the same md5 arithmetic
+    sample_weighted_exact/stratified run in Spark): over 400 fixed
+    seed tags, a weight-4 row is included ~3.7x as often as a
+    weight-1 row in an 8-of-40 draw (slightly below 4x because
+    without-replacement draws compress the ratio), and inclusion
+    rates are monotone in weight. Fully deterministic: md5 over
+    fixed strings, no RNG."""
+    import hashlib
+    import statistics
+
+    def draw_key(tag, key, w, cap=256):
+        return min(
+            int(hashlib.md5(f"{tag}:{key}:{t}".encode()).hexdigest()[:15], 16)
+            for t in range(1, min(w, cap) + 1)
+        )
+
+    weights = {i: (i % 4) + 1 for i in range(40)}
+    n_pick, trials = 8, 400
+    counts = {i: 0 for i in weights}
+    for tag in range(trials):
+        ranked = sorted(weights, key=lambda i: draw_key(tag, i, weights[i]))
+        for i in ranked[:n_pick]:
+            counts[i] += 1
+    by_w = {}
+    for i, w in weights.items():
+        by_w.setdefault(w, []).append(counts[i] / trials)
+    means = {w: statistics.mean(v) for w, v in by_w.items()}
+    assert means[1] < means[2] < means[3] < means[4]
+    ratio = means[4] / means[1]
+    assert 3.2 <= ratio <= 4.2, ratio
