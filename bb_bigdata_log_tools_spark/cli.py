@@ -15,6 +15,8 @@ Shared argument surface::
              intermediate separator-joined fields, unformatted/unsorted)
              --silent  --v  --r/--l (accepted; Spark always plans the
              sort itself — the local/remote split is obsolete here)
+             --skipCorrupt (salvage damaged .bm trees: resync past
+             corrupt container blocks instead of failing the run)
 
 Times accept epoch seconds, epoch millis, ``now``, or common date
 strings (``Feb 28, 2012 10:00``, ISO). Order of arguments does not
