@@ -768,19 +768,23 @@ def _bmp_parse_pixels(payload: bytes):
             )
             for i in range(ncolors)
         ]
-    if compression == 1:  # RLE8
-        if bpp != 8 or top_down or palette is None:
+    if compression in (1, 2):  # RLE8 / RLE4
+        if bpp != (8 if compression == 1 else 4) or top_down or palette is None:
             return None
+        rle4 = compression == 2
         idx = [[0] * width for _ in range(h)]  # bottom-up index raster
         x = y = 0
         i = data_off
         while i + 1 < len(payload):
             c, v = payload[i], payload[i + 1]
             i += 2
-            if c > 0:  # encoded run
-                for _ in range(c):
+            if c > 0:  # encoded run (RLE4: two alternating nibbles)
+                for k in range(c):
                     if x < width and y < h:
-                        idx[y][x] = v
+                        idx[y][x] = (
+                            ((v >> 4) if k % 2 == 0 else (v & 0x0F))
+                            if rle4 else v
+                        )
                     x += 1
             elif v == 0:  # end of line
                 y += 1
@@ -794,13 +798,20 @@ def _bmp_parse_pixels(payload: bytes):
                 y += payload[i + 1]
                 i += 2
             else:  # absolute run of v indices, word-padded
-                if i + v > len(payload):
+                nbytes = (v + 1) // 2 if rle4 else v
+                if i + nbytes > len(payload):
                     return None
                 for k in range(v):
                     if x < width and y < h:
-                        idx[y][x] = payload[i + k]
+                        if rle4:
+                            byte = payload[i + k // 2]
+                            idx[y][x] = (
+                                (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
+                            )
+                        else:
+                            idx[y][x] = payload[i + k]
                     x += 1
-                i += v + (v & 1)
+                i += nbytes + (nbytes & 1)
         plen = len(palette)
         rows = []
         for y in range(h):
@@ -886,13 +897,14 @@ def make_bmp_palette(
     width: int, height: int, rows, bpp: int = 8, rle: bool = False
 ) -> bytes:
     """An indexed BMP (1/4/8-bit color table, MSB-first packing) from
-    (b, g, r) pixel rows, optionally RLE8-compressed (run + EOL + EOB
-    escapes — the real spec encoding) — fixture writer for the palette
+    (b, g, r) pixel rows, optionally RLE-compressed (run + EOL + EOB
+    escapes — the real spec encoding; RLE8 for bpp=8, RLE4 with
+    doubled-nibble runs for bpp=4) — fixture writer for the palette
     profiles the decoder covers."""
     if bpp not in (1, 4, 8):
         raise ValueError("palette bpp must be 1/4/8")
-    if rle and bpp != 8:
-        raise ValueError("RLE fixtures are RLE8 only")
+    if rle and bpp not in (4, 8):
+        raise ValueError("RLE fixtures are RLE8/RLE4 only")
     palette: dict[tuple, int] = {}
     for y in range(height):
         for px in rows[y][:width]:
@@ -918,11 +930,13 @@ def make_bmp_palette(
                     and run < 255
                 ):
                     run += 1
-                pix += bytes((run, ci))
+                # RLE4 run value carries two alternating nibbles; a
+                # single-color run doubles the nibble
+                pix += bytes((run, (ci << 4) | ci if bpp == 4 else ci))
                 x += run
             pix += b"\x00\x00"  # EOL
         pix += b"\x00\x01"  # EOB
-        compression = 1
+        compression = 1 if bpp == 8 else 2
     else:
         row_size = ((width * bpp + 31) // 32) * 4
         per = 8 // bpp

@@ -888,3 +888,36 @@ def test_png_truncated_plte_rejected():
     plte_len = int.from_bytes(p[i - 4 : i], "big")
     for cut in (i + 6, i + 11, i + 4 + plte_len - 1):
         assert png_parse_pixels(p[:cut]) is None, cut
+
+
+def test_bmp_rle4():
+    """RLE4 (compression=2) decodes: encoded runs carry two
+    alternating nibbles, absolute runs pack nibbles MSB-first with
+    word padding — round-trip through the RLE4 fixture writer plus a
+    hand-built absolute-run stream."""
+    import struct
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        _bmp_parse_pixels,
+        make_bmp_palette,
+    )
+
+    W, H = 17, 9
+    pal = [((i * 53) % 256, (i * 29) % 256, (i * 11) % 256) for i in range(16)]
+    rows = [[pal[(x // 3 + y) % 13] for x in range(W)] for y in range(H)]
+    p4 = make_bmp_palette(W, H, rows, bpp=4, rle=True)
+    assert _bmp_parse_pixels(p4) == (W, H, rows)
+    assert _bmp_parse_pixels(p4[:40]) is None  # truncation rejects
+    # absolute-run escape (0, n >= 3): 5 nibbles, word-padded
+    i_pix = int.from_bytes(p4[10:14], "little")
+    hdr = bytearray(p4[:i_pix])
+    hdr[18:26] = struct.pack("<ii", 5, 1)
+    stream = bytes([0, 5, 0x12, 0x34, 0x50, 0x00, 0, 0, 0, 1])
+    out = _bmp_parse_pixels(bytes(hdr) + stream)
+    assert out is not None and (out[0], out[1]) == (5, 1)
+    file_pal = [
+        (hdr[i_pix - 64 + 4 * i], hdr[i_pix - 64 + 4 * i + 1],
+         hdr[i_pix - 64 + 4 * i + 2])
+        for i in range(16)
+    ]
+    assert out[2][0] == [file_pal[i] for i in (1, 2, 3, 4, 5)]
