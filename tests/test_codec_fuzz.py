@@ -108,6 +108,16 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
             (_bmp_parse_pixels, parse_image_dimensions),
         ),
         (
+            "bmp_rle4",
+            make_bmp_palette(
+                18, 12,
+                [[((x % 4) * 60, (y % 4) * 50, 0) for x in range(18)]
+                 for y in range(12)],
+                bpp=4, rle=True,
+            ),
+            (_bmp_parse_pixels, parse_image_dimensions),
+        ),
+        (
             "wav_float",
             make_wav(
                 8000, 1,
