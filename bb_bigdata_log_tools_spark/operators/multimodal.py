@@ -820,7 +820,24 @@ def _bmp_parse_pixels(payload: bytes):
                 return None
             rows.append([palette[ci] for ci in line])
         return (width, h, rows)
-    if compression != 0:
+    masks = None
+    if compression == 3:  # BI_BITFIELDS: explicit R/G/B masks
+        if bpp not in (16, 32):
+            return None
+        # masks follow the 40-byte info header (BITMAPV2/V3 headers
+        # embed them at the same offsets)
+        if 14 + 40 + 12 > len(payload):
+            return None
+        masks = struct.unpack_from("<III", payload, 14 + 40)
+        if any(m == 0 for m in masks):
+            return None
+
+        def chan(v: int, mask: int) -> int:
+            shift = (mask & -mask).bit_length() - 1
+            width_bits = (mask >> shift).bit_length()
+            return ((v & mask) >> shift) * 255 // ((1 << width_bits) - 1)
+
+    elif compression != 0:
         return None
     row_size = ((width * bpp + 31) // 32) * 4
     if data_off + row_size * h > len(payload):
@@ -829,7 +846,17 @@ def _bmp_parse_pixels(payload: bytes):
     for y in range(h):
         src_y = y if top_down else h - 1 - y
         base = data_off + src_y * row_size
-        if bpp == 24:
+        if masks is not None:
+            line = []
+            rm, gm, bm = masks
+            for x in range(width):
+                if bpp == 16:
+                    (v,) = struct.unpack_from("<H", payload, base + 2 * x)
+                else:
+                    (v,) = struct.unpack_from("<I", payload, base + 4 * x)
+                line.append((chan(v, bm), chan(v, gm), chan(v, rm)))
+            rows.append(line)
+        elif bpp == 24:
             rows.append(
                 [
                     tuple(payload[base + 3 * x : base + 3 * x + 3])
@@ -958,12 +985,18 @@ def make_bmp_palette(
     )
 
 
-def make_bmp_wide(width: int, height: int, rows, bpp: int = 32) -> bytes:
+def make_bmp_wide(
+    width: int, height: int, rows, bpp: int = 32, rgb565: bool = False
+) -> bytes:
     """A 32bpp (BGRA, opaque alpha) or 16bpp (XRGB1555, channels
     truncated to 5 bits) uncompressed BMP from (b, g, r) rows —
-    fixture writer for the wide-pixel profiles."""
+    fixture writer for the wide-pixel profiles. ``rgb565=True`` emits
+    the BI_BITFIELDS (compression=3) layout with 5-6-5 masks — the
+    other common 16bpp form real files carry."""
     if bpp not in (16, 32):
         raise ValueError("bpp must be 16 or 32")
+    if rgb565 and bpp != 16:
+        raise ValueError("rgb565 is a 16bpp layout")
     pix = bytearray()
     if bpp == 32:
         for y in range(height - 1, -1, -1):
@@ -976,18 +1009,23 @@ def make_bmp_wide(width: int, height: int, rows, bpp: int = 32) -> bytes:
             line = bytearray()
             for x in range(width):
                 b, g, r = rows[y][x]
-                line += struct.pack(
-                    "<H", (b >> 3) | ((g >> 3) << 5) | ((r >> 3) << 10)
-                )
+                if rgb565:
+                    v = (b >> 3) | ((g >> 2) << 5) | ((r >> 3) << 11)
+                else:
+                    v = (b >> 3) | ((g >> 3) << 5) | ((r >> 3) << 10)
+                line += struct.pack("<H", v)
             line += b"\x00" * (row_size - len(line))
             pix += line
-    data_off = 14 + 40
+    masks = (
+        struct.pack("<III", 0xF800, 0x07E0, 0x001F) if rgb565 else b""
+    )
+    data_off = 14 + 40 + len(masks)
     total = data_off + len(pix)
     return (
         b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
-        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pix),
-                      2835, 2835, 0, 0)
-        + bytes(pix)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                      3 if rgb565 else 0, len(pix), 2835, 2835, 0, 0)
+        + masks + bytes(pix)
     )
 
 

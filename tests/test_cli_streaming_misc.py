@@ -921,3 +921,35 @@ def test_bmp_rle4():
         for i in range(16)
     ]
     assert out[2][0] == [file_pal[i] for i in (1, 2, 3, 4, 5)]
+
+
+def test_bmp_bitfields_565():
+    """BI_BITFIELDS (compression=3) decodes via the explicit channel
+    masks — 5-6-5 round-trips with per-channel truncate-and-scale,
+    and a zero mask (corrupt) rejects."""
+    import struct
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        _bmp_parse_pixels,
+        make_bmp_wide,
+    )
+
+    W, H = 17, 9
+    rows = [
+        [((x * 13) % 256, (y * 7) % 256, (x + y) % 256) for x in range(W)]
+        for y in range(H)
+    ]
+    out = _bmp_parse_pixels(make_bmp_wide(W, H, rows, bpp=16, rgb565=True))
+    assert out is not None and (out[0], out[1]) == (W, H)
+    for y in range(H):
+        for x in range(W):
+            b, g, r = rows[y][x]
+            exp = (
+                (b >> 3) * 255 // 31,
+                (g >> 2) * 255 // 63,
+                (r >> 3) * 255 // 31,
+            )
+            assert out[2][y][x] == exp
+    p = bytearray(make_bmp_wide(W, H, rows, bpp=16, rgb565=True))
+    p[54:58] = struct.pack("<I", 0)
+    assert _bmp_parse_pixels(bytes(p)) is None
