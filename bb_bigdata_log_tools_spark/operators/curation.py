@@ -98,6 +98,16 @@ def dedup_incremental(
     of magnitude smaller than its text and often broadcast-able; AQE
     picks broadcast when it fits, and an approximate pre-filter
     (bloom) would only change the constant, not the shape.
+
+    COMPATIBILITY NOTE (v2 hash key, round 7): the internal join key
+    — and the ``content_h`` column any pipeline persists from this
+    step's lineage — changed from the truncated 60-bit ``md5_long``
+    BIGINT to the full 128-bit md5 as a 32-char hex STRING. A
+    seen-hash table persisted under the old numeric key must be
+    re-derived from its text (or re-hashed) before joining against
+    this version; the two keys are not comparable. If shuffle width
+    matters, ``unhex(md5(..))`` as a 16-byte BINARY compare is the
+    drop-in narrower form — same semantics, half the key bytes.
     """
     h = F.md5(F.encode(F.col(text_col), "UTF-8"))
     seen_hashes = seen.select(h.alias("content_h")).distinct()

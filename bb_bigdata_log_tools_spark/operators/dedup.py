@@ -718,6 +718,15 @@ def dedup_edit_distance(
     10× duplicate-replication probe drops from ~76 s to seconds;
     byte-identical output either way.
     """
+    if len_band < max_dist:
+        raise ValueError(
+            "dedup_edit_distance requires len_band >= max_dist "
+            f"(got len_band={len_band}, max_dist={max_dist}): the "
+            "adjacent-band completeness guarantee only holds when a "
+            "pair's length difference (<= max_dist) cannot span more "
+            "than one band boundary — a smaller band silently loses "
+            "pairs two bands apart"
+        )
     blocked = documents.select(
         "doc_id",
         "text",

@@ -1387,7 +1387,12 @@ def _wav_decode_samples(payload: bytes):
             x = np.frombuffer(data[: (len(data) // 8) * 8], dtype="<f8")
         else:
             return None
-        return (x.astype(np.float64), 1.0, None, None)
+        # Fuzzed payloads can carry signaling-NaN bit patterns, which
+        # trip numpy's "invalid value encountered in cast" warning on
+        # the f4 -> f8 widening (they quieten to ordinary NaN, which
+        # the callers sanitize). Suppress the warning, keep the value.
+        with np.errstate(invalid="ignore"):
+            return (x.astype(np.float64), 1.0, None, None)
     return None
 
 
@@ -1419,6 +1424,12 @@ def wav_pcm_stats(payload: bytes) -> tuple | None:
     if n == 0:
         return (0, 0.0, 0.0, 0.0)
     if clip_lo is None:  # float profile
+        # Corrupt float payloads may carry NaN/Inf bit patterns; NaN
+        # would propagate into rms/peak (and NaN != NaN breaks
+        # value-hash comparisons downstream). Define them as silence
+        # (NaN -> 0) / full-scale clipping (+-Inf -> +-1), matching
+        # wav_resample's sanitization, so stats are always finite.
+        x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
         clipped = int((np.abs(x) >= 1.0).sum())
     else:
         clipped = int(((x == clip_hi) | (x == clip_lo)).sum())

@@ -38,6 +38,16 @@ def list_tree(root: str, max_depth: int | None = None) -> list[tuple]:
 
     ``max_depth`` follows find(1) -maxdepth: entries deeper than it are
     neither listed nor descended into.
+
+    SCALE BOUND (deliberate): the walk runs DRIVER-SIDE, faithful to
+    the reference's HFind.java — itself a single-process tree walker —
+    and right-sized for admin trees (10^4-10^6 entries). At 10^7+
+    files the driver enumerates alone; the scale path is to parallelize
+    per top-level subtree (one ``list_tree(child)`` task per first-level
+    directory via the JVM-side file index or a small RDD of subtree
+    roots) and union the results — the schema and downstream filters
+    are unchanged. Not done here because every reference workload this
+    mirrors (log-store maintenance listings) is driver-tractable.
     """
     out: list[tuple] = []
 

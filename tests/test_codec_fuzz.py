@@ -2,7 +2,11 @@
 contract says malformed payloads return None (or decode to SOMETHING)
 but NEVER raise — every decode seam is driven with hundreds of
 byte-level mutations of valid files (flips, truncations, extensions).
-Seeded: failures reproduce."""
+Seeded: failures reproduce.
+
+RuntimeWarnings are promoted to errors module-wide (pytestmark below):
+a fuzz run must be warning-clean — the NaN-cast class found in round 7
+stays closed."""
 
 from __future__ import annotations
 
@@ -37,6 +41,8 @@ from bb_bigdata_log_tools_spark.operators.multimodal import (
     wav_pcm_stats,
     wav_resample,
 )
+
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
 
 ROWS = [
     [((x % 5) * 40, (y % 4) * 50, ((x + y) % 6) * 30) for x in range(18)]
