@@ -1,0 +1,241 @@
+"""HTML boilerplate extraction — the FIRST operator of a web-crawl
+training pipeline: strip markup chrome, segment into blocks, keep the
+main content by link-density + text-length heuristics (the
+jusText/trafilatura family, reduced to deterministic column algebra).
+
+Everything here is pure JVM-side regex/higher-order-function column
+expressions — no Python in the hot path, no shuffle (the per-document
+work is scan-parallel; only the gate's presentation sort moves rows).
+The regexes are dialect-portable (no lookaround, no backrefs), so the
+SAME algebra runs as the DuckDB oracle.
+
+DELIBERATE SCOPE: this is the heuristic regex tier, not an HTML5 tree
+parser — nested same-name containers (a ``<div>`` inside a ``<nav>``
+closes the non-greedy strip early) and malformed tag soup degrade to
+"keep too much", never to a crash. That is the right failure mode for
+a crawl pre-filter: the downstream quality/dedup tiers see slightly
+dirtier text, nothing is silently lost. A production pass would put a
+spec parser behind this filter for the documents it flags.
+
+No counterpart in the reference (logs, not web pages) — this extends
+the engine along the LLM-data-pipeline axis like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+#: Containers whose CONTENT is chrome, not content: dropped wholesale
+#: before block segmentation (nav bars, headers, footers, sidebars)
+#: along with non-rendered payloads (script/style/noscript/template).
+STRIP_CONTAINERS = (
+    "script",
+    "style",
+    "noscript",
+    "template",
+    "nav",
+    "header",
+    "footer",
+    "aside",
+)
+
+#: Block-level boundary tags: the text between any two of these is one
+#: candidate block for the keep/drop decision.
+BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|br|hr|table|thead|tbody|tr|td|th|section"
+    "|article|main|blockquote|pre|figure|figcaption|form|body|html"
+)
+
+_BLOCK_SPLIT = rf"(?i)</?(?:{BLOCK_TAGS})(?:\s[^>]*)?/?>"
+_ANCHOR = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+_TAG = r"(?s)<[^>]*>"
+
+#: Minimum plain-text length for a block to count as content.
+MIN_BLOCK_CHARS = 25
+#: Maximum fraction of a block's text that may sit inside <a> tags.
+MAX_LINK_DENSITY = 0.35
+
+#: (entity, replacement) in APPLICATION ORDER — &amp; last so freshly
+#: produced '&' never re-enters entity decoding (single-pass decode).
+ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _decode_entities(col: Column) -> Column:
+    for ent, rep in ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return col
+
+
+def _plain_text(col: Column) -> Column:
+    """Inline tags → space, entities decoded, whitespace collapsed."""
+    c = F.regexp_replace(col, _TAG, " ")
+    c = _decode_entities(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _strip_chrome(col: Column) -> Column:
+    """Comments + non-content containers removed (non-greedy spans)."""
+    c = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    for tag in STRIP_CONTAINERS:
+        c = F.regexp_replace(c, rf"(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}>", " ")
+    return c
+
+
+def html_extract_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_block_chars: int = MIN_BLOCK_CHARS,
+    max_link_density: float = MAX_LINK_DENSITY,
+    sort: bool = True,
+) -> DataFrame:
+    """Extract main-content text from an HTML column.
+
+    Pipeline (all whole-stage-codegen column algebra):
+
+    1. strip comments and chrome containers (:data:`STRIP_CONTAINERS`);
+    2. segment on block-level tag boundaries (:data:`BLOCK_TAGS`);
+    3. per block, compute the PLAIN text (inline tags → space, entities
+       decoded, whitespace collapsed) and the LINK text length (same
+       normalization over the concatenated ``<a>…</a>`` inners);
+    4. keep blocks with ``len(text) >= min_block_chars`` and link
+       density ``link_chars / len(text) <= max_link_density`` — the
+       jusText-style two-rule gate separating prose from related-links
+       lists, button bars, and heading stubs;
+    5. re-join kept blocks with newlines, account every char.
+
+    100 TB shape: one projection per document — no join, no aggregate,
+    no shuffle; the block arrays live only inside the row being
+    computed. Cost is O(bytes of HTML) per task and the output column
+    is strictly smaller than the input.
+
+    Output: (id, n_blocks, n_kept, kept_chars, dropped_chars, text) —
+    ``n_blocks`` counts non-empty candidate blocks; dropped/kept chars
+    partition their total text mass, so ``dropped_chars`` is the
+    boilerplate payload this stage saved downstream tiers from.
+    """
+    raw = F.col(html_col)
+    blocks = F.split(_strip_chrome(raw), _BLOCK_SPLIT)
+    per_block = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _plain_text(b).alias("txt"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR), F.lit(1)),
+                F.lit(0),
+                lambda acc, a: acc + F.length(_plain_text(a)),
+            ).alias("link_chars"),
+        ),
+    )
+    nonempty = F.filter(per_block, lambda s: s["txt"] != F.lit(""))
+    kept = F.filter(
+        nonempty,
+        lambda s: (F.length(s["txt"]) >= F.lit(min_block_chars))
+        & (
+            s["link_chars"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["txt"])
+        ),
+    )
+    total_chars = F.aggregate(
+        nonempty, F.lit(0), lambda acc, s: acc + F.length(s["txt"])
+    )
+    kept_chars = F.aggregate(
+        kept, F.lit(0), lambda acc, s: acc + F.length(s["txt"])
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nonempty).cast("int").alias("n_blocks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        kept_chars.cast("long").alias("kept_chars"),
+        (total_chars - kept_chars).cast("long").alias("dropped_chars"),
+        F.array_join(
+            F.transform(kept, lambda s: s["txt"]), "\n"
+        ).alias("text"),
+    )
+    return small_sort(out, "doc_id") if sort else out
+
+
+def html_extract_sql(
+    source_sql: str,
+    html_expr: str = "html",
+    id_expr: str = "doc_id",
+    min_block_chars: int = MIN_BLOCK_CHARS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> str:
+    """The SAME extraction as :func:`html_extract_text`, rendered as
+    dialect-portable DuckDB SQL — the full-fidelity oracle (and the
+    SQL-surface form of the operator). ``source_sql`` is a relation
+    providing ``id_expr`` and ``html_expr``.
+
+    Kept mechanically in lockstep with the Spark algebra: both sides
+    read their regexes and thresholds from the module constants.
+    """
+    hole = "@ARG@"  # placeholder: never collides with SQL text
+    decoded = hole
+    for ent, rep in ENTITIES:
+        rq = rep.replace("'", "''")
+        decoded = f"replace({decoded}, '{ent}', '{rq}')"
+
+    def _plain_sql(var: str) -> str:
+        inner = decoded.replace(
+            hole, f"regexp_replace({var}, '(?s)<[^>]*>', ' ', 'g')"
+        )
+        return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
+
+    plain = _plain_sql("b")
+    link_plain = _plain_sql("a")
+    stripped = html_expr
+    stripped = f"regexp_replace({stripped}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in STRIP_CONTAINERS:
+        pat = rf"(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}>"
+        stripped = f"regexp_replace({stripped}, '{pat}', ' ', 'g')"
+    return f"""
+WITH src AS ({source_sql}),
+seg AS (
+  SELECT {id_expr} AS doc_id,
+         string_split_regex({stripped}, '{_BLOCK_SPLIT}') AS blocks
+  FROM src
+),
+pb AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(blocks, b -> struct_pack(
+             txt := {plain},
+             link_chars := coalesce(list_sum(list_transform(
+               regexp_extract_all(b, '{_ANCHOR}', 1),
+               a -> length({link_plain}))), 0)
+           )),
+           s -> s.txt <> '') AS nonempty
+  FROM seg
+),
+k AS (
+  SELECT doc_id, nonempty,
+         list_filter(nonempty,
+           s -> length(s.txt) >= {min_block_chars}
+                AND s.link_chars <= {max_link_density} * length(s.txt))
+           AS kept
+  FROM pb
+)
+SELECT doc_id,
+       CAST(len(nonempty) AS INTEGER) AS n_blocks,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST(coalesce(list_sum(list_transform(kept, s -> length(s.txt))), 0)
+            AS BIGINT) AS kept_chars,
+       CAST(coalesce(list_sum(list_transform(nonempty,
+                                             s -> length(s.txt))), 0)
+            - coalesce(list_sum(list_transform(kept, s -> length(s.txt))), 0)
+            AS BIGINT) AS dropped_chars,
+       array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS text
+FROM k
+ORDER BY doc_id
+"""

@@ -443,3 +443,91 @@ ORDER BY doc_id
 
 TEXTPREP_QUERIES["bpe_apply"] = q_bpe_apply
 TEXTPREP_ORACLES["bpe_apply"] = _bpe_apply_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-8: HTML boilerplate extraction (the web-crawl pipeline's first
+# operator) — the fixture page is SYNTHESIZED from the documents table
+# by the same template in Spark and in the oracle SQL, so it exercises
+# every adversarial class (comments, script/style payloads, nav/footer
+# chrome, link-only lists, entity-encoded text, short stubs, mixed
+# prose-with-inline-links) at any scale factor.
+# --------------------------------------------------------------------------
+
+#: (literal | ("col", name)) template parts — one source of truth for
+#: the Spark concat and the SQL concat below.
+_HTML_TEMPLATE: tuple = (
+    "<html><head><title>Doc ",
+    ("col", "doc_id"),
+    '</title><style>body{color:#222;font: 14px sans}</style>'
+    '<script type="text/javascript">var t = "page view words that must'
+    ' never leak into extracted text"; track(t);</script></head>'
+    '<body><header><h1>Big Crawl Site Chrome Heading</h1></header>'
+    '<nav><a href="/">Home</a> <a href="/about">About us</a>'
+    ' <a href="/browse">Browse every section</a></nav>'
+    "<!-- editorial draft note for ",
+    ("col", "doc_id"),
+    ": do not index this comment text --><div id=\"main\"><h2>Document ",
+    ("col", "doc_id"),
+    " from ",
+    ("col", "source"),
+    "</h2><p>",
+    ("col", "text"),
+    "</p><p>Short note.</p><p>Discuss &amp; share &quot;doc ",
+    ("col", "doc_id"),
+    '&quot; with friends in language ',
+    ("col", "lang"),
+    ' today.</p><ul><li><a href="/d/1">more like document one</a></li>'
+    '<li><a href="/d/2">more like document two</a></li>'
+    '<li><a href="/d/3">more like document three</a></li></ul>'
+    '<p>See also <a href="/d/',
+    ("col", "doc_id"),
+    '">the related entry</a> plus a longer run of ordinary prose words'
+    " keeping the anchor density of this closing paragraph low.</p>"
+    "</div><footer>Copyright 2026 ",
+    ("col", "source"),
+    " network. All rights reserved.</footer></body></html>",
+)
+
+
+def _html_spark_col():
+    from pyspark.sql import functions as F
+
+    parts = []
+    for p in _HTML_TEMPLATE:
+        if isinstance(p, tuple):
+            parts.append(F.col(p[1]).cast("string"))
+        else:
+            parts.append(F.lit(p))
+    return F.concat(*parts)
+
+
+def _html_sql_expr() -> str:
+    parts = []
+    for p in _HTML_TEMPLATE:
+        if isinstance(p, tuple):
+            parts.append(f"CAST({p[1]} AS VARCHAR)")
+        else:
+            parts.append("'" + p.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
+
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _html_spark_col().alias("html"))
+    return html_extract_text(pages)
+
+
+def _html_extract_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_sql
+
+    src = (
+        f"SELECT doc_id, {_html_sql_expr()} AS html FROM documents"
+    )
+    return html_extract_sql(src)
+
+
+TEXTPREP_QUERIES["html_extract_text"] = q_html_extract_text
+TEXTPREP_ORACLES["html_extract_text"] = _html_extract_oracle()
