@@ -414,6 +414,106 @@ def dedup_simhash(
     )
 
 
+def hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    n_bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    salts: int = 8,
+) -> DataFrame:
+    """Generic Hamming-distance-≤k pair join over an ``n_bits``-wide
+    integer hash column — the :func:`dedup_simhash` blocking pattern
+    (pigeonhole chunking + hot-chunk salting) factored out so OTHER
+    fingerprint families can ride it: 64-bit perceptual image hashes
+    (:func:`~bb_bigdata_log_tools_spark.operators.multimodal.dedup_image`),
+    audio fingerprints, any fixed-width signature.
+
+    Split the hash into ``max_hamming + 1`` chunks; any pair within
+    Hamming ≤ k differs in at most k chunks, so it agrees exactly on at
+    least one — the self-join keys on (chunk_idx, chunk_val) buckets,
+    never all-pairs. Survivors pay one ``bit_count(xor)``. Hot-chunk
+    output skew (a near-constant image corpus collapses to few chunk
+    values) is spread structurally: left side salts by ``id % salts``,
+    right side replicates over the salt domain — AQE cannot split
+    quadratic OUTPUT over tiny input, the salt can (same argument as
+    dedup_simhash / dedup_embedding).
+
+    Output: (id1, id2, hamming), id1 < id2, exactly once per pair.
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > n_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"hash is only {n_bits} bits wide"
+        )
+    base, rem = divmod(n_bits, n_chunks)
+    if base < 5:
+        # chunks under 5 bits bucket so coarsely the blocking join
+        # degenerates toward all-pairs — refuse, like dedup_simhash
+        raise ValueError(
+            f"max_hamming={max_hamming} over {n_bits} bits gives "
+            f"{base}-bit chunks (< 5): blocking would degenerate"
+        )
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    h = F.col("__h")
+    src = hashes.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    # shiftrightunsigned: bit 63 may be set (negative long) — a signed
+    # shift would smear the sign bit across every high chunk
+    chunks = src.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(h, offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "__id",
+        "__h",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    a = chunks.withColumn(
+        "salt", F.pmod(F.col("__id"), F.lit(salts))
+    ).alias("a")
+    b = chunks.withColumn(
+        "salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
+        ),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id1"),
+            F.col("b.__id").alias("id2"),
+            F.bit_count(
+                F.col("a.__h").bitwiseXOR(F.col("b.__h"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,

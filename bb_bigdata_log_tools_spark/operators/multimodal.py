@@ -1326,6 +1326,152 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + image near-dup — the multimodal
+# analog of text dedup: pixel decode already exists (BMP/PNG/JPEG/GIF
+# from-scratch codecs), this stage CONSUMES it for image-level
+# duplicate detection (same photo saved as PNG and re-encoded JPEG,
+# brightness-shifted copies, thumbnails of the same master).
+# --------------------------------------------------------------------------
+
+#: dHash grid: 8 row-gradients over 9 columns → 64 bits.
+DHASH_COLS = 9
+DHASH_ROWS = 8
+
+
+def image_dhash_value(payload: bytes) -> int | None:
+    """64-bit difference hash (dHash) of a decodable image payload,
+    or None if no codec decodes it.
+
+    Classic recipe (Krawetz): integer grayscale
+    ``(299 r + 587 g + 114 b) // 1000``, BOX-AVERAGE downscale to a
+    9×8 grid (each cell averages its full pixel rectangle — robust to
+    codec noise where nearest-neighbor sampling is not), then bit
+    ``y*8 + x`` = 1 iff ``cell[y][x+1] > cell[y][x]``. All integer
+    arithmetic — bit-identical on every platform and engine.
+
+    Gradient hashes are invariant to uniform brightness shifts and to
+    re-encoding noise smaller than cell-to-cell contrast: a JPEG
+    re-save of a PNG lands within a few Hamming bits of the original.
+    Returned as a SIGNED 64-bit value (two's complement) so it stores
+    in a Spark/DuckDB BIGINT unchanged.
+    """
+    parsed = image_parse_pixels(payload)
+    if parsed is None:
+        return None
+    w, h, rows = parsed
+    if w < 1 or h < 1:
+        return None
+    cells = []
+    for cy in range(DHASH_ROWS):
+        y0, y1 = (cy * h) // DHASH_ROWS, ((cy + 1) * h) // DHASH_ROWS
+        y1 = max(y1, y0 + 1)
+        row = []
+        for cx in range(DHASH_COLS):
+            x0, x1 = (cx * w) // DHASH_COLS, ((cx + 1) * w) // DHASH_COLS
+            x1 = max(x1, x0 + 1)
+            acc = 0
+            for y in range(y0, min(y1, h)):
+                r = rows[y]
+                for x in range(x0, min(x1, w)):
+                    pr, pg, pb = r[x]
+                    acc += (299 * pr + 587 * pg + 114 * pb) // 1000
+            n = (min(y1, h) - y0) * (min(x1, w) - x0)
+            row.append(acc // max(n, 1))
+        cells.append(row)
+    bits = 0
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_ROWS):
+            if cells[y][x + 1] > cells[y][x]:
+                bits |= 1 << (y * DHASH_ROWS + x)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-payload 64-bit perceptual hash (:func:`image_dhash_value`),
+    Arrow-batched ``mapInPandas`` like every other decode stage —
+    payloads never visit the driver, the output row is a fixed few
+    dozen bytes regardless of image size. Non-decodable payloads flow
+    through flagged (``decoded=false``, dhash null) — the honest-stub
+    contract of the whole media family.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "width",
+                                   "height", "dhash", "decoded")}
+            for doc_id, mt, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                dims = parse_image_dimensions(payload)
+                hv = image_dhash_value(payload)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["width"].append(dims[1] if dims else 0)
+                out["height"].append(dims[2] if dims else 0)
+                out["dhash"].append(hv)
+                out["decoded"].append(hv is not None)
+            yield pd.DataFrame(out)
+
+    res = media.mapInPandas(run, schema=DHASH_SCHEMA)
+    if sort:
+        from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+        return small_sort(res, "doc_id")
+    return res
+
+
+def dedup_image(
+    media: DataFrame, max_hamming: int = 6, salts: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash every decodable payload, then
+    the generic Hamming-≤k blocked self-join
+    (:func:`~bb_bigdata_log_tools_spark.operators.dedup.hamming_pairs`
+    — pigeonhole chunking over the 64-bit hash, hot-chunk salting).
+    The format-crossing catch text dedup cannot make: the same master
+    saved as PNG and as a lossy JPEG re-encode hash within a few bits.
+
+    100 TB shape: pixels are decoded ONCE per payload executor-side
+    and reduced to 8 bytes before anything shuffles; the join runs on
+    (chunk, hash) integers only. Default ``max_hamming=6`` (7 chunks
+    of ≥9 bits) — the conventional "same image" band for dHash.
+
+    Output: (doc_id1, doc_id2, hamming), doc_id1 < doc_id2.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import hamming_pairs
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+    hashes = image_dhash(media, sort=False).filter(F.col("decoded"))
+    pairs = hamming_pairs(
+        hashes, "dhash", 64, max_hamming, id_col="doc_id", salts=salts
+    )
+    return small_sort(
+        pairs.select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            "hamming",
+        ),
+        "doc_id1",
+        "doc_id2",
+    )
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[int, int, bytes] | None:
     """(format_code, bits, data bytes) from the RIFF chunk walk, with
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved to its wrapped subformat

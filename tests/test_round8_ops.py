@@ -103,3 +103,92 @@ def test_html_extract_plan_is_scan_parallel(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# image_dhash / dedup_image / hamming_pairs
+# --------------------------------------------------------------------------
+
+
+def test_dhash_invariances():
+    """Same pixels across codecs hash identically; brightness shifts
+    are free; a one-cell edit costs ~1 bit; lossy JPEG noise stays
+    inside the near-dup band; distinct images are far."""
+    from bb_bigdata_log_tools_spark.operators.jpegcodec import make_jpeg
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        image_dhash_value,
+        make_bmp,
+        make_png_rows,
+    )
+    from bb_bigdata_log_tools_spark.registry_misc import _dhash_rows
+
+    W, H = 36, 24
+    rows_a, rows_ab, rows_ae, rows_b, rows_c = _dhash_rows()
+    h = lambda p: image_dhash_value(p)
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    ha = h(make_bmp(W, H, rows_a))
+    assert h(make_png_rows(W, H, rows_a)) == ha
+    assert h(make_jpeg(W, H, rows_a)) == ha
+    assert h(make_bmp(W, H, rows_ab)) == ha          # brightness shift
+    assert ham(h(make_bmp(W, H, rows_ae)), ha) == 1  # one-cell edit
+    hc = h(make_bmp(W, H, rows_c))
+    assert 0 < ham(h(make_jpeg(W, H, rows_c)), hc) <= 6  # codec noise
+    assert ham(h(make_bmp(W, H, rows_b)), ha) > 20       # distinct
+    assert image_dhash_value(b"junk") is None
+
+
+def test_hamming_pairs_complete_vs_bruteforce(spark):
+    """The pigeonhole-blocked join returns EXACTLY the brute-force
+    pair set on seeded 64-bit hashes with both near and far pairs —
+    including hashes with bit 63 set (negative longs)."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(8)
+    base = [rng.getrandbits(64) for _ in range(12)]
+    hashes = []
+    for i, b in enumerate(base):
+        hashes.append((2 * i, b))
+        flip = b
+        for _ in range(rng.randrange(0, 9)):   # 0..8 bit flips
+            flip ^= 1 << rng.randrange(64)
+        hashes.append((2 * i + 1, flip))
+    signed = [(i, v - (1 << 64) if v >= 1 << 63 else v) for i, v in hashes]
+    df = spark.createDataFrame(signed, "doc_id long, h long")
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in hamming_pairs(df, "h", 64, 6).collect()
+    }
+    uns = dict(hashes)
+    want = {
+        (a, b, bin(uns[a] ^ uns[b]).count("1"))
+        for a in uns
+        for b in uns
+        if a < b and bin(uns[a] ^ uns[b]).count("1") <= 6
+    }
+    assert got == want and len(want) > 0
+
+
+def test_hamming_pairs_guards(spark):
+    from bb_bigdata_log_tools_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, h long")
+    with pytest.raises(ValueError, match="blocking would degenerate"):
+        hamming_pairs(df, "h", 64, 12)          # 13 chunks < 5 bits
+    with pytest.raises(ValueError, match="chunks but the hash"):
+        hamming_pairs(df, "h", 8, 11)
+
+
+def test_dedup_image_plan_no_cartesian(spark):
+    """The image near-dup join is an equi-join on (chunk, salt) —
+    never a cartesian/broadcast-nested-loop."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import dedup_image
+    from bb_bigdata_log_tools_spark.registry_misc import _dhash_media_df
+
+    plan = (
+        dedup_image(_dhash_media_df(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
