@@ -524,7 +524,6 @@ def _bpe_vocab_merges(
     (every word fully merged → no pairs left): the merge list ends and
     the last non-empty vocab is returned — the empty `best` must not
     cross-join the vocab away."""
-    sep = "\x01"  # pair-key separator: never occurs in corpus tokens
     words = (
         documents.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -544,7 +543,16 @@ def _bpe_vocab_merges(
         F.lit(" </w> "),
     )
     cur = words.select("w", "freq", wrapped.alias("toks")).localCheckpoint()
+    return _bpe_merge_loop(cur, n_merges)
 
+
+def _bpe_merge_loop(cur: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
+    """The tokenizer-agnostic BPE merge iteration over a wrapped-token
+    (w, freq, toks) vocab relation — shared by the char-level
+    (:func:`bpe_train`, ``</w>``-marked) and byte-level
+    (:func:`bpe_train_bytes`, hex-pair) front ends. Semantics and
+    tie-breaks exactly as documented on :func:`bpe_train`."""
+    sep = "\x01"  # pair-key separator: never occurs in corpus tokens
     merge_rows = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("toks")), "  ")
@@ -637,6 +645,137 @@ def bpe_apply(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    return small_sort(out, "doc_id") if sort else out
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE with regex pre-tokenization (GPT-2 style)
+# --------------------------------------------------------------------------
+
+#: Regex pre-tokenizer, the GPT-2 shape reduced to a dialect-portable
+#: core (no lookaround — RE2 has none, so the oracle can run the SAME
+#: pattern): a word with its leading space, a number run, a punctuation
+#: run, or a residual space run. Leftmost-first alternation in both
+#: Java regex and RE2.
+BYTE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def _bpe_bytes_vocab(documents: DataFrame, text_col: str) -> DataFrame:
+    """(pretoken, freq, toks) vocab relation for byte-level BPE: the
+    corpus is scanned ONCE into regex pretokens (spaces live INSIDE
+    tokens — no ``</w>`` marker, the GPT-2 convention), and each
+    pretoken's UTF-8 bytes become wrapped 2-hex-digit tokens ("20",
+    "61", …). Hex pairs are the byte-fallback alphabet itself: every
+    possible byte has a token, so NOTHING is out-of-vocabulary — the
+    property char-level BPE lacks."""
+    pre = documents.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("w")
+    )
+    words = pre.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    hx = F.hex(F.encode(F.col("w"), "UTF-8"))
+    byte_toks = F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / F.lit(2)).cast("int")),
+        lambda i: hx.substr(i * F.lit(2) - F.lit(1), F.lit(2)),
+    )
+    wrapped = F.aggregate(
+        byte_toks,
+        F.lit(""),
+        lambda acc, c: F.concat(acc, F.lit(" "), c, F.lit(" ")),
+    )
+    return words.select("w", "freq", wrapped.alias("toks")).localCheckpoint()
+
+
+def bpe_train_bytes(
+    documents: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level BPE training (the GPT-2 formulation): regex
+    pre-tokenization (:data:`BYTE_PRETOKEN_PATTERN`), UTF-8 bytes as
+    the base alphabet (hex-pair tokens), then the same vocab-relation
+    merge loop as :func:`bpe_train` — corpus scanned once, every
+    iteration bounded by |pretoken vocab|, argmax by
+    (freq DESC, pair ASC), left-to-right non-overlapping application.
+
+    vs the char-level trainer: spaces are INSIDE tokens (a merge can
+    learn " the" as one unit, which is where real subword vocabs get
+    their compression), and the byte alphabet gives total coverage —
+    any input byte sequence tokenizes, no ``<unk>``.
+
+    Output: (step, left, right, merged, pair_freq) — token strings are
+    hex byte sequences ("20", "74", merged "2074" = " t").
+    """
+    merge_rows, _ = _bpe_merge_loop(
+        _bpe_bytes_vocab(documents, text_col), n_merges
+    )
+    if not merge_rows:
+        spark = documents.sparkSession
+        return spark.createDataFrame(
+            [],
+            "step int, left string, right string, merged string,"
+            " pair_freq long",
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step",
+        "left",
+        "right",
+        F.concat(F.col("left"), F.col("right")).alias("merged"),
+        "pair_freq",
+    ).orderBy("step")
+
+
+def bpe_apply_bytes(
+    documents: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Tokenize the corpus with the byte-level merges
+    :func:`bpe_train_bytes` learns on it: per-document pretoken and
+    token counts under the trained vocabulary — the number a
+    token-budgeted mix consumes under a production-shaped tokenizer.
+
+    Same 100 TB shape as :func:`bpe_apply`: merges live on the
+    |pretoken-vocab|-sized relation; the per-document pass is one
+    regex extract + explode, one equi-join on the pretoken, one
+    partial-agg groupBy. Because the alphabet is total (every byte is
+    a token), ``n_tokens`` covers every input byte — no OOV loss.
+
+    Output: (doc_id, n_pretokens, n_tokens).
+    """
+    _, vocab = _bpe_merge_loop(
+        _bpe_bytes_vocab(documents, text_col), n_merges
+    )
+    wt = vocab.select(
+        "w",
+        F.size(F.split(F.trim(F.col("toks")), "  ")).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    dw = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("w"),
+    )
+    out = (
+        dw.join(wt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
             F.sum("n_toks").alias("n_tokens"),
         )
     )

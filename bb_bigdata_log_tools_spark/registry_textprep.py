@@ -531,3 +531,121 @@ def _html_extract_oracle() -> str:
 
 TEXTPREP_QUERIES["html_extract_text"] = q_html_extract_text
 TEXTPREP_ORACLES["html_extract_text"] = _html_extract_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-8: byte-level BPE (GPT-2 style) — regex pretokens, hex-pair
+# byte alphabet, unrolled-oracle like bpe_train.
+# --------------------------------------------------------------------------
+
+_BPE_BYTES_MERGES = 4
+
+
+def _bpe_bytes_chain(n_merges: int) -> str:
+    """The byte-level unrolled CTE chain: v = regex-pretoken freqs,
+    t0 = wrapped hex-pair byte tokens (no </w>), then the same
+    p{i}/b{i}/t{i} merge blocks as the char-level oracle."""
+    from bb_bigdata_log_tools_spark.operators.textprep import (
+        BYTE_PRETOKEN_PATTERN,
+    )
+
+    parts = [
+        f"""
+WITH v AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{BYTE_PRETOKEN_PATTERN}'))
+          AS w FROM documents)
+  GROUP BY w
+),
+t0 AS (
+  SELECT w, freq,
+         list_aggr(list_transform(range(1, length(hex(encode(w))) // 2 + 1),
+                                  i -> ' ' || substr(hex(encode(w)),
+                                                     CAST(2*i - 1 AS INTEGER),
+                                                     2) || ' '),
+                   'string_agg', '') AS toks
+  FROM v
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT p, CAST(sum(freq) AS BIGINT) AS pair_freq
+  FROM (
+    SELECT freq, arr[j] || chr(1) || arr[j + 1] AS p
+    FROM (SELECT freq, string_split(trim(toks), '  ') AS arr FROM t{i - 1}),
+         LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS j)
+  ) GROUP BY p
+),
+b{i} AS (
+  SELECT string_split(p, chr(1))[1] AS l,
+         string_split(p, chr(1))[2] AS r,
+         pair_freq
+  FROM p{i} ORDER BY pair_freq DESC, p ASC LIMIT 1
+),
+t{i} AS (
+  SELECT w, freq,
+         replace(toks, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS toks
+  FROM t{i - 1}, b{i} b
+)""")
+    return "".join(parts)
+
+
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_train_bytes
+
+    return bpe_train_bytes(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        _BPE_BYTES_MERGES,
+    )
+
+
+def _bpe_train_bytes_oracle(n_merges: int = _BPE_BYTES_MERGES) -> str:
+    chain = _bpe_bytes_chain(n_merges)
+    selects = [
+        f"""SELECT {i} AS step, l AS "left", r AS "right",
+       l || r AS merged, pair_freq FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    return chain + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+
+
+def q_bpe_apply_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_apply_bytes
+
+    return bpe_apply_bytes(
+        ensure_parallelism(table(spark, sf_dir, "documents")),
+        _BPE_BYTES_MERGES,
+    )
+
+
+def _bpe_apply_bytes_oracle(n_merges: int = _BPE_BYTES_MERGES) -> str:
+    from bb_bigdata_log_tools_spark.operators.textprep import (
+        BYTE_PRETOKEN_PATTERN,
+    )
+
+    chain = _bpe_bytes_chain(n_merges)
+    return f"""{chain},
+wt AS (
+  SELECT w, CAST(len(string_split(trim(toks), '  ')) AS BIGINT) AS n_toks
+  FROM t{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{BYTE_PRETOKEN_PATTERN}'))
+         AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pretokens,
+       CAST(sum(wt.n_toks) AS BIGINT) AS n_tokens
+FROM dw JOIN wt USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+TEXTPREP_QUERIES["bpe_train_bytes"] = q_bpe_train_bytes
+TEXTPREP_ORACLES["bpe_train_bytes"] = _bpe_train_bytes_oracle()
+TEXTPREP_QUERIES["bpe_apply_bytes"] = q_bpe_apply_bytes
+TEXTPREP_ORACLES["bpe_apply_bytes"] = _bpe_apply_bytes_oracle()

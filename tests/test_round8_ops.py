@@ -192,3 +192,98 @@ def test_dedup_image_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# byte-level BPE
+# --------------------------------------------------------------------------
+
+
+def _ref_byte_bpe(text: str, n_merges: int):
+    """Pure-Python byte-level BPE reference: regex pretokenization
+    (same pattern), UTF-8 hex-pair alphabet, (freq DESC, pair ASC on
+    left+\\x01+right) argmax, left-to-right non-overlapping merge."""
+    import re
+
+    from bb_bigdata_log_tools_spark.operators.textprep import (
+        BYTE_PRETOKEN_PATTERN,
+    )
+
+    freqs: dict = {}
+    for w in re.findall(BYTE_PRETOKEN_PATTERN, text):
+        freqs[w] = freqs.get(w, 0) + 1
+    hx = lambda w: w.encode("utf-8").hex().upper()
+    toks = {w: tuple(hx(w)[i:i + 2] for i in range(0, len(hx(w)), 2))
+            for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, f in freqs.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                pairs[(t[i], t[i + 1])] = pairs.get((t[i], t[i + 1]), 0) + f
+        if not pairs:
+            break
+        (left, right), best_freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x01" + kv[0][1])
+        )
+        merges.append((left, right, best_freq))
+
+        def apply(t, L=left, R=right):
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == L and t[i + 1] == R:
+                    out.append(L + R)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            return tuple(out)
+
+        toks = {w: apply(t) for w, t in toks.items()}
+    return merges, toks, freqs
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6])
+def test_bpe_bytes_matches_reference(spark, seed):
+    """Seeded corpora — including multi-byte UTF-8 words and
+    punctuation runs — through bpe_train_bytes vs the pure-Python
+    byte-BPE reference; bpe_apply_bytes totals must equal the
+    reference tokenization's totals."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.textprep import (
+        bpe_apply_bytes,
+        bpe_train_bytes,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["ab", "a", "béé", "x!", "!!", "日本", "q9", "9"]
+    words = [rng.choice(vocab) for _ in range(rng.randint(4, 20))]
+    text = " ".join(words)
+    n_merges = rng.randint(1, 5)
+    expected, ref_toks, ref_freqs = _ref_byte_bpe(text, n_merges)
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r.left, r.right, r.pair_freq)
+        for r in bpe_train_bytes(docs, n_merges=n_merges).collect()
+    ]
+    assert got == expected, (seed, text, got, expected)
+
+    row = bpe_apply_bytes(docs, n_merges=n_merges).collect()[0]
+    want_pre = sum(ref_freqs.values())
+    want_tok = sum(len(t) * f for w, f in ref_freqs.items()
+                   for t in [ref_toks[w]])
+    assert (row.n_pretokens, row.n_tokens) == (want_pre, want_tok)
+
+
+def test_bpe_bytes_total_coverage(spark):
+    """The byte alphabet is total: every input byte is tokenized —
+    n_tokens with zero merges equals the UTF-8 byte length."""
+    from bb_bigdata_log_tools_spark.operators.textprep import bpe_apply_bytes
+
+    text = "héllo wörld !!"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = bpe_apply_bytes(docs, n_merges=0).collect()[0]
+    assert row.n_tokens == len(text.encode("utf-8"))
