@@ -381,78 +381,28 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-7 rotation (policy above, executed): (a) quantile_sketch — the
-# one key never driver-green (r6 oracle HUGEINT fix + two-phase exact
-# side) — leads; (b) the 15 keys first oracled in round 7 (the two
-# weighted sketches, the six sink round-trips, the native-ASOF strict
-# join, the per-key-skew stream join, the C4 line dedup, the
-# integer-exact weighted sample, the BPE trainer + its corpus APPLY
-# half, and the streaming quantile sketch);
-# (c) cms_freq_estimate,
-# whose estimator body changed this round (left-join missing-bucket
-# fix; stream_cms_freq shares that single copy and rotates next
-# round); then (d) the keys whose last driver evidence is r3 — the
-# oldest-evidence cohort. 1 + 16 + 1 + 32 = exactly the 50-key gate
-# (sample_weighted_stratified — the 10th and last new key under the
-# freeze, added in the third continuation session — joins the new-key
-# block); the cohort's last eight (dedup_embedding,
-# ann_topk_bruteforce, ann_lsh_bucketed, text_lang_id, text_quality,
-# text_token_count, text_fingerprint, text_repetition) sit at
-# positions 51-58 and lead the r8 rotation instead.
+# Round-8 rotation (policy above, executed): (a) the 5 new round-8
+# keys (HTML boilerplate extraction, the perceptual image-hash pair,
+# and byte-level BPE train/apply) lead so they earn driver evidence
+# immediately; (b) the 8 keys whose last driver green is round 3 —
+# the oldest-evidence cohort (they sat at positions 51-58 last round,
+# exactly as planned); (c) 37 of the 46 keys last driver-green in
+# round 4 — the avro trio, the tpch q8/q9/q12/q13/q15-q17/q19/q20
+# batch, the four r4 streaming keys, and the r4 curation/pipeline
+# cohort. 5 + 8 + 37 = exactly the 50-key gate. The 9 remaining
+# r4-vintage keys (clean_text, dataset_stats, filter_blocklist,
+# length_histogram, sample_stratified, sample_weighted,
+# shuffle_shards, split_assign, url_domain_stats — simple scan-algebra
+# ops with strong local suites) plus the r5 cohort lead round 9;
+# after that every key's driver evidence is <= 4 rounds old.
 _WINDOW_PRIORITY: list[str] = [
-    "quantile_sketch",
-    # --- round-7 new keys ---
-    "weighted_quantile_sketch",
-    "cms_weighted_freq",
-    "boom_write",
-    "write_jsonl_shards",
-    "read_jsonl",
-    "write_webdataset",
-    "read_webdataset",
-    "samples_from_members",
-    "events_asof_strict",
-    "stream_skew_asof_join",
-    "dedup_lines",
-    "sample_weighted_exact",
-    "sample_weighted_stratified",
-    "bpe_train",
-    "bpe_apply",
-    "stream_quantile",
-    # --- changed estimator copy ---
-    "cms_freq_estimate",
-    # --- oldest-evidence cohort (last green r3) ---
-    "log_cat",
-    "log_search",
-    "log_multisearch_or",
-    "log_multisearch_and",
-    "log_index",
-    "log_stats_hourly",
-    "log_query_index",
-    "log_cat_by_time",
-    "boom_read",
-    "ts_parse_rfc5424",
-    "ts_parse_rfc3164",
-    "text_to_boom",
-    "gzip_text_read",
-    "hfind",
-    "multimodal_decode",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q21",
-    "tpch_q22",
-    "events_sessionize",
-    "events_topk_users",
-    "events_funnel",
-    "events_moving_avg",
-    "events_hourly_anomaly",
-    "text_ngram_counts",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # --- round-8 new keys ---
+    "html_extract_text",
+    "image_dhash",
+    "dedup_image",
+    "bpe_train_bytes",
+    "bpe_apply_bytes",
+    # --- oldest-evidence cohort (last driver green r3) ---
     "dedup_embedding",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -461,6 +411,44 @@ _WINDOW_PRIORITY: list[str] = [
     "text_token_count",
     "text_fingerprint",
     "text_repetition",
+    # --- r4-vintage cohort (last driver green r4) ---
+    "avro_generic_read",
+    "avro_block_scan",
+    "avro_block_merge",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "stream_grep",
+    "stream_hourly_stats",
+    "stream_dedup",
+    "stream_funnel_match",
+    "ann_recall_eval",
+    "ann_topk_ivf",
+    "bm25_search",
+    "chunk_dedup_stats",
+    "chunk_documents",
+    "decontaminate",
+    "dedup_cross_source",
+    "dedup_incremental",
+    "domain_mix_weights",
+    "events_asof_join",
+    "events_interval_join",
+    "events_retention",
+    "events_rfm",
+    "kmeans_embeddings",
+    "pack_sequences",
+    "pii_scrub",
+    "quality_filter",
+    "sample_exact_stratified",
+    "tfidf_keywords",
+    "time_rollup",
+    "unigram_perplexity",
 ]
 
 QUERIES: dict[str, QueryFn] = {
