@@ -513,9 +513,13 @@ def _html_sql_expr() -> str:
 
 
 def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ensure_parallelism: the op is scan-parallel zero-shuffle, so its
+    # wall clock is bounded by the INPUT partitioning — the single-file
+    # parquet read would otherwise run the whole regex pipeline in one
+    # task (round-8 probe: 3.8 s single-task vs 0.6 s spread).
     from bb_bigdata_log_tools_spark.operators.html import html_extract_text
 
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     pages = docs.select("doc_id", _html_spark_col().alias("html"))
     return html_extract_text(pages)
 
