@@ -239,3 +239,94 @@ SELECT doc_id,
 FROM k
 ORDER BY doc_id
 """
+
+
+#: href-capturing anchor pattern (group 1 = target, group 2 = inner
+#: HTML); single- or double-quoted attributes, dialect-portable.
+_ANCHOR_HREF = r"""(?is)<a\s[^>]*href=["']([^"']*)["'][^>]*>(.*?)</a>"""
+
+
+def html_extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Extract the link graph from an HTML column: one row per anchor
+    in document order — (doc_id, link_pos, href, anchor_text,
+    is_internal). The companion of :func:`html_extract_text` (which
+    DROPS link-heavy chrome): the crawl frontier / web-graph side
+    needs exactly the links the content side throws away, so this
+    reads the whole page (comments stripped; nav and footers kept —
+    site chrome is where most of the link graph lives).
+
+    ``anchor_text`` is the normalized plain text of the anchor inner
+    HTML (same tag-strip + entity + whitespace pipeline as the content
+    extractor); ``is_internal`` marks site-relative hrefs (leading "/",
+    not protocol-relative "//").
+
+    Same 100 TB shape as the text extractor: one projection +
+    posexplode per document, no join, no aggregate; output rows are
+    the anchors themselves (the crawl frontier a scheduler consumes).
+    """
+    raw = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
+    hrefs = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(1))
+    inners = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(2))
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.arrays_zip(hrefs.alias("href"),
+                                      inners.alias("inner")))
+            .alias("link_pos", "lnk"),
+        )
+        .select(
+            "doc_id",
+            F.col("link_pos").cast("int").alias("link_pos"),
+            F.col("lnk.href").alias("href"),
+            _plain_text(F.col("lnk.inner")).alias("anchor_text"),
+            (
+                F.col("lnk.href").startswith("/")
+                & ~F.col("lnk.href").startswith("//")
+            ).alias("is_internal"),
+        )
+    )
+    return small_sort(out, "doc_id", "link_pos") if sort else out
+
+
+def html_extract_links_sql(
+    source_sql: str,
+    html_expr: str = "html",
+    id_expr: str = "doc_id",
+) -> str:
+    """The SAME link extraction as :func:`html_extract_links` in
+    DuckDB SQL (oracle / SQL surface), built from the same constants."""
+    hole = "@ARG@"
+    decoded = hole
+    for ent, rep in ENTITIES:
+        rq = rep.replace("'", "''")
+        decoded = f"replace({decoded}, '{ent}', '{rq}')"
+    inner_plain = decoded.replace(
+        hole, "regexp_replace(inners[i], '(?s)<[^>]*>', ' ', 'g')"
+    )
+    plain = rf"trim(regexp_replace({inner_plain}, '\s+', ' ', 'g'))"
+    pat = _ANCHOR_HREF.replace("'", "''")
+    return f"""
+WITH src AS ({source_sql}),
+x AS (
+  SELECT {id_expr} AS doc_id,
+         regexp_extract_all(
+           regexp_replace({html_expr}, '(?s)<!--.*?-->', ' ', 'g'),
+           '{pat}', 1) AS hrefs,
+         regexp_extract_all(
+           regexp_replace({html_expr}, '(?s)<!--.*?-->', ' ', 'g'),
+           '{pat}', 2) AS inners
+  FROM src
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS link_pos,
+       hrefs[i] AS href,
+       {plain} AS anchor_text,
+       (hrefs[i] LIKE '/%' AND hrefs[i] NOT LIKE '//%') AS is_internal
+FROM x, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i)
+ORDER BY doc_id, link_pos
+"""

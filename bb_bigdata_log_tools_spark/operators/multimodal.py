@@ -1472,6 +1472,28 @@ def dedup_image(
     )
 
 
+def dedup_image_cluster(
+    media: DataFrame, max_hamming: int = 6, salts: int = 8
+) -> DataFrame:
+    """Image duplicate CLUSTERS: :func:`dedup_image` pairs resolved to
+    connected components — (doc_id, cluster_id) for every image that
+    participates in at least one near-dup pair, cluster_id = the
+    smallest doc_id in the component (the canonical keeper). The image
+    analog of the text-side ``dedup_cluster``, sharing the same
+    pointer-jumping components core — a re-encoded-JPEG family and its
+    PNG master resolve to ONE keeper row each.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import (
+        connected_components,
+    )
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+    pairs = dedup_image(media, max_hamming=max_hamming, salts=salts)
+    return small_sort(
+        connected_components(pairs.select("doc_id1", "doc_id2")), "doc_id"
+    )
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[int, int, bytes] | None:
     """(format_code, bits, data bytes) from the RIFF chunk walk, with
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved to its wrapped subformat

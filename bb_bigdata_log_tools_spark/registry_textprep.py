@@ -653,3 +653,30 @@ TEXTPREP_QUERIES["bpe_train_bytes"] = q_bpe_train_bytes
 TEXTPREP_ORACLES["bpe_train_bytes"] = _bpe_train_bytes_oracle()
 TEXTPREP_QUERIES["bpe_apply_bytes"] = q_bpe_apply_bytes
 TEXTPREP_ORACLES["bpe_apply_bytes"] = _bpe_apply_bytes_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-8: the link-graph side of the synthesized pages — the crawl
+# frontier html_extract_text deliberately throws away.
+# --------------------------------------------------------------------------
+
+
+def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_links
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    pages = docs.select("doc_id", _html_spark_col().alias("html"))
+    return html_extract_links(pages)
+
+
+def _html_links_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links_sql,
+    )
+
+    src = f"SELECT doc_id, {_html_sql_expr()} AS html FROM documents"
+    return html_extract_links_sql(src)
+
+
+TEXTPREP_QUERIES["html_extract_links"] = q_html_extract_links
+TEXTPREP_ORACLES["html_extract_links"] = _html_links_oracle()

@@ -195,9 +195,11 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_apply",
     "stream_quantile",
-    # round-8: corpus-driven new keys (image_dhash / dedup_image are
-    # fixture-driven like media_resize and stay out of the list)
+    # round-8: corpus-driven new keys (image_dhash / dedup_image /
+    # dedup_image_cluster are fixture-driven like media_resize and
+    # stay out of the list)
     "html_extract_text",
+    "html_extract_links",
     "bpe_train_bytes",
     "bpe_apply_bytes",
 ]

@@ -287,3 +287,47 @@ def test_bpe_bytes_total_coverage(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     row = bpe_apply_bytes(docs, n_merges=0).collect()[0]
     assert row.n_tokens == len(text.encode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# html_extract_links / dedup_image_cluster
+# --------------------------------------------------------------------------
+
+
+def test_html_extract_links_order_quotes_entities(spark):
+    """Anchors come back in document order with both quote styles,
+    normalized anchor text, internal/external flags, and nothing from
+    comments."""
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_links
+
+    html = (
+        "<!-- <a href='/ghost'>never seen</a> -->"
+        "<nav><a href=\"/\">Home</a></nav>"
+        "<p>read <a href='/a/b'>the <b>guide</b> &amp; FAQ</a> or "
+        "<a href=\"https://other.example/x\">an external site</a> or "
+        "<a href='//cdn.example/y'>protocol-relative</a></p>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = [tuple(r) for r in html_extract_links(df).collect()]
+    assert rows == [
+        (7, 0, "/", "Home", True),
+        (7, 1, "/a/b", "the guide & FAQ", True),
+        (7, 2, "https://other.example/x", "an external site", False),
+        (7, 3, "//cdn.example/y", "protocol-relative", False),
+    ]
+
+
+def test_dedup_image_cluster_families(spark):
+    """The fixture's three families resolve to three clusters keyed by
+    their minimum doc_id; decoded=false payloads never appear."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        dedup_image_cluster,
+    )
+    from bb_bigdata_log_tools_spark.registry_misc import _dhash_media_df
+
+    rows = {r.doc_id: r.cluster_id
+            for r in dedup_image_cluster(_dhash_media_df(spark)).collect()}
+    assert {rows[i] for i in range(0, 8)} == {0}    # A family
+    assert rows[8] == 8 and rows[9] == 8            # B family
+    assert {rows[i] for i in (10, 11, 12)} == {10}  # C family
+    assert 13 not in rows and 14 not in rows        # audio + corrupt
