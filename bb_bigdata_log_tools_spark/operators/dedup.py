@@ -360,58 +360,18 @@ def dedup_simhash(
     if not 0 <= max_hamming <= 11:
         # >11 would need chunks under 5 bits: buckets so coarse the
         # blocking join degenerates toward all-pairs. Refuse rather
-        # than silently drop pairs or explode.
+        # than silently drop pairs or explode. (hamming_pairs enforces
+        # the same 5-bit floor generically; this keeps the historical
+        # message for the text-simhash entry point.)
         raise ValueError(f"max_hamming must be in [0, 11], got {max_hamming}")
-    n_chunks = max_hamming + 1
-    base, rem = divmod(60, n_chunks)
-    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
-    offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash64(documents)
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
-    a = chunks.withColumn(
-        "salt", F.pmod(F.col("doc_id"), F.lit(salts))
-    ).alias("a")
-    b = chunks.withColumn(
-        "salt",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long"))
-        ),
-    ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
+    pairs = hamming_pairs(
+        simhash64(documents), "simhash", 60, max_hamming, salts=salts
     )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        "hamming",
+    ).transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
 
 
 def hamming_pairs(
