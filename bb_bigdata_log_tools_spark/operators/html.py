@@ -235,7 +235,8 @@ SELECT doc_id,
                                              s -> length(s.txt))), 0)
             - coalesce(list_sum(list_transform(kept, s -> length(s.txt))), 0)
             AS BIGINT) AS dropped_chars,
-       array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS text
+       coalesce(array_to_string(list_transform(kept, s -> s.txt), chr(10)),
+                '') AS text
 FROM k
 ORDER BY doc_id
 """

@@ -331,3 +331,109 @@ def test_dedup_image_cluster_families(spark):
     assert rows[8] == 8 and rows[9] == 8            # B family
     assert {rows[i] for i in (10, 11, 12)} == {10}  # C family
     assert 13 not in rows and 14 not in rows        # audio + corrupt
+
+
+# --------------------------------------------------------------------------
+# cross-engine differential fuzz: random adversarial HTML through the
+# Spark extractor vs the DuckDB rendering of the same algebra — the
+# regex-dialect drift class (Java regex vs RE2) that a fixed fixture
+# cannot sweep.
+# --------------------------------------------------------------------------
+
+
+def _random_html(rng):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    ents = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;"]
+
+    def prose(n):
+        parts = [rng.choice(words) for _ in range(n)]
+        if rng.random() < 0.5:
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(ents))
+        return " ".join(parts)
+
+    frags = []
+    for _ in range(rng.randint(2, 10)):
+        kind = rng.randrange(9)
+        if kind == 0:
+            frags.append(f"<p>{prose(rng.randint(1, 15))}</p>")
+        elif kind == 1:
+            frags.append(f"<!-- {prose(rng.randint(0, 6))} -->")
+        elif kind == 2:
+            tag = rng.choice(["script", "style", "nav", "footer",
+                              "header", "aside"])
+            frags.append(f"<{tag}>{prose(rng.randint(0, 8))}</{tag}>")
+        elif kind == 3:
+            frags.append(
+                f"<li><a href=\"/d/{rng.randrange(99)}\">"
+                f"{prose(rng.randint(1, 4))}</a></li>"
+            )
+        elif kind == 4:
+            frags.append(
+                f"<p>{prose(rng.randint(3, 10))} "
+                f"<a href='/x'>{prose(rng.randint(1, 3))}</a> "
+                f"{prose(rng.randint(0, 8))}</p>"
+            )
+        elif kind == 5:
+            frags.append(f"<h{rng.randint(1, 6)}>{prose(rng.randint(1, 5))}"
+                         f"</h{rng.randint(1, 6)}>")
+        elif kind == 6:
+            frags.append(prose(rng.randint(1, 8)))        # stray text
+        elif kind == 7:
+            frags.append(f"<div class='c{rng.randrange(9)}'>")  # unclosed
+        else:
+            frags.append(rng.choice(["</div>", "<br/>", "<hr>",
+                                     "< notatag", "<em>x</em>"]))
+    return "".join(frags)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44])
+def test_html_extract_differential_vs_duckdb(spark, seed):
+    """120 random pages per seed: Spark extraction == the DuckDB
+    rendering of the same algebra, value for value."""
+    import random
+
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links,
+        html_extract_links_sql,
+        html_extract_sql,
+        html_extract_text,
+    )
+
+    rng = random.Random(seed)
+    pages = [(i, _random_html(rng)) for i in range(120)]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages (doc_id BIGINT, html VARCHAR)"
+    )
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    src = "SELECT doc_id, html FROM pages"
+
+    got = [tuple(r) for r in html_extract_text(df).collect()]
+    want = con.execute(html_extract_sql(src)).fetchall()
+    assert got == [tuple(r) for r in want], seed
+
+    got_l = [tuple(r) for r in html_extract_links(df).collect()]
+    want_l = con.execute(html_extract_links_sql(src)).fetchall()
+    assert got_l == [tuple(r) for r in want_l], seed
+
+
+def test_image_dhash_degenerate_dims():
+    """dHash is defined (and deterministic) below the 9x8 grid: tiny
+    images sample repeated pixels instead of raising."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        image_dhash_value,
+        make_bmp,
+    )
+
+    one = image_dhash_value(make_bmp(1, 1, [[(7, 7, 7)]]))
+    assert one == 0  # single gray value -> no gradients anywhere
+    tiny = image_dhash_value(
+        make_bmp(3, 2, [[(0, 0, 0), (255, 255, 255), (0, 0, 0)],
+                        [(255, 255, 255), (0, 0, 0), (255, 255, 255)]])
+    )
+    assert tiny is not None and tiny != 0
