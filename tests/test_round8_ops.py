@@ -437,3 +437,62 @@ def test_image_dhash_degenerate_dims():
                         [(255, 255, 255), (0, 0, 0), (255, 255, 255)]])
     )
     assert tiny is not None and tiny != 0
+
+
+@pytest.mark.parametrize("seed", [5, 15])
+def test_byte_pretokenizer_differential_vs_duckdb(spark, seed):
+    """The BYTE_PRETOKEN_PATTERN relies on identical leftmost-first
+    alternation in Java regex (Spark) and RE2 (DuckDB): sweep random
+    texts mixing words, digits, punctuation runs, and multi-space gaps
+    and compare the extracted pretoken SEQUENCES exactly."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.operators.textprep import (
+        BYTE_PRETOKEN_PATTERN,
+    )
+
+    rng = random.Random(seed)
+    atoms = ["cat", "Dog", "42", "7", "!!", "?", ".", ",,", " ", "  ",
+             "   ", "e9", "x!y"]
+    texts = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 25))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    got = {
+        r.id: r.toks
+        for r in df.select(
+            "id",
+            F.regexp_extract_all(
+                "text", F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+    want = dict(
+        con.execute(
+            f"SELECT id, regexp_extract_all(text,"
+            f" '{BYTE_PRETOKEN_PATTERN}') FROM t"
+        ).fetchall()
+    )
+    assert got == want, seed
+
+
+def test_html_extract_links_plan_scan_parallel(spark):
+    """Link extraction is projection + posexplode only — no exchange
+    in the unsorted plan."""
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_links
+
+    df = spark.createDataFrame(
+        [(1, "<a href='/x'>y</a>")], "doc_id long, html string"
+    )
+    plan = (
+        html_extract_links(df, sort=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
