@@ -26,6 +26,7 @@ from bb_bigdata_log_tools_spark.operators.jpegcodec import (
 )
 from bb_bigdata_log_tools_spark.operators.multimodal import (
     _bmp_parse_pixels,
+    image_dhash_value,
     make_bmp_palette,
     make_gif_header,
     make_mp3,
@@ -80,22 +81,23 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
         (
             "jpeg_baseline",
             make_jpeg(18, 12, ROWS, subsample=2, restart_interval=2),
-            (jpeg_parse_pixels, parse_image_dimensions),
+            (jpeg_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "jpeg_progressive",
             make_jpeg(18, 12, ROWS, progressive=True),
-            (jpeg_parse_pixels, parse_image_dimensions),
+            (jpeg_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "gif",
             make_gif(18, 12, ROWS, interlace=True),
-            (gif_parse_pixels, gif_frame_count, parse_image_dimensions),
+            (gif_parse_pixels, gif_frame_count, parse_image_dimensions,
+             image_dhash_value),
         ),
         (
             "png_adam7",
             make_png_rows(18, 12, ROWS, filter_type=4, interlace=True),
-            (png_parse_pixels, parse_image_dimensions),
+            (png_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "png_palette",  # PLTE chunk: the seed the truncated-PLTE
@@ -106,12 +108,12 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
                  for y in range(12)],
                 bit_depth=4,
             ),
-            (png_parse_pixels, parse_image_dimensions),
+            (png_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "bmp_rle8",
             make_bmp_palette(18, 12, ROWS, bpp=8, rle=True),
-            (_bmp_parse_pixels, parse_image_dimensions),
+            (_bmp_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "bmp_rle4",
@@ -121,7 +123,7 @@ def _mutations(payload: bytes, rng: random.Random, n: int):
                  for y in range(12)],
                 bpp=4, rle=True,
             ),
-            (_bmp_parse_pixels, parse_image_dimensions),
+            (_bmp_parse_pixels, parse_image_dimensions, image_dhash_value),
         ),
         (
             "wav_float",
