@@ -1494,6 +1494,141 @@ def dedup_image_cluster(
     )
 
 
+# --------------------------------------------------------------------------
+# Audio fingerprinting (energy-gradient hash) + audio near-dup — the
+# third leg of the multimodal dedup story (text simhash, image dHash,
+# now audio): a Haitsma-Kalker-style sign-of-energy-delta fingerprint
+# reduced to one band, deterministic integer/float arithmetic over the
+# samples the WAV decoder already produces.
+# --------------------------------------------------------------------------
+
+#: Audio fingerprint width: 65 relative-duration frames → 64 bits.
+AUDIO_FP_BITS = 64
+
+
+def audio_fingerprint_value(
+    payload: bytes, n_bits: int = AUDIO_FP_BITS
+) -> int | None:
+    """64-bit energy-gradient fingerprint of a PCM WAV payload, or
+    None when no PCM profile decodes (or the clip is shorter than
+    ``n_bits + 1`` samples — too short to frame).
+
+    Recipe (the one-band reduction of Haitsma & Kalker 2002): split
+    the full clip into ``n_bits + 1`` equal-DURATION frames, take mean
+    energy per frame, bit i = 1 iff ``energy[i+1] > energy[i]``.
+    Relative framing + sign-of-delta makes the hash invariant to the
+    transforms a copied recording actually undergoes — bit-depth
+    requantization (float/16/8-bit), amplitude scaling, resampling —
+    while a different signal lands tens of bits away. NaN/Inf float
+    samples sanitize exactly like :func:`wav_pcm_stats`. Returned as
+    SIGNED 64-bit for BIGINT storage, like :func:`image_dhash_value`.
+    """
+    import numpy as np
+
+    if parse_wav_meta(payload) is None:
+        return None
+    dec = _wav_decode_samples(payload)
+    if dec is None:
+        return None
+    x = np.nan_to_num(
+        np.asarray(dec[0], dtype=np.float64), nan=0.0, posinf=1.0,
+        neginf=-1.0,
+    )
+    n = len(x)
+    if n < n_bits + 1:
+        return None
+    frames = n_bits + 1
+    energy = []
+    for i in range(frames):
+        a, b = (i * n) // frames, ((i + 1) * n) // frames
+        seg = x[a:b]
+        energy.append(float((seg * seg).sum() / max(len(seg), 1)))
+    bits = 0
+    for i in range(n_bits):
+        if energy[i + 1] > energy[i]:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-payload audio fingerprint, Arrow-batched ``mapInPandas`` —
+    samples reduce to 8 bytes executor-side; non-PCM payloads flow
+    through ``decoded=false`` (honest-stub contract)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "duration_ms",
+                                   "fingerprint", "decoded")}
+            for doc_id, mt, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                meta = parse_wav_meta(payload)
+                fp = audio_fingerprint_value(payload)
+                dur = (
+                    meta[2] * 1000 // meta[0]
+                    if meta and meta[0] else 0
+                )
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["duration_ms"].append(int(dur) if fp is not None else 0)
+                out["fingerprint"].append(fp)
+                out["decoded"].append(fp is not None)
+            yield pd.DataFrame(out)
+
+    res = media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    if sort:
+        from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+        return small_sort(res, "doc_id")
+    return res
+
+
+def dedup_audio(
+    media: DataFrame, max_hamming: int = 6, salts: int = 8
+) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprint every decodable payload,
+    then the generic Hamming-≤k blocked self-join — the same
+    :func:`~bb_bigdata_log_tools_spark.operators.dedup.hamming_pairs`
+    plan as :func:`dedup_image`. Catches the copies a byte-hash
+    cannot: the same recording re-exported at a different bit depth,
+    gain, or sample rate.
+
+    Output: (doc_id1, doc_id2, hamming), doc_id1 < doc_id2.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import hamming_pairs
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
+    fps = audio_fingerprint(media, sort=False).filter(F.col("decoded"))
+    pairs = hamming_pairs(
+        fps, "fingerprint", AUDIO_FP_BITS, max_hamming,
+        id_col="doc_id", salts=salts,
+    )
+    return small_sort(
+        pairs.select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            "hamming",
+        ),
+        "doc_id1",
+        "doc_id2",
+    )
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[int, int, bytes] | None:
     """(format_code, bits, data bytes) from the RIFF chunk walk, with
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved to its wrapped subformat

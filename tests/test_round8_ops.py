@@ -496,3 +496,43 @@ def test_html_extract_links_plan_scan_parallel(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# audio fingerprint / dedup_audio
+# --------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_invariances():
+    """Bit-depth requantization, amplitude scaling, and resampling
+    preserve the fingerprint exactly; gain wobble lands in the near
+    band; a different signal is far; non-PCM / too-short clips are
+    None."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        audio_fingerprint_value,
+    )
+    from bb_bigdata_log_tools_spark.registry_misc import _audio_fp_payloads
+
+    p = {i: pay for i, _mt, pay in _audio_fp_payloads()}
+    fp = {i: audio_fingerprint_value(p[i]) for i in p}
+    ham = lambda a, b: bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+    for i in (1, 2, 3, 4):       # int16 / half-amp / 8-bit / resampled
+        assert ham(0, i) == 0, i
+    assert 0 < ham(0, 5) <= 6    # gain wobble: near band
+    assert ham(0, 6) > 20        # different signal
+    assert ham(6, 7) == 0        # its own 8-bit copy
+    assert fp[8] is None and fp[9] is None and fp[10] is None
+
+
+def test_dedup_audio_pairs(spark):
+    """The blocked join returns exactly the master family (including
+    the wobble at Hamming 2) plus the other-signal pair."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import dedup_audio
+    from bb_bigdata_log_tools_spark.registry_misc import _audio_fp_media_df
+
+    rows = {(r.doc_id1, r.doc_id2): r.hamming
+            for r in dedup_audio(_audio_fp_media_df(spark)).collect()}
+    master = {0, 1, 2, 3, 4, 5}
+    want_master = {(a, b) for a in master for b in master if a < b}
+    assert set(rows) == want_master | {(6, 7)}
+    assert rows[(0, 5)] == 2 and rows[(0, 1)] == 0 and rows[(6, 7)] == 0
