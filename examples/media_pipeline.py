@@ -9,7 +9,9 @@ training-data media stages:
 
   metadata walk → feature extraction (dims / frame counts) →
   frame-index sampling fan-out → pixel resize to a thumbnail →
-  audio loudness/clipping QC → resample-rate normalization
+  perceptual image dedup (dHash pairs + clusters) →
+  audio loudness/clipping QC → resample-rate normalization →
+  audio fingerprint dedup
 
 Every stage is an Arrow-batched ``mapInPandas`` over the binary
 column — payloads never visit the driver, and the ``decoded`` flag
@@ -27,6 +29,8 @@ from bb_bigdata_log_tools_spark.operators.jpegcodec import make_jpeg  # noqa: E4
 from bb_bigdata_log_tools_spark.operators.multimodal import (  # noqa: E402
     audio_pcm_stats,
     audio_resample,
+    dedup_audio,
+    dedup_image_cluster,
     extract_features,
     make_bmp_palette,
     make_png_rows,
@@ -75,6 +79,10 @@ def main(spark=None) -> None:
                               samples=[v / 32768.0 for v in sine],
                               float_fmt=True)),
         (7, "image", b"not decodable bytes"),  # stub-flag path
+        # the same pixels as doc 0, saved progressive — a re-encoded
+        # duplicate only perceptual hashing can catch
+        (8, "image", make_jpeg(64, 48, _rows(64, 48), subsample=2,
+                               progressive=True)),
     ]
     media = spark.createDataFrame(
         payloads, "doc_id long, media_type string, payload binary"
@@ -91,11 +99,17 @@ def main(spark=None) -> None:
     print("=== thumbnail resize (all four image codecs) ===")
     media_resize(media, 16, 12).orderBy("doc_id").show(truncate=False)
 
+    print("=== image near-dup clusters (doc 8 re-encodes doc 0) ===")
+    dedup_image_cluster(media).show(truncate=False)
+
     print("=== audio QC (loudness / clipping) ===")
     audio_pcm_stats(media).orderBy("doc_id").show(truncate=False)
 
     print("=== rate normalization to 16 kHz ===")
     audio_resample(media, 16_000).orderBy("doc_id").show(truncate=False)
+
+    print("=== audio near-dup (same sine at int16 and float) ===")
+    dedup_audio(media).show(truncate=False)
 
     if owns_session:
         spark.stop()
