@@ -341,3 +341,96 @@ SELECT doc_id,
 FROM x, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i)
 ORDER BY doc_id, link_pos
 """
+
+
+#: (output column, first-match pattern with ONE capture group). All
+#: dialect-portable; group 1 is the value. Meta tags assume the
+#: name-before-content attribute order (the overwhelmingly dominant
+#: authoring form; a reversed-attribute page degrades to '' — the
+#: keep-going failure mode of the whole module).
+METADATA_PATTERNS = (
+    ("title", r"(?is)<title(?:\s[^>]*)?>(.*?)</title>"),
+    ("lang_attr", r"""(?is)<html\s[^>]*lang=["']([^"']*)["']"""),
+    (
+        "meta_description",
+        r"""(?is)<meta\s[^>]*name=["']description["'][^>]*"""
+        r"""content=["']([^"']*)["']""",
+    ),
+    (
+        "meta_keywords",
+        r"""(?is)<meta\s[^>]*name=["']keywords["'][^>]*"""
+        r"""content=["']([^"']*)["']""",
+    ),
+)
+
+
+def html_extract_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Extract document metadata from an HTML column: the page title,
+    the ``<html lang>`` attribute, and the description/keywords meta
+    tags — the third HTML stage of a crawl pipeline (titles and
+    descriptions feed quality filters, dedup keys, and search
+    snippets; the lang attribute is the cheap prior the n-gram
+    language-ID refines).
+
+    First match wins per field (the document-order head tag, matching
+    browser behavior); missing fields read as '' — never NULL, so
+    downstream filters need no null-handling branch. Title and
+    description pass the same entity/whitespace normalization as the
+    content extractor. One projection per document — no join, no
+    shuffle, same 100 TB shape as the sibling extractors.
+
+    Output: (doc_id, title, lang_attr, meta_description,
+    meta_keywords).
+    """
+    raw = F.col(html_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pat in METADATA_PATTERNS:
+        v = F.regexp_extract(raw, pat, 1)
+        if name in ("title", "meta_description"):
+            v = _plain_text(v)
+        else:
+            v = F.trim(v)
+        cols.append(v.alias(name))
+    out = df.select(*cols)
+    return small_sort(out, "doc_id") if sort else out
+
+
+def html_extract_metadata_sql(
+    source_sql: str,
+    html_expr: str = "html",
+    id_expr: str = "doc_id",
+) -> str:
+    """The SAME metadata extraction in DuckDB SQL (oracle / SQL
+    surface), from the same pattern constants."""
+    hole = "@ARG@"
+    decoded = hole
+    for ent, rep in ENTITIES:
+        rq = rep.replace("'", "''")
+        decoded = f"replace({decoded}, '{ent}', '{rq}')"
+
+    def plain(expr: str) -> str:
+        inner = decoded.replace(
+            hole, f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+        )
+        return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
+
+    sel = [f"{id_expr} AS doc_id"]
+    for name, pat in METADATA_PATTERNS:
+        pq = pat.replace("'", "''")
+        base = f"regexp_extract({html_expr}, '{pq}', 1)"
+        if name in ("title", "meta_description"):
+            sel.append(f"{plain(base)} AS {name}")
+        else:
+            sel.append(f"trim({base}) AS {name}")
+    cols = ",\n       ".join(sel)
+    return f"""
+WITH src AS ({source_sql})
+SELECT {cols}
+FROM src
+ORDER BY doc_id
+"""

@@ -381,8 +381,9 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-8 rotation (policy above, executed): (a) the 9 new round-8
-# keys (HTML boilerplate extraction + its link-graph companion, the
+# Round-8 rotation (policy above, executed): (a) the 10 new round-8
+# keys (HTML boilerplate extraction + its link-graph and metadata
+# companions, the
 # perceptual image-hash pair + its cluster resolution, the audio
 # fingerprint pair, and byte-level BPE train/apply) lead so they earn
 # driver evidence immediately; (b) the 8 keys whose last driver green is round 3 —
@@ -390,18 +391,19 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # exactly as planned); (c) 37 of the 46 keys last driver-green in
 # round 4 — the avro trio, the tpch q8/q9/q12/q13/q15-q17/q19/q20
 # batch, the four r4 streaming keys, and the r4 curation/pipeline
-# cohort. 9 + 8 + 33 = exactly the 50-key gate. The 13 remaining
+# cohort. 10 + 8 + 32 = exactly the 50-key gate. The 14 remaining
 # r4-vintage keys (clean_text, dataset_stats, filter_blocklist,
 # length_histogram, sample_stratified, sample_weighted,
 # shuffle_shards, split_assign, url_domain_stats, time_rollup,
-# unigram_perplexity, sample_exact_stratified, tfidf_keywords —
-# simple scan-algebra ops with strong local suites) plus the r5
-# cohort lead round 9;
+# unigram_perplexity, sample_exact_stratified, tfidf_keywords,
+# quality_filter — simple scan-algebra ops with strong local suites)
+# plus the r5 cohort lead round 9;
 # after that every key's driver evidence is <= 4 rounds old.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-8 new keys ---
     "html_extract_text",
     "html_extract_links",
+    "html_extract_metadata",
     "image_dhash",
     "dedup_image",
     "dedup_image_cluster",
@@ -451,7 +453,6 @@ _WINDOW_PRIORITY: list[str] = [
     "kmeans_embeddings",
     "pack_sequences",
     "pii_scrub",
-    "quality_filter",
 ]
 
 QUERIES: dict[str, QueryFn] = {

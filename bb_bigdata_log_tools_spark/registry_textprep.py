@@ -457,9 +457,17 @@ TEXTPREP_ORACLES["bpe_apply"] = _bpe_apply_oracle()
 #: (literal | ("col", name)) template parts — one source of truth for
 #: the Spark concat and the SQL concat below.
 _HTML_TEMPLATE: tuple = (
-    "<html><head><title>Doc ",
+    '<html lang="',
+    ("col", "lang"),
+    '"><head><title>Doc ',
     ("col", "doc_id"),
-    '</title><style>body{color:#222;font: 14px sans}</style>'
+    ' &amp; friends</title><meta name="description" content="Doc ',
+    ("col", "doc_id"),
+    " from ",
+    ("col", "source"),
+    ' in the crawl archive"><meta name="keywords" content="logs,spark,',
+    ("col", "source"),
+    '"><style>body{color:#222;font: 14px sans}</style>'
     '<script type="text/javascript">var t = "page view words that must'
     ' never leak into extracted text"; track(t);</script></head>'
     '<body><header><h1>Big Crawl Site Chrome Heading</h1></header>'
@@ -680,3 +688,33 @@ def _html_links_oracle() -> str:
 
 TEXTPREP_QUERIES["html_extract_links"] = q_html_extract_links
 TEXTPREP_ORACLES["html_extract_links"] = _html_links_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-8: page metadata extraction — the third HTML stage (title /
+# lang attribute / description / keywords feed quality filters, dedup
+# keys, and the language-ID prior).
+# --------------------------------------------------------------------------
+
+
+def q_html_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_metadata,
+    )
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    pages = docs.select("doc_id", _html_spark_col().alias("html"))
+    return html_extract_metadata(pages)
+
+
+def _html_metadata_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_metadata_sql,
+    )
+
+    src = f"SELECT doc_id, {_html_sql_expr()} AS html FROM documents"
+    return html_extract_metadata_sql(src)
+
+
+TEXTPREP_QUERIES["html_extract_metadata"] = q_html_extract_metadata
+TEXTPREP_ORACLES["html_extract_metadata"] = _html_metadata_oracle()

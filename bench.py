@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     # stay out of the list)
     "html_extract_text",
     "html_extract_links",
+    "html_extract_metadata",
     "bpe_train_bytes",
     "bpe_apply_bytes",
 ]

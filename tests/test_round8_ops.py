@@ -536,3 +536,30 @@ def test_dedup_audio_pairs(spark):
     want_master = {(a, b) for a in master for b in master if a < b}
     assert set(rows) == want_master | {(6, 7)}
     assert rows[(0, 5)] == 2 and rows[(0, 1)] == 0 and rows[(6, 7)] == 0
+
+
+def test_html_extract_metadata_fields(spark):
+    """Title decodes entities and collapses whitespace; lang / meta
+    fields extract first-match; missing fields read '' (not NULL)."""
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_metadata,
+    )
+
+    html = (
+        '<html lang="fr-CA"><head>'
+        "<title> Fish &amp; chips,\n  a guide </title>"
+        '<meta charset="utf-8">'
+        "<meta name='description' content='Best &quot;fry&quot; guide'>"
+        '<meta name="keywords" content="fish,chips">'
+        "<title>second title ignored</title></head><body/></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no head at all</p>")],
+        "doc_id long, html string",
+    )
+    r1, r2 = html_extract_metadata(df).collect()
+    assert (r1.title, r1.lang_attr, r1.meta_description, r1.meta_keywords) \
+        == ("Fish & chips, a guide", "fr-CA", 'Best "fry" guide',
+            "fish,chips")
+    assert (r2.title, r2.lang_attr, r2.meta_description, r2.meta_keywords) \
+        == ("", "", "", "")
