@@ -88,10 +88,16 @@ def _chrome_pattern() -> str:
     span: a single regex pass over the page instead of nine sequential
     rewrites (each pass re-scans the whole string — measurably slower
     on MB-scale pages). No backreferences (RE2 has none), so each tag
-    is its own explicit `<tag …> … </tag>` alternative; alternation is
-    leftmost-first in both Java regex and RE2 and the alternatives
-    cannot overlap (distinct opening literals), so the fused pass
-    removes exactly the spans the sequential passes did."""
+    is its own explicit `<tag …> … </tag>` alternative.
+
+    SEMANTICS NOTE: the fused pass is leftmost-first across ALL
+    alternatives, which differs from the pre-round-8 sequential
+    per-tag passes when chrome spans INTERLEAVE (e.g. a ``</nav>``
+    inside an unterminated ``<header>`` span: the sequential header
+    pass consumed it first; the fused pass starts at the earlier
+    ``<nav>``). Both are heuristic answers to malformed nesting — the
+    fused choice is the document-order one, and both engines run the
+    identical pattern, so Spark and the oracle always agree."""
     tags = "|".join(
         rf"<{tag}(?:\s[^>]*)?>.*?</{tag}>" for tag in STRIP_CONTAINERS
     )
@@ -101,6 +107,25 @@ def _chrome_pattern() -> str:
 def _strip_chrome(col: Column) -> Column:
     """Comments + non-content containers removed (non-greedy spans)."""
     return F.regexp_replace(col, _chrome_pattern(), " ")
+
+
+def _decode_entities_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`_decode_entities` — ONE copy shared
+    by every SQL builder below, so the entity table and its escaping
+    rule cannot drift between the three oracles."""
+    out = expr
+    for ent, rep in ENTITIES:
+        rq = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{rq}')"
+    return out
+
+
+def _plain_text_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`_plain_text` (shared single copy)."""
+    inner = _decode_entities_sql(
+        f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
+    )
+    return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
 
 
 def html_extract_text(
@@ -150,12 +175,19 @@ def html_extract_text(
         ),
     )
     nonempty = F.filter(per_block, lambda s: s["txt"] != F.lit(""))
+    # INTEGER-exact density gate: link_chars * 10000 <= ppm * length.
+    # A float comparison diverges between engines on exact boundaries
+    # (Spark's 0.35d * 180 = 62.999…; DuckDB types the literal 0.35 as
+    # DECIMAL and gets exactly 63.00), so a block sitting exactly on
+    # the threshold would be kept by one engine and dropped by the
+    # other. Integers are bit-identical everywhere.
+    density_e4 = int(round(max_link_density * 10000))
     kept = F.filter(
         nonempty,
         lambda s: (F.length(s["txt"]) >= F.lit(min_block_chars))
         & (
-            s["link_chars"].cast("double")
-            <= F.lit(float(max_link_density)) * F.length(s["txt"])
+            s["link_chars"] * F.lit(10000)
+            <= F.lit(density_e4) * F.length(s["txt"])
         ),
     )
     total_chars = F.aggregate(
@@ -192,20 +224,8 @@ def html_extract_sql(
     Kept mechanically in lockstep with the Spark algebra: both sides
     read their regexes and thresholds from the module constants.
     """
-    hole = "@ARG@"  # placeholder: never collides with SQL text
-    decoded = hole
-    for ent, rep in ENTITIES:
-        rq = rep.replace("'", "''")
-        decoded = f"replace({decoded}, '{ent}', '{rq}')"
-
-    def _plain_sql(var: str) -> str:
-        inner = decoded.replace(
-            hole, f"regexp_replace({var}, '(?s)<[^>]*>', ' ', 'g')"
-        )
-        return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
-
-    plain = _plain_sql("b")
-    link_plain = _plain_sql("a")
+    plain = _plain_text_sql("b")
+    link_plain = _plain_text_sql("a")
     stripped = (
         f"regexp_replace({html_expr}, '{_chrome_pattern()}', ' ', 'g')"
     )
@@ -232,7 +252,9 @@ k AS (
   SELECT doc_id, nonempty,
          list_filter(nonempty,
            s -> length(s.txt) >= {min_block_chars}
-                AND s.link_chars <= {max_link_density} * length(s.txt))
+                AND s.link_chars * 10000
+                    <= {int(round(max_link_density * 10000))}
+                       * length(s.txt))
            AS kept
   FROM pb
 )
@@ -279,26 +301,28 @@ def html_extract_links(
     Same 100 TB shape as the text extractor: one projection +
     posexplode per document, no join, no aggregate; output rows are
     the anchors themselves (the crawl frontier a scheduler consumes).
+    The page-sized regex runs ONCE (group 0 — whole anchors); href and
+    inner text re-extract from each short matched anchor string, not
+    from the page again.
     """
     raw = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
-    hrefs = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(1))
-    inners = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(2))
+    anchors = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(0))
     out = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.arrays_zip(hrefs.alias("href"),
-                                      inners.alias("inner")))
-            .alias("link_pos", "lnk"),
+            F.posexplode(anchors).alias("link_pos", "a"),
         )
         .select(
             "doc_id",
             F.col("link_pos").cast("int").alias("link_pos"),
-            F.col("lnk.href").alias("href"),
-            _plain_text(F.col("lnk.inner")).alias("anchor_text"),
-            (
-                F.col("lnk.href").startswith("/")
-                & ~F.col("lnk.href").startswith("//")
-            ).alias("is_internal"),
+            F.regexp_extract("a", _ANCHOR_HREF, 1).alias("href"),
+            _plain_text(
+                F.regexp_extract("a", _ANCHOR_HREF, 2)
+            ).alias("anchor_text"),
+        )
+        .withColumn(
+            "is_internal",
+            F.col("href").startswith("/") & ~F.col("href").startswith("//"),
         )
     )
     return small_sort(out, "doc_id", "link_pos") if sort else out
@@ -310,35 +334,30 @@ def html_extract_links_sql(
     id_expr: str = "doc_id",
 ) -> str:
     """The SAME link extraction as :func:`html_extract_links` in
-    DuckDB SQL (oracle / SQL surface), built from the same constants."""
-    hole = "@ARG@"
-    decoded = hole
-    for ent, rep in ENTITIES:
-        rq = rep.replace("'", "''")
-        decoded = f"replace({decoded}, '{ent}', '{rq}')"
-    inner_plain = decoded.replace(
-        hole, "regexp_replace(inners[i], '(?s)<[^>]*>', ' ', 'g')"
-    )
-    plain = rf"trim(regexp_replace({inner_plain}, '\s+', ' ', 'g'))"
+    DuckDB SQL (oracle / SQL surface), built from the same constants —
+    one page-sized regex pass, per-anchor re-extraction, like the
+    Spark side."""
     pat = _ANCHOR_HREF.replace("'", "''")
+    plain = _plain_text_sql(f"regexp_extract(a, '{pat}', 2)")
     return f"""
 WITH src AS ({source_sql}),
 x AS (
   SELECT {id_expr} AS doc_id,
          regexp_extract_all(
            regexp_replace({html_expr}, '(?s)<!--.*?-->', ' ', 'g'),
-           '{pat}', 1) AS hrefs,
-         regexp_extract_all(
-           regexp_replace({html_expr}, '(?s)<!--.*?-->', ' ', 'g'),
-           '{pat}', 2) AS inners
+           '{pat}', 0) AS anchors
   FROM src
+),
+e AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS link_pos, anchors[i] AS a
+  FROM x, LATERAL (SELECT unnest(generate_series(1, len(anchors))) AS i)
 )
-SELECT doc_id,
-       CAST(i - 1 AS INTEGER) AS link_pos,
-       hrefs[i] AS href,
+SELECT doc_id, link_pos,
+       regexp_extract(a, '{pat}', 1) AS href,
        {plain} AS anchor_text,
-       (hrefs[i] LIKE '/%' AND hrefs[i] NOT LIKE '//%') AS is_internal
-FROM x, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i)
+       (regexp_extract(a, '{pat}', 1) LIKE '/%'
+        AND regexp_extract(a, '{pat}', 1) NOT LIKE '//%') AS is_internal
+FROM e
 ORDER BY doc_id, link_pos
 """
 
@@ -407,24 +426,12 @@ def html_extract_metadata_sql(
 ) -> str:
     """The SAME metadata extraction in DuckDB SQL (oracle / SQL
     surface), from the same pattern constants."""
-    hole = "@ARG@"
-    decoded = hole
-    for ent, rep in ENTITIES:
-        rq = rep.replace("'", "''")
-        decoded = f"replace({decoded}, '{ent}', '{rq}')"
-
-    def plain(expr: str) -> str:
-        inner = decoded.replace(
-            hole, f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
-        )
-        return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
-
     sel = [f"{id_expr} AS doc_id"]
     for name, pat in METADATA_PATTERNS:
         pq = pat.replace("'", "''")
         base = f"regexp_extract({html_expr}, '{pq}', 1)"
         if name in ("title", "meta_description"):
-            sel.append(f"{plain(base)} AS {name}")
+            sel.append(f"{_plain_text_sql(base)} AS {name}")
         else:
             sel.append(f"trim({base}) AS {name}")
     cols = ",\n       ".join(sel)

@@ -1381,9 +1381,9 @@ def image_dhash_value(payload: bytes) -> int | None:
         cells.append(row)
     bits = 0
     for y in range(DHASH_ROWS):
-        for x in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
             if cells[y][x + 1] > cells[y][x]:
-                bits |= 1 << (y * DHASH_ROWS + x)
+                bits |= 1 << (y * (DHASH_COLS - 1) + x)
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits

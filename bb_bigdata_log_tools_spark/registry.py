@@ -388,7 +388,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # fingerprint pair, and byte-level BPE train/apply) lead so they earn
 # driver evidence immediately; (b) the 8 keys whose last driver green is round 3 —
 # the oldest-evidence cohort (they sat at positions 51-58 last round,
-# exactly as planned); (c) 37 of the 46 keys last driver-green in
+# exactly as planned); (c) 32 of the 46 keys last driver-green in
 # round 4 — the avro trio, the tpch q8/q9/q12/q13/q15-q17/q19/q20
 # batch, the four r4 streaming keys, and the r4 curation/pipeline
 # cohort. 10 + 8 + 32 = exactly the 50-key gate. The 14 remaining

@@ -563,3 +563,32 @@ def test_html_extract_metadata_fields(spark):
             "fish,chips")
     assert (r2.title, r2.lang_attr, r2.meta_description, r2.meta_keywords) \
         == ("", "", "", "")
+
+
+def test_html_density_gate_exact_boundary(spark):
+    """A block sitting EXACTLY on the 35% link-density threshold must
+    be kept identically by Spark and DuckDB (review-found: Spark's
+    0.35d * 180 = 62.999… dropped the block while DuckDB's DECIMAL
+    0.35 * 180 = 63.00 kept it; the gate now compares in integers)."""
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_sql,
+        html_extract_text,
+    )
+
+    # plain-text length 180, anchor text exactly 63 chars (35.00%)
+    anchor = "x" * 63
+    rest = "y" * (180 - 63 - 1)
+    html = f"<p>{anchor[:0]}<a href='/l'>{anchor}</a> {rest}</p>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = html_extract_text(df).collect()[0]
+    assert (got.n_kept, got.kept_chars) == (1, 180)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, html VARCHAR)")
+    con.execute("INSERT INTO pages VALUES (1, ?)", [html])
+    want = con.execute(
+        html_extract_sql("SELECT doc_id, html FROM pages")
+    ).fetchone()
+    assert tuple(got) == tuple(want)
