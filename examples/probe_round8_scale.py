@@ -91,4 +91,26 @@ tb, pb = run_dedup(m10)
 print(f"dedup_image all-dup 120: {ta:.2f}s ({pa} pairs, {pa/ta:.0f}/s) "
       f"1200: {tb:.2f}s ({pb} pairs, {pb/tb:.0f}/s)  "
       f"per-pair cost ratio {(tb/pb)/(ta/pa):.2f}x")
+
+# ---- bpe_train_bytes: 10x duplicated corpus ---------------------------
+# The merge loop is |pretoken vocab|-bound: duplicating the corpus 10x
+# leaves the vocab IDENTICAL (same pretokens, 10x frequencies), so the
+# per-iteration work is unchanged and only the one vocab-building scan
+# grows. Wall should be near-flat — the strongest possible scaling
+# shape, and the reason BPE training survives 100 TB.
+from bb_bigdata_log_tools_spark.operators.textprep import bpe_train_bytes
+
+
+def run_bpe(docs):
+    t0 = time.time()
+    n = bpe_train_bytes(docs, n_merges=4).count()
+    return time.time() - t0, n
+
+
+run_bpe(docs1)  # warm
+tb1, nb1 = run_bpe(docs1)
+tb10, nb10 = run_bpe(docs10)
+print(f"bpe_train_bytes 1x: {tb1:.2f}s ({nb1} merges) "
+      f"10x: {tb10:.2f}s ({nb10} merges)  wall ratio {tb10 / tb1:.2f}x")
+
 spark.stop()
