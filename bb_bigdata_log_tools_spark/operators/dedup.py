@@ -423,6 +423,13 @@ def hamming_pairs(
     )
     # shiftrightunsigned: bit 63 may be set (negative long) — a signed
     # shift would smear the sign bit across every high chunk
+    def _mask(width: int) -> int:
+        # two's-complement: a 64-bit all-ones mask is -1 as a Java
+        # long; (1 << 64) - 1 overflows F.lit (found by the
+        # any-width property sweep at max_hamming=0, n_bits=64)
+        m = (1 << width) - 1
+        return m - (1 << 64) if m >= 1 << 63 else m
+
     chunks = src.select(
         "__id",
         "__h",
@@ -432,7 +439,7 @@ def hamming_pairs(
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
                         F.shiftrightunsigned(h, offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .bitwiseAND(F.lit(_mask(widths[i])))
                         .alias("chunk_val"),
                     )
                     for i in range(n_chunks)

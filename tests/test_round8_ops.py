@@ -592,3 +592,48 @@ def test_html_density_gate_exact_boundary(spark):
         html_extract_sql("SELECT doc_id, html FROM pages")
     ).fetchone()
     assert tuple(got) == tuple(want)
+
+
+# --------------------------------------------------------------------------
+# property: hamming_pairs == brute force for ANY (width, k) the guards
+# admit — the generic join now backs three fingerprint families (text
+# simhash, image dHash, audio energy-gradient), so the chunking math
+# must hold beyond the 64/6 shape the fixtures pin.
+# --------------------------------------------------------------------------
+
+
+def test_hamming_pairs_property_any_width(spark):
+    """Seeded sweep over (n_bits, max_hamming, salts) shapes incl. the
+    60-bit simhash width, minimum 5-bit chunks, salts=1, and k=0."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.dedup import hamming_pairs
+
+    shapes = [(64, 6, 8), (60, 11, 8), (64, 11, 1), (32, 3, 4),
+              (20, 3, 8), (64, 0, 2), (10, 1, 8)]
+    rng = random.Random(88)
+    for n_bits, k, salts in shapes:
+        base = [rng.getrandbits(n_bits) for _ in range(8)]
+        vals = []
+        for i, b in enumerate(base):
+            vals.append((2 * i, b))
+            flip = b
+            for _ in range(rng.randrange(0, k + 3)):
+                flip ^= 1 << rng.randrange(n_bits)
+            vals.append((2 * i + 1, flip))
+        signed = [
+            (i, v - (1 << 64) if v >= 1 << 63 else v) for i, v in vals
+        ]
+        df = spark.createDataFrame(signed, "doc_id long, h long")
+        got = {
+            (r.id1, r.id2, r.hamming)
+            for r in hamming_pairs(df, "h", n_bits, k, salts=salts).collect()
+        }
+        uns = dict(vals)
+        want = {
+            (a, b, bin(uns[a] ^ uns[b]).count("1"))
+            for a in uns
+            for b in uns
+            if a < b and bin(uns[a] ^ uns[b]).count("1") <= k
+        }
+        assert got == want, (n_bits, k, salts)
