@@ -401,6 +401,11 @@ def hamming_pairs(
 
     Output: (id1, id2, hamming), id1 < id2, exactly once per pair.
     """
+    if salts < 1:
+        # salts=0 would make pmod(__id, 0) NULL on the left and
+        # sequence(0, -1) empty-ish on the right — the join silently
+        # matches nothing. Fail loudly like the other guards.
+        raise ValueError(f"salts must be >= 1, got {salts}")
     n_chunks = max_hamming + 1
     if n_chunks > n_bits:
         raise ValueError(

@@ -49,8 +49,8 @@ BLOCK_TAGS = (
     "|article|main|blockquote|pre|figure|figcaption|form|body|html"
 )
 
-_BLOCK_SPLIT = rf"(?i)</?(?:{BLOCK_TAGS})(?:\s[^>]*)?/?>"
-_ANCHOR = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+_BLOCK_SPLIT = rf"(?i)</?(?:{BLOCK_TAGS})(?:[\t\n\x0B\f\r ][^>]*)?/?>"
+_ANCHOR = r"(?is)<a(?:[\t\n\x0B\f\r ][^>]*)?>(.*?)</a>"
 _TAG = r"(?s)<[^>]*>"
 
 #: Minimum plain-text length for a block to count as content.
@@ -76,11 +76,17 @@ def _decode_entities(col: Column) -> Column:
     return col
 
 
+#: Explicit whitespace class shared by both engines.  Java's ``\s``
+#: includes ``\x0B`` (vertical tab) while DuckDB/RE2's does not — the
+#: explicit class keeps the two dialects byte-identical on VT pages.
+_WS_CLASS = r"[\t\n\x0B\f\r ]+"
+
+
 def _plain_text(col: Column) -> Column:
     """Inline tags → space, entities decoded, whitespace collapsed."""
     c = F.regexp_replace(col, _TAG, " ")
     c = _decode_entities(c)
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, _WS_CLASS, " "))
 
 
 def _chrome_pattern() -> str:
@@ -99,7 +105,7 @@ def _chrome_pattern() -> str:
     fused choice is the document-order one, and both engines run the
     identical pattern, so Spark and the oracle always agree."""
     tags = "|".join(
-        rf"<{tag}(?:\s[^>]*)?>.*?</{tag}>" for tag in STRIP_CONTAINERS
+        rf"<{tag}(?:[\t\n\x0B\f\r ][^>]*)?>.*?</{tag}>" for tag in STRIP_CONTAINERS
     )
     return rf"(?is)(?:<!--.*?-->|{tags})"
 
@@ -125,7 +131,9 @@ def _plain_text_sql(expr: str) -> str:
     inner = _decode_entities_sql(
         f"regexp_replace({expr}, '(?s)<[^>]*>', ' ', 'g')"
     )
-    return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
+    return (
+        f"trim(regexp_replace({inner}, '{_WS_CLASS}', ' ', 'g'))"
+    )
 
 
 def html_extract_text(
@@ -160,8 +168,12 @@ def html_extract_text(
     ``n_blocks`` counts non-empty candidate blocks; dropped/kept chars
     partition their total text mass, so ``dropped_chars`` is the
     boilerplate payload this stage saved downstream tiers from.
+
+    NULL html is treated as the empty page (coalesced to '') so both
+    engines stay on the tested empty-string path — without it Spark's
+    ``F.size(null array)`` and DuckDB's ``len(NULL)`` disagree.
     """
-    raw = F.col(html_col)
+    raw = F.coalesce(F.col(html_col), F.lit(""))
     blocks = F.split(_strip_chrome(raw), _BLOCK_SPLIT)
     per_block = F.transform(
         blocks,
@@ -227,7 +239,8 @@ def html_extract_sql(
     plain = _plain_text_sql("b")
     link_plain = _plain_text_sql("a")
     stripped = (
-        f"regexp_replace({html_expr}, '{_chrome_pattern()}', ' ', 'g')"
+        f"regexp_replace(coalesce({html_expr}, ''),"
+        f" '{_chrome_pattern()}', ' ', 'g')"
     )
     return f"""
 WITH src AS ({source_sql}),
@@ -276,7 +289,7 @@ ORDER BY doc_id
 
 #: href-capturing anchor pattern (group 1 = target, group 2 = inner
 #: HTML); single- or double-quoted attributes, dialect-portable.
-_ANCHOR_HREF = r"""(?is)<a\s[^>]*href=["']([^"']*)["'][^>]*>(.*?)</a>"""
+_ANCHOR_HREF = r"""(?is)<a[\t\n\x0B\f\r ][^>]*href=["']([^"']*)["'][^>]*>(.*?)</a>"""
 
 
 def html_extract_links(
@@ -305,7 +318,9 @@ def html_extract_links(
     inner text re-extract from each short matched anchor string, not
     from the page again.
     """
-    raw = F.regexp_replace(F.col(html_col), r"(?s)<!--.*?-->", " ")
+    raw = F.regexp_replace(
+        F.coalesce(F.col(html_col), F.lit("")), r"(?s)<!--.*?-->", " "
+    )
     anchors = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(0))
     out = (
         df.select(
@@ -344,7 +359,8 @@ WITH src AS ({source_sql}),
 x AS (
   SELECT {id_expr} AS doc_id,
          regexp_extract_all(
-           regexp_replace({html_expr}, '(?s)<!--.*?-->', ' ', 'g'),
+           regexp_replace(coalesce({html_expr}, ''),
+                          '(?s)<!--.*?-->', ' ', 'g'),
            '{pat}', 0) AS anchors
   FROM src
 ),
@@ -368,16 +384,16 @@ ORDER BY doc_id, link_pos
 #: authoring form; a reversed-attribute page degrades to '' — the
 #: keep-going failure mode of the whole module).
 METADATA_PATTERNS = (
-    ("title", r"(?is)<title(?:\s[^>]*)?>(.*?)</title>"),
-    ("lang_attr", r"""(?is)<html\s[^>]*lang=["']([^"']*)["']"""),
+    ("title", r"(?is)<title(?:[\t\n\x0B\f\r ][^>]*)?>(.*?)</title>"),
+    ("lang_attr", r"""(?is)<html[\t\n\x0B\f\r ][^>]*lang=["']([^"']*)["']"""),
     (
         "meta_description",
-        r"""(?is)<meta\s[^>]*name=["']description["'][^>]*"""
+        r"""(?is)<meta[\t\n\x0B\f\r ][^>]*name=["']description["'][^>]*"""
         r"""content=["']([^"']*)["']""",
     ),
     (
         "meta_keywords",
-        r"""(?is)<meta\s[^>]*name=["']keywords["'][^>]*"""
+        r"""(?is)<meta[\t\n\x0B\f\r ][^>]*name=["']keywords["'][^>]*"""
         r"""content=["']([^"']*)["']""",
     ),
 )
@@ -404,9 +420,9 @@ def html_extract_metadata(
     shuffle, same 100 TB shape as the sibling extractors.
 
     Output: (doc_id, title, lang_attr, meta_description,
-    meta_keywords).
+    meta_keywords). NULL html is coalesced to '' like the siblings.
     """
-    raw = F.col(html_col)
+    raw = F.coalesce(F.col(html_col), F.lit(""))
     cols = [F.col(id_col).alias("doc_id")]
     for name, pat in METADATA_PATTERNS:
         v = F.regexp_extract(raw, pat, 1)
@@ -429,7 +445,7 @@ def html_extract_metadata_sql(
     sel = [f"{id_expr} AS doc_id"]
     for name, pat in METADATA_PATTERNS:
         pq = pat.replace("'", "''")
-        base = f"regexp_extract({html_expr}, '{pq}', 1)"
+        base = f"regexp_extract(coalesce({html_expr}, ''), '{pq}', 1)"
         if name in ("title", "meta_description"):
             sel.append(f"{_plain_text_sql(base)} AS {name}")
         else:

@@ -178,6 +178,37 @@ def test_hamming_pairs_guards(spark):
         hamming_pairs(df, "h", 64, 12)          # 13 chunks < 5 bits
     with pytest.raises(ValueError, match="chunks but the hash"):
         hamming_pairs(df, "h", 8, 11)
+    with pytest.raises(ValueError, match="salts must be >= 1"):
+        hamming_pairs(df, "h", 64, 3, salts=0)  # was: silent zero pairs
+
+
+def test_html_extract_null_page(spark):
+    """NULL html is the empty page in BOTH engines (round-9 ADVICE
+    fix): without the coalesce, Spark's size(null) and DuckDB's
+    len(NULL) disagree on n_blocks."""
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_metadata,
+        html_extract_sql,
+        html_extract_text,
+    )
+
+    pages = [(1, None), (2, "<p>plain prose long enough to keep here</p>")]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = [tuple(r) for r in html_extract_text(df).collect()]
+    assert got[0] == (1, 0, 0, 0, 0, "")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    want = con.execute(
+        html_extract_sql("SELECT doc_id, html FROM pages")
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+    meta = html_extract_metadata(df).collect()
+    assert tuple(meta[0]) == (1, "", "", "", "")  # '' never NULL
 
 
 def test_dedup_image_plan_no_cartesian(spark):
@@ -345,12 +376,16 @@ def _random_html(rng):
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
              "eta", "theta", "iota", "kappa"]
     ents = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;"]
+    # every whitespace atom in the explicit cross-dialect class,
+    # including \x0B (vertical tab): Java \s has it, RE2 \s does not —
+    # the class in html._WS_CLASS must keep the engines identical here
+    ws = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", "\r\n", " \x0b "]
 
     def prose(n):
         parts = [rng.choice(words) for _ in range(n)]
         if rng.random() < 0.5:
             parts.insert(rng.randrange(len(parts) + 1), rng.choice(ents))
-        return " ".join(parts)
+        return rng.choice(ws).join(parts)
 
     frags = []
     for _ in range(rng.randint(2, 10)):
