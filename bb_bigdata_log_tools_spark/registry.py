@@ -381,78 +381,80 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-8 rotation (policy above, executed): (a) the 10 new round-8
-# keys (HTML boilerplate extraction + its link-graph and metadata
-# companions, the
-# perceptual image-hash pair + its cluster resolution, the audio
-# fingerprint pair, and byte-level BPE train/apply) lead so they earn
-# driver evidence immediately; (b) the 8 keys whose last driver green is round 3 —
-# the oldest-evidence cohort (they sat at positions 51-58 last round,
-# exactly as planned); (c) 32 of the 46 keys last driver-green in
-# round 4 — the avro trio, the tpch q8/q9/q12/q13/q15-q17/q19/q20
-# batch, the four r4 streaming keys, and the r4 curation/pipeline
-# cohort. 10 + 8 + 32 = exactly the 50-key gate. The 14 remaining
-# r4-vintage keys (clean_text, dataset_stats, filter_blocklist,
-# length_histogram, sample_stratified, sample_weighted,
-# shuffle_shards, split_assign, url_domain_stats, time_rollup,
-# unigram_perplexity, sample_exact_stratified, tfidf_keywords,
-# quality_filter — simple scan-algebra ops with strong local suites)
-# plus the r5 cohort lead round 9;
-# after that every key's driver evidence is <= 4 rounds old.
+# Round-9 rotation (policy above, executed): (a) new round-9 keys at
+# the head so they earn driver evidence immediately; (b) the 14
+# r4-vintage keys deferred from the round-8 rotation — after round 9
+# they stop being the oldest evidence on the tree; (c) the 45-key
+# r5-vintage cohort, of which the first 50 - (new + 14) fit this
+# round's window and the tail leads round 10. After r9 no key's
+# driver evidence is older than r5, and after the r10 tail pass the
+# two-round rotation cadence covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-8 new keys ---
-    "html_extract_text",
-    "html_extract_links",
-    "html_extract_metadata",
-    "image_dhash",
-    "dedup_image",
-    "dedup_image_cluster",
-    "audio_fingerprint",
-    "dedup_audio",
-    "bpe_train_bytes",
-    "bpe_apply_bytes",
-    # --- oldest-evidence cohort (last driver green r3) ---
-    "dedup_embedding",
-    "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_repetition",
-    # --- r4-vintage cohort (last driver green r4) ---
-    "avro_generic_read",
-    "avro_block_scan",
-    "avro_block_merge",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "stream_grep",
-    "stream_hourly_stats",
-    "stream_dedup",
-    "stream_funnel_match",
-    "ann_recall_eval",
-    "ann_topk_ivf",
-    "bm25_search",
-    "chunk_dedup_stats",
-    "chunk_documents",
-    "decontaminate",
-    "dedup_cross_source",
-    "dedup_incremental",
-    "domain_mix_weights",
-    "events_asof_join",
-    "events_interval_join",
-    "events_retention",
-    "events_rfm",
-    "kmeans_embeddings",
-    "pack_sequences",
-    "pii_scrub",
+    # --- round-9 new keys go here (inserted at the head as they
+    # land; each pushes one tail key to the round-10 rotation) ---
+    # --- the 14 deferred r4-vintage keys (oldest driver evidence
+    # on the tree after the r8 rotation) ---
+    "clean_text",
+    "dataset_stats",
+    "filter_blocklist",
+    "length_histogram",
+    "sample_stratified",
+    "sample_weighted",
+    "shuffle_shards",
+    "split_assign",
+    "url_domain_stats",
+    "time_rollup",
+    "unigram_perplexity",
+    "sample_exact_stratified",
+    "tfidf_keywords",
+    "quality_filter",
+    # --- r5-vintage cohort (45 keys; the first 36 fit the 50-key
+    # window alongside the r4 block, the tail rolls to round 10) ---
+    "dedup_edit_distance",
+    "minhash_recall_eval",
+    "shingle_novelty",
+    "lang_id_eval",
+    "text_near_template",
+    "docs_minhash_signature",
+    "boom_read_pushdown",
+    "log_dedup_window",
+    "sql_passthrough",
+    "log_grep_context",
+    "log_tail",
+    "tpch_q2",
+    "tpch_q11",
+    "events_robust_anomaly",
+    "funnel_time_stats",
+    "events_seasonality",
+    "events_autocorrelation",
+    "events_forecast_baseline",
+    "embedding_quantize",
+    "perplexity_buckets",
+    "oov_rate",
+    "token_budget_plan",
+    "ip_prefix_stats",
+    "sample_reservoir",
+    "embedding_outliers",
+    "text_entropy",
+    "events_dau_wau",
+    "sessions_summary",
+    "log_json_field_stats",
+    "source_similarity",
+    "events_value_quantiles",
+    "events_path_transitions",
+    "table_profile",
+    "zorder_layout",
+    "compaction_plan",
+    "snapshot_diff",
+    "grouped_topk_per_source",
+    "events_cohort_matrix",
+    "events_histogram_ntile",
+    "events_user_lifespan",
+    "stream_watermarked_counts",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_rate_limit",
+    "stream_session_window",
 ]
 
 QUERIES: dict[str, QueryFn] = {
