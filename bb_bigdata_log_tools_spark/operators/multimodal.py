@@ -902,14 +902,16 @@ def make_bmp(width: int, height: int, rows) -> bytes:
     """Full uncompressed 24bpp BMP (BITMAPINFOHEADER) from pixel rows
     (top row first, (b,g,r) tuples) — a real writer from the public
     spec, used by the resize path and fixtures."""
+    import numpy as np
+
     row_size = (width * 3 + 3) & ~3
-    pix = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        line = bytearray()
-        for x in range(width):
-            line += bytes(rows[y][x])
-        line += b"\x00" * (row_size - len(line))
-        pix += line
+    # vectorized pixel-data build: flip to bottom-up storage, pad each
+    # row to the 4-byte boundary — byte-identical to the per-pixel
+    # loop it replaced (accepts row lists of 3-tuples or an ndarray)
+    arr = np.asarray(rows, dtype=np.uint8).reshape(height, width, 3)
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = arr[::-1].reshape(height, width * 3)
+    pix = padded.tobytes()
     data_off = 14 + 40
     total = data_off + len(pix)
     return (
@@ -1240,6 +1242,51 @@ def image_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
     )
 
 
+def image_parse_pixels_np(payload: bytes):
+    """(width, height, uint8 ndarray of shape (h, w, 3)) or None — the
+    ndarray form of :func:`image_parse_pixels` for numeric consumers
+    (hash/resize). Uncompressed 24/32bpp bottom-up/top-down BMPs — the
+    raster IS the file bytes — go through a ``frombuffer`` fast path
+    with no per-pixel work (this is also the profile the resize stage
+    itself emits, so re-hashing thumbnails stays off the slow path);
+    every other profile decodes through the generic list path and
+    converts once. Both paths produce byte-identical rasters (the
+    fast path mirrors the list path's slice order and header guards).
+    """
+    import numpy as np
+
+    if (
+        len(payload) >= 54
+        and payload[:2] == b"BM"
+        and struct.unpack_from("<I", payload, 30)[0] == 0  # uncompressed
+        and struct.unpack_from("<H", payload, 28)[0] in (24, 32)
+    ):
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        top_down = height < 0
+        h = abs(height)
+        row_size = ((width * bpp + 31) // 32) * 4
+        if (
+            hdr_size >= 40
+            and width > 0
+            and height != 0
+            and width * h <= MAX_DECODE_PIXELS
+            and data_off + row_size * h <= len(payload)
+        ):
+            raster = np.frombuffer(
+                payload, dtype=np.uint8, count=row_size * h, offset=data_off
+            ).reshape(h, row_size)
+            step = bpp // 8
+            arr = raster[:, : width * step].reshape(h, width, step)[..., :3]
+            return (width, h, arr if top_down else arr[::-1])
+    parsed = image_parse_pixels(payload)
+    if parsed is None:
+        return None
+    w, h, rows = parsed
+    return (w, h, np.asarray(rows, dtype=np.uint8).reshape(h, w, 3))
+
+
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """REAL nearest-neighbor resize for uncompressed 24bpp BMPs,
     all-profile PNGs, JPEGs (baseline + progressive) AND first-frame
@@ -1247,13 +1294,16 @@ def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     24bpp BMP, all from the public specs (no image libraries). Returns
     None for any other payload. (Name kept for API stability; see
     :func:`image_parse_pixels` for the decode dispatch.)"""
-    parsed = image_parse_pixels(payload)
+    import numpy as np
+
+    parsed = image_parse_pixels_np(payload)
     if parsed is None or out_w < 1 or out_h < 1:
         return None
-    w, h, rows = parsed
-    out_rows = [
-        [rows[(y * h) // out_h][(x * w) // out_w] for x in range(out_w)]
-        for y in range(out_h)
+    w, h, arr = parsed
+    # nearest-neighbor sampling as one fancy-index gather (same index
+    # arithmetic as the per-pixel comprehension it replaced)
+    out_rows = arr[(np.arange(out_h) * h) // out_h][
+        :, (np.arange(out_w) * w) // out_w
     ]
     return make_bmp(out_w, out_h, out_rows)
 
@@ -1356,34 +1406,40 @@ def image_dhash_value(payload: bytes) -> int | None:
     Returned as a SIGNED 64-bit value (two's complement) so it stores
     in a Spark/DuckDB BIGINT unchanged.
     """
-    parsed = image_parse_pixels(payload)
+    import numpy as np
+
+    parsed = image_parse_pixels_np(payload)
     if parsed is None:
         return None
-    w, h, rows = parsed
+    w, h, px = parsed
     if w < 1 or h < 1:
         return None
-    cells = []
-    for cy in range(DHASH_ROWS):
-        y0, y1 = (cy * h) // DHASH_ROWS, ((cy + 1) * h) // DHASH_ROWS
-        y1 = max(y1, y0 + 1)
-        row = []
-        for cx in range(DHASH_COLS):
-            x0, x1 = (cx * w) // DHASH_COLS, ((cx + 1) * w) // DHASH_COLS
-            x1 = max(x1, x0 + 1)
-            acc = 0
-            for y in range(y0, min(y1, h)):
-                r = rows[y]
-                for x in range(x0, min(x1, w)):
-                    pr, pg, pb = r[x]
-                    acc += (299 * pr + 587 * pg + 114 * pb) // 1000
-            n = (min(y1, h) - y0) * (min(x1, w) - x0)
-            row.append(acc // max(n, 1))
-        cells.append(row)
-    bits = 0
-    for y in range(DHASH_ROWS):
-        for x in range(DHASH_COLS - 1):
-            if cells[y][x + 1] > cells[y][x]:
-                bits |= 1 << (y * (DHASH_COLS - 1) + x)
+    # Vectorized box-average via a summed-area table: identical
+    # integer semantics to the per-pixel loop it replaced (per-pixel
+    # floor grayscale, rectangle sum, floor mean) at numpy speed.
+    # int32 is exact here (max pre-division value 299*255+587*255+
+    # 114*255 = 255000); the integral table accumulates in int64.
+    arr = np.ascontiguousarray(px).astype(np.int32)
+    gray = (arr @ np.array([299, 587, 114], dtype=np.int32)) // 1000
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = gray.cumsum(axis=0, dtype=np.int64).cumsum(axis=1)
+    cy = np.arange(DHASH_ROWS)
+    ys0 = (cy * h) // DHASH_ROWS
+    ys1 = np.minimum(np.maximum(((cy + 1) * h) // DHASH_ROWS, ys0 + 1), h)
+    cx = np.arange(DHASH_COLS)
+    xs0 = (cx * w) // DHASH_COLS
+    xs1 = np.minimum(np.maximum(((cx + 1) * w) // DHASH_COLS, xs0 + 1), w)
+    sums = (
+        ii[ys1][:, xs1] - ii[ys0][:, xs1] - ii[ys1][:, xs0] + ii[ys0][:, xs0]
+    )
+    ns = (ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]
+    cells = sums // np.maximum(ns, 1)
+    # bit y*8+x = 1 iff cell[y][x+1] > cell[y][x]; row-major ravel is
+    # exactly that index order, little-endian packbits is sum(b_i<<i)
+    diff = np.ravel(cells[:, 1:] > cells[:, :-1])
+    bits = int.from_bytes(
+        np.packbits(diff, bitorder="little").tobytes(), "little"
+    )
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
