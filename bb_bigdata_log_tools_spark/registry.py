@@ -390,8 +390,10 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # driver evidence is older than r5, and after the r10 tail pass the
 # two-round rotation cadence covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-9 new keys go here (inserted at the head as they
-    # land; each pushes one tail key to the round-10 rotation) ---
+    # --- round-9 new keys (each pushes one tail key to round 10) ---
+    "write_warc",
+    "read_warc",
+    "warc_extract_text",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

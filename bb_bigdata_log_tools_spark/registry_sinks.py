@@ -338,6 +338,188 @@ ORDER BY sample_key
 """
 
 
+# --------------------------------------------------------------------------
+# WARC crawl-container source + sink (round 9) — the Common Crawl
+# front door in front of the html_extract_* tier.
+# --------------------------------------------------------------------------
+
+N_WARC_SHARDS = 8
+_WARC_DATE = "2026-01-01T00:00:00Z"
+_WARC_URI_PREFIX = "https://crawl.example/d/"
+
+
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthesized crawl pages (the html_extract_* page
+    template from registry_textprep, so the whole WARC loop shares
+    ONE html synthesis with the extraction-tier oracles)."""
+    from bb_bigdata_log_tools_spark.registry_textprep import _html_spark_col
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _html_spark_col().alias("html"),
+        F.concat(
+            F.lit(_WARC_URI_PREFIX), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("target_uri"),
+        F.lit(_WARC_DATE).alias("warc_date"),
+    )
+
+
+def _warc_page_sql() -> str:
+    from bb_bigdata_log_tools_spark.registry_textprep import _html_sql_expr
+
+    return f"""
+SELECT doc_id,
+       {_html_sql_expr()} AS html,
+       '{_WARC_URI_PREFIX}' || CAST(doc_id AS VARCHAR) || '.html'
+         AS target_uri,
+       '{_WARC_DATE}' AS warc_date
+FROM documents
+"""
+
+
+def _warc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the .warc.gz shard store once per sf_dir (marker
+    discipline like _wds_store; the write is distributed, the
+    ≤ n_shards-row manifest collect is sink plumbing)."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc
+
+    out = _tmp("warc_store", sf_dir)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        write_warc(
+            _warc_pages(spark, sf_dir), out, n_shards=N_WARC_SHARDS
+        ).collect()
+        with open(marker, "w"):
+            pass
+    return out
+
+
+def q_write_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC export manifest. The oracle recomputes the md5
+    shard assignment AND the exact serialized record byte length
+    (WARC header + HTTP message framing — pure length arithmetic over
+    the page columns; the formula is pinned to the writer by
+    tests/test_warc.py::test_record_length_formula), so a green row
+    certifies sharding determinism and byte-exact record framing."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc
+
+    out = _tmp("warc_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rows = write_warc(
+        _warc_pages(spark, sf_dir), out, n_shards=N_WARC_SHARDS
+    ).collect()
+    manifest = spark.createDataFrame(
+        rows, "shard_id int, path string, n_records long, total_bytes long"
+    )
+    return manifest.select("shard_id", "n_records", "total_bytes").orderBy(
+        "shard_id"
+    )
+
+
+# serialized record length, mirroring sources/warc.py build_warc_record
+# + build_http_response: 62 = HTTP fixed bytes (status + Content-Type
+# lines, 'Content-Length: ', framing CRLFs); 164 = WARC header fixed
+# bytes (lines + '<urn:doc:>' + separators + terminators). Pinned to
+# the writer by tests/test_warc.py::test_record_length_formula.
+_WARC_REC_LEN = """
+164 + length(CAST(doc_id AS VARCHAR)) + length(warc_date)
+    + length(target_uri)
+    + length(CAST(62 + length(CAST(octet_length(encode(html)) AS VARCHAR))
+                     + octet_length(encode(html)) AS VARCHAR))
+    + 62 + length(CAST(octet_length(encode(html)) AS VARCHAR))
+    + octet_length(encode(html))
+"""
+
+def _write_warc_oracle() -> str:
+    return f"""
+WITH pages AS ({_warc_page_sql()}),
+s AS (
+  SELECT CAST(('0x' || substring(md5('warc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {N_WARC_SHARDS} AS INTEGER) AS shard_id,
+         CAST({_WARC_REC_LEN} AS BIGINT) AS rec_len
+  FROM pages
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(rec_len) AS BIGINT) AS total_bytes
+FROM s
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def q_read_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level read-back of the staged .warc.gz shards — one row
+    per record with the HTTP-body md5. Oracle = the page table
+    itself, so a green row certifies the full write → gzip-member
+    bytes → multi-member decode → WARC/HTTP parse loop."""
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    return recs.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "warc_date",
+        "http_status",
+        "http_content_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _read_warc_oracle() -> str:
+    return f"""
+WITH pages AS ({_warc_page_sql()})
+SELECT target_uri,
+       'response' AS warc_type,
+       '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       warc_date,
+       200 AS http_status,
+       'text/html' AS http_content_type,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+       md5(html) AS payload_md5
+FROM pages
+ORDER BY target_uri
+"""
+
+
+def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door composed end-to-end: staged .warc.gz →
+    read_warc → HTTP bodies decoded → html_extract_text. Oracle = the
+    SAME extraction algebra over the page table directly, so a green
+    row certifies that extraction from the crawl container equals
+    extraction from the source pages byte for byte."""
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    return html_extract_text(ensure_parallelism(pages))
+
+
+def _warc_extract_text_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_sql
+
+    return html_extract_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -345,9 +527,15 @@ SINK_QUERIES = {
     "write_webdataset": q_write_webdataset,
     "read_webdataset": q_read_webdataset,
     "samples_from_members": q_samples_from_members,
+    "write_warc": q_write_warc,
+    "read_warc": q_read_warc,
+    "warc_extract_text": q_warc_extract_text,
 }
 
 SINK_ORACLES = {
+    "write_warc": _write_warc_oracle(),
+    "read_warc": _read_warc_oracle(),
+    "warc_extract_text": _warc_extract_text_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1,0 +1,361 @@
+"""WARC (Web ARChive, ISO 28500) source + sink — the container Common
+Crawl actually ships (WARC/WET/WAT), completing the crawl pipeline in
+front of the ``html_extract_*`` tier: read the crawl → extract text →
+quality/dedup/decontaminate.
+
+Format notes (all from the public spec / Common Crawl layout):
+
+- A WARC file is a sequence of records; each record is a header block
+  (``WARC/1.1`` version line + ``Name: value`` headers, CRLF line
+  ends, blank-line terminated), then ``Content-Length`` bytes of
+  block, then CRLF CRLF.
+- ``response`` records carry an HTTP response message as the block
+  (status line + HTTP headers + CRLF CRLF + body) — the raw crawl.
+- ``conversion`` records (WET files) carry extracted plain text.
+- Common Crawl ``.warc.gz`` files gzip EACH RECORD as its own gzip
+  member and concatenate the members, so readers can split a file at
+  member boundaries without decompressing the whole stream.
+
+Scale notes (100 TB): files are the parallelism unit — ``binaryFile``
+assigns whole files to tasks, and Common Crawl ships ~1 GB files in
+the tens of thousands per snapshot, so a full-crawl read fans out with
+zero coordination (the same shard-per-task contract as
+``sources/webdataset.py``). Record parsing runs executor-side over
+Arrow batches; payloads never visit the driver. For pathologically
+large single files, the gzip-member-per-record layout supports an
+offset-splitting scan (seek to a member boundary, resume) — the seam
+is :func:`split_gzip_members`, which already walks member boundaries;
+wiring it to byte-range tasks is mechanical when a deployment needs
+it.
+
+No counterpart in the reference (logs, not crawls) — this extends the
+engine along the LLM-data-pipeline axis; the honest-failure contract
+matches the media tier: malformed records/trailing garbage are
+SKIPPED, never a crash, and the parsed prefix of the file flows on.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rec_pos", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompressed payload of each gzip member of a multi-member
+    stream, in order (the Common Crawl record-per-member layout).
+    A truncated/corrupt tail ends the iteration (keep-going contract:
+    the valid prefix is the answer)."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        try:
+            out = d.decompress(blob[pos:])
+        except zlib.error:
+            return
+        if not d.eof:  # truncated member
+            return
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def _decode_stream(blob: bytes) -> bytes:
+    """Full decompressed byte stream of a ``.warc`` / ``.warc.gz``
+    blob (gzip sniffed by magic, multi-member concatenation)."""
+    if blob[:2] == b"\x1f\x8b":
+        return b"".join(split_gzip_members(blob))
+    return blob
+
+
+def parse_warc_records(blob: bytes):
+    """Yield (headers dict, block bytes) per WARC record of a
+    DECOMPRESSED stream. Header names are lower-cased; the version
+    line is checked for the ``WARC/`` magic. Malformed framing stops
+    the walk (valid-prefix contract)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and blob[pos : pos + 2] == CRLF:
+            pos += 2
+        end = blob.find(CRLF + CRLF, pos)
+        if end < 0:
+            return
+        head = blob[pos:end]
+        lines = head.split(CRLF)
+        if not lines or not lines[0].startswith(b"WARC/"):
+            return
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("ascii", "replace")] = (
+                    value.strip().decode("utf-8", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        block_start = end + 4
+        if block_start + length > n:
+            return  # truncated record
+        yield headers, blob[block_start : block_start + length]
+        pos = block_start + length
+
+
+def parse_http_response(block: bytes):
+    """(status int, content_type str, body bytes) from an HTTP
+    response message, or (0, '', block) if it isn't one (the
+    keep-going fallback: the block still flows as the payload)."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return 0, "", block
+    head = block[:sep].split(CRLF)
+    parts = head[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return 0, "", block
+    ctype = ""
+    for ln in head[1:]:
+        name, s, value = ln.partition(b":")
+        if s and name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, block[sep + 4 :]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` files under ``path`` (glob ok)
+    into one row per WARC record:
+
+    (file, rec_pos, warc_type, record_id, target_uri, warc_date,
+    http_status, http_content_type, n_bytes, payload)
+
+    For ``response`` records the payload is the HTTP BODY (the bytes a
+    crawl consumer wants) and http_status/http_content_type come from
+    the embedded HTTP message; for every other type (``conversion`` =
+    WET text, warcinfo, request, metadata) the payload is the record
+    block verbatim and http_status is 0.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                stream = _decode_stream(bytes(blob))
+                for i, (hdr, block) in enumerate(
+                    parse_warc_records(stream)
+                ):
+                    wtype = hdr.get("warc-type", "")
+                    if wtype == "response":
+                        status, ctype, body = parse_http_response(block)
+                    else:
+                        status, ctype, body = 0, "", block
+                    out["file"].append(fpath)
+                    out["rec_pos"].append(i)
+                    out["warc_type"].append(wtype)
+                    out["record_id"].append(hdr.get("warc-record-id", ""))
+                    out["target_uri"].append(hdr.get("warc-target-uri", ""))
+                    out["warc_date"].append(hdr.get("warc-date", ""))
+                    out["http_status"].append(status)
+                    out["http_content_type"].append(ctype)
+                    out["n_bytes"].append(len(body))
+                    out["payload"].append(body)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def build_warc_record(
+    warc_type: str,
+    record_id: str,
+    target_uri: str,
+    warc_date: str,
+    block: bytes,
+    content_type: str | None = None,
+) -> bytes:
+    """Spec-conformant serialized WARC record (writer side — shared by
+    the distributed sink and the fixture writer so record bytes cannot
+    drift between them)."""
+    if content_type is None:
+        content_type = (
+            "application/http;msgtype=response"
+            if warc_type == "response"
+            else "text/plain"
+        )
+    head = [
+        b"WARC/1.1",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"WARC-Date: " + warc_date.encode(),
+    ]
+    if target_uri:
+        head.append(b"WARC-Target-URI: " + target_uri.encode())
+    head.append(b"Content-Type: " + content_type.encode())
+    head.append(b"Content-Length: " + str(len(block)).encode())
+    return CRLF.join(head) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def build_http_response(
+    body: bytes, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    """Minimal deterministic HTTP response message wrapping ``body``
+    (the block of a ``response`` record)."""
+    reason = {200: "OK", 404: "Not Found"}.get(status, "Status")
+    return (
+        f"HTTP/1.1 {status} {reason}".encode()
+        + CRLF
+        + f"Content-Type: {content_type}".encode()
+        + CRLF
+        + f"Content-Length: {len(body)}".encode()
+        + CRLF
+        + CRLF
+        + body
+    )
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One deterministic gzip member per record (mtime 0, max
+    compression — byte-stable across runs, the determinism discipline
+    every sink here follows)."""
+    return gzip.compress(record, compresslevel=9, mtime=0)
+
+
+def write_warc_local(
+    records: list[tuple[str, str, str, str, bytes]],
+    path: str,
+    compress: bool = True,
+) -> str:
+    """Fixture/test writer: (warc_type, record_id, target_uri,
+    warc_date, block) tuples → one ``.warc(.gz)`` file, one gzip
+    member per record when compressed (the Common Crawl layout).
+    Driver-local by design; the distributed sink is
+    :func:`write_warc`."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    buf = io.BytesIO()
+    for wtype, rid, uri, date, block in records:
+        rec = build_warc_record(wtype, rid, uri, date, block)
+        buf.write(gzip_member(rec) if compress else rec)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return path
+
+
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """DISTRIBUTED WARC export: one ``response`` record per input row,
+    sharded into ``n_shards`` ``.warc.gz`` files (record-per-gzip-
+    member), executor-side — the pair of :func:`read_warc`, built on
+    the ``write_webdataset`` shard-writer pattern
+    (sources/webdataset.py): md5-sharded for determinism, records
+    sorted by id within a shard, attempt-unique temp name + atomic
+    rename publish, one exchange total.
+
+    Returns the manifest DataFrame (shard_id, path, n_records,
+    total_bytes).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("warc:"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    tagged = pages.select(
+        shard.alias("shard_id"),
+        F.col(id_col).cast("long").alias("rec_key"),
+        F.col(html_col).cast("string").alias("html"),
+        F.col(uri_col).cast("string").alias("target_uri"),
+        F.col(date_col).cast("string").alias("warc_date"),
+    )
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("total_bytes", T.LongType()),
+        ]
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from pyspark import TaskContext
+
+        sid = int(pdf["shard_id"].iloc[0])
+        path = os.path.join(out_dir, f"crawl-{sid:05d}.warc.gz")
+        rows = sorted(
+            zip(pdf["rec_key"], pdf["html"], pdf["target_uri"],
+                pdf["warc_date"]),
+            key=lambda r: r[0],
+        )
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+        tmp = f"{path}.inprogress.{attempt}"
+        total = 0
+        with open(tmp, "wb") as f:
+            for key, html, uri, date in rows:
+                body = str(html).encode("utf-8")
+                rec = build_warc_record(
+                    "response",
+                    f"<urn:doc:{key}>",
+                    str(uri),
+                    str(date),
+                    build_http_response(body),
+                )
+                f.write(gzip_member(rec))
+                total += len(rec)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "path": [path],
+                "n_records": [len(rows)],
+                "total_bytes": [total],
+            }
+        )
+
+    return (
+        tagged.repartition(n_shards, "shard_id")
+        .groupBy("shard_id")
+        .applyInPandas(write_shard, schema=manifest_schema)
+    )

@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     "html_extract_metadata",
     "bpe_train_bytes",
     "bpe_apply_bytes",
+    # round-9: the WARC crawl container in front of the html tier
+    "write_warc",
+    "read_warc",
+    "warc_extract_text",
 ]
 
 

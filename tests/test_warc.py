@@ -1,0 +1,183 @@
+"""WARC source/sink: spec framing, multi-member gzip, round trips,
+determinism, and the record-length formula the write_warc oracle uses.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+
+from bb_bigdata_log_tools_spark.sources.warc import (
+    build_http_response,
+    build_warc_record,
+    gzip_member,
+    parse_http_response,
+    parse_warc_records,
+    read_warc,
+    split_gzip_members,
+    write_warc,
+    write_warc_local,
+)
+
+
+def _resp(doc_id: int, html: str) -> tuple[str, str, str, str, bytes]:
+    return (
+        "response",
+        f"<urn:doc:{doc_id}>",
+        f"https://crawl.example/d/{doc_id}.html",
+        "2026-01-01T00:00:00Z",
+        build_http_response(html.encode()),
+    )
+
+
+def _wet(doc_id: int, text: str) -> tuple[str, str, str, str, bytes]:
+    return (
+        "conversion",
+        f"<urn:wet:{doc_id}>",
+        f"https://crawl.example/d/{doc_id}.html",
+        "2026-01-01T00:00:00Z",
+        text.encode(),
+    )
+
+
+def test_record_roundtrip_plain():
+    rec = build_warc_record(*_resp(7, "<p>seven</p>"))
+    parsed = list(parse_warc_records(rec))
+    assert len(parsed) == 1
+    hdr, block = parsed[0]
+    assert hdr["warc-type"] == "response"
+    assert hdr["warc-record-id"] == "<urn:doc:7>"
+    assert hdr["warc-target-uri"] == "https://crawl.example/d/7.html"
+    status, ctype, body = parse_http_response(block)
+    assert (status, ctype, body) == (200, "text/html", b"<p>seven</p>")
+
+
+def test_multi_member_gzip_split():
+    recs = [build_warc_record(*_resp(i, f"<p>doc {i}</p>")) for i in range(5)]
+    blob = b"".join(gzip_member(r) for r in recs)
+    assert list(split_gzip_members(blob)) == recs
+    # truncated tail: valid prefix survives, no raise
+    assert list(split_gzip_members(blob[:-7])) == recs[:4]
+    # whole-stream single-member gzip also decodes (non-CC layout)
+    assert list(split_gzip_members(gzip.compress(b"".join(recs)))) == [
+        b"".join(recs)
+    ]
+
+
+def test_malformed_framing_keeps_valid_prefix():
+    good = build_warc_record(*_resp(1, "<p>one</p>"))
+    stream = good + b"NOT A WARC RECORD\r\n\r\n" + good
+    assert len(list(parse_warc_records(stream))) == 1
+    # truncated content-length: record dropped
+    short = good[:-10]
+    assert len(list(parse_warc_records(good + short))) == 1
+
+
+def test_wet_conversion_payload_verbatim(spark, tmp_path):
+    path = str(tmp_path / "x.warc.gz")
+    write_warc_local([_resp(1, "<p>page</p>"), _wet(2, "plain text")], path)
+    rows = {r.record_id: r for r in read_warc(spark, path).collect()}
+    assert bytes(rows["<urn:doc:1>"].payload) == b"<p>page</p>"
+    assert rows["<urn:doc:1>"].http_status == 200
+    assert bytes(rows["<urn:wet:2>"].payload) == b"plain text"
+    assert rows["<urn:wet:2>"].http_status == 0
+    assert rows["<urn:wet:2>"].warc_type == "conversion"
+
+
+def test_uncompressed_warc_read(spark, tmp_path):
+    path = str(tmp_path / "x.warc")
+    write_warc_local([_resp(i, f"<p>doc {i}</p>") for i in range(3)],
+                     path, compress=False)
+    got = read_warc(spark, path).orderBy("rec_pos").collect()
+    assert [r.target_uri for r in got] == [
+        f"https://crawl.example/d/{i}.html" for i in range(3)
+    ]
+    assert all(r.n_bytes == len(bytes(r.payload)) for r in got)
+
+
+def test_record_length_formula():
+    """The SQL length arithmetic in registry_sinks._WARC_REC_LEN must
+    equal the writer's serialized bytes — sweep ids/uris/dates/sizes
+    including digit-count boundaries of the nested Content-Length.
+    (Non-empty URIs only: the writer omits the WARC-Target-URI line
+    when the uri is '', and the registry pages always carry one.)"""
+    cases = [
+        (0, "u", ""),
+        (9, "x", "2026-01-01T00:00:00Z"),
+        (10, "https://crawl.example/d/10.html", "2026-01-01T00:00:00Z"),
+        (123456, "https://e.com/" + "p" * 200, "2026-12-31T23:59:59Z"),
+    ]
+    sizes = [0, 1, 9, 10, 37, 99, 100, 938, 999, 1000, 9999, 10000]
+    for doc_id, uri, date in cases:
+        for n in sizes:
+            html = "h" * n
+            body = html.encode()
+            rec = build_warc_record(
+                "response", f"<urn:doc:{doc_id}>", uri, date,
+                build_http_response(body),
+            )
+            bl = len(body)
+            http_len = 62 + len(str(bl)) + bl
+            formula = (
+                164 + len(str(doc_id)) + len(date) + len(uri)
+                + len(str(http_len)) + http_len
+            )
+            assert formula == len(rec), (doc_id, uri, date, n)
+
+
+def test_write_warc_deterministic_bytes(spark, tmp_path):
+    pages = spark.createDataFrame(
+        [(i, f"<p>document {i} body</p>",
+          f"https://crawl.example/d/{i}.html", "2026-01-01T00:00:00Z")
+         for i in range(40)],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        man = write_warc(pages, out, n_shards=4).collect()
+        assert sum(m.n_records for m in man) == 40
+        outs.append({
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(os.path.join(out, "*.warc.gz"))
+        })
+    assert outs[0] == outs[1]  # byte-identical re-run
+    assert len(outs[0]) == 4
+
+
+def test_write_read_roundtrip_spark(spark, tmp_path):
+    pages = spark.createDataFrame(
+        [(i, f"<html><body><p>doc {i}</p></body></html>",
+          f"https://crawl.example/d/{i}.html", "2026-01-01T00:00:00Z")
+         for i in range(25)],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    out = str(tmp_path / "store")
+    write_warc(pages, out, n_shards=3).collect()
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    got = {
+        r.target_uri: bytes(r.payload).decode() for r in back.collect()
+    }
+    assert got == {
+        f"https://crawl.example/d/{i}.html":
+        f"<html><body><p>doc {i}</p></body></html>"
+        for i in range(25)
+    }
+
+
+def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
+    """One shard = one task, no shuffle in the read plan."""
+    pages = spark.createDataFrame(
+        [(i, "<p>x</p>", f"u{i}", "d") for i in range(8)],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    out = str(tmp_path / "store")
+    write_warc(pages, out, n_shards=2).collect()
+    plan = (
+        read_warc(spark, os.path.join(out, "*.warc.gz"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
