@@ -1389,6 +1389,98 @@ DHASH_COLS = 9
 DHASH_ROWS = 8
 
 
+def parse_exif_orientation(payload: bytes) -> int:
+    """EXIF orientation (1–8) from a JPEG's APP1 segment, or 1 when
+    absent / not a JPEG / malformed (keep-going default: "already
+    upright"). Crawls are full of camera uploads whose raster is
+    stored rotated with only this tag saying so — without it a rotated
+    re-export of the same photo hashes far from its master.
+
+    Walk: marker scan to APP1 (0xE1) with the ``Exif\\0\\0`` header,
+    then the TIFF structure (II/MM byte order, IFD0 entries, tag
+    0x0112 type SHORT). Stops at SOS — EXIF precedes entropy data.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return 1
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return 1
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker == 0xDA:  # SOS — no EXIF past this point
+            return 1
+        if marker == 0xE1 and seg_len >= 16:
+            data = payload[pos + 4 : pos + 2 + seg_len]
+            if data[:6] == b"Exif\x00\x00":
+                tiff = data[6:]
+                if len(tiff) >= 8 and tiff[:2] in (b"II", b"MM"):
+                    e = "<" if tiff[:2] == b"II" else ">"
+                    try:
+                        if struct.unpack_from(e + "H", tiff, 2)[0] == 42:
+                            ifd = struct.unpack_from(e + "I", tiff, 4)[0]
+                            cnt = struct.unpack_from(e + "H", tiff, ifd)[0]
+                            for i in range(cnt):
+                                off = ifd + 2 + 12 * i
+                                tag, typ = struct.unpack_from(
+                                    e + "HH", tiff, off
+                                )
+                                if tag == 0x0112 and typ == 3:
+                                    v = struct.unpack_from(
+                                        e + "H", tiff, off + 8
+                                    )[0]
+                                    return v if 1 <= v <= 8 else 1
+                    except struct.error:
+                        return 1
+            return 1  # first APP1 decides (camera convention)
+        pos += 2 + seg_len
+    return 1
+
+
+def add_exif_orientation(jpeg: bytes, orientation: int) -> bytes:
+    """Fixture/test writer: insert an EXIF APP1 segment carrying the
+    orientation tag right after SOI of an existing JPEG (the layout
+    cameras produce)."""
+    if jpeg[:2] != b"\xff\xd8" or not 1 <= orientation <= 8:
+        raise ValueError("need a JPEG and orientation in 1..8")
+    tiff = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)                       # one IFD0 entry
+        + struct.pack("<HHI", 0x0112, 3, 1)          # Orientation SHORT
+        + struct.pack("<HH", orientation, 0)         # value, pad
+        + struct.pack("<I", 0)                       # no next IFD
+    )
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def _apply_exif_orientation(px, orientation: int):
+    """Upright view of a stored (h, w, 3) raster per the EXIF
+    orientation value (numpy views — no copies)."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:  # stored raster needs 90° CW to display
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:  # 90° CCW
+        return px.transpose(1, 0, 2)[::-1]
+    return px
+
+
 def image_dhash_value(payload: bytes) -> int | None:
     """64-bit difference hash (dHash) of a decodable image payload,
     or None if no codec decodes it.
@@ -1414,6 +1506,13 @@ def image_dhash_value(payload: bytes) -> int | None:
     w, h, px = parsed
     if w < 1 or h < 1:
         return None
+    # Normalize by EXIF orientation (camera uploads store the raster
+    # rotated): hash the UPRIGHT image so a rotated re-export of the
+    # same master dedups against it.
+    orient = parse_exif_orientation(payload)
+    if orient != 1:
+        px = _apply_exif_orientation(px, orient)
+        h, w = px.shape[0], px.shape[1]
     # Vectorized box-average via a summed-area table: identical
     # integer semantics to the per-pixel loop it replaced (per-pixel
     # floor grayscale, rectangle sum, floor mean) at numpy speed.
@@ -1483,6 +1582,11 @@ def image_dhash(media: DataFrame, sort: bool = True) -> DataFrame:
                 out["height"].append(dims[2] if dims else 0)
                 out["dhash"].append(hv)
                 out["decoded"].append(hv is not None)
+            # nullable Int64, NOT the default coercion: a batch mixing
+            # None with int64 hashes would otherwise become float64 and
+            # silently round hashes beyond 2^53 (values here fill all
+            # 64 bits)
+            out["dhash"] = pd.array(out["dhash"], dtype="Int64")
             yield pd.DataFrame(out)
 
     res = media.mapInPandas(run, schema=DHASH_SCHEMA)
@@ -1644,6 +1748,9 @@ def audio_fingerprint(media: DataFrame, sort: bool = True) -> DataFrame:
                 out["duration_ms"].append(int(dur) if fp is not None else 0)
                 out["fingerprint"].append(fp)
                 out["decoded"].append(fp is not None)
+            # nullable Int64 like image_dhash: None + int64 in one
+            # batch must not coerce to float64 (silent >2^53 rounding)
+            out["fingerprint"] = pd.array(out["fingerprint"], dtype="Int64")
             yield pd.DataFrame(out)
 
     res = media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -1,0 +1,138 @@
+"""Round-9: EXIF orientation parsing + orientation-normalized dHash."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bb_bigdata_log_tools_spark.operators.jpegcodec import make_jpeg
+from bb_bigdata_log_tools_spark.operators.multimodal import (
+    _apply_exif_orientation,
+    add_exif_orientation,
+    image_dhash_value,
+    make_bmp,
+    parse_exif_orientation,
+)
+
+
+def _pattern(w=36, h=24):
+    return [
+        [((x * 7 + y * 13) % 256,) * 3 for x in range(w)] for y in range(h)
+    ]
+
+
+def test_parse_exif_orientation_roundtrip():
+    base = make_jpeg(12, 8, _pattern(12, 8))
+    assert parse_exif_orientation(base) == 1  # no APP1
+    for o in range(1, 9):
+        assert parse_exif_orientation(add_exif_orientation(base, o)) == o
+    # big-endian (MM) TIFF variant
+    tagged = add_exif_orientation(base, 6)
+    mm = tagged.replace(
+        b"II" + struct.pack("<HIH", 42, 8, 1),
+        b"MM" + struct.pack(">HIH", 42, 8, 1),
+    ).replace(
+        struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 6, 0),
+        struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 6, 0),
+    )
+    assert parse_exif_orientation(mm) == 6
+
+
+def test_parse_exif_orientation_malformed():
+    base = make_jpeg(12, 8, _pattern(12, 8))
+    assert parse_exif_orientation(b"notajpeg") == 1
+    assert parse_exif_orientation(make_bmp(2, 2, _pattern(2, 2))) == 1
+    # out-of-range value -> default
+    weird = add_exif_orientation(base, 8).replace(
+        struct.pack("<HH", 8, 0), struct.pack("<HH", 9, 0)
+    )
+    assert parse_exif_orientation(weird) == 1
+    # APP1 without Exif header is skipped harmlessly
+    junk = base[:2] + b"\xff\xe1" + struct.pack(">H", 10) + b"x" * 8 + base[2:]
+    assert parse_exif_orientation(junk) == 1
+    with pytest.raises(ValueError):
+        add_exif_orientation(base, 0)
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_dhash_orientation_invariance(orientation):
+    """A raster stored under ANY EXIF orientation hashes (nearly)
+    identically to the upright master once normalized — rotated
+    camera re-exports of one photo dedup together."""
+    master = np.asarray(_pattern(), dtype=np.uint8)
+    # find the stored raster whose normalization yields the master
+    stored = None
+    for cand in (
+        master, master[:, ::-1], master[::-1, ::-1], master[::-1],
+        master.transpose(1, 0, 2), master.transpose(1, 0, 2)[:, ::-1],
+        master.transpose(1, 0, 2)[::-1, ::-1], master.transpose(1, 0, 2)[::-1],
+    ):
+        up = _apply_exif_orientation(cand, orientation)
+        if up.shape == master.shape and (up == master).all():
+            stored = cand
+            break
+    assert stored is not None
+    h, w = stored.shape[0], stored.shape[1]
+    srows = [[tuple(int(c) for c in px) for px in r] for r in stored]
+    tagged = add_exif_orientation(make_jpeg(w, h, srows), orientation)
+    base = image_dhash_value(
+        make_jpeg(master.shape[1], master.shape[0],
+                  [[tuple(int(c) for c in px) for px in r] for r in master])
+    )
+    got = image_dhash_value(tagged)
+    ham = bin((base ^ got) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2, (orientation, ham)  # JPEG re-encode noise only
+
+
+def test_dhash_exact_in_mixed_null_batch(spark):
+    """REGRESSION: a single Arrow batch mixing a non-decodable payload
+    (dhash None) with full-64-bit hashes must return the hashes EXACT.
+    pandas' default coercion turns an int64+None column into float64,
+    silently rounding values beyond 2^53 — caught when the round-9
+    EXIF fixtures landed in the same partition as the junk payload."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import image_dhash
+
+    rows = _pattern()
+    jpg = make_jpeg(36, 24, rows)
+    want = image_dhash_value(jpg)
+    assert abs(want) > 1 << 53  # the pattern exercises the danger zone
+    df = spark.createDataFrame(
+        [(0, bytearray(b"junk" * 8), "image"), (1, bytearray(jpg), "image")],
+        "doc_id long, payload binary, media_type string",
+    ).coalesce(1)  # force ONE batch so None and the hash share it
+    got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert got == {0: None, 1: want}
+
+
+def test_audio_fp_exact_in_mixed_null_batch(spark):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_value,
+        make_wav,
+    )
+
+    wav = make_wav(
+        8000, 1, 400,
+        samples=[int(20000 * ((i * 37) % 17 - 8) / 8) for i in range(400)],
+    )
+    want = audio_fingerprint_value(wav)
+    df = spark.createDataFrame(
+        [(0, bytearray(b"junk" * 9), "audio"), (1, bytearray(wav), "audio")],
+        "doc_id long, payload binary, media_type string",
+    ).coalesce(1)
+    got = {r.doc_id: r.fingerprint for r in audio_fingerprint(df).collect()}
+    assert got == {0: None, 1: want}
+
+
+def test_dhash_untagged_unchanged():
+    """Images with no EXIF keep their pre-round-9 hash (orientation 1
+    path untouched) — BMP master equals itself through the normalizer."""
+    rows = _pattern()
+    bmp = make_bmp(36, 24, rows)
+    jpg = make_jpeg(36, 24, rows)
+    assert parse_exif_orientation(bmp) == 1
+    assert image_dhash_value(bmp) is not None
+    assert image_dhash_value(add_exif_orientation(jpg, 1)) == \
+        image_dhash_value(jpg)
