@@ -1215,3 +1215,107 @@ def sample_weighted_stratified(
         survivors.withColumn("sample_rank", F.row_number().over(w2))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def crawl_curate(
+    pages: DataFrame,
+    benchmark: DataFrame,
+    decon_n: int = 3,
+    min_kept_chars: int = 120,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    sort: bool = True,
+) -> DataFrame:
+    """END-TO-END crawl curation — :func:`corpus_curate`'s decision
+    list widened to START FROM RAW PAGES: one row per crawled page
+    through extraction → thin-gate → exact dedup → decontamination →
+    split, first applicable reason wins:
+
+    1. ``thin`` — boilerplate-only or near-empty extraction
+       (``n_kept = 0`` or ``kept_chars < min_kept_chars``; detail =
+       kept_chars): the crawl's 404-shell/link-farm/redirect-stub
+       tier, which never reaches text-level quality filters;
+    2. ``dup_exact`` — another page extracted to byte-identical text
+       (detail = keeper doc_id). Near-dup is deliberately left to the
+       LSH tier already certified by corpus_curate/dedup_resolve —
+       this capstone certifies the crawl COMPOSITION, not a second
+       copy of that machinery;
+    3. ``contaminated`` — extracted text shares a word ``decon_n``-gram
+       with the EXTERNAL held-out ``benchmark`` (doc_id, text) set
+       (detail = hit count). The benchmark must be external: crawl
+       pages share site chrome, so benchmarking against extracted
+       pages themselves would flag the whole corpus via template
+       n-grams;
+    4. ``kept`` — detail carries the deterministic split
+       (md5('csplit:' || doc_id), corpus-portable because crawl pages
+       have no source column).
+
+    Input: (doc_id, html). Pair with ``read_warc`` +
+    ``warc_extract_text``'s uri→doc_id recovery to run from crawl
+    bytes.
+
+    100 TB shape: extraction is zero-shuffle scan algebra; the exact
+    tier shuffles only (md5(text), doc_id) pairs — the text column
+    never moves; decontamination broadcasts the benchmark shingles;
+    tier relations join on doc_id counts/labels only.
+    """
+    from bb_bigdata_log_tools_spark.operators.dedup import (
+        doc_shingle_hashes,
+    )
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
+
+    ext = html_extract_text(pages, sort=False)
+    docs = ext.select("doc_id", "text", "n_kept", "kept_chars")
+
+    th = docs.select(
+        "doc_id", "n_kept", "kept_chars", F.md5("text").alias("th")
+    )
+    keepers = th.groupBy("th").agg(F.min("doc_id").alias("exact_keeper"))
+    e = th.join(keepers, "th").select(
+        "doc_id", "n_kept", "kept_chars", "exact_keeper"
+    )
+
+    train_sh = doc_shingle_hashes(docs.select("doc_id", "text"), decon_n)
+    bench_sh = (
+        doc_shingle_hashes(benchmark.select("doc_id", "text"), decon_n)
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shingle_hits"))
+    )
+
+    denom = 10_000
+    cut_val = int(val_frac * denom)
+    cut_test = cut_val + int(test_frac * denom)
+    sh = F.pmod(
+        md5_long(F.concat(F.lit("csplit:"), F.col("doc_id").cast("string"))),
+        F.lit(denom),
+    )
+    split = (
+        F.when(sh < cut_val, F.lit("val"))
+        .when(sh < cut_test, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+    thin = (F.col("n_kept") == 0) | (F.col("kept_chars") < min_kept_chars)
+    dup = F.col("doc_id") != F.col("exact_keeper")
+    contam = F.coalesce(F.col("n_shingle_hits"), F.lit(0)) > 0
+    decision = (
+        F.when(thin, F.lit("thin"))
+        .when(dup, F.lit("dup_exact"))
+        .when(contam, F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    detail = (
+        F.when(thin, F.col("kept_chars").cast("string"))
+        .when(dup, F.col("exact_keeper").cast("string"))
+        .when(contam, F.col("n_shingle_hits").cast("string"))
+        .otherwise(split)
+    )
+    out = e.join(hits, "doc_id", "left").select(
+        "doc_id", decision.alias("decision"), detail.alias("detail")
+    )
+    return small_sort(out, "doc_id") if sort else out

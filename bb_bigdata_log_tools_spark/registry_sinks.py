@@ -520,6 +520,141 @@ def _warc_extract_text_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# crawl_curate capstone: WARC bytes → extraction → curation decisions
+# --------------------------------------------------------------------------
+
+_CC_BENCH_MOD = 25
+_CC_DECON_N = 3
+_CC_MIN_KEPT = 320
+_CC_DENOM = 10_000
+_CC_VAL_CUT = 500
+_CC_TEST_CUT = 1000
+#: every 40th-ish page also appears at a second URL (re-crawl alias) —
+#: exercises the dup_exact tier: same bytes, different doc_id.
+_CC_ALIAS_MOD = 40
+_CC_ALIAS_REM = 7
+_CC_ALIAS_OFFSET = 1_000_000
+
+
+def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl pipeline end-to-end as ONE decision list: staged
+    .warc.gz → read_warc → html_extract_text → thin-gate / exact-dup /
+    decontaminate / split (operators/curation.py crawl_curate). The
+    page set is the store plus RE-CRAWL ALIASES (every 40th page again
+    under a second URL — the same-bytes-two-URLs case the dup_exact
+    tier exists for); the benchmark is the raw documents text (an
+    EXTERNAL held-out set — crawl pages share site chrome, so
+    in-corpus benchmarking would template-flag everything). The
+    oracle replays extraction + every tier in DuckDB over the same
+    page algebra, so a green row certifies the whole composition from
+    crawl bytes to per-page curation decisions."""
+    from bb_bigdata_log_tools_spark.operators.curation import crawl_curate
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    aliases = pages.filter(
+        F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
+    ).select(
+        (F.col("doc_id") + _CC_ALIAS_OFFSET).alias("doc_id"), "html"
+    )
+    bench = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CC_BENCH_MOD == 0
+    ).select("doc_id", "text")
+    return crawl_curate(
+        ensure_parallelism(pages.unionByName(aliases)),
+        bench,
+        decon_n=_CC_DECON_N,
+        min_kept_chars=_CC_MIN_KEPT,
+        val_frac=_CC_VAL_CUT / _CC_DENOM,
+        test_frac=_CC_TEST_CUT / _CC_DENOM - _CC_VAL_CUT / _CC_DENOM,
+    )
+
+
+def _crawl_curate_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_sql
+
+    split_hash = (
+        "('0x' || substring(md5('csplit:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {_CC_DENOM}"
+    )
+    ext_sql = html_extract_sql(
+        f"""SELECT doc_id, html FROM ({_warc_page_sql()})
+            UNION ALL
+            SELECT doc_id + {_CC_ALIAS_OFFSET}, html
+            FROM ({_warc_page_sql()})
+            WHERE doc_id % {_CC_ALIAS_MOD} = {_CC_ALIAS_REM}"""
+    )
+    return f"""
+WITH ext AS ({ext_sql}),
+e AS (
+  SELECT doc_id, n_kept, kept_chars,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM ext
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM ext),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - {_CC_DECON_N - 1}, 1)),
+             i -> array_to_string(w[i:i+{_CC_DECON_N - 1}], ' '))) AS s
+    FROM words
+  )
+),
+bwords AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id % {_CC_BENCH_MOD} = 0
+),
+bench AS (
+  SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, greatest(len(w) - {_CC_DECON_N - 1}, 1)),
+             i -> array_to_string(w[i:i+{_CC_DECON_N - 1}], ' '))) AS s
+    FROM bwords
+  )
+),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.h) AS n_shingle_hits
+  FROM sh JOIN bench USING (h) GROUP BY sh.doc_id
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN {split_hash} < {_CC_VAL_CUT} THEN 'val'
+              WHEN {split_hash} < {_CC_TEST_CUT} THEN 'test'
+              ELSE 'train' END AS split
+  FROM ext
+)
+SELECT e.doc_id,
+       CASE WHEN e.n_kept = 0 OR e.kept_chars < {_CC_MIN_KEPT} THEN 'thin'
+            WHEN e.doc_id <> e.exact_keeper THEN 'dup_exact'
+            WHEN COALESCE(h.n_shingle_hits, 0) > 0 THEN 'contaminated'
+            ELSE 'kept' END AS decision,
+       CASE WHEN e.n_kept = 0 OR e.kept_chars < {_CC_MIN_KEPT}
+              THEN CAST(e.kept_chars AS VARCHAR)
+            WHEN e.doc_id <> e.exact_keeper
+              THEN CAST(e.exact_keeper AS VARCHAR)
+            WHEN COALESCE(h.n_shingle_hits, 0) > 0
+              THEN CAST(h.n_shingle_hits AS VARCHAR)
+            ELSE spl.split END AS detail
+FROM e
+LEFT JOIN hits h ON e.doc_id = h.doc_id
+JOIN spl ON e.doc_id = spl.doc_id
+ORDER BY e.doc_id
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -530,12 +665,14 @@ SINK_QUERIES = {
     "write_warc": q_write_warc,
     "read_warc": q_read_warc,
     "warc_extract_text": q_warc_extract_text,
+    "crawl_curate": q_crawl_curate,
 }
 
 SINK_ORACLES = {
     "write_warc": _write_warc_oracle(),
     "read_warc": _read_warc_oracle(),
     "warc_extract_text": _warc_extract_text_oracle(),
+    "crawl_curate": _crawl_curate_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

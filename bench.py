@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "write_warc",
     "read_warc",
     "warc_extract_text",
+    "crawl_curate",
 ]
 
 

@@ -126,6 +126,63 @@ def test_audio_fp_exact_in_mixed_null_batch(spark):
     assert got == {0: None, 1: want}
 
 
+def test_crawl_curate_plan_shape(spark):
+    """Capstone plan: no cartesian, benchmark shingles broadcast, and
+    the page text column never enters a shuffle exchange."""
+    from bb_bigdata_log_tools_spark.operators.curation import crawl_curate
+
+    pages = spark.createDataFrame(
+        [(i, f"<p>some prose body number {i} long enough to keep"
+             " for the extraction gate to accept it</p>")
+         for i in range(30)],
+        "doc_id long, html string",
+    )
+    bench = spark.createDataFrame(
+        # 3-gram "body number 3" exists only in page 3's prose
+        [(0, "body number 3")], "doc_id long, text string"
+    )
+    df = crawl_curate(  # sort=False: plan before the checkpoint cut
+        pages, bench, min_kept_chars=30, sort=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bench shingle probe
+    rows = {r.doc_id: (r.decision, r.detail) for r in df.collect()}
+    assert rows[3][0] == "contaminated"
+    assert sum(1 for d, _ in rows.values() if d == "kept") > 0
+
+
+def test_crawl_curate_tiers(spark):
+    """Precedence and detail per tier: thin beats dup beats
+    contamination beats split."""
+    from bb_bigdata_log_tools_spark.operators.curation import crawl_curate
+
+    body = ("<p>" + " ".join(f"w{i}" for i in range(40)) + "</p>")
+    pages = spark.createDataFrame(
+        [
+            (1, body),                      # original
+            (2, body),                      # exact re-crawl -> dup of 1
+            (3, "<p>tiny</p>"),             # under the thin gate
+            (4, "<p>" + " ".join(f"q{i}" for i in range(40)) + "</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "w5 w6 w7")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.decision, r.detail)
+        for r in crawl_curate(pages, bench, min_kept_chars=30).collect()
+    }
+    # "tiny" is under the extractor's 25-char block gate, so nothing
+    # is kept at all: detail = kept_chars = 0
+    assert got[3] == ("thin", "0")
+    assert got[2] == ("dup_exact", "1")
+    assert got[1][0] == "contaminated"  # keeper still contaminated
+    assert got[4][0] == "kept" and got[4][1] in ("train", "val", "test")
+
+
 def test_dhash_untagged_unchanged():
     """Images with no EXIF keep their pre-round-9 hash (orientation 1
     path untouched) — BMP master equals itself through the normalizer."""
