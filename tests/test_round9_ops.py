@@ -183,6 +183,61 @@ def test_crawl_curate_tiers(spark):
     assert got[4][0] == "kept" and got[4][1] in ("train", "val", "test")
 
 
+def test_parse_pixels_np_equals_list_decode():
+    """The frombuffer raster fast path (image_parse_pixels_np) must be
+    byte-identical to the generic list decode for every BMP profile it
+    claims: 24/32bpp, bottom-up and top-down, widths that exercise the
+    4-byte row padding."""
+    import struct as _s
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        image_parse_pixels,
+        image_parse_pixels_np,
+    )
+
+    def bmp(width, height, rows, bpp=24, top_down=False):
+        row_size = ((width * bpp + 31) // 32) * 4
+        pix = bytearray()
+        ys = range(height) if top_down else range(height - 1, -1, -1)
+        for y in ys:
+            line = bytearray()
+            for x in range(width):
+                line += bytes(rows[y][x])
+                if bpp == 32:
+                    line += b"\xAA"  # alpha byte, dropped by both paths
+            line += b"\x00" * (row_size - len(line))
+            pix += line
+        off = 54
+        return (
+            b"BM" + _s.pack("<IHHI", off + len(pix), 0, 0, off)
+            + _s.pack("<IiiHHIIiiII", 40, width,
+                      -height if top_down else height,
+                      1, bpp, 0, len(pix), 0, 0, 0, 0)
+            + bytes(pix)
+        )
+
+    rng_rows = lambda w, h: [
+        [((x * 31 + y * 7) % 256, (x * 5 + y) % 256, (x + y * 3) % 256)
+         for x in range(w)] for y in range(h)
+    ]
+    for w, h in [(1, 1), (3, 2), (5, 4), (8, 8), (7, 3)]:
+        rows = rng_rows(w, h)
+        for bpp in (24, 32):
+            for td in (False, True):
+                p = bmp(w, h, rows, bpp=bpp, top_down=td)
+                got = image_parse_pixels_np(p)
+                want = image_parse_pixels(p)
+                assert got is not None and want is not None, (w, h, bpp, td)
+                gw, gh, arr = got
+                ww, wh, lrows = want
+                assert (gw, gh) == (ww, wh)
+                flat = [tuple(int(c) for c in arr[y][x])
+                        for y in range(gh) for x in range(gw)]
+                wflat = [tuple(lrows[y][x])
+                         for y in range(wh) for x in range(ww)]
+                assert flat == wflat, (w, h, bpp, td)
+
+
 def test_dhash_untagged_unchanged():
     """Images with no EXIF keep their pre-round-9 hash (orientation 1
     path untouched) — BMP master equals itself through the normalizer."""
