@@ -395,6 +395,7 @@ _WINDOW_PRIORITY: list[str] = [
     "read_warc",
     "warc_extract_text",
     "crawl_curate",
+    "write_wet",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

@@ -655,6 +655,67 @@ ORDER BY e.doc_id
 """
 
 
+def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET round trip: staged crawl → extraction → distributed WET
+    export (conversion records, the Common Crawl extracted-text
+    artifact) → read_warc read-back. Oracle = the extraction algebra
+    over the page table, so a green row certifies the WET writer's
+    framing and byte-exact text recovery end-to-end."""
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc, write_wet
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    texts = html_extract_text(ensure_parallelism(pages), sort=False).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit(_WARC_URI_PREFIX), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("target_uri"),
+        F.lit(_WARC_DATE).alias("warc_date"),
+    )
+    out = _tmp("wet_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    write_wet(texts, out, n_shards=N_WARC_SHARDS).collect()
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return back.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _write_wet_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_sql
+
+    ext_sql = html_extract_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+    return f"""
+WITH ext AS ({ext_sql})
+SELECT '{_WARC_URI_PREFIX}' || CAST(doc_id AS VARCHAR) || '.html'
+         AS target_uri,
+       'conversion' AS warc_type,
+       '<urn:wet:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM ext
+ORDER BY target_uri
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -666,6 +727,7 @@ SINK_QUERIES = {
     "read_warc": q_read_warc,
     "warc_extract_text": q_warc_extract_text,
     "crawl_curate": q_crawl_curate,
+    "write_wet": q_write_wet,
 }
 
 SINK_ORACLES = {
@@ -673,6 +735,7 @@ SINK_ORACLES = {
     "read_warc": _read_warc_oracle(),
     "warc_extract_text": _warc_extract_text_oracle(),
     "crawl_curate": _crawl_curate_oracle(),
+    "write_wet": _write_wet_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

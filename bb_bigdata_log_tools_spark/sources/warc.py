@@ -271,44 +271,25 @@ def write_warc_local(
     return path
 
 
-def write_warc(
-    pages: DataFrame,
+def _write_record_shards(
+    tagged: DataFrame,
     out_dir: str,
-    n_shards: int = 8,
-    id_col: str = "doc_id",
-    html_col: str = "html",
-    uri_col: str = "target_uri",
-    date_col: str = "warc_date",
+    prefix: str,
+    n_shards: int,
+    make_record,
 ) -> DataFrame:
-    """DISTRIBUTED WARC export: one ``response`` record per input row,
-    sharded into ``n_shards`` ``.warc.gz`` files (record-per-gzip-
-    member), executor-side — the pair of :func:`read_warc`, built on
-    the ``write_webdataset`` shard-writer pattern
-    (sources/webdataset.py): md5-sharded for determinism, records
-    sorted by id within a shard, attempt-unique temp name + atomic
-    rename publish, one exchange total.
-
-    Returns the manifest DataFrame (shard_id, path, n_records,
-    total_bytes).
-    """
+    """Shared distributed shard-writer core (the ``write_webdataset``
+    pattern, sources/webdataset.py): ``tagged`` carries (shard_id,
+    rec_key, payload string, target_uri, warc_date);
+    ``make_record(key, payload, uri, date) -> bytes`` serializes one
+    WARC record. One exchange on shard_id, records sorted by key
+    within a shard, one gzip member per record, attempt-unique temp
+    name + atomic rename publish. Returns the manifest (shard_id,
+    path, n_records, total_bytes — UNCOMPRESSED record bytes, the
+    deterministic quantity an oracle can recompute)."""
     import pandas as pd
-    from pyspark.sql import functions as F
-
-    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
 
     os.makedirs(out_dir, exist_ok=True)
-    shard = F.pmod(
-        md5_long(F.concat(F.lit("warc:"), F.col(id_col).cast("string"))),
-        F.lit(n_shards),
-    ).cast("int")
-    tagged = pages.select(
-        shard.alias("shard_id"),
-        F.col(id_col).cast("long").alias("rec_key"),
-        F.col(html_col).cast("string").alias("html"),
-        F.col(uri_col).cast("string").alias("target_uri"),
-        F.col(date_col).cast("string").alias("warc_date"),
-    )
-
     manifest_schema = T.StructType(
         [
             T.StructField("shard_id", T.IntegerType()),
@@ -322,9 +303,9 @@ def write_warc(
         from pyspark import TaskContext
 
         sid = int(pdf["shard_id"].iloc[0])
-        path = os.path.join(out_dir, f"crawl-{sid:05d}.warc.gz")
+        path = os.path.join(out_dir, f"{prefix}-{sid:05d}.warc.gz")
         rows = sorted(
-            zip(pdf["rec_key"], pdf["html"], pdf["target_uri"],
+            zip(pdf["rec_key"], pdf["payload"], pdf["target_uri"],
                 pdf["warc_date"]),
             key=lambda r: r[0],
         )
@@ -333,15 +314,8 @@ def write_warc(
         tmp = f"{path}.inprogress.{attempt}"
         total = 0
         with open(tmp, "wb") as f:
-            for key, html, uri, date in rows:
-                body = str(html).encode("utf-8")
-                rec = build_warc_record(
-                    "response",
-                    f"<urn:doc:{key}>",
-                    str(uri),
-                    str(date),
-                    build_http_response(body),
-                )
+            for key, payload, uri, date in rows:
+                rec = make_record(key, str(payload), str(uri), str(date))
                 f.write(gzip_member(rec))
                 total += len(rec)
         os.replace(tmp, path)
@@ -359,3 +333,84 @@ def write_warc(
         .groupBy("shard_id")
         .applyInPandas(write_shard, schema=manifest_schema)
     )
+
+
+def _tag_shards(
+    df: DataFrame,
+    salt: str,
+    n_shards: int,
+    id_col: str,
+    payload_col: str,
+    uri_col: str,
+    date_col: str,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+
+    shard = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    return df.select(
+        shard.alias("shard_id"),
+        F.col(id_col).cast("long").alias("rec_key"),
+        F.col(payload_col).cast("string").alias("payload"),
+        F.col(uri_col).cast("string").alias("target_uri"),
+        F.col(date_col).cast("string").alias("warc_date"),
+    )
+
+
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """DISTRIBUTED WARC export: one ``response`` record (WARC header +
+    embedded HTTP message) per input row, sharded into ``n_shards``
+    record-per-gzip-member ``.warc.gz`` files — the pair of
+    :func:`read_warc`. Determinism, sharding, and publish semantics:
+    :func:`_write_record_shards`."""
+
+    def rec(key, html, uri, date):
+        return build_warc_record(
+            "response", f"<urn:doc:{key}>", uri, date,
+            build_http_response(html.encode("utf-8")),
+        )
+
+    tagged = _tag_shards(
+        pages, "warc:", n_shards, id_col, html_col, uri_col, date_col
+    )
+    return _write_record_shards(tagged, out_dir, "crawl", n_shards, rec)
+
+
+def write_wet(
+    texts: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """DISTRIBUTED WET export: one ``conversion`` record (plain
+    extracted text, no HTTP layer — the Common Crawl WET artifact)
+    per input row; the natural sink for ``html_extract_text`` output.
+    Same shard-writer core and determinism as :func:`write_warc`;
+    read back with :func:`read_warc` (conversion payloads flow
+    verbatim)."""
+
+    def rec(key, text, uri, date):
+        return build_warc_record(
+            "conversion", f"<urn:wet:{key}>", uri, date,
+            text.encode("utf-8"),
+        )
+
+    tagged = _tag_shards(
+        texts, "wet:", n_shards, id_col, text_col, uri_col, date_col
+    )
+    return _write_record_shards(tagged, out_dir, "wet", n_shards, rec)

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "read_warc",
     "warc_extract_text",
     "crawl_curate",
+    "write_wet",
 ]
 
 

@@ -168,6 +168,34 @@ def test_write_read_roundtrip_spark(spark, tmp_path):
     }
 
 
+def test_write_wet_roundtrip_and_determinism(spark, tmp_path):
+    from bb_bigdata_log_tools_spark.sources.warc import write_wet
+
+    texts = spark.createDataFrame(
+        [(i, f"extracted text of page {i}\nsecond line",
+          f"https://crawl.example/d/{i}.html", "2026-01-01T00:00:00Z")
+         for i in range(20)],
+        "doc_id long, text string, target_uri string, warc_date string",
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        man = write_wet(texts, out, n_shards=3).collect()
+        assert sum(m.n_records for m in man) == 20
+        outs.append({
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(os.path.join(out, "*.warc.gz"))
+        })
+    assert outs[0] == outs[1]
+    back = read_warc(spark, str(tmp_path / "a" / "*.warc.gz"))
+    got = {r.record_id: r for r in back.collect()}
+    assert len(got) == 20
+    r = got["<urn:wet:7>"]
+    assert r.warc_type == "conversion"
+    assert r.http_status == 0
+    assert bytes(r.payload).decode() == "extracted text of page 7\nsecond line"
+
+
 def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
     """One shard = one task, no shuffle in the read plan."""
     pages = spark.createDataFrame(
