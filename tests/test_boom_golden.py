@@ -26,9 +26,10 @@ BM_FILE = (
 START = 1330423200000
 END = 1330426800000
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # heavy tier, see pytest.ini
+              pytest.mark.skipif(
     not os.path.exists(BM_FILE), reason="reference testdata not present"
-)
+)]
 
 
 def golden(name: str) -> list[str]:

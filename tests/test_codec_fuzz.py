@@ -43,7 +43,8 @@ from bb_bigdata_log_tools_spark.operators.multimodal import (
     wav_resample,
 )
 
-pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+pytestmark = [pytest.mark.filterwarnings("error::RuntimeWarning"),
+              pytest.mark.slow]  # heavy tier, see pytest.ini
 
 ROWS = [
     [((x % 5) * 40, (y % 4) * 50, ((x + y) % 6) * 30) for x in range(18)]

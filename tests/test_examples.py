@@ -13,6 +13,11 @@ import importlib.util
 import os
 import sys
 
+# heavy tier: excluded from the fast dev gate (pytest -m 'not slow');
+# the FULL suite (no filter) is still the round/judge gate
+pytestmark = __import__('pytest').mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -12,6 +12,11 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# heavy tier: excluded from the fast dev gate (pytest -m 'not slow');
+# the FULL suite (no filter) is still the round/judge gate
+pytestmark = __import__('pytest').mark.slow
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 TABLES = [
