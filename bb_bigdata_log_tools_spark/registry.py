@@ -396,6 +396,7 @@ _WINDOW_PRIORITY: list[str] = [
     "warc_extract_text",
     "crawl_curate",
     "write_wet",
+    "warc_extract_links",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

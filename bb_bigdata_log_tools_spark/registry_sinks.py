@@ -655,6 +655,40 @@ ORDER BY e.doc_id
 """
 
 
+def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT axis of the crawl triple: staged .warc.gz → read_warc →
+    html_extract_links — the outlink graph / crawl frontier computed
+    from crawl bytes (Common Crawl ships this as WAT metadata; here it
+    is a first-class relational output). Oracle = the same link
+    algebra over the page table directly."""
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    return html_extract_links(ensure_parallelism(pages))
+
+
+def _warc_extract_links_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links_sql,
+    )
+
+    return html_extract_links_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+
+
 def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET round trip: staged crawl → extraction → distributed WET
     export (conversion records, the Common Crawl extracted-text
@@ -728,6 +762,7 @@ SINK_QUERIES = {
     "warc_extract_text": q_warc_extract_text,
     "crawl_curate": q_crawl_curate,
     "write_wet": q_write_wet,
+    "warc_extract_links": q_warc_extract_links,
 }
 
 SINK_ORACLES = {
@@ -736,6 +771,7 @@ SINK_ORACLES = {
     "warc_extract_text": _warc_extract_text_oracle(),
     "crawl_curate": _crawl_curate_oracle(),
     "write_wet": _write_wet_oracle(),
+    "warc_extract_links": _warc_extract_links_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "warc_extract_text",
     "crawl_curate",
     "write_wet",
+    "warc_extract_links",
 ]
 
 
