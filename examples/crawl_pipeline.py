@@ -1,0 +1,117 @@
+"""Worked example: a web-crawl training-data pipeline, end to end.
+
+Run:  python examples/crawl_pipeline.py [sf_dir]
+
+crawl bytes (.warc.gz) → record parse → HTML extraction (text /
+links / metadata) → curation decision list (thin-gate, exact dedup,
+decontamination, split) → WET export of the kept text — the Common
+Crawl WARC/WET/WAT triple as one lazy DataFrame program. Every
+operator documents its 100 TB shape in its docstring; the only
+driver-side materializations here are the prints and the ≤ n_shards
+sink manifests.
+"""
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bb_bigdata_log_tools_spark.operators.curation import (  # noqa: E402
+    crawl_curate,
+)
+from bb_bigdata_log_tools_spark.operators.html import (  # noqa: E402
+    html_extract_links,
+    html_extract_metadata,
+    html_extract_text,
+)
+from bb_bigdata_log_tools_spark.session import get_spark, table  # noqa: E402
+from bb_bigdata_log_tools_spark.sources.warc import (  # noqa: E402
+    read_warc,
+    write_warc,
+    write_wet,
+)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark("crawl-pipeline-example")
+        spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="crawl_example_")
+    try:
+        # -- 0. simulate the crawler: synthesize pages and ship them
+        #       as .warc.gz (in production this store already exists)
+        docs = table(spark, sf_dir, "documents")
+        from bb_bigdata_log_tools_spark.registry_textprep import (
+            _html_spark_col,
+        )
+
+        pages_src = docs.select(
+            "doc_id",
+            _html_spark_col().alias("html"),
+            F.concat(
+                F.lit("https://crawl.example/d/"),
+                F.col("doc_id").cast("string"), F.lit(".html"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        )
+        crawl_dir = f"{work}/crawl"
+        man = write_warc(pages_src, crawl_dir, n_shards=4).collect()
+        print(f"crawl store: {sum(m.n_records for m in man)} records in "
+              f"{len(man)} .warc.gz shards")
+
+        # -- 1. read the crawl: one task per file, payloads never
+        #       visit the driver
+        recs = read_warc(spark, crawl_dir + "/*.warc.gz")
+        pages = recs.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        ).select(
+            F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+            .cast("long").alias("doc_id"),
+            F.decode("payload", "UTF-8").alias("html"),
+        )
+
+        # -- 2. the three extraction artifacts (CC's WARC/WET/WAT)
+        text = html_extract_text(pages, sort=False)
+        links = html_extract_links(pages, sort=False)
+        meta = html_extract_metadata(pages, sort=False)
+        print("extraction:",
+              f"{text.count()} pages,",
+              f"{links.count()} outlinks,",
+              f"{meta.filter(F.col('title') != '').count()} titled")
+
+        # -- 3. curation decisions (thin / dup_exact / contaminated /
+        #       kept+split) against a held-out benchmark
+        bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+            "doc_id", "text"
+        )
+        decisions = crawl_curate(pages, bench, sort=False)
+        decisions.groupBy("decision").count().orderBy("decision").show()
+
+        # -- 4. export the kept text as WET conversion records
+        kept = text.join(
+            decisions.filter(F.col("decision") == "kept").select("doc_id"),
+            "doc_id",
+        ).select(
+            "doc_id", "text",
+            F.concat(
+                F.lit("https://crawl.example/d/"),
+                F.col("doc_id").cast("string"), F.lit(".html"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        )
+        wet_man = write_wet(kept, f"{work}/wet", n_shards=2).collect()
+        print(f"WET export: {sum(m.n_records for m in wet_man)} kept pages"
+              f" in {len(wet_man)} shards")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

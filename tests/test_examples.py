@@ -43,3 +43,11 @@ def test_curation_pipeline_example(spark, capsys):
     out = capsys.readouterr().out
     assert "decision" in out  # the corpus_curate decision list rendered
     assert spark.sparkContext._jsc is not None
+
+
+def test_crawl_pipeline_example(spark, capsys):
+    _load_example("crawl_pipeline").main(SF_DIR, spark=spark)
+    out = capsys.readouterr().out
+    assert "outlinks" in out          # extraction artifacts rendered
+    assert "WET export:" in out       # kept pages shipped
+    assert spark.sparkContext._jsc is not None
