@@ -382,19 +382,31 @@ FROM documents
 def _warc_store(spark: SparkSession, sf_dir: str) -> str:
     """Stage the .warc.gz shard store once per sf_dir (marker
     discipline like _wds_store; the write is distributed, the
-    ≤ n_shards-row manifest collect is sink plumbing)."""
+    ≤ n_shards-row manifest collect is sink plumbing).
+
+    The marker carries a CONTENT VERSION (md5 of the page-template
+    SQL): the store embeds the synthesized pages, so a template edit
+    in a later round must re-stage — a stale store would silently
+    mismatch the (new-template) oracles."""
+    import hashlib
+
     from bb_bigdata_log_tools_spark.sources.warc import write_warc
 
     out = _tmp("warc_store", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    if not os.path.exists(marker):
+    version = hashlib.md5(_warc_page_sql().encode()).hexdigest()
+    staged = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+    if staged != version:
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         write_warc(
             _warc_pages(spark, sf_dir), out, n_shards=N_WARC_SHARDS
         ).collect()
-        with open(marker, "w"):
-            pass
+        with open(marker, "w") as f:
+            f.write(version)
     return out
 
 
