@@ -394,7 +394,11 @@ def _warc_store(spark: SparkSession, sf_dir: str) -> str:
 
     out = _tmp("warc_store", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    version = hashlib.md5(_warc_page_sql().encode()).hexdigest()
+    # layout tag bumps force a re-stage when the STORE FORMAT itself
+    # changes (v2: CDX-style .idx sidecars for the split reader)
+    version = hashlib.md5(
+        ("v2-idx:" + _warc_page_sql()).encode()
+    ).hexdigest()
     staged = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -667,6 +671,30 @@ ORDER BY e.doc_id
 """
 
 
+def q_read_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT split-scan read path over the same staged store:
+    sidecar-index-driven (file, offset, length) row-groups spread
+    across tasks independently of file count — the oversized-file
+    scale path. Same oracle as read_warc: identical record set means
+    the split plan reads every member exactly once."""
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc_split
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc_split(
+        spark, os.path.join(store, "*.warc.gz"), parallelism=16
+    )
+    return recs.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "warc_date",
+        "http_status",
+        "http_content_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
 def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAT axis of the crawl triple: staged .warc.gz → read_warc →
     html_extract_links — the outlink graph / crawl frontier computed
@@ -775,6 +803,7 @@ SINK_QUERIES = {
     "crawl_curate": q_crawl_curate,
     "write_wet": q_write_wet,
     "warc_extract_links": q_warc_extract_links,
+    "read_warc_split": q_read_warc_split,
 }
 
 SINK_ORACLES = {
@@ -784,6 +813,7 @@ SINK_ORACLES = {
     "crawl_curate": _crawl_curate_oracle(),
     "write_wet": _write_wet_oracle(),
     "warc_extract_links": _warc_extract_links_oracle(),
+    "read_warc_split": _read_warc_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "crawl_curate",
     "write_wet",
     "warc_extract_links",
+    "read_warc_split",
 ]
 
 
