@@ -398,6 +398,7 @@ _WINDOW_PRIORITY: list[str] = [
     "write_wet",
     "warc_extract_links",
     "read_warc_split",
+    "stream_warc_ingest",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

@@ -695,6 +695,50 @@ def q_read_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("target_uri")
 
 
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl ingest: a ``readStream`` binaryFile source over
+    the staged .warc.gz shards (the production shape: crawler drops
+    files, ingest turns them into record rows per micro-batch) through
+    the SAME stateless parse as the batch reader, drained bounded into
+    a memory sink (the registry_streaming availableNow discipline).
+    Oracle = read_warc's: streaming ingest must equal the batch read
+    row for row — Structured Streaming's unified-model promise."""
+    from bb_bigdata_log_tools_spark.registry_streaming import (
+        _drain_to_memory,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import parse_warc_files
+
+    store = _warc_store(spark, sf_dir)
+    # binaryFile's schema is fixed, but STREAMING file sources demand
+    # it spelled out
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(store)
+    )
+    recs = parse_warc_files(files).select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "warc_date",
+        "http_status",
+        "http_content_type",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+    out = _drain_to_memory(recs, "stream_warc_ingest_sink", "append")
+    return out.orderBy("target_uri")
+
+
 def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAT axis of the crawl triple: staged .warc.gz → read_warc →
     html_extract_links — the outlink graph / crawl frontier computed
@@ -804,6 +848,7 @@ SINK_QUERIES = {
     "write_wet": q_write_wet,
     "warc_extract_links": q_warc_extract_links,
     "read_warc_split": q_read_warc_split,
+    "stream_warc_ingest": q_stream_warc_ingest,
 }
 
 SINK_ORACLES = {
@@ -814,6 +859,7 @@ SINK_ORACLES = {
     "write_wet": _write_wet_oracle(),
     "warc_extract_links": _warc_extract_links_oracle(),
     "read_warc_split": _read_warc_oracle(),
+    "stream_warc_ingest": _read_warc_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -163,7 +163,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     WET text, warcinfo, request, metadata) the payload is the record
     block verbatim and http_status is 0.
     """
-    files = spark.read.format("binaryFile").load(path)
+    return parse_warc_files(spark.read.format("binaryFile").load(path))
+
+
+def parse_warc_files(files: DataFrame) -> DataFrame:
+    """WARC record rows from a ``binaryFile``-shaped (path, content)
+    relation — the one parse used by the batch reader AND streaming
+    ingest (the mapInPandas stage is stateless, so it runs identically
+    on a ``readStream`` binaryFile source: arriving .warc.gz files
+    become record rows per micro-batch)."""
 
     def parse(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "write_wet",
     "warc_extract_links",
     "read_warc_split",
+    "stream_warc_ingest",
 ]
 
 
