@@ -256,6 +256,61 @@ def test_sidecar_index_matches_members(spark, tmp_path):
     assert n == 9
 
 
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_warc_framing_fuzz_roundtrip_and_truncation(seed):
+    """Property sweep of the record framing: random record sets
+    (types, URIs incl. unicode, binary-ish bodies, empty blocks)
+    round-trip exactly through write→parse, and EVERY truncation
+    point of the stream yields a clean prefix of the records — never
+    an exception, never a corrupted record."""
+    import random
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        gzip_member,
+        parse_http_response,
+        parse_warc_records,
+        split_gzip_members,
+    )
+
+    rng = random.Random(seed)
+    recs = []
+    for i in range(rng.randint(3, 12)):
+        wtype = rng.choice(["response", "conversion", "metadata"])
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        uri = rng.choice(["", f"https://ex.com/{i}?q=a&b=c", f"u{i}-ü"])
+        block = (
+            build_http_response(body, status=rng.choice([200, 404, 500]))
+            if wtype == "response" else body
+        )
+        recs.append((wtype, f"<urn:f:{i}>", uri, "2026-01-01T00:00:00Z",
+                     block, body))
+    stream = b"".join(
+        build_warc_record(w, r, u, d, blk) for w, r, u, d, blk, _ in recs
+    )
+    parsed = list(parse_warc_records(stream))
+    assert len(parsed) == len(recs)
+    for (w, r, u, d, blk, body), (hdr, block) in zip(recs, parsed):
+        assert (hdr["warc-type"], hdr["warc-record-id"]) == (w, r)
+        assert hdr.get("warc-target-uri", "") == u
+        assert block == blk
+        if w == "response":
+            _, _, got_body = parse_http_response(block)
+            assert got_body == body
+    # every truncation point: clean prefix, no raise
+    for cut in range(0, len(stream), max(1, len(stream) // 97)):
+        pre = list(parse_warc_records(stream[:cut]))
+        assert len(pre) <= len(recs)
+        assert all(p == q for p, q in zip(pre, parsed))
+    # gzip-member layout: member-level truncation property
+    gz = b"".join(gzip_member(build_warc_record(w, r, u, d, blk))
+                  for w, r, u, d, blk, _ in recs)
+    for cut in range(0, len(gz), max(1, len(gz) // 31)):
+        members = list(split_gzip_members(gz[:cut]))
+        assert len(members) <= len(recs)
+
+
 def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
     """One shard = one task, no shuffle in the read plan."""
     pages = spark.createDataFrame(
