@@ -1224,6 +1224,7 @@ def crawl_curate(
     min_kept_chars: int = 120,
     val_frac: float = 0.05,
     test_frac: float = 0.05,
+    persist_extraction: bool = False,
     sort: bool = True,
 ) -> DataFrame:
     """END-TO-END crawl curation — :func:`corpus_curate`'s decision
@@ -1258,6 +1259,14 @@ def crawl_curate(
     tier shuffles only (md5(text), doc_id) pairs — the text column
     never moves; decontamination broadcasts the benchmark shingles;
     tier relations join on doc_id counts/labels only.
+
+    The extraction feeds TWO consumers (the thin/exact tier and the
+    shingle tier), so lazily it RUNS TWICE — the deliberate default:
+    re-running a scan-parallel regex pass is usually cheaper at scale
+    than materializing terabytes of extracted text in the block
+    manager. Pass ``persist_extraction=True`` to localCheckpoint the
+    extraction once instead (right when the crawl READ dominates the
+    regex cost, or the corpus comfortably fits cluster storage).
     """
     from bb_bigdata_log_tools_spark.operators.dedup import (
         doc_shingle_hashes,
@@ -1266,6 +1275,8 @@ def crawl_curate(
 
     ext = html_extract_text(pages, sort=False)
     docs = ext.select("doc_id", "text", "n_kept", "kept_chars")
+    if persist_extraction:
+        docs = docs.localCheckpoint()
 
     th = docs.select(
         "doc_id", "n_kept", "kept_chars", F.md5("text").alias("th")

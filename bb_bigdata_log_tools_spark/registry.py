@@ -415,8 +415,10 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_exact_stratified",
     "tfidf_keywords",
     "quality_filter",
-    # --- r5-vintage cohort (45 keys; the first 36 fit the 50-key
-    # window alongside the r4 block, the tail rolls to round 10) ---
+    # --- r5-vintage cohort (45 keys; with 8 round-9 keys + the 14
+    # r4-vintage block ahead of it, the first 28 fit the 50-key
+    # window — sessions_summary is the last in — and the 17-key tail
+    # from log_json_field_stats onward leads the round-10 rotation) ---
     "dedup_edit_distance",
     "minhash_recall_eval",
     "shingle_novelty",

@@ -63,17 +63,32 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+#: Per-member inflate cap — the decompression-bomb guard the PNG
+#: decoder also carries: a KB-scale hostile member expanding to
+#: multi-GB must not materialize executor-side. CC members are
+#: record-sized (KB-MB); 256 MiB is generous headroom.
+MAX_MEMBER_BYTES = 256 << 20
+
+
 def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     """Decompressed payload of each gzip member of a multi-member
     stream, in order (the Common Crawl record-per-member layout).
-    A truncated/corrupt tail ends the iteration (keep-going contract:
-    the valid prefix is the answer)."""
+    A truncated/corrupt tail — or a member inflating past
+    :data:`MAX_MEMBER_BYTES` (bomb guard) — ends the iteration
+    (keep-going contract: the valid prefix is the answer).
+
+    The remainder is sliced as a ``memoryview`` so per-member
+    advancement is O(1), not O(remaining bytes): a 1 GB file with 50k
+    record-members would otherwise memcpy tens of TB."""
+    mv = memoryview(blob)
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
         try:
-            out = d.decompress(blob[pos:])
+            out = d.decompress(mv[pos:], MAX_MEMBER_BYTES)
         except zlib.error:
+            return
+        if d.unconsumed_tail:  # hit the cap mid-member: bomb guard
             return
         if not d.eof:  # truncated member
             return
@@ -120,6 +135,11 @@ def parse_warc_records(blob: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            return
+        if length < 0:
+            # a negative Content-Length would move the scan BACKWARD —
+            # the same header would then re-parse forever (found by the
+            # round-9 review; regression-tested)
             return
         block_start = end + 4
         if block_start + length > n:
@@ -213,10 +233,13 @@ def _append_record_row(out: dict, fpath: str, pos: int, hdr, block) -> None:
 
 def _local_path(uri: str) -> str:
     """Strip the ``file:`` scheme a Spark file source puts on paths —
-    the executor-side ``open()`` seam. Non-local deployments (HDFS/S3)
-    swap this + the two ``open()`` call sites for their FS client;
-    everything else (index plan, seek arithmetic, parsing) is
-    storage-agnostic."""
+    the executor-side ``open()`` seam. NO percent-decoding: the
+    binaryFile ``path`` column carries the plain path (a directory
+    literally named ``od d%40`` arrives verbatim — probed, and pinned
+    by test_local_path_percent_decoding), so unquoting would corrupt
+    names containing '%'. Non-local deployments (HDFS/S3) swap this +
+    the two ``open()`` call sites for their FS client; everything
+    else (index plan, seek arithmetic, parsing) is storage-agnostic."""
     if uri.startswith("file:"):
         p = uri[5:]
         while p.startswith("//"):
@@ -418,12 +441,23 @@ def _write_record_shards(
     def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
         from pyspark import TaskContext
 
+        if pdf["rec_key"].isna().any() or pdf["shard_id"].isna().any():
+            # a null id has no shard and would serialize '<urn:doc:nan>'
+            # — fail loudly instead of writing garbage records
+            raise ValueError(
+                f"{prefix} writer: null record key in input "
+                "(id_col must be non-null and castable to long)"
+            )
         sid = int(pdf["shard_id"].iloc[0])
         path = os.path.join(out_dir, f"{prefix}-{sid:05d}.warc.gz")
+        # FULL-tuple sort: key ties (duplicate ids) must still order
+        # deterministically or re-runs stop being byte-identical
         rows = sorted(
-            zip(pdf["rec_key"], pdf["payload"], pdf["target_uri"],
-                pdf["warc_date"]),
-            key=lambda r: r[0],
+            (int(k), str(p), str(u), str(d))
+            for k, p, u, d in zip(
+                pdf["rec_key"], pdf["payload"], pdf["target_uri"],
+                pdf["warc_date"],
+            )
         )
         tc = TaskContext.get()
         attempt = tc.taskAttemptId() if tc is not None else os.getpid()
@@ -436,7 +470,7 @@ def _write_record_shards(
         idx_lines = []
         with open(tmp, "wb") as f:
             for i, (key, payload, uri, date) in enumerate(rows):
-                rec = make_record(key, str(payload), str(uri), str(date))
+                rec = make_record(key, payload, uri, date)
                 member = gzip_member(rec)
                 idx_lines.append(f"{i} {f.tell()} {len(member)}\n")
                 f.write(member)

@@ -311,6 +311,80 @@ def test_warc_framing_fuzz_roundtrip_and_truncation(seed):
         assert len(members) <= len(recs)
 
 
+def test_negative_content_length_terminates():
+    """REGRESSION (round-9 review): a negative Content-Length moved
+    the scan position BACKWARD, re-parsing the same header forever.
+    Must terminate with the valid prefix instead."""
+    good = build_warc_record(*_resp(1, "<p>fine page one</p>"))
+    evil = (b"WARC/1.1\r\nWARC-Type: response\r\n"
+            b"Content-Length: -33\r\n\r\n")
+    out = list(parse_warc_records(good + evil + good))
+    assert len(out) == 1  # clean prefix, no hang, no dup records
+
+
+def test_gzip_bomb_member_capped():
+    """A member inflating past MAX_MEMBER_BYTES stops the walk instead
+    of materializing the bomb (the PNG decoder's inflate-cap guard,
+    applied to the crawl tier)."""
+    import gzip as _gzip
+    from unittest import mock
+
+    from bb_bigdata_log_tools_spark.sources import warc as W
+
+    small = gzip_member(b"A" * 100)
+    bomb = _gzip.compress(b"\x00" * (1 << 20), compresslevel=9)  # 1 MiB
+    with mock.patch.object(W, "MAX_MEMBER_BYTES", 1 << 16):  # 64 KiB cap
+        got = list(W.split_gzip_members(small + bomb + small))
+    assert got == [b"A" * 100]  # valid prefix; bomb never materialized
+
+
+def test_write_warc_duplicate_ids_deterministic(spark, tmp_path):
+    """Duplicate record keys must still produce byte-identical shard
+    re-runs (full-tuple sort, not key-only), and null keys fail loudly
+    instead of serializing '<urn:doc:nan>'."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc
+
+    dup = spark.createDataFrame(
+        [(1, f"<p>version {v}</p>", f"https://e/{v}", "d")
+         for v in ("a", "b", "c")] * 2,
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    outs = []
+    for run in ("x", "y"):
+        out = str(tmp_path / run)
+        write_warc(dup.repartition(3), out, n_shards=1).collect()
+        outs.append({
+            os.path.basename(p): open(p, "rb").read()
+            for p in glob.glob(os.path.join(out, "*.warc.gz"))
+        })
+    assert outs[0] == outs[1]
+
+    bad = spark.createDataFrame(
+        [(None, "<p>x</p>", "u", "d")],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    with pytest.raises(Exception, match="null record key"):
+        write_warc(bad, str(tmp_path / "bad"), n_shards=1).collect()
+
+
+def test_local_path_percent_decoding(spark, tmp_path):
+    """read_warc_split must open files under directories with '%' and
+    spaces in their names. Pins the PROBED fact that the binaryFile
+    path column is the plain (un-encoded) path — percent-DECODING it
+    would corrupt a literal '%40' into '@'."""
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc_split
+
+    odd = tmp_path / "od d%40"
+    odd.mkdir()
+    pages = spark.createDataFrame(
+        [(i, f"<p>pg {i}</p>", f"u{i}", "d") for i in range(5)],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    write_warc(pages, str(odd), n_shards=1).collect()
+    got = read_warc_split(spark, str(odd) + "/*.warc.gz", 2).count()
+    assert got == 5
+
+
 def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
     """One shard = one task, no shuffle in the read plan."""
     pages = spark.createDataFrame(
