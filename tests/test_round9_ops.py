@@ -238,6 +238,87 @@ def test_parse_pixels_np_equals_list_decode():
                 assert flat == wflat, (w, h, bpp, td)
 
 
+def test_crawl_curate_degenerate_corpora(spark):
+    """Adversarial corpus shapes (the test_robustness discipline):
+    an ALL-IDENTICAL crawl resolves to one keeper + N-1 dup_exact;
+    an ALL-BOILERPLATE crawl is all thin; an empty benchmark never
+    contaminates."""
+    from bb_bigdata_log_tools_spark.operators.curation import crawl_curate
+
+    body = "<p>" + " ".join(f"tok{i}" for i in range(30)) + "</p>"
+    same = spark.createDataFrame(
+        [(i, body) for i in range(40)], "doc_id long, html string"
+    )
+    empty_bench = spark.createDataFrame(
+        [], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.decision, r.detail)
+        for r in crawl_curate(same, empty_bench, min_kept_chars=30).collect()
+    }
+    assert got[0][0] == "kept"                      # min doc_id keeps
+    assert all(v == ("dup_exact", "0") for k, v in got.items() if k > 0)
+
+    chrome_only = spark.createDataFrame(
+        [(i, "<nav><a href='/'>Home</a></nav><footer>c</footer>")
+         for i in range(10)],
+        "doc_id long, html string",
+    )
+    got2 = {
+        r.doc_id: r.decision
+        for r in crawl_curate(chrome_only, empty_bench).collect()
+    }
+    assert set(got2.values()) == {"thin"}
+
+
+def test_stream_warc_ingest_multi_microbatch(spark, tmp_path):
+    """The streaming-equals-batch guarantee must hold under REAL
+    micro-batch boundaries, not just a single-batch drain: with
+    maxFilesPerTrigger=1 each shard becomes its own micro-batch and
+    the appended union must still equal the batch read exactly."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        parse_warc_files,
+        read_warc,
+        write_warc,
+    )
+    from pyspark.sql import types as T
+
+    pages = spark.createDataFrame(
+        [(i, f"<p>page {i}</p>", f"u{i}", "d") for i in range(24)],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    out = str(tmp_path / "store")
+    write_warc(pages, out, n_shards=4).collect()
+
+    bin_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    files = (
+        spark.readStream.format("binaryFile").schema(bin_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 1)   # force 4 micro-batches
+        .load(out)
+    )
+    q = (
+        parse_warc_files(files)
+        .selectExpr("record_id", "md5(payload) AS m")
+        .writeStream.format("memory").queryName("warc_mb_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    got = {(r.record_id, r.m) for r in spark.table("warc_mb_sink").collect()}
+    want = {
+        (r.record_id, r.m)
+        for r in read_warc(spark, out + "/*.warc.gz")
+        .selectExpr("record_id", "md5(payload) AS m").collect()
+    }
+    assert got == want and len(got) == 24
+
+
 def test_dhash_untagged_unchanged():
     """Images with no EXIF keep their pre-round-9 hash (orientation 1
     path untouched) — BMP master equals itself through the normalizer."""
