@@ -70,6 +70,10 @@ WARC_SCHEMA = T.StructType(
 MAX_MEMBER_BYTES = 256 << 20
 
 
+#: Incremental-feed chunk for the member walk (see below).
+_GZ_CHUNK = 4 << 20
+
+
 def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     """Decompressed payload of each gzip member of a multi-member
     stream, in order (the Common Crawl record-per-member layout).
@@ -77,26 +81,43 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     :data:`MAX_MEMBER_BYTES` (bomb guard) — ends the iteration
     (keep-going contract: the valid prefix is the answer).
 
-    The remainder is sliced as a ``memoryview`` so per-member
-    advancement is O(1), not O(remaining bytes): a 1 GB file with 50k
-    record-members would otherwise memcpy tens of TB."""
+    The compressed bytes are fed to the decompressor in fixed
+    ``_GZ_CHUNK`` slices of a ``memoryview``: feeding the whole
+    remainder per member would make zlib materialize it again as
+    ``unused_data`` after EVERY member — an O(members × bytes) copy
+    that turned a single 50k-record 1x-file read into minutes
+    (measured 355 s → linear after this rewrite). Per member the
+    walk now touches only that member's bytes plus at most one
+    chunk of tail."""
     mv = memoryview(blob)
+    n = len(blob)
     pos = 0
-    while pos < len(blob):
+    while pos < n:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        try:
-            out = d.decompress(mv[pos:], MAX_MEMBER_BYTES)
-        except zlib.error:
+        out = []
+        size = 0
+        p = pos
+        end_of_member = -1
+        while p < n:
+            chunk = mv[p : min(p + _GZ_CHUNK, n)]
+            try:
+                piece = d.decompress(chunk, MAX_MEMBER_BYTES - size + 1)
+            except zlib.error:
+                return
+            out.append(piece)
+            size += len(piece)
+            if size > MAX_MEMBER_BYTES:
+                return  # bomb guard: member inflates past the cap
+            if d.eof:
+                end_of_member = p + len(chunk) - len(d.unused_data)
+                break
+            if d.unconsumed_tail:
+                return  # cap reached mid-stream without eof
+            p += len(chunk)
+        if end_of_member <= pos:  # truncated member (or no progress)
             return
-        if d.unconsumed_tail:  # hit the cap mid-member: bomb guard
-            return
-        if not d.eof:  # truncated member
-            return
-        yield out
-        consumed = len(blob) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+        yield b"".join(out)
+        pos = end_of_member
 
 
 def _decode_stream(blob: bytes) -> bytes:
