@@ -385,6 +385,29 @@ def test_local_path_percent_decoding(spark, tmp_path):
     assert got == 5
 
 
+@pytest.mark.parametrize("chunk", [1, 2, 7, 64, 1 << 20])
+def test_gzip_member_walk_any_chunk_size(chunk, monkeypatch):
+    """The chunked incremental walk must be chunk-size-invariant:
+    member headers and EOFs landing anywhere relative to chunk seams
+    (chunk=1 puts EVERY byte on a seam) yield the identical member
+    sequence, and truncation anywhere still gives a clean prefix."""
+    import random
+
+    from bb_bigdata_log_tools_spark.sources import warc as W
+
+    monkeypatch.setattr(W, "_GZ_CHUNK", chunk)
+    rng = random.Random(chunk)
+    members = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        for _ in range(6)
+    ]
+    blob = b"".join(W.gzip_member(m) for m in members)
+    assert list(W.split_gzip_members(blob)) == members
+    for cut in range(0, len(blob), max(1, len(blob) // 23)):
+        got = list(W.split_gzip_members(blob[:cut]))
+        assert got == members[: len(got)]
+
+
 def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
     """One shard = one task, no shuffle in the read plan."""
     pages = spark.createDataFrame(
