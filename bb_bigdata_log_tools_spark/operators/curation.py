@@ -953,18 +953,30 @@ def bloom_decontaminate(
     return small_sort(out, "doc_id") if sort else out
 
 
+def canonical_url(col: Column) -> Column:
+    """RFC-3986-style canonical form of a URL column (ONE copy, shared
+    by :func:`dedup_url` and :func:`crawl_frontier`): scheme+host
+    lowercased (case-insensitive per the RFC; path case PRESERVED),
+    fragment stripped (never sent to the server), pure-tracking
+    ``?utm_*`` query strings stripped (``?utm_source=x&id=1`` keeps
+    its query — ``id`` distinguishes resources), trailing slash
+    stripped."""
+    head = F.lower(F.regexp_extract(col, r"^(https?://[^/?#]+)", 1))
+    tail = F.regexp_replace(col, r"^https?://[^/?#]+", "")
+    tail = F.regexp_replace(tail, "#.*$", "")
+    tail = F.regexp_replace(tail, r"\?utm_[^&#? ]*(&utm_[^&#? ]*)*$", "")
+    tail = F.regexp_replace(tail, "/$", "")
+    return F.concat(head, tail)
+
+
 def dedup_url(
     df: DataFrame, text_col: str = "text", sort: bool = True
 ) -> DataFrame:
     """URL canonicalization + dedup — the crawl-frontier / document-key
     hygiene pass that collapses trivially-distinct spellings of the
     same resource before URL-keyed dedup or fetch scheduling.
-
-    Canonical form: scheme+host lowercased (case-insensitive per RFC
-    3986; path case is PRESERVED), fragment stripped (never sent to the
-    server), pure-tracking ``?utm_*`` query strings stripped, trailing
-    slash stripped. Output per canonical URL: the distinct raw-variant
-    count and total occurrence count.
+    Canonical form: :func:`canonical_url`. Output per canonical URL:
+    the distinct raw-variant count and total occurrence count.
 
     100 TB shape: extraction is per-row regex column algebra in the
     scan; the only shuffle carries (canonical_url, counts) with
@@ -976,19 +988,65 @@ def dedup_url(
             F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
         ).alias("url")
     )
-    head = F.lower(F.regexp_extract(F.col("url"), r"^(https?://[^/?#]+)", 1))
-    tail = F.regexp_replace(F.col("url"), r"^https?://[^/?#]+", "")
-    tail = F.regexp_replace(tail, "#.*$", "")
-    # strip the query only when EVERY parameter is a utm_* tracker —
-    # ?utm_source=x&id=1 keeps its query (id distinguishes resources)
-    tail = F.regexp_replace(tail, r"\?utm_[^&#? ]*(&utm_[^&#? ]*)*$", "")
-    tail = F.regexp_replace(tail, "/$", "")
     out = (
-        urls.select("url", F.concat(head, tail).alias("canonical_url"))
+        urls.select("url", canonical_url(F.col("url")).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.countDistinct("url").alias("n_variants"),
             F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    return small_sort(out, "canonical_url") if sort else out
+
+
+def crawl_frontier(
+    links: DataFrame,
+    base_col: str = "base_url",
+    href_col: str = "href",
+    sort: bool = True,
+) -> DataFrame:
+    """Next-fetch list from an extracted link relation (the output of
+    ``html_extract_links`` joined with each page's base URL): the
+    crawl-scheduler input that closes the loop crawl → extract →
+    frontier → crawl.
+
+    Absolutization policy (documented, keep-going): absolute
+    ``http(s)://`` hrefs pass through; site-relative hrefs (leading
+    ``/``) join the linking page's scheme+host; protocol-relative
+    (``//``) and path-relative/mailto/javascript hrefs are DROPPED —
+    resolving them needs the full page URL path or scheme negotiation,
+    and a frontier prefers precision over recall (a dropped link is
+    re-discoverable, a malformed fetch wastes a slot). Canonical form:
+    :func:`canonical_url` — the same algebra as :func:`dedup_url`, so
+    frontier keys and document keys collapse identically.
+
+    Output per canonical URL: n_variants (distinct raw spellings),
+    n_occurrences (total anchors), n_pages (distinct linking pages).
+    100 TB shape: per-row column algebra in the scan + ONE
+    (canonical_url, counts) aggregate with map-side partials.
+    """
+    href = F.col(href_col)
+    base_head = F.lower(
+        F.regexp_extract(F.col(base_col), r"^(https?://[^/?#]+)", 1)
+    )
+    absolute = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.lit(None))
+        .when(href.startswith("/"), F.concat(base_head, href))
+        .otherwise(F.lit(None))
+    )
+    urls = links.select(
+        F.col("doc_id"), absolute.alias("url")
+    ).filter(F.col("url").isNotNull())
+    out = (
+        urls.select(
+            "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_pages"),
         )
     )
     return small_sort(out, "canonical_url") if sort else out

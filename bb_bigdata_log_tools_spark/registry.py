@@ -399,6 +399,7 @@ _WINDOW_PRIORITY: list[str] = [
     "warc_extract_links",
     "read_warc_split",
     "stream_warc_ingest",
+    "crawl_frontier",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

@@ -695,6 +695,79 @@ def q_read_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("target_uri")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl loop closed: staged .warc.gz → read_warc →
+    html_extract_links → absolutize against each page's base →
+    canonicalize (the dedup_url algebra, one shared copy) → the
+    next-fetch list with variant/occurrence/page counts. Oracle
+    replays absolutization + canonicalization in SQL over the same
+    link algebra."""
+    from bb_bigdata_log_tools_spark.operators.curation import crawl_frontier
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_links
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+        F.col("target_uri").alias("base_url"),
+    )
+    links = html_extract_links(
+        ensure_parallelism(pages), sort=False
+    ).join(pages.select("doc_id", "base_url"), "doc_id")
+    return crawl_frontier(links)
+
+
+def _crawl_frontier_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links_sql,
+    )
+
+    links_sql = html_extract_links_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+    base = (
+        f"lower(regexp_extract('{_WARC_URI_PREFIX}' ||"
+        " CAST(doc_id AS VARCHAR) || '.html',"
+        " '^(https?://[^/?#]+)', 1))"
+    )
+    return f"""
+WITH l AS ({links_sql}),
+a AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN href LIKE '//%' THEN NULL
+              WHEN href LIKE '/%' THEN {base} || href
+              ELSE NULL END AS url
+  FROM l
+),
+c AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^(https?://[^/?#]+)', 1))
+         || regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(url, '^https?://[^/?#]+', ''),
+                  '#.*$', ''),
+                '\\?utm_[^&#? ]*(&utm_[^&#? ]*)*$', ''),
+              '/$', '') AS canonical_url
+  FROM a WHERE url IS NOT NULL
+)
+SELECT canonical_url,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+FROM c
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
 def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING crawl ingest: a ``readStream`` binaryFile source over
     the staged .warc.gz shards (the production shape: crawler drops
@@ -849,6 +922,7 @@ SINK_QUERIES = {
     "warc_extract_links": q_warc_extract_links,
     "read_warc_split": q_read_warc_split,
     "stream_warc_ingest": q_stream_warc_ingest,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 SINK_ORACLES = {
@@ -860,6 +934,7 @@ SINK_ORACLES = {
     "warc_extract_links": _warc_extract_links_oracle(),
     "read_warc_split": _read_warc_oracle(),
     "stream_warc_ingest": _read_warc_oracle(),
+    "crawl_frontier": _crawl_frontier_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

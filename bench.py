@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "warc_extract_links",
     "read_warc_split",
     "stream_warc_ingest",
+    "crawl_frontier",
 ]
 
 
