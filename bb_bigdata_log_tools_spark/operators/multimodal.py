@@ -47,6 +47,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("orientation", T.IntegerType()),
         T.StructField("decoded", T.BooleanType()),
     ]
 )
@@ -664,23 +665,34 @@ def extract_features(media: DataFrame) -> DataFrame:
     ``mapInPandas`` so each executor processes record batches (binary
     payloads never pass through the driver); image dimensions are real
     header parses, audio/video the flagged stub.
+
+    ``orientation`` is the EXIF orientation value (1–8; 1 = upright /
+    absent — :func:`parse_exif_orientation`), surfaced so downstream
+    stages know a payload's DISPLAY geometry: when it is 5–8 the
+    stored ``width``/``height`` (reported here as the header says)
+    are transposed on display. The hash/resize stages normalize by it
+    internally (:func:`image_parse_pixels_upright`).
     """
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
             dims = [
-                _decode_payload(mt, bytes(p))
-                for mt, p in zip(pdf["media_type"], pdf["payload"])
+                _decode_payload(mt, p)
+                for mt, p in zip(pdf["media_type"], payloads)
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
+                    "orientation": [
+                        parse_exif_orientation(p) for p in payloads
+                    ],
                     "decoded": [d[3] for d in dims],
                 }
             )
@@ -1287,16 +1299,36 @@ def image_parse_pixels_np(payload: bytes):
     return (w, h, np.asarray(rows, dtype=np.uint8).reshape(h, w, 3))
 
 
+def image_parse_pixels_upright(payload: bytes):
+    """(width, height, ndarray) of the DISPLAY raster: pixel decode
+    (:func:`image_parse_pixels_np`) followed by EXIF-orientation
+    normalization (:func:`_apply_exif_orientation`), or None when no
+    codec decodes the payload. The one upright-decode copy that both
+    the perceptual hash and the resize stage ride, so a camera upload
+    whose raster is stored rotated is hashed AND resized as displayed."""
+    parsed = image_parse_pixels_np(payload)
+    if parsed is None:
+        return None
+    w, h, arr = parsed
+    orient = parse_exif_orientation(payload)
+    if orient != 1:
+        arr = _apply_exif_orientation(arr, orient)
+        h, w = arr.shape[0], arr.shape[1]
+    return w, h, arr
+
+
 def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """REAL nearest-neighbor resize for uncompressed 24bpp BMPs,
     all-profile PNGs, JPEGs (baseline + progressive) AND first-frame
-    GIFs — decode, sample, re-encode as canonical
+    GIFs — decode, EXIF-orientation-normalize (the resize operates on
+    the display raster, so a rotated camera re-export resizes like its
+    upright master), sample, re-encode as canonical
     24bpp BMP, all from the public specs (no image libraries). Returns
     None for any other payload. (Name kept for API stability; see
     :func:`image_parse_pixels` for the decode dispatch.)"""
     import numpy as np
 
-    parsed = image_parse_pixels_np(payload)
+    parsed = image_parse_pixels_upright(payload)
     if parsed is None or out_w < 1 or out_h < 1:
         return None
     w, h, arr = parsed
@@ -1306,6 +1338,32 @@ def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes | None:
         :, (np.arange(out_w) * w) // out_w
     ]
     return make_bmp(out_w, out_h, out_rows)
+
+
+def media_resize_record(
+    payload: bytes, out_w: int, out_h: int
+) -> tuple[int, int, int, int, int, str, bool]:
+    """Per-payload resize outcome as plain values — the ONE pure copy
+    the Spark operator (:func:`media_resize`) and its driver-built
+    DuckDB oracle both call, so operator and oracle cannot drift.
+
+    Returns ``(in_width, in_height, out_width, out_height, out_bytes,
+    out_md5, decoded)``. ``in_width``/``in_height`` are the DISPLAY
+    geometry: stored header dimensions swapped when the EXIF
+    orientation (5–8) transposes the raster."""
+    import hashlib
+
+    dims = parse_image_dimensions(payload)
+    iw, ih = (dims[1], dims[2]) if dims else (0, 0)
+    if dims and parse_exif_orientation(payload) >= 5:
+        iw, ih = ih, iw
+    resized = bmp_resize(payload, out_w, out_h) if dims else None
+    if resized is None:
+        return (iw, ih, 0, 0, 0, "", False)
+    return (
+        iw, ih, out_w, out_h, len(resized),
+        hashlib.md5(resized).hexdigest(), True,
+    )
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -1340,37 +1398,23 @@ def media_resize(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
     values; the bytes themselves round-trip in unit tests).
 
     Arrow-batched ``mapInPandas`` like the other decode stages —
-    payloads never visit the driver.
+    payloads never visit the driver. Per-row values come from
+    :func:`media_resize_record` (shared with the driver-built oracle).
     """
-    import hashlib
-
     import pandas as pd
+
+    cols = ("in_width", "in_height", "out_width", "out_height",
+            "out_bytes", "out_md5", "decoded")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "media_type", "in_width", "in_height",
-                                   "out_width", "out_height", "out_bytes",
-                                   "out_md5", "decoded")}
+            out = {k: [] for k in ("doc_id", "media_type") + cols}
             for doc_id, mt, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-                payload = bytes(p)
-                dims = parse_image_dimensions(payload)
-                resized = bmp_resize(payload, out_w, out_h) if dims else None
+                rec = media_resize_record(bytes(p), out_w, out_h)
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mt)
-                out["in_width"].append(dims[1] if dims else 0)
-                out["in_height"].append(dims[2] if dims else 0)
-                if resized is not None:
-                    out["out_width"].append(out_w)
-                    out["out_height"].append(out_h)
-                    out["out_bytes"].append(len(resized))
-                    out["out_md5"].append(hashlib.md5(resized).hexdigest())
-                    out["decoded"].append(True)
-                else:
-                    out["out_width"].append(0)
-                    out["out_height"].append(0)
-                    out["out_bytes"].append(0)
-                    out["out_md5"].append("")
-                    out["decoded"].append(False)
+                for k, v in zip(cols, rec):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
@@ -1500,19 +1544,15 @@ def image_dhash_value(payload: bytes) -> int | None:
     """
     import numpy as np
 
-    parsed = image_parse_pixels_np(payload)
+    # Upright decode (EXIF-normalized — camera uploads store the
+    # raster rotated): hash the DISPLAY image so a rotated re-export
+    # of the same master dedups against it.
+    parsed = image_parse_pixels_upright(payload)
     if parsed is None:
         return None
     w, h, px = parsed
     if w < 1 or h < 1:
         return None
-    # Normalize by EXIF orientation (camera uploads store the raster
-    # rotated): hash the UPRIGHT image so a rotated re-export of the
-    # same master dedups against it.
-    orient = parse_exif_orientation(payload)
-    if orient != 1:
-        px = _apply_exif_orientation(px, orient)
-        h, w = px.shape[0], px.shape[1]
     # Vectorized box-average via a summed-area table: identical
     # integer semantics to the per-pixel loop it replaced (per-pixel
     # floor grayscale, rectangle sum, floor mean) at numpy speed.

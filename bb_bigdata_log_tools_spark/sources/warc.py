@@ -258,15 +258,34 @@ def _local_path(uri: str) -> str:
     binaryFile ``path`` column carries the plain path (a directory
     literally named ``od d%40`` arrives verbatim — probed, and pinned
     by test_local_path_percent_decoding), so unquoting would corrupt
-    names containing '%'. Non-local deployments (HDFS/S3) swap this +
-    the two ``open()`` call sites for their FS client; everything
-    else (index plan, seek arithmetic, parsing) is storage-agnostic."""
+    names containing '%'. Non-local deployments go through
+    :func:`open_for_read`; everything else (index plan, seek
+    arithmetic, parsing) is storage-agnostic."""
     if uri.startswith("file:"):
         p = uri[5:]
         while p.startswith("//"):
             p = p[1:]
         return p
     return uri
+
+
+def open_for_read(uri: str):
+    """THE storage seam of the split-scan reader: a seekable binary
+    file-like for one Spark-reported file URI, opened executor-side.
+
+    Local / ``file:`` deployments (this repo's test surface) land on
+    plain ``open()``. An HDFS/S3/GCS deployment swaps THIS ONE
+    FUNCTION for its FS client — e.g. ``pyarrow.fs.FileSystem
+    .from_uri(uri).open_input_file(path)`` or an ``fsspec``
+    ``filesystem(scheme).open(uri, 'rb')`` — and nothing else changes:
+    the caller's access pattern is strictly ``seek(offset)`` +
+    ``read(length)`` per index entry with entries pre-sorted by
+    (file, offset), which maps 1:1 onto ranged GETs (S3
+    ``Range: bytes=offset-``) and HDFS ``DFSInputStream.seek``; member
+    groups are contiguous, so a buffered/readahead client coalesces
+    adjacent entries into single requests. The returned handle must
+    support ``seek``/``read``/``close``."""
+    return open(_local_path(uri), "rb")
 
 
 def read_warc_split(
@@ -339,7 +358,7 @@ def read_warc_split(
                     if fpath != open_path:
                         if fh is not None:
                             fh.close()
-                        fh = open(_local_path(str(fpath)), "rb")
+                        fh = open_for_read(str(fpath))
                         open_path = fpath
                     fh.seek(int(off))
                     member = fh.read(int(length))

@@ -329,3 +329,111 @@ def test_dhash_untagged_unchanged():
     assert image_dhash_value(bmp) is not None
     assert image_dhash_value(add_exif_orientation(jpg, 1)) == \
         image_dhash_value(jpg)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: EXIF orientation surfaced in extract_features
+# + orientation-aware media_resize (display-raster resize, swapped
+# in_width/in_height for transposing orientations).
+# ---------------------------------------------------------------------------
+
+
+def test_extract_features_surfaces_orientation(spark):
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        extract_features,
+        make_wav,
+    )
+
+    rows = _pattern(20, 14)
+    jpg = make_jpeg(20, 14, rows)
+    media = spark.createDataFrame(
+        [
+            (0, jpg, "image"),
+            (1, add_exif_orientation(jpg, 6), "image"),
+            (2, add_exif_orientation(jpg, 3), "image"),
+            (3, make_bmp(8, 5, _pattern(8, 5)), "image"),
+            (4, make_wav(8000, 1, 800), "audio"),
+            (5, b"junkjunkjunk", "image"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {r.doc_id: r for r in extract_features(media).collect()}
+    assert [got[i].orientation for i in range(6)] == [1, 6, 3, 1, 1, 1]
+    # width/height stay the STORED header dims even when tagged
+    assert (got[1].width, got[1].height) == (20, 14)
+    assert got[1].decoded and got[2].decoded
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_bmp_resize_is_orientation_normalized(orientation):
+    """bmp_resize must resize the DISPLAY raster: for every EXIF value,
+    the output equals an independent rotate-then-sample reference built
+    from the decoded stored raster (pure numpy index arithmetic here,
+    not the operator's helper)."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        bmp_resize,
+        image_parse_pixels_np,
+    )
+
+    w, h, ow, oh = 18, 12, 7, 5
+    stored = make_jpeg(w, h, _pattern(w, h))
+    tagged = add_exif_orientation(stored, orientation)
+    got = bmp_resize(tagged, ow, oh)
+    # independent reference: decode the UNTAGGED bytes, rotate with the
+    # test's own (transposes mirror _apply_exif_orientation semantics),
+    # nearest-neighbor sample with explicit loops, re-encode
+    dw, dh, arr = image_parse_pixels_np(stored)
+    a = np.asarray(arr)
+    up = {
+        1: a, 2: a[:, ::-1], 3: a[::-1, ::-1], 4: a[::-1],
+        5: a.transpose(1, 0, 2), 6: a.transpose(1, 0, 2)[:, ::-1],
+        7: a.transpose(1, 0, 2)[::-1, ::-1], 8: a.transpose(1, 0, 2)[::-1],
+    }[orientation]
+    uh, uw = up.shape[0], up.shape[1]
+    ref_rows = [
+        [tuple(int(c) for c in up[(y * uh) // oh][(x * uw) // ow])
+         for x in range(ow)]
+        for y in range(oh)
+    ]
+    assert got == make_bmp(ow, oh, ref_rows)
+
+
+def test_media_resize_record_display_dims():
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        media_resize_record,
+    )
+
+    jpg = make_jpeg(16, 10, _pattern(16, 10))
+    # untagged: stored == display
+    assert media_resize_record(jpg, 4, 4)[:2] == (16, 10)
+    # orientation 6 (90° rotation): display dims swap
+    rec6 = media_resize_record(add_exif_orientation(jpg, 6), 4, 4)
+    assert rec6[:2] == (10, 16) and rec6[6] is True
+    # orientation 3 (180°): no swap, but pixels rotate -> different md5
+    rec3 = media_resize_record(add_exif_orientation(jpg, 3), 4, 4)
+    assert rec3[:2] == (16, 10)
+    assert rec3[5] != media_resize_record(jpg, 4, 4)[5]
+    # non-image: flagged stub
+    assert media_resize_record(b"nope", 4, 4) == (0, 0, 0, 0, 0, "", False)
+
+
+def test_media_resize_operator_matches_record(spark):
+    """End-to-end Spark operator rows equal the pure per-row helper —
+    the lockstep contract the driver oracle is built on."""
+    from bb_bigdata_log_tools_spark.operators.multimodal import (
+        media_resize,
+        media_resize_record,
+    )
+
+    jpg = make_jpeg(16, 10, _pattern(16, 10))
+    payloads = [jpg, add_exif_orientation(jpg, 6), b"junk"]
+    media = spark.createDataFrame(
+        [(i, p, "image") for i, p in enumerate(payloads)],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {r.doc_id: r for r in media_resize(media, 5, 3).collect()}
+    for i, p in enumerate(payloads):
+        want = media_resize_record(p, 5, 3)
+        r = got[i]
+        assert (r.in_width, r.in_height, r.out_width, r.out_height,
+                r.out_bytes, r.out_md5, r.decoded) == want
