@@ -1052,6 +1052,305 @@ def crawl_frontier(
     return small_sort(out, "canonical_url") if sort else out
 
 
+# --------------------------------------------------------------------------
+# robots.txt politeness gate (RFC 9309) — the fetch-permission filter
+# between the crawl frontier and the fetcher. No reference-repo
+# counterpart (logs, not crawls); this is the LLM-pipeline axis, same
+# tier as crawl_frontier/dedup_url above.
+# --------------------------------------------------------------------------
+
+#: Regex metacharacters a robots rule path may contain, escaped to
+#: LITERALS before ``*`` becomes ``.*`` — ONE ordered list, applied as
+#: an identical replace chain by the Spark operator and the SQL twin
+#: (backslash first so later escapes aren't double-escaped; ``$`` here
+#: is an INNER dollar — a trailing ``$`` is split off beforehand and
+#: becomes the end anchor, per RFC 9309 §2.2.3).
+ROBOTS_REGEX_ESCAPES = (
+    "\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$",
+)
+
+
+def _robots_pattern(value: Column) -> Column:
+    """Anchored regex for one robots rule path: literal except ``*``
+    (any chars) and a TRAILING ``$`` (end anchor)."""
+    ends = value.endswith("$")
+    body = F.when(
+        ends, F.substring(value, F.lit(1), F.length(value) - 1)
+    ).otherwise(value)
+    for ch in ROBOTS_REGEX_ESCAPES:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "bbbot",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse a (host, robots.txt) relation into the rule set that
+    applies to ``agent`` — RFC 9309 group semantics:
+
+    - lines split on LF (CR stripped), ``#`` comments removed,
+      directives case-insensitive;
+    - consecutive ``User-agent`` lines open ONE group; rules before
+      any group are ignored;
+    - a group applies if one of its agent tokens equals ``agent``
+      (case-insensitive); when ANY group on the host names the agent
+      exactly, only those groups apply, else the ``*`` groups
+      (token-equality product matching — the RFC's substring product
+      matching is a documented simplification here);
+    - empty Allow/Disallow values carry no restriction and are
+      dropped.
+
+    Output: (host, is_allow, rule, rule_len, pattern) — ``pattern`` is
+    the anchored match regex (:func:`_robots_pattern`), ``rule_len``
+    the RFC's specificity (octet length of the raw rule path).
+    Identical rules appearing in several applicable groups are NOT
+    deduplicated — the rank in :func:`robots_filter` picks one row of
+    an identical tuple either way, and skipping the dedup keeps the
+    whole derivation on one partitioning.
+
+    100 TB shape: one robots.txt per host — the relation is |hosts|
+    rows of KB-bounded text, scanned ONCE: group assignment and group
+    applicability are a window chain over the same host clustering
+    (no self-joins, one exchange), then a per-row filter+project. The
+    frontier-sized table never enters this function.
+    """
+    lines = F.split(
+        F.regexp_replace(F.col(robots_col), "\r", ""), "\n"
+    )
+    x = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(lines).alias("ln", "raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    low = F.lower(line)
+    kind = (
+        F.when(low.rlike("^user-agent[\t ]*:"), "ua")
+        .when(low.rlike("^allow[\t ]*:"), "allow")
+        .when(low.rlike("^disallow[\t ]*:"), "disallow")
+        .otherwise("other")
+    )
+    value = F.trim(F.regexp_replace(line, "(?i)^[a-z-]+[\t ]*:", ""))
+    parsed = x.select(
+        "host", "ln", kind.alias("kind"), value.alias("value")
+    ).filter(F.col("kind") != "other")
+
+    w = Window.partitionBy("host").orderBy("ln")
+    prev_kind = F.lag("kind").over(w)
+    new_group = (
+        (F.col("kind") == "ua")
+        & (prev_kind.isNull() | (prev_kind != "ua"))
+    ).cast("int")
+    grouped = parsed.withColumn("group_id", F.sum(new_group).over(w))
+
+    agent_lc = agent.lower()
+    is_ua = F.col("kind") == "ua"
+    wg = Window.partitionBy("host", "group_id")
+    wh = Window.partitionBy("host")
+    flags = grouped.withColumns(
+        {
+            "grp_exact": F.max(
+                (is_ua & (F.lower(F.col("value")) == agent_lc)).cast("int")
+            ).over(wg),
+            "grp_wild": F.max(
+                (is_ua & (F.col("value") == "*")).cast("int")
+            ).over(wg),
+        }
+    ).withColumn("host_has_exact", F.max("grp_exact").over(wh))
+
+    return flags.filter(
+        F.col("kind").isin("allow", "disallow")
+        & (F.col("value") != "")
+        & F.when(
+            F.col("host_has_exact") == 1, F.col("grp_exact") == 1
+        ).otherwise(F.col("grp_wild") == 1)
+    ).select(
+        "host",
+        (F.col("kind") == "allow").alias("is_allow"),
+        F.col("value").alias("rule"),
+        F.length("value").alias("rule_len"),
+        _robots_pattern(F.col("value")).alias("pattern"),
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    robots: DataFrame,
+    agent: str = "bbbot",
+    url_col: str = "url",
+    sort: bool = True,
+) -> DataFrame:
+    """The politeness gate: per frontier URL, is fetching allowed for
+    ``agent`` under the host's robots.txt? RFC 9309 precedence — the
+    MOST SPECIFIC matching rule (longest path, octets) wins; an
+    equal-length Allow beats Disallow; no matching rule (or no
+    robots.txt for the host) means allowed.
+
+    Output: (url, host, allowed, matched_rule) — ``matched_rule`` is
+    the winning rule path ('' when none matched).
+
+    100 TB shape: the frontier joins the per-host rule relation on
+    ``host`` — rules are |hosts|-sized (broadcast when small, AQE
+    otherwise) and fan-out per URL is bounded by the robots.txt size;
+    the decision is one window rank over that bounded fan-out,
+    partitioned by URL (no global ordering anywhere). Matching is a
+    per-row regex on path+query — scan-parallel, no driver round-trip.
+    """
+    rules = robots_rules(robots, agent=agent)
+    host = F.lower(F.regexp_extract(F.col(url_col), "^https?://([^/?#]+)", 1))
+    path0 = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), "^https?://[^/?#]+", ""),
+        "#.*$",
+        "",
+    )
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    u = frontier.select(
+        F.col(url_col).alias("url"), host.alias("host"), path.alias("path")
+    )
+    j = u.join(rules, "host", "left")
+    matched = F.col("pattern").isNotNull() & F.expr("path rlike pattern")
+    wr = Window.partitionBy("url").orderBy(
+        F.desc("m"), F.desc("rule_len"), F.desc("ia"), F.desc("rule")
+    )
+    best = (
+        j.select(
+            "url",
+            "host",
+            "rule",
+            "rule_len",
+            matched.cast("int").alias("m"),
+            F.coalesce(F.col("is_allow").cast("int"), F.lit(0)).alias("ia"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url",
+            "host",
+            ((F.col("m") == 0) | (F.col("ia") == 1)).alias("allowed"),
+            F.when(F.col("m") == 1, F.col("rule"))
+            .otherwise(F.lit(""))
+            .alias("matched_rule"),
+        )
+    )
+    return small_sort(best, "url") if sort else best
+
+
+def robots_filter_sql(
+    urls_sql: str, robots_sql: str, agent: str = "bbbot"
+) -> str:
+    """The SAME politeness gate as :func:`robots_filter` in DuckDB SQL
+    (oracle / SQL surface), built from the same constants — identical
+    line split, group algebra, escape-replace chain, window rank.
+    ``urls_sql`` must yield a ``url`` column, ``robots_sql`` a
+    ``(host, robots_txt)`` relation. (DuckDB string literals take
+    backslashes literally — this text is for the DuckDB dialect; the
+    Spark engine runs the same algebra via the DataFrame twin.)"""
+    esc_chain = "body"
+    for ch in ROBOTS_REGEX_ESCAPES:
+        q = ch.replace("'", "''")
+        esc_chain = f"replace({esc_chain}, '{q}', '\\{q}')"
+    agent_lc = agent.lower().replace("'", "''")
+    return f"""
+WITH robots AS ({robots_sql}),
+urls AS ({urls_sql}),
+lns AS (
+  SELECT host, i AS ln,
+         trim(regexp_replace(
+           regexp_replace(lines[i], '\r', '', 'g'), '#.*$', '')) AS line
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS lines
+        FROM robots) r,
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
+),
+parsed0 AS (
+  SELECT host, ln,
+         CASE WHEN regexp_matches(lower(line), '^user-agent[\t ]*:') THEN 'ua'
+              WHEN regexp_matches(lower(line), '^allow[\t ]*:') THEN 'allow'
+              WHEN regexp_matches(lower(line), '^disallow[\t ]*:')
+                THEN 'disallow'
+              ELSE 'other' END AS kind,
+         trim(regexp_replace(line, '(?i)^[a-z-]+[\t ]*:', '')) AS value
+  FROM lns
+),
+parsed AS (SELECT * FROM parsed0 WHERE kind <> 'other'),
+flagged AS (
+  SELECT host, ln, kind, value,
+         CASE WHEN kind = 'ua' AND coalesce(
+                lag(kind) OVER (PARTITION BY host ORDER BY ln), ''
+              ) <> 'ua' THEN 1 ELSE 0 END AS new_group
+  FROM parsed
+),
+grouped AS (
+  SELECT host, ln, kind, value,
+         sum(new_group) OVER (PARTITION BY host ORDER BY ln) AS group_id
+  FROM flagged
+),
+flags AS (
+  SELECT host, ln, kind, value, group_id,
+         max(CASE WHEN kind = 'ua' AND lower(value) = '{agent_lc}'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host, group_id) AS grp_exact,
+         max(CASE WHEN kind = 'ua' AND value = '*' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host, group_id) AS grp_wild
+  FROM grouped
+),
+flags2 AS (
+  SELECT *, max(grp_exact) OVER (PARTITION BY host) AS host_has_exact
+  FROM flags
+),
+rule_bodies AS (
+  SELECT host, (kind = 'allow') AS is_allow,
+         value AS rule, length(value) AS rule_len,
+         value LIKE '%$' AS ends_dollar,
+         CASE WHEN value LIKE '%$'
+              THEN substr(value, 1, length(value) - 1)
+              ELSE value END AS body
+  FROM flags2
+  WHERE kind IN ('allow', 'disallow') AND value <> ''
+    AND CASE WHEN host_has_exact = 1 THEN grp_exact = 1
+             ELSE grp_wild = 1 END
+),
+rules AS (
+  SELECT host, is_allow, rule, rule_len,
+         '^' || replace({esc_chain}, '*', '.*')
+             || CASE WHEN ends_dollar THEN '$' ELSE '' END AS pattern
+  FROM rule_bodies
+),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         CASE WHEN regexp_replace(regexp_replace(url,
+                '^https?://[^/?#]+', ''), '#.*$', '') = '' THEN '/'
+              ELSE regexp_replace(regexp_replace(url,
+                '^https?://[^/?#]+', ''), '#.*$', '') END AS path
+  FROM urls
+),
+j AS (
+  SELECT u.url, u.host, r.rule, r.rule_len,
+         CASE WHEN r.pattern IS NOT NULL
+                   AND regexp_matches(u.path, r.pattern)
+              THEN 1 ELSE 0 END AS m,
+         coalesce(CASE WHEN r.is_allow THEN 1 ELSE 0 END, 0) AS ia
+  FROM u LEFT JOIN rules r ON u.host = r.host
+),
+best AS (
+  SELECT url, host, rule, m, ia,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY m DESC, rule_len DESC,
+                                     ia DESC, rule DESC) AS rn
+  FROM j
+)
+SELECT url, host, (m = 0 OR ia = 1) AS allowed,
+       CASE WHEN m = 1 THEN rule ELSE '' END AS matched_rule
+FROM best WHERE rn = 1
+ORDER BY url
+"""
+
+
 def corpus_curate(
     documents: DataFrame,
     benchmark: DataFrame,

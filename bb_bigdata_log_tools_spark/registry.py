@@ -400,6 +400,7 @@ _WINDOW_PRIORITY: list[str] = [
     "read_warc_split",
     "stream_warc_ingest",
     "crawl_frontier",
+    "robots_filter",
     # --- the 14 deferred r4-vintage keys (oldest driver evidence
     # on the tree after the r8 rotation) ---
     "clean_text",

@@ -768,6 +768,99 @@ ORDER BY canonical_url
 """
 
 
+# robots.txt politeness fixtures: five hosts exercising the RFC 9309
+# shapes — '*' group with allow-override, exact-agent group preferred
+# over '*' (and shadowing it entirely), wildcard + '$'-anchored rules,
+# multi-UA groups, empty (no-op) rules, orphan rules before any group,
+# regex metacharacters in paths — plus a sixth host with no robots.txt
+# at all (the left-join allowed path).
+_ROBOTS_FIXTURE = [
+    ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+    (
+        "b.com",
+        "# crawler policy\r\nUser-agent: bbbot\nDisallow: /*.pdf$\n"
+        "Allow: /docs\n\nUser-agent: *\nDisallow: /\n",
+    ),
+    ("c.com", "User-agent: other\nDisallow: /\n"),
+    ("d.com", "User-agent: x\nUser-agent: *\nDisallow: /tmp\nAllow:\nDisallow:\n"),
+    ("e.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /docs/f*.pdf\n"),
+]
+_ROBOTS_HOSTS = ["a.com", "b.com", "c.com", "d.com", "e.com", "norobots.com"]
+
+
+def _frontier_url_spark(docs: DataFrame) -> DataFrame:
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _ROBOTS_HOSTS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    sid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/private/p"), sid))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/docs/f"), sid, F.lit(".pdf")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/tmp/x"), sid))
+        .otherwise(F.concat(F.lit("/"), F.col("source"), F.lit("/a"), sid))
+    )
+    return docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+
+
+_FRONTIER_URL_SQL = """
+SELECT 'https://'
+       || CASE doc_id % 6 WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.com'
+            WHEN 2 THEN 'c.com' WHEN 3 THEN 'd.com' WHEN 4 THEN 'e.com'
+            ELSE 'norobots.com' END
+       || CASE doc_id % 4
+            WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+            WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+            ELSE '/' || source || '/a' || CAST(doc_id AS VARCHAR) END
+       AS url
+FROM documents
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-politeness gate between crawl_frontier and the
+    fetcher: RFC 9309 robots.txt rules (longest-match precedence,
+    allow-wins-ties, exact-agent group preference, '*'/'$' wildcards)
+    applied to a documents-derived frontier against the pinned
+    five-host robots fixture. Oracle = the same algebra rendered by
+    robots_filter_sql (engine parity); RULE SEMANTICS are pinned
+    independently by the unit differential vs a pure-Python RFC
+    reference (tests/test_round9_ops.py)."""
+    from bb_bigdata_log_tools_spark.operators.curation import robots_filter
+
+    docs = table(spark, sf_dir, "documents")
+    frontier = _frontier_url_spark(ensure_parallelism(docs))
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "host string, robots_txt string"
+    )
+    return robots_filter(frontier, robots, agent="bbbot")
+
+
+def _robots_filter_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter_sql,
+    )
+
+    vals = ", ".join(
+        "('%s', '%s')"
+        % (
+            h,
+            t.replace("'", "''")
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '"),
+        )
+        for h, t in _ROBOTS_FIXTURE
+    )
+    robots_sql = f"SELECT * FROM (VALUES {vals}) t(host, robots_txt)"
+    return robots_filter_sql(_FRONTIER_URL_SQL, robots_sql, agent="bbbot")
+
+
 def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING crawl ingest: a ``readStream`` binaryFile source over
     the staged .warc.gz shards (the production shape: crawler drops
@@ -923,6 +1016,7 @@ SINK_QUERIES = {
     "read_warc_split": q_read_warc_split,
     "stream_warc_ingest": q_stream_warc_ingest,
     "crawl_frontier": q_crawl_frontier,
+    "robots_filter": q_robots_filter,
 }
 
 SINK_ORACLES = {
@@ -935,6 +1029,7 @@ SINK_ORACLES = {
     "read_warc_split": _read_warc_oracle(),
     "stream_warc_ingest": _read_warc_oracle(),
     "crawl_frontier": _crawl_frontier_oracle(),
+    "robots_filter": _robots_filter_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

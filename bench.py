@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "read_warc_split",
     "stream_warc_ingest",
     "crawl_frontier",
+    "robots_filter",
 ]
 
 

@@ -437,3 +437,179 @@ def test_media_resize_operator_matches_record(spark):
         r = got[i]
         assert (r.in_width, r.in_height, r.out_width, r.out_height,
                 r.out_bytes, r.out_md5, r.decoded) == want
+
+
+# ---------------------------------------------------------------------------
+# robots_filter: RFC 9309 politeness gate — semantics pinned by a
+# pure-Python reference (independent of BOTH engines), engine parity
+# by the registry oracle + the seeded differential below.
+# ---------------------------------------------------------------------------
+
+
+def _robots_allowed_ref(robots_txt: str, agent: str, path: str):
+    """Independent RFC 9309 reference: regex-free parse + re-module
+    matching. Returns (allowed, matched_rule)."""
+    import re
+
+    toks = []
+    for raw in robots_txt.replace("\r", "").split("\n"):
+        ln = re.sub(r"#.*$", "", raw).strip()
+        m = re.match(r"(?i)^(user-agent|allow|disallow)[\t ]*:[\t ]*(.*)$", ln)
+        if m:
+            toks.append((m.group(1).lower(), m.group(2).strip()))
+    groups, i = [], 0
+    while i < len(toks):
+        if toks[i][0] == "user-agent":
+            agents = set()
+            while i < len(toks) and toks[i][0] == "user-agent":
+                agents.add(toks[i][1].lower())
+                i += 1
+            rules = []
+            while i < len(toks) and toks[i][0] != "user-agent":
+                if toks[i][1]:
+                    rules.append((toks[i][0] == "allow", toks[i][1]))
+                i += 1
+            groups.append((agents, rules))
+        else:
+            i += 1  # orphan rule before any group: ignored
+    exact = [g for g in groups if agent.lower() in g[0]]
+    chosen = exact if exact else [g for g in groups if "*" in g[0]]
+    best = None
+    for _agents, rules in chosen:
+        for is_allow, rule in rules:
+            ends = rule.endswith("$")
+            body = rule[:-1] if ends else rule
+            pat = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if ends else "")
+            if re.search(pat, path):
+                key = (len(rule), is_allow, rule)
+                if best is None or key > best:
+                    best = key
+    if best is None:
+        return True, ""
+    return best[1], best[2]
+
+
+_ROBOTS_TEST_FIXTURE = [
+    ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+    ("b.com", "# policy\r\nUser-agent: bbbot\nDisallow: /*.pdf$\n"
+              "Allow: /docs\n\nUser-agent: *\nDisallow: /\n"),
+    ("c.com", "User-agent: other\nDisallow: /\n"),
+    ("d.com", "User-agent: x\nUser-agent: *\nDisallow: /tmp\nAllow:\nDisallow:\n"),
+    ("e.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /q?x=*&y\n"),
+]
+
+
+def test_robots_filter_pinned_semantics(spark):
+    """Hand-derived RFC 9309 outcomes over the adversarial fixture —
+    allow-override, $-anchor, exact-group shadowing '*', multi-UA
+    group, no-op empty rules, orphan rules, regex metachars, missing
+    robots.txt, bare-host path defaulting."""
+    from bb_bigdata_log_tools_spark.operators.curation import robots_filter
+
+    want = {
+        "https://a.com/private/ok/file": (True, "/private/ok"),
+        "https://a.com/private/secret": (False, "/private/"),
+        "https://a.com/public": (True, ""),
+        "https://b.com/x/doc.pdf": (False, "/*.pdf$"),
+        "https://b.com/x/doc.pdfx": (True, ""),       # $ anchor holds
+        "https://b.com/docs/doc.pdf": (False, "/*.pdf$"),  # longest wins
+        "https://b.com/other": (True, ""),   # '*' group shadowed by exact
+        "https://c.com/anything": (True, ""),  # no applicable group
+        "https://d.com/tmp/file": (False, "/tmp"),
+        "https://d.com/ok": (True, ""),
+        "https://e.com/orphan": (True, ""),   # orphan rule ignored
+        "https://e.com/q?x=1&y": (False, "/q?x=*&y"),  # ? escaped, * wild
+        "https://E.COM": (True, ""),          # bare host -> path '/'
+        "https://unknown.com/zzz": (True, ""),  # no robots.txt
+    }
+    robots = spark.createDataFrame(
+        _ROBOTS_TEST_FIXTURE, "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame([(u,) for u in want], "url string")
+    got = {
+        r.url: (r.allowed, r.matched_rule)
+        for r in robots_filter(urls, robots, agent="bbbot").collect()
+    }
+    assert got == want
+    # the independent reference agrees on every pinned row
+    by_host = dict(_ROBOTS_TEST_FIXTURE)
+    for url, (allowed, rule) in want.items():
+        import re as _re
+
+        host = _re.match(r"https?://([^/?#]+)", url).group(1).lower()
+        path = _re.sub(r"^https?://[^/?#]+", "", url) or "/"
+        if host in by_host:
+            assert _robots_allowed_ref(by_host[host], "bbbot", path) == (
+                allowed, rule,
+            ), url
+
+
+@pytest.mark.slow
+def test_robots_sql_vs_python_reference_fuzz():
+    """Seeded differential: random robots.txt texts and paths from an
+    adversarial atom set — the DuckDB rendering of the shared algebra
+    must agree with the independent pure-Python RFC reference on every
+    (host, url) decision."""
+    import random
+
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter_sql,
+    )
+
+    rng = random.Random(47806)
+    path_atoms = ["/a", "/b/c", "/doc.pdf", "/q?x=1", "/.hid", "/(p)",
+                  "/x+y", "/$lit", "/very/deep/path", "/a*b"]
+    rule_atoms = ["/a", "/b/*", "*.pdf$", "/q?x=*", "/.hid", "/(p)",
+                  "/x+y", "/$lit", "/very", "/", "/a*b$", "*"]
+    agents = ["bbbot", "other", "*", "BBBot", "third"]
+    for trial in range(25):
+        hosts = []
+        for h in range(3):
+            lines = []
+            for g in range(rng.randint(1, 3)):
+                for _ in range(rng.randint(1, 2)):
+                    lines.append(f"User-agent: {rng.choice(agents)}")
+                for _ in range(rng.randint(0, 3)):
+                    kind = rng.choice(["Allow", "Disallow"])
+                    val = rng.choice(rule_atoms + [""])
+                    lines.append(f"{kind}: {val}")
+                if rng.random() < 0.3:
+                    lines.append("# comment")
+                if rng.random() < 0.3:
+                    lines.append("")
+            hosts.append((f"h{h}.test", "\n".join(lines) + "\n"))
+        urls = [
+            f"https://h{rng.randint(0, 3)}.test{rng.choice(path_atoms)}"
+            for _ in range(12)
+        ]
+        vals = ", ".join(
+            "('%s', '%s')"
+            % (h, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+            for h, t in hosts
+        )
+        urls_sql = "SELECT * FROM (VALUES %s) t(url)" % ", ".join(
+            "('%s')" % u for u in urls
+        )
+        sql = robots_filter_sql(
+            urls_sql, f"SELECT * FROM (VALUES {vals}) t(host, robots_txt)",
+            agent="bbbot",
+        )
+        got = {
+            r[0]: (bool(r[2]), r[3])
+            for r in duckdb.connect().execute(sql).fetchall()
+        }
+        by_host = dict(hosts)
+        import re as _re
+
+        for url in set(urls):
+            host = _re.match(r"https?://([^/?#]+)", url).group(1).lower()
+            path = _re.sub(r"^https?://[^/?#]+", "", url) or "/"
+            want = (
+                _robots_allowed_ref(by_host[host], "bbbot", path)
+                if host in by_host
+                else (True, "")
+            )
+            assert got[url] == want, (trial, url, got[url], want,
+                                      by_host.get(host))
