@@ -1127,7 +1127,16 @@ def robots_rules(
         F.col(host_col).alias("host"),
         F.posexplode(lines).alias("ln", "raw"),
     )
-    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    # RFC whitespace is space OR TAB (%x20/%x09) — strip BOTH ends
+    # explicitly ([\t ]); engine trim() functions strip spaces only,
+    # which would mis-classify tab-indented lines.
+    line = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), "#.*$", ""), "^[\t ]+", ""
+        ),
+        "[\t ]+$",
+        "",
+    )
     low = F.lower(line)
     kind = (
         F.when(low.rlike("^user-agent[\t ]*:"), "ua")
@@ -1135,7 +1144,7 @@ def robots_rules(
         .when(low.rlike("^disallow[\t ]*:"), "disallow")
         .otherwise("other")
     )
-    value = F.trim(F.regexp_replace(line, "(?i)^[a-z-]+[\t ]*:", ""))
+    value = F.regexp_replace(line, "(?i)^[a-z-]+[\t ]*:[\t ]*", "")
     parsed = x.select(
         "host", "ln", kind.alias("kind"), value.alias("value")
     ).filter(F.col("kind") != "other")
@@ -1260,8 +1269,9 @@ WITH robots AS ({robots_sql}),
 urls AS ({urls_sql}),
 lns AS (
   SELECT host, i AS ln,
-         trim(regexp_replace(
-           regexp_replace(lines[i], '\r', '', 'g'), '#.*$', '')) AS line
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(lines[i], '\r', '', 'g'), '#.*$', ''),
+           '^[\t ]+', ''), '[\t ]+$', '') AS line
   FROM (SELECT host, string_split(robots_txt, chr(10)) AS lines
         FROM robots) r,
        LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
@@ -1273,7 +1283,7 @@ parsed0 AS (
               WHEN regexp_matches(lower(line), '^disallow[\t ]*:')
                 THEN 'disallow'
               ELSE 'other' END AS kind,
-         trim(regexp_replace(line, '(?i)^[a-z-]+[\t ]*:', '')) AS value
+         regexp_replace(line, '(?i)^[a-z-]+[\t ]*:[\t ]*', '') AS value
   FROM lns
 ),
 parsed AS (SELECT * FROM parsed0 WHERE kind <> 'other'),

@@ -453,10 +453,10 @@ def _robots_allowed_ref(robots_txt: str, agent: str, path: str):
 
     toks = []
     for raw in robots_txt.replace("\r", "").split("\n"):
-        ln = re.sub(r"#.*$", "", raw).strip()
+        ln = re.sub(r"#.*$", "", raw).strip("\t ")  # RFC WS: space/tab
         m = re.match(r"(?i)^(user-agent|allow|disallow)[\t ]*:[\t ]*(.*)$", ln)
         if m:
-            toks.append((m.group(1).lower(), m.group(2).strip()))
+            toks.append((m.group(1).lower(), m.group(2).strip("\t ")))
     groups, i = [], 0
     while i < len(toks):
         if toks[i][0] == "user-agent":
@@ -496,6 +496,9 @@ _ROBOTS_TEST_FIXTURE = [
     ("c.com", "User-agent: other\nDisallow: /\n"),
     ("d.com", "User-agent: x\nUser-agent: *\nDisallow: /tmp\nAllow:\nDisallow:\n"),
     ("e.com", "Disallow: /orphan\nUser-agent: *\nDisallow: /q?x=*&y\n"),
+    # RFC whitespace is space OR tab: tab-indented lines, tab before/
+    # after the colon, trailing tabs — all must parse.
+    ("f.com", "\tUser-agent\t:\t*\t\nDisallow:\t/tabbed\t\n"),
 ]
 
 
@@ -521,6 +524,8 @@ def test_robots_filter_pinned_semantics(spark):
         "https://e.com/q?x=1&y": (False, "/q?x=*&y"),  # ? escaped, * wild
         "https://E.COM": (True, ""),          # bare host -> path '/'
         "https://unknown.com/zzz": (True, ""),  # no robots.txt
+        "https://f.com/tabbed/x": (False, "/tabbed"),  # tab whitespace
+        "https://f.com/ok": (True, ""),
     }
     robots = spark.createDataFrame(
         _ROBOTS_TEST_FIXTURE, "host string, robots_txt string"
@@ -565,16 +570,25 @@ def test_robots_sql_vs_python_reference_fuzz():
                   "/x+y", "/$lit", "/very", "/", "/a*b$", "*"]
     agents = ["bbbot", "other", "*", "BBBot", "third"]
     for trial in range(25):
+        def pad(s):
+            # random RFC whitespace dressing: tabs/spaces at either
+            # end (tabs are legal WS per RFC 9309 — the bug class the
+            # round-9 review fixed)
+            return rng.choice(["", "\t", " ", "\t "]) + s + \
+                rng.choice(["", "\t", " "])
+
         hosts = []
         for h in range(3):
             lines = []
             for g in range(rng.randint(1, 3)):
                 for _ in range(rng.randint(1, 2)):
-                    lines.append(f"User-agent: {rng.choice(agents)}")
+                    sep = rng.choice([": ", ":", ":\t", "\t: "])
+                    lines.append(pad(f"User-agent{sep}{rng.choice(agents)}"))
                 for _ in range(rng.randint(0, 3)):
                     kind = rng.choice(["Allow", "Disallow"])
                     val = rng.choice(rule_atoms + [""])
-                    lines.append(f"{kind}: {val}")
+                    sep = rng.choice([": ", ":", ":\t"])
+                    lines.append(pad(f"{kind}{sep}{val}"))
                 if rng.random() < 0.3:
                     lines.append("# comment")
                 if rng.random() < 0.3:
