@@ -1172,6 +1172,12 @@ def robots_rules(
         }
     ).withColumn("host_has_exact", F.max("grp_exact").over(wh))
 
+    # Most real rules are plain path prefixes — matched with a codegen
+    # startswith (no regex). Only rules containing '*' or a trailing
+    # '$' get a compiled pattern (non-literal regex recompiles per
+    # evaluation in both engines; keeping it off the common case
+    # matters when the frontier is the 100 TB side).
+    has_wild = F.col("value").contains("*") | F.col("value").endswith("$")
     return flags.filter(
         F.col("kind").isin("allow", "disallow")
         & (F.col("value") != "")
@@ -1183,7 +1189,7 @@ def robots_rules(
         (F.col("kind") == "allow").alias("is_allow"),
         F.col("value").alias("rule"),
         F.length("value").alias("rule_len"),
-        _robots_pattern(F.col("value")).alias("pattern"),
+        F.when(has_wild, _robots_pattern(F.col("value"))).alias("pattern"),
     )
 
 
@@ -1222,7 +1228,13 @@ def robots_filter(
         F.col(url_col).alias("url"), host.alias("host"), path.alias("path")
     )
     j = u.join(rules, "host", "left")
-    matched = F.col("pattern").isNotNull() & F.expr("path rlike pattern")
+    # prefix rules (pattern null) match with startswith — codegen, no
+    # per-row regex compile; wildcard rules fall back to RLIKE
+    matched = F.when(
+        F.col("rule").isNull(), F.lit(False)
+    ).when(
+        F.col("pattern").isNull(), F.col("path").startswith(F.col("rule"))
+    ).otherwise(F.expr("path rlike pattern"))
     wr = Window.partitionBy("url").orderBy(
         F.desc("m"), F.desc("rule_len"), F.desc("ia"), F.desc("rule")
     )
@@ -1326,8 +1338,10 @@ rule_bodies AS (
 ),
 rules AS (
   SELECT host, is_allow, rule, rule_len,
-         '^' || replace({esc_chain}, '*', '.*')
-             || CASE WHEN ends_dollar THEN '$' ELSE '' END AS pattern
+         CASE WHEN contains(rule, '*') OR ends_dollar
+              THEN '^' || replace({esc_chain}, '*', '.*')
+                   || CASE WHEN ends_dollar THEN '$' ELSE '' END
+              END AS pattern
   FROM rule_bodies
 ),
 u AS (
@@ -1341,9 +1355,12 @@ u AS (
 ),
 j AS (
   SELECT u.url, u.host, r.rule, r.rule_len,
-         CASE WHEN r.pattern IS NOT NULL
-                   AND regexp_matches(u.path, r.pattern)
-              THEN 1 ELSE 0 END AS m,
+         CASE WHEN r.rule IS NULL THEN 0
+              WHEN r.pattern IS NULL
+                THEN CASE WHEN starts_with(u.path, r.rule)
+                          THEN 1 ELSE 0 END
+              WHEN regexp_matches(u.path, r.pattern) THEN 1
+              ELSE 0 END AS m,
          coalesce(CASE WHEN r.is_allow THEN 1 ELSE 0 END, 0) AS ia
   FROM u LEFT JOIN rules r ON u.host = r.host
 ),

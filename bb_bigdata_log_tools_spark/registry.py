@@ -417,10 +417,10 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_exact_stratified",
     "tfidf_keywords",
     "quality_filter",
-    # --- r5-vintage cohort (45 keys; with 9 round-9 keys + the 14
-    # r4-vintage block ahead of it, the first 27 fit the 50-key
-    # window — events_dau_wau is the last in — and the 18-key tail
-    # from sessions_summary onward leads the round-10 rotation) ---
+    # --- r5-vintage cohort (45 keys; with 10 round-9 keys + the 14
+    # r4-vintage block ahead of it, the first 26 fit the 50-key
+    # window — text_entropy is the last in — and the 19-key tail
+    # from events_dau_wau onward leads the round-10 rotation) ---
     "dedup_edit_distance",
     "minhash_recall_eval",
     "shingle_novelty",

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bb_bigdata_log_tools_spark.operators.curation import (  # noqa: E402
     crawl_curate,
+    crawl_frontier,
+    robots_filter,
 )
 from bb_bigdata_log_tools_spark.operators.html import (  # noqa: E402
     html_extract_links,
@@ -107,6 +109,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         wet_man = write_wet(kept, f"{work}/wet", n_shards=2).collect()
         print(f"WET export: {sum(m.n_records for m in wet_man)} kept pages"
               f" in {len(wet_man)} shards")
+
+        # -- 5. close the crawl loop: extracted links -> next-fetch
+        #       frontier -> robots.txt politeness gate (RFC 9309)
+        with_base = links.join(
+            pages.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://crawl.example/d/"),
+                    F.col("doc_id").cast("string"), F.lit(".html"),
+                ).alias("base_url"),
+            ),
+            "doc_id",
+        )
+        frontier = crawl_frontier(with_base, sort=False).select(
+            F.col("canonical_url").alias("url")
+        )
+        robots = spark.createDataFrame(
+            [("crawl.example",
+              "User-agent: *\nDisallow: /d/1\nAllow: /d/1.html\n")],
+            "host string, robots_txt string",
+        )
+        gated = robots_filter(frontier, robots, sort=False)
+        n_ok = gated.filter(F.col("allowed")).count()
+        print(f"frontier: {gated.count()} candidate URLs,"
+              f" {n_ok} allowed by robots.txt")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if owns_session:
