@@ -54,4 +54,40 @@ run(docs1, "warmup-1x")
 t1 = run(docs1, "1x")
 t10 = run(docs10, "10x")
 print(f"ratio: {t10 / t1:.2f}x wall for 10x rows")
+
+# Second regime: the RULES side grows with |hosts| (one robots.txt per
+# host — the realistic web shape where the rule relation cannot be a
+# tiny fixture). One host per document, three rules each; frontier =
+# one URL per host. Wall must stay scan-shaped in |hosts|: the window
+# chain is per-host-partition work, the join fan-out stays 3.
+def many_hosts(docs, label):
+    hosts = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                  "Disallow: /d"),
+            (F.col("doc_id") % 10).cast("string"), F.lit("*.pdf$\n"),
+        ).alias("robots_txt"),
+    )
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"), F.col("doc_id").cast("string"),
+            F.lit(".test/private/"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ok/f")).otherwise(
+                F.lit("f")
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    t0 = time.time()
+    n = robots_filter(frontier, hosts, sort=False).count()
+    dt = time.time() - t0
+    print(f"{label}: {n} urls x per-host rules in {dt:.2f} s")
+    return dt
+
+many_hosts(docs1, "warmup-hosts")
+h1 = many_hosts(docs1, "5k-hosts")
+h10 = many_hosts(docs10, "50k-hosts")
+print(f"hosts ratio: {h10 / h1:.2f}x wall for 10x hosts")
 spark.stop()

@@ -747,3 +747,31 @@ def test_dedup_lines_two_keyed_exchanges_only(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     hashed = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert set(hashed) <= {"k", "doc_id"}, hashed
+
+
+def test_robots_rules_single_robots_scan(spark):
+    """The rule derivation must scan the robots relation ONCE — the
+    window-chain form (no self-joins). A regression to the
+    join-on-groups form re-parses every robots.txt three times."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\nAllow: /x/ok\n")],
+        "host string, robots_txt string",
+    )
+    plan = plan_of(robots_rules(robots))
+    assert plan.count("Scan ExistingRDD") == 1, plan[:1500]
+    # no join anywhere in the rule derivation
+    assert "Join" not in plan, plan[:1500]
+
+    # end-to-end: frontier (parquet) + robots (local relation) -> the
+    # only joins are the single host join; no cartesian product
+    frontier = spark.createDataFrame(
+        [("https://a.com/x/ok/1",), ("https://a.com/x/no",)], "url string"
+    )
+    full = plan_of(robots_filter(frontier, robots, sort=False))
+    assert "CartesianProduct" not in full and "BroadcastNestedLoop" not in full
+    assert full.count("Scan ExistingRDD") == 2, full[:1500]  # robots + urls
