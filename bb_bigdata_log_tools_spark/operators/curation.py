@@ -311,6 +311,10 @@ def pack_sequences(
     matches id distribution (uniform for dense or hash-like ids), and
     imbalance only affects parallelism, never values.
     """
+    if window_tokens < 1:
+        # loud: integer division by a zero window yields NULL bin ids
+        # in Spark (no error) — silently corrupt packing layout
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
     n_part = documents.sparkSession.sparkContext.defaultParallelism
     toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
     bounds = documents.agg(

@@ -37,6 +37,10 @@ from bb_bigdata_log_tools_spark.functions.hashing import (
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingle strings of a text column."""
+    if n < 1:
+        # loud: n=0 silently yields empty-string shingles that make
+        # EVERY document match every other (the salts=0 bug class)
+        raise ValueError(f"shingle n must be >= 1, got {n}")
     c = F.col(c) if isinstance(c, str) else c
     words = F.split(c, " ")
     count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
@@ -1356,6 +1360,11 @@ def winnowing_fingerprints(
     minima via transform over index ranges) — one scan, no shuffle;
     the distinct is per (doc, fp) with map-side partials.
     """
+    if k < 1 or window < 1:
+        # loud: k=0 hashes empty grams (every doc shares every
+        # fingerprint), window=0 takes array_min of an empty slice
+        # (null fps) — both silently corrupt the near-dup relation
+        raise ValueError(f"need k >= 1 and window >= 1, got {k}/{window}")
     c = F.col(text_col)
     n_grams = F.length(c) - F.lit(k - 1)
     grams = F.transform(

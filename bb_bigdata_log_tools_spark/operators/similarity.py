@@ -310,6 +310,10 @@ def ivf_assign(
     corpus scan + a per-row argmax window keyed by vec_id — no corpus
     shuffle beyond the window's hash partition on vec_id.
     """
+    if n_cells < 1 or n_probe < 1:
+        # loud: n_probe=0 silently assigns no cells (empty IVF search
+        # reads as "no neighbors"); n_cells=0 has no codebook
+        raise ValueError(f"need n_cells >= 1 and n_probe >= 1, got {n_cells}/{n_probe}")
     wide = prep_embeddings(embeddings, dim, ["vec_id"])
     cents = wide.filter(F.col("vec_id") < n_cells)
     scored = (
@@ -409,6 +413,10 @@ def ann_topk_lsh(
     ids, widened columns, and norms come out of ONE fused projection
     (``keep_prep=True``) — no second pass over the embedding array.
     """
+    if n_planes < 1:
+        # loud: 0 planes puts the whole corpus in one bucket — a
+        # silent all-pairs join, not an LSH search
+        raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     bucketed = ann_lsh_buckets(embeddings, n_planes, dim=dim, keep_prep=True)
     queries = bucketed.filter(F.col("vec_id") < n_queries)
     scored = (

@@ -41,6 +41,9 @@ def chunk_documents(
     no shuffle; the fan-out factor is ~n_tokens/stride per doc, the
     same rows an indexer must embed anyway.
     """
+    if window < 1 or overlap < 0:
+        # loud: window=0 slices zero-token chunks for every doc
+        raise ValueError(f"need window >= 1 and overlap >= 0, got {window}/{overlap}")
     if overlap >= window:
         raise ValueError(f"overlap {overlap} must be < window {window}")
     stride = window - overlap

@@ -627,3 +627,40 @@ def test_robots_sql_vs_python_reference_fuzz():
             )
             assert got[url] == want, (trial, url, got[url], want,
                                       by_host.get(host))
+
+
+def test_invalid_param_guards_raise_loudly(spark):
+    """The salts=0 bug class (round-8 ADVICE): an invalid numeric
+    parameter must raise, never silently return an empty or
+    everything-matches relation."""
+    from bb_bigdata_log_tools_spark.operators.curation import pack_sequences
+    from bb_bigdata_log_tools_spark.operators.dedup import (
+        winnowing_fingerprints,
+        word_shingles,
+    )
+    from bb_bigdata_log_tools_spark.operators.similarity import (
+        ann_topk_lsh,
+        ivf_assign,
+    )
+    from bb_bigdata_log_tools_spark.operators.textprep import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        word_shingles("text", n=0)
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(docs, k=0)
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(docs, window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=0, overlap=-1)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, overlap=-1)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, window_tokens=0)
+    with pytest.raises(ValueError):
+        ivf_assign(emb, n_probe=0, dim=2)
+    with pytest.raises(ValueError):
+        ann_topk_lsh(emb, n_planes=0, dim=2)
