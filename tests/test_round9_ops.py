@@ -664,3 +664,45 @@ def test_invalid_param_guards_raise_loudly(spark):
         ivf_assign(emb, n_probe=0, dim=2)
     with pytest.raises(ValueError):
         ann_topk_lsh(emb, n_planes=0, dim=2)
+
+
+def test_robots_filter_null_and_degenerate_inputs(spark):
+    """NULL robots.txt, NULL/empty/non-http URLs: both engines must
+    agree (all allowed, no crash) — the null-divergence bug class."""
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter,
+        robots_filter_sql,
+    )
+
+    rdf = spark.createDataFrame(
+        [("a.com", None), ("b.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    udf_ = spark.createDataFrame(
+        [(u,) for u in [None, "https://a.com/x", "https://b.com/x",
+                        "ftp://weird", ""]],
+        "url string",
+    )
+    got = sorted(
+        (str(r.url), str(r.host), r.allowed, r.matched_rule)
+        for r in robots_filter(udf_, rdf).collect()
+    )
+    robots_sql = (
+        "SELECT * FROM (VALUES ('a.com', NULL), ('b.com',"
+        " 'User-agent: *' || chr(10) || 'Disallow: /x' || chr(10)))"
+        " t(host, robots_txt)"
+    )
+    urls_sql = (
+        "SELECT * FROM (VALUES (NULL), ('https://a.com/x'),"
+        " ('https://b.com/x'), ('ftp://weird'), ('')) t(url)"
+    )
+    want = sorted(
+        (str(r[0]), str(r[1]), bool(r[2]), r[3])
+        for r in duckdb.connect()
+        .execute(robots_filter_sql(urls_sql, robots_sql))
+        .fetchall()
+    )
+    assert got == want
+    assert all(allowed for (_u, h, allowed, _r) in got if h != "b.com")
