@@ -169,10 +169,80 @@ def parse_warc_records(blob: bytes):
         pos = block_start + length
 
 
+#: Per-record decompressed-body cap: a few KB of gzip can inflate to
+#: GBs (zip bomb) — past the cap the record keeps its RAW body (the
+#: keep-going contract; same bomb posture as the gzip member walk).
+HTTP_BODY_DECODE_CAP = 64 * 1024 * 1024
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): hex
+    size line (chunk extensions after ';' ignored) + CRLF + data +
+    CRLF, terminated by a 0-size chunk (trailers ignored). Returns
+    None on ANY malformation — the caller keeps the raw body."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while True:
+        j = body.find(CRLF, i)
+        if j < 0:
+            return None
+        tok = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        i = j + 2
+        if size == 0:
+            return bytes(out)
+        if i + size > n or len(out) + size > HTTP_BODY_DECODE_CAP:
+            return None
+        out += body[i : i + size]
+        i += size
+        if body[i : i + 2] != CRLF:
+            return None
+        i += 2
+
+
+def _decode_content_encoding(body: bytes, encoding: str) -> bytes | None:
+    """Inflate a gzip/deflate HTTP body (Content-Encoding), bounded by
+    HTTP_BODY_DECODE_CAP. Returns None for other encodings, malformed
+    streams, or cap overflow — the caller keeps the raw body.
+    'deflate' tries zlib-wrapped first, then raw-deflate (both occur
+    in the wild)."""
+    import zlib
+
+    enc = encoding.strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        tries = (31,)
+    elif enc == "deflate":
+        tries = (15, -15)
+    else:
+        return None
+    for wbits in tries:
+        try:
+            d = zlib.decompressobj(wbits)
+            out = d.decompress(body, HTTP_BODY_DECODE_CAP)
+            if d.unconsumed_tail:
+                return None  # cap exceeded — keep the raw body
+            return out + d.flush()
+        except zlib.error:
+            continue
+    return None
+
+
 def parse_http_response(block: bytes):
     """(status int, content_type str, body bytes) from an HTTP
     response message, or (0, '', block) if it isn't one (the
-    keep-going fallback: the block still flows as the payload)."""
+    keep-going fallback: the block still flows as the payload).
+
+    WARC response blocks store the message AS TRANSFERRED (WARC 1.1
+    §6.3), so real crawls carry chunked transfer framing and
+    gzip/deflate content encoding inside the record: both are decoded
+    here (chunked first, then content encoding — RFC order), each
+    falling back to the raw bytes on malformation or past the
+    HTTP_BODY_DECODE_CAP bomb cap."""
     sep = block.find(CRLF + CRLF)
     if sep < 0 or not block.startswith(b"HTTP/"):
         return 0, "", block
@@ -182,13 +252,28 @@ def parse_http_response(block: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         return 0, "", block
-    ctype = ""
+    ctype, t_enc, c_enc = "", "", ""
     for ln in head[1:]:
         name, s, value = ln.partition(b":")
-        if s and name.strip().lower() == b"content-type":
+        if not s:
+            continue
+        key = name.strip().lower()
+        if key == b"content-type" and not ctype:
             ctype = value.strip().decode("utf-8", "replace")
-            break
-    return status, ctype, block[sep + 4 :]
+        elif key == b"transfer-encoding":
+            t_enc = value.strip().decode("ascii", "replace").lower()
+        elif key == b"content-encoding":
+            c_enc = value.strip().decode("ascii", "replace").lower()
+    body = block[sep + 4 :]
+    if "chunked" in t_enc:
+        decoded = _dechunk(body)
+        if decoded is not None:
+            body = decoded
+    if c_enc:
+        inflated = _decode_content_encoding(body, c_enc)
+        if inflated is not None:
+            body = inflated
+    return status, ctype, body
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

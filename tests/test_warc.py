@@ -421,3 +421,121 @@ def test_read_warc_plan_is_scan_parallel(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: transfer/content decoding of HTTP bodies. WARC
+# blocks store the message AS TRANSFERRED, so real crawls carry
+# chunked framing and gzip/deflate content encoding inside records.
+# ---------------------------------------------------------------------------
+
+
+def _chunked(body: bytes, sizes: list[int], extensions: bool = False,
+             trailers: bool = False) -> bytes:
+    out, i = b"", 0
+    for s in sizes:
+        piece = body[i:i + s]
+        i += s
+        ext = b";name=value" if extensions else b""
+        out += format(len(piece), "x").encode() + ext + b"\r\n" + piece + b"\r\n"
+    out += b"0\r\n"
+    if trailers:
+        out += b"X-Trailer: t\r\n"
+    out += b"\r\n"
+    return out
+
+
+def _http_with(body: bytes, headers: list[bytes]) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b"\r\n".join(headers) + b"\r\n\r\n" + body)
+
+
+def test_http_chunked_decode():
+    want = b"<p>hello chunked world</p>"
+    blk = _http_with(_chunked(want, [5, 9, 100]),
+                     [b"Transfer-Encoding: chunked"])
+    assert parse_http_response(blk) == (200, "text/html", want)
+    # chunk extensions + trailers ignored
+    blk2 = _http_with(_chunked(want, [7, 100], extensions=True, trailers=True),
+                      [b"Transfer-Encoding: chunked"])
+    assert parse_http_response(blk2) == (200, "text/html", want)
+
+
+def test_http_chunked_malformed_keeps_raw():
+    raw = b"not hex\r\nstuff"
+    blk = _http_with(raw, [b"Transfer-Encoding: chunked"])
+    assert parse_http_response(blk) == (200, "text/html", raw)
+    # truncated mid-chunk: size says 10, only 3 bytes follow
+    trunc = b"a\r\nabc"
+    blk2 = _http_with(trunc, [b"Transfer-Encoding: chunked"])
+    assert parse_http_response(blk2) == (200, "text/html", trunc)
+
+
+def test_http_content_encoding_gzip_and_deflate():
+    import gzip as _gz
+    import zlib as _zl
+
+    want = b"<p>compressed body</p>" * 10
+    c = _zl.compressobj(wbits=-15)
+    raw_deflate = c.compress(want) + c.flush()
+    for hdr, enc in [
+        (b"Content-Encoding: gzip", _gz.compress(want)),
+        (b"Content-Encoding: x-gzip", _gz.compress(want)),
+        (b"Content-Encoding: deflate", _zl.compress(want)),  # zlib-wrapped
+        (b"Content-Encoding: deflate", raw_deflate),  # bare (seen in the wild)
+    ]:
+        assert parse_http_response(_http_with(enc, [hdr])) == (
+            200, "text/html", want,
+        ), hdr
+    # unknown encoding / garbage stream: raw body kept
+    assert parse_http_response(
+        _http_with(b"xyz", [b"Content-Encoding: br"])
+    )[2] == b"xyz"
+    assert parse_http_response(
+        _http_with(b"nogzip", [b"Content-Encoding: gzip"])
+    )[2] == b"nogzip"
+
+
+def test_http_chunked_then_gzip():
+    import gzip as _gz
+
+    want = b"<html><body>both layers</body></html>"
+    enc = _gz.compress(want)
+    blk = _http_with(
+        _chunked(enc, [11, 100]),
+        [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"],
+    )
+    assert parse_http_response(blk) == (200, "text/html", want)
+
+
+def test_http_gzip_bomb_stays_raw():
+    import zlib as _zl
+
+    from bb_bigdata_log_tools_spark.sources.warc import HTTP_BODY_DECODE_CAP
+
+    bomb = _zl.compressobj(wbits=31)
+    blob = bomb.compress(b"\x00" * (HTTP_BODY_DECODE_CAP + 1024)) + bomb.flush()
+    assert len(blob) < 1 << 21  # it IS a bomb
+    got = parse_http_response(_http_with(blob, [b"Content-Encoding: gzip"]))
+    assert got[2] == blob  # cap exceeded -> raw kept, no inflation
+
+
+def test_read_warc_decodes_chunked_gzip_end_to_end(spark, tmp_path):
+    import gzip as _gz
+
+    html = "<p>end to end transfer-decoded page</p>"
+    enc = _gz.compress(html.encode())
+    blk = _http_with(
+        _chunked(enc, [9, 100]),
+        [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"],
+    )
+    rec = build_warc_record(
+        "response", "<urn:doc:1>", "https://x.test/1.html",
+        "2026-01-01T00:00:00Z", blk,
+    )
+    p = tmp_path / "one.warc.gz"
+    p.write_bytes(gzip_member(rec))
+    row = read_warc(spark, str(p)).collect()[0]
+    assert row.http_status == 200
+    assert bytes(row.payload) == html.encode()
+    assert row.n_bytes == len(html.encode())
