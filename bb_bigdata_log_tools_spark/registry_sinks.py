@@ -508,22 +508,29 @@ ORDER BY target_uri
 
 def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl front door composed end-to-end: staged .warc.gz →
-    read_warc → HTTP bodies decoded → html_extract_text. Oracle = the
-    SAME extraction algebra over the page table directly, so a green
-    row certifies that extraction from the crawl container equals
-    extraction from the source pages byte for byte."""
+    read_warc → charset-aware body decode (decode_payload_text: BOM /
+    header / meta-sniff resolution, translate-exact single-byte
+    charsets, crash-proof UTF-8-replace fallback) → html_extract_text.
+    Oracle = the SAME extraction algebra over the page table directly,
+    so a green row certifies that extraction from the crawl container
+    equals extraction from the source pages byte for byte."""
     from bb_bigdata_log_tools_spark.operators.html import html_extract_text
-    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        decode_payload_text,
+        read_warc,
+    )
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    pages = decode_payload_text(
+        recs.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
     ).select(
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.decode("payload", "UTF-8").alias("html"),
+        "html",
     )
     return html_extract_text(ensure_parallelism(pages))
 
@@ -576,7 +583,7 @@ def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.decode("payload", "UTF-8").alias("html"),
+        F.col("payload").cast("string").alias("html"),
     )
     aliases = pages.filter(
         F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
@@ -714,7 +721,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.decode("payload", "UTF-8").alias("html"),
+        F.col("payload").cast("string").alias("html"),
         F.col("target_uri").alias("base_url"),
     )
     links = html_extract_links(
@@ -924,7 +931,7 @@ def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.decode("payload", "UTF-8").alias("html"),
+        F.col("payload").cast("string").alias("html"),
     )
     return html_extract_links(ensure_parallelism(pages))
 
@@ -956,7 +963,7 @@ def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.decode("payload", "UTF-8").alias("html"),
+        F.col("payload").cast("string").alias("html"),
     )
     texts = html_extract_text(ensure_parallelism(pages), sort=False).select(
         "doc_id",

@@ -276,6 +276,142 @@ def parse_http_response(block: bytes):
     return status, ctype, body
 
 
+def _single_byte_translate(py_codec: str) -> tuple[str, str]:
+    """(from_chars, to_chars) for ``F.translate``: the 0x80–0xFF bytes
+    whose ``py_codec`` mapping differs from Latin-1. Decoding payload
+    bytes as ISO-8859-1 (total: every byte maps to U+00..U+FF) then
+    translating these chars IS the single-byte charset decode — built
+    once at import from the codec tables, executed JVM-side."""
+    src, dst = [], []
+    for b in range(128, 256):
+        latin1 = chr(b)
+        try:
+            ch = bytes([b]).decode(py_codec)
+        except UnicodeDecodeError:
+            ch = latin1  # undefined slot: keep the C1 control
+        if ch != latin1:
+            src.append(latin1)
+            dst.append(ch)
+    return "".join(src), "".join(dst)
+
+
+#: Charset menu for :func:`decode_payload_text` — web-encoding labels
+#: (lowercased, WHATWG-common aliases) → the Python codec whose
+#: single-byte table builds the JVM ``translate`` branch. Spark 4's
+#: ``decode`` is UNUSABLE on untrusted bytes (it supports only seven
+#: charsets and THROWS on any malformed sequence — one bad page would
+#: kill the whole job), so the safe primitives are: binary→string
+#: CAST (UTF-8 with replacement) and the total ISO-8859-1 decode +
+#: per-charset ``translate``. Multibyte charsets (Shift_JIS, GBK, …)
+#: are not expressible this way: they fall back to the UTF-8-replace
+#: cast with ``charset_supported=false`` — the seam for an
+#: Arrow-batched Python decode branch in a deployment that needs
+#: them.
+SINGLE_BYTE_CHARSETS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("windows-1252", ("windows-1252", "cp1252", "x-cp1252")),
+    ("iso-8859-1", ("iso-8859-1", "latin-1", "latin1", "iso8859-1", "l1")),
+    ("iso-8859-2", ("iso-8859-2", "latin2")),
+    ("iso-8859-15", ("iso-8859-15", "latin9")),
+    ("windows-1251", ("windows-1251", "cp1251")),
+    ("koi8-r", ("koi8-r", "koi8r")),
+)
+
+#: Labels resolved but NOT decodable JVM-side (fallback cast, flagged).
+_UNSUPPORTED_LABELS = (
+    "utf-16", "utf-16le", "utf-16be",
+    "shift_jis", "shift-jis", "sjis", "x-sjis", "euc-jp",
+    "gbk", "gb2312", "gb_2312", "big5",
+)
+
+
+def decode_payload_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ctype_col: str = "http_content_type",
+    out_col: str = "html",
+    sniff_bytes: int = 1024,
+) -> DataFrame:
+    """Charset-aware text decode of an HTTP body column — real crawls
+    are not all UTF-8, and a naive ``F.decode(payload, 'UTF-8')``
+    KILLS the job on the first malformed page (Spark 4 decode throws).
+    Resolution order (WHATWG-style, simplified):
+
+    1. a UTF-16/UTF-8 byte-order mark;
+    2. the ``charset=`` parameter of the Content-Type header value;
+    3. a ``<meta charset=…>`` sniffed from the first ``sniff_bytes``
+       bytes (decoded as ISO-8859-1 — byte-transparent — for the
+       sniff only);
+    4. UTF-8 with replacement (the web default; also every unknown
+       label).
+
+    Single-byte charsets (:data:`SINGLE_BYTE_CHARSETS`) decode
+    exactly via ISO-8859-1 + ``translate``; UTF-8/ASCII/unknown via
+    the replacement cast. Adds ``out_col`` (decoded text),
+    ``charset`` (resolved label) and ``charset_supported`` (false for
+    recognized-but-undecodable multibyte labels — those rows carry
+    the UTF-8-replace fallback, and the flag is the quality-gate /
+    Python-branch seam).
+
+    100 TB shape: one projection of per-row column algebra — every
+    branch is codegen (cast / total ISO-8859-1 decode / translate),
+    no Python, no shuffle, crash-proof by construction.
+    """
+    from pyspark.sql import functions as F
+
+    payload = F.col(payload_col)
+    bom2 = F.hex(F.substring(payload, 1, 2))
+    bom3 = F.hex(F.substring(payload, 1, 3))
+    header_cs = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(ctype_col), F.lit("")),
+            r"(?i)charset=[\"']?([A-Za-z0-9_\-]+)",
+            1,
+        )
+    )
+    latin1_all = F.decode(payload, "ISO-8859-1")  # total — never throws
+    sniff = F.decode(F.substring(payload, 1, sniff_bytes), "ISO-8859-1")
+    meta_cs = F.lower(
+        F.regexp_extract(
+            sniff, r"""(?i)<meta[^>]*charset=["']?([A-Za-z0-9_\-]+)""", 1
+        )
+    )
+    label = (
+        F.when(bom2 == "FFFE", F.lit("utf-16le"))
+        .when(bom2 == "FEFF", F.lit("utf-16be"))
+        .when(bom3 == "EFBBBF", F.lit("utf-8"))
+        .when(header_cs != "", header_cs)
+        .when(meta_cs != "", meta_cs)
+        .otherwise(F.lit("utf-8"))
+    )
+    utf8_fallback = payload.cast("string")  # UTF-8 WITH replacement
+    decoded = None
+    for canon, aliases in SINGLE_BYTE_CHARSETS:
+        src, dst = _single_byte_translate(canon)
+        branch = F.translate(latin1_all, src, dst) if src else latin1_all
+        cond = label.isin(*aliases)
+        decoded = (
+            F.when(cond, branch)
+            if decoded is None
+            else decoded.when(cond, branch)
+        )
+    decoded = decoded.otherwise(utf8_fallback)
+    canon_label = None
+    for canon, aliases in SINGLE_BYTE_CHARSETS:
+        cond = label.isin(*aliases)
+        canon_label = (
+            F.when(cond, F.lit(canon))
+            if canon_label is None
+            else canon_label.when(cond, F.lit(canon))
+        )
+    canon_label = canon_label.otherwise(label)
+    supported = ~label.isin(*_UNSUPPORTED_LABELS)
+    return (
+        df.withColumn("charset", canon_label)
+        .withColumn("charset_supported", supported)
+        .withColumn(out_col, decoded)
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files under ``path`` (glob ok)
     into one row per WARC record:

@@ -539,3 +539,82 @@ def test_read_warc_decodes_chunked_gzip_end_to_end(spark, tmp_path):
     assert row.http_status == 200
     assert bytes(row.payload) == html.encode()
     assert row.n_bytes == len(html.encode())
+
+
+@pytest.mark.slow
+def test_http_chunked_roundtrip_fuzz():
+    """Property: any body, any chunking split, any extension/trailer
+    dressing — dechunk(chunk(body)) == body; and flipping one framing
+    byte never crashes (decodes or falls back raw)."""
+    import random
+
+    rng = random.Random(20260816)
+    for _ in range(200):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        sizes, left = [], len(body)
+        while left > 0:
+            s = rng.randint(1, max(1, left))
+            sizes.append(s)
+            left -= s
+        sizes.append(7)  # trailing oversize chunk -> consumed as rest
+        blk = _http_with(
+            _chunked(body, sizes, extensions=rng.random() < 0.3,
+                     trailers=rng.random() < 0.3),
+            [b"Transfer-Encoding: chunked"],
+        )
+        assert parse_http_response(blk) == (200, "text/html", body)
+        # one-byte corruption: never raises
+        framed = _chunked(body, sizes)
+        pos = rng.randrange(len(framed))
+        corrupt = framed[:pos] + bytes([framed[pos] ^ 0xFF]) + framed[pos + 1:]
+        parse_http_response(
+            _http_with(corrupt, [b"Transfer-Encoding: chunked"])
+        )
+
+
+def test_decode_payload_text_charsets(spark):
+    """Charset resolution: BOM > header charset= > meta sniff > UTF-8
+    default; single-byte charsets decode EXACTLY via the translate
+    branch; malformed UTF-8 replaces (never crashes — Spark 4 decode
+    would kill the job); multibyte labels flagged unsupported."""
+    from bb_bigdata_log_tools_spark.sources.warc import decode_payload_text
+
+    euro = "price: €99 — done"        # cp1252 0x80 / 0x97
+    ru = "привет"  # windows-1251
+    meta_page = "<html><head><meta charset=windows-1252></head>" + euro
+    cases = [
+        # (doc, payload bytes, content_type, want charset, supported, text)
+        (0, euro.encode("windows-1252"),
+         "text/html; charset=windows-1252", "windows-1252", True, euro),
+        (1, "caf\xe9 au lait".encode("iso-8859-1"),
+         'text/html; charset="ISO-8859-1"', "iso-8859-1", True,
+         "caf\xe9 au lait"),
+        (2, ru.encode("windows-1251"),
+         "text/html; charset=windows-1251", "windows-1251", True, ru),
+        (3, meta_page.encode("windows-1252"),
+         "text/html", "windows-1252", True, meta_page),
+        (4, ru.encode("koi8-r"), "text/html; charset=KOI8-R",
+         "koi8-r", True, ru),
+        (5, "plain utf8 ✓".encode(), "text/html", "utf-8", True,
+         "plain utf8 ✓"),
+        (6, b"broken \xff\xfe tail", None, "utf-8", True,
+         "broken �� tail"),  # malformed -> replacement
+        (7, "unknown label".encode(), "text/html; charset=klingon",
+         "klingon", True, "unknown label"),
+        (8, "﻿BOM16".encode("utf-16-le"), "text/html",
+         "utf-16le", False, None),  # recognized, flagged unsupported
+        (9, "sjis".encode(), "text/html; charset=Shift_JIS",
+         "shift_jis", False, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, ct) for i, p, ct, *_ in cases],
+        "doc_id long, payload binary, http_content_type string",
+    )
+    got = {r.doc_id: r for r in decode_payload_text(df).collect()}
+    for i, _p, _ct, want_cs, want_sup, want_text in cases:
+        assert got[i].charset == want_cs, (i, got[i].charset)
+        assert got[i].charset_supported is want_sup, i
+        if want_text is not None:
+            assert got[i].html == want_text, (i, got[i].html)
+        else:
+            assert got[i].html is not None  # fallback text, no crash
