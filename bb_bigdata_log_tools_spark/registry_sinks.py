@@ -583,7 +583,7 @@ def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.col("payload").cast("string").alias("html"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
     )
     aliases = pages.filter(
         F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
@@ -721,7 +721,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.col("payload").cast("string").alias("html"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
         F.col("target_uri").alias("base_url"),
     )
     links = html_extract_links(
@@ -931,7 +931,7 @@ def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.col("payload").cast("string").alias("html"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
     )
     return html_extract_links(ensure_parallelism(pages))
 
@@ -963,7 +963,7 @@ def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        F.col("payload").cast("string").alias("html"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
     )
     texts = html_extract_text(ensure_parallelism(pages), sort=False).select(
         "doc_id",

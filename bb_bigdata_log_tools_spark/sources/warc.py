@@ -383,7 +383,11 @@ def decode_payload_text(
         .when(meta_cs != "", meta_cs)
         .otherwise(F.lit("utf-8"))
     )
-    utf8_fallback = payload.cast("string")  # UTF-8 WITH replacement
+    # UTF-8 with replacement. The cast alone is NOT enough: Spark
+    # wraps the raw bytes as a string WITHOUT validating (invalid
+    # UTF-8 survives inside the "string" and crashes at the next
+    # Arrow boundary) — make_valid_utf8 is what actually replaces.
+    utf8_fallback = F.make_valid_utf8(payload.cast("string"))
     decoded = None
     for canon, aliases in SINGLE_BYTE_CHARSETS:
         src, dst = _single_byte_translate(canon)
@@ -410,6 +414,59 @@ def decode_payload_text(
         .withColumn("charset_supported", supported)
         .withColumn(out_col, decoded)
     )
+
+
+def decode_payload_text_full(
+    df: DataFrame,
+    payload_col: str = "payload",
+    ctype_col: str = "http_content_type",
+    out_col: str = "html",
+    sniff_bytes: int = 1024,
+) -> DataFrame:
+    """:func:`decode_payload_text` plus the multibyte completion: rows
+    the JVM tier flags ``charset_supported=false`` (utf-16, shift_jis,
+    gbk, big5, euc-jp, …) are re-decoded in an Arrow-batched
+    ``mapInPandas`` stage with the Python codec registry
+    (``errors='replace'``); rows whose label has no Python codec keep
+    the UTF-8-replace fallback and stay flagged.
+
+    100 TB shape: the JVM tier handles the overwhelming share of the
+    corpus scan-side; ONLY the flagged slice (a fraction of a percent
+    of real crawls) crosses the Arrow boundary — both slices stay
+    executor-side and union back with no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    base = decode_payload_text(
+        df, payload_col, ctype_col, out_col, sniff_bytes
+    )
+    supported = base.filter(F.col("charset_supported"))
+    flagged = base.filter(~F.col("charset_supported"))
+    schema = base.schema
+    out_idx_cols = (out_col, "charset_supported")
+
+    def run(batches):
+        import codecs
+
+        import pandas as pd  # noqa: F401
+
+        for pdf in batches:
+            texts, ok = [], []
+            for payload, label in zip(pdf[payload_col], pdf["charset"]):
+                raw = bytes(payload)
+                try:
+                    codec = codecs.lookup(label)
+                    texts.append(codec.decode(raw, "replace")[0])
+                    ok.append(True)
+                except LookupError:
+                    texts.append(raw.decode("utf-8", "replace"))
+                    ok.append(False)
+            pdf = pdf.copy()
+            pdf[out_idx_cols[0]] = texts
+            pdf[out_idx_cols[1]] = ok
+            yield pdf
+
+    return supported.unionByName(flagged.mapInPandas(run, schema))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

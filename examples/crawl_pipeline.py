@@ -74,7 +74,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         ).select(
             F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
             .cast("long").alias("doc_id"),
-            F.col("payload").cast("string").alias("html"),
+            F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
         )
 
         # -- 2. the three extraction artifacts (CC's WARC/WET/WAT)

@@ -618,3 +618,40 @@ def test_decode_payload_text_charsets(spark):
             assert got[i].html == want_text, (i, got[i].html)
         else:
             assert got[i].html is not None  # fallback text, no crash
+
+
+def test_decode_payload_text_full_multibyte(spark):
+    """The Python-codec completion: flagged multibyte rows decode for
+    real (shift_jis / gbk / utf-16), JVM-tier rows flow through
+    unchanged, unknown labels keep the flagged fallback."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        decode_payload_text_full,
+    )
+
+    jp = "こんにちは世界"
+    zh = "你好，世界"
+    cases = [
+        (0, jp.encode("shift_jis"), "text/html; charset=Shift_JIS",
+         True, jp),
+        (1, zh.encode("gbk"), "text/html; charset=GBK", True, zh),
+        (2, "utf16 page".encode("utf-16"), "text/html", True,
+         "utf16 page"),  # BOM-resolved utf-16le + python decode
+        (3, "plain".encode(), "text/html", True, "plain"),  # JVM tier
+        (4, "price: €9".encode("windows-1252"),
+         "text/html; charset=cp1252", True, "price: €9"),  # JVM tier
+        (5, "x".encode(), "text/html; charset=klingon", True, "x"),
+        # klingon is an UNRECOGNIZED label -> utf-8 default tier (not
+        # flagged), decodes fine
+    ]
+    df = spark.createDataFrame(
+        [(i, p, ct) for i, p, ct, *_ in cases],
+        "doc_id long, payload binary, http_content_type string",
+    )
+    got = {r.doc_id: r for r in decode_payload_text_full(df).collect()}
+    for i, _p, _ct, want_ok, want_text in cases:
+        assert got[i].charset_supported is want_ok, (i, got[i])
+        if want_text is not None:
+            got_text = got[i].html
+            # utf-16 python decode keeps no BOM; strip the ZWNBSP if
+            # the codec left one (utf-16le label on BOM-carrying bytes)
+            assert got_text.lstrip("﻿") == want_text, (i, got_text)
