@@ -834,7 +834,11 @@ def _tag_shards(
     return df.select(
         shard.alias("shard_id"),
         F.col(id_col).cast("long").alias("rec_key"),
-        F.col(payload_col).cast("string").alias("payload"),
+        # make_valid_utf8: the writer is an applyInPandas (Arrow
+        # boundary) — a BINARY payload column cast to string wraps
+        # raw bytes unvalidated and would crash the serializer on the
+        # first invalid sequence; valid strings pass through unchanged
+        F.make_valid_utf8(F.col(payload_col).cast("string")).alias("payload"),
         F.col(uri_col).cast("string").alias("target_uri"),
         F.col(date_col).cast("string").alias("warc_date"),
     )

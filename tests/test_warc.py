@@ -655,3 +655,20 @@ def test_decode_payload_text_full_multibyte(spark):
             # utf-16 python decode keeps no BOM; strip the ZWNBSP if
             # the codec left one (utf-16le label on BOM-carrying bytes)
             assert got_text.lstrip("﻿") == want_text, (i, got_text)
+
+
+def test_write_warc_accepts_binary_payload_with_invalid_utf8(spark, tmp_path):
+    """A BINARY payload column containing invalid UTF-8 must not crash
+    the shard writer's Arrow boundary — bytes sanitize to replacement
+    chars (the make_valid_utf8 insurance at the writer input)."""
+    pages = spark.createDataFrame(
+        [(1, bytearray(b"ok \xff\xfe page"),
+          "https://x.test/1.html", "2026-01-01T00:00:00Z")],
+        "doc_id long, html binary, target_uri string, warc_date string",
+    )
+    out = str(tmp_path / "bin")
+    man = write_warc(pages, out, n_shards=1).collect()
+    assert sum(m.n_records for m in man) == 1
+    row = read_warc(spark, out + "/*.warc.gz").collect()[0]
+    assert b"ok " in bytes(row.payload) and b" page" in bytes(row.payload)
+    assert b"\xff" not in bytes(row.payload)  # replaced, not raw
