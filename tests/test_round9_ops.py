@@ -565,9 +565,11 @@ def test_robots_sql_vs_python_reference_fuzz():
 
     rng = random.Random(47806)
     path_atoms = ["/a", "/b/c", "/doc.pdf", "/q?x=1", "/.hid", "/(p)",
-                  "/x+y", "/$lit", "/very/deep/path", "/a*b"]
+                  "/x+y", "/$lit", "/very/deep/path", "/a*b",
+                  "/café", "/日本語/page", "/%C3%A9"]
     rule_atoms = ["/a", "/b/*", "*.pdf$", "/q?x=*", "/.hid", "/(p)",
-                  "/x+y", "/$lit", "/very", "/", "/a*b$", "*"]
+                  "/x+y", "/$lit", "/very", "/", "/a*b$", "*",
+                  "/café", "/日本*", "/%C3%A9$"]
     agents = ["bbbot", "other", "*", "BBBot", "third"]
     for trial in range(25):
         def pad(s):
