@@ -316,12 +316,15 @@ SINGLE_BYTE_CHARSETS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("koi8-r", ("koi8-r", "koi8r")),
 )
 
-#: Labels resolved but NOT decodable JVM-side (fallback cast, flagged).
-_UNSUPPORTED_LABELS = (
-    "utf-16", "utf-16le", "utf-16be",
-    "shift_jis", "shift-jis", "sjis", "x-sjis", "euc-jp",
-    "gbk", "gb2312", "gb_2312", "big5",
-)
+#: Labels the JVM tier decodes exactly: every single-byte alias plus
+#: the UTF-8 family (the replacement cast). ANY other resolved label —
+#: utf-16, shift_jis, euc-kr, tis-620, a typo — is flagged
+#: ``charset_supported=false`` so :func:`decode_payload_text_full`'s
+#: Python-codec branch (which knows hundreds of codecs) gets a shot;
+#: a fixed deny-list would silently mojibake the exotic ones.
+_JVM_DECODABLE_LABELS = tuple(
+    a for _c, aliases in SINGLE_BYTE_CHARSETS for a in aliases
+) + ("utf-8", "utf8", "us-ascii", "ascii")
 
 
 def decode_payload_text(
@@ -345,12 +348,13 @@ def decode_payload_text(
        label).
 
     Single-byte charsets (:data:`SINGLE_BYTE_CHARSETS`) decode
-    exactly via ISO-8859-1 + ``translate``; UTF-8/ASCII/unknown via
-    the replacement cast. Adds ``out_col`` (decoded text),
-    ``charset`` (resolved label) and ``charset_supported`` (false for
-    recognized-but-undecodable multibyte labels — those rows carry
-    the UTF-8-replace fallback, and the flag is the quality-gate /
-    Python-branch seam).
+    exactly via ISO-8859-1 + ``translate``; UTF-8/ASCII via the
+    replacement cast. Adds ``out_col`` (decoded text), ``charset``
+    (resolved label) and ``charset_supported`` (false for EVERY label
+    outside the JVM menu — utf-16, shift_jis, euc-kr, typos — those
+    rows carry the UTF-8-replace fallback, and the flag is the
+    quality-gate / Python-branch seam: :func:`decode_payload_text_full`
+    re-decodes them with the Python codec registry).
 
     100 TB shape: one projection of per-row column algebra — every
     branch is codegen (cast / total ISO-8859-1 decode / translate),
@@ -408,7 +412,7 @@ def decode_payload_text(
             else canon_label.when(cond, F.lit(canon))
         )
     canon_label = canon_label.otherwise(label)
-    supported = ~label.isin(*_UNSUPPORTED_LABELS)
+    supported = label.isin(*_JVM_DECODABLE_LABELS)
     return (
         df.withColumn("charset", canon_label)
         .withColumn("charset_supported", supported)

@@ -600,9 +600,9 @@ def test_decode_payload_text_charsets(spark):
         (6, b"broken \xff\xfe tail", None, "utf-8", True,
          "broken �� tail"),  # malformed -> replacement
         (7, "unknown label".encode(), "text/html; charset=klingon",
-         "klingon", True, "unknown label"),
+         "klingon", False, "unknown label"),  # off-menu -> flagged
         (8, "﻿BOM16".encode("utf-16-le"), "text/html",
-         "utf-16le", False, None),  # recognized, flagged unsupported
+         "utf-16le", False, None),  # flagged for the python branch
         (9, "sjis".encode(), "text/html; charset=Shift_JIS",
          "shift_jis", False, None),
     ]
@@ -639,9 +639,11 @@ def test_decode_payload_text_full_multibyte(spark):
         (3, "plain".encode(), "text/html", True, "plain"),  # JVM tier
         (4, "price: €9".encode("windows-1252"),
          "text/html; charset=cp1252", True, "price: €9"),  # JVM tier
-        (5, "x".encode(), "text/html; charset=klingon", True, "x"),
-        # klingon is an UNRECOGNIZED label -> utf-8 default tier (not
-        # flagged), decodes fine
+        (5, "x".encode(), "text/html; charset=klingon", False, "x"),
+        # klingon: flagged off-menu, python lookup fails -> utf-8
+        # replace fallback, STAYS flagged (the honest signal)
+        (6, "안녕하세요".encode("euc-kr"), "text/html; charset=EUC-KR",
+         True, "안녕하세요"),  # a label the old deny-list would have missed
     ]
     df = spark.createDataFrame(
         [(i, p, ct) for i, p, ct, *_ in cases],
