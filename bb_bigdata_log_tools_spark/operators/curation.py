@@ -1124,6 +1124,42 @@ def robots_rules(
     (no self-joins, one exchange), then a per-row filter+project. The
     frontier-sized table never enters this function.
     """
+    flags = _robots_flags(robots, agent, host_col, robots_col)
+    applicable = F.when(
+        F.col("host_has_exact") == 1, F.col("grp_exact") == 1
+    ).otherwise(F.col("grp_wild") == 1)
+    # Most real rules are plain path prefixes — matched with a codegen
+    # startswith (no regex). Only rules containing '*' or a trailing
+    # '$' get a compiled pattern (non-literal regex recompiles per
+    # evaluation in both engines; keeping it off the common case
+    # matters when the frontier is the 100 TB side).
+    has_wild = F.col("value").contains("*") | F.col("value").endswith("$")
+    return flags.filter(
+        F.col("kind").isin("allow", "disallow")
+        & (F.col("value") != "")
+        & applicable
+    ).select(
+        "host",
+        (F.col("kind") == "allow").alias("is_allow"),
+        F.col("value").alias("rule"),
+        F.length("value").alias("rule_len"),
+        F.when(has_wild, _robots_pattern(F.col("value"))).alias("pattern"),
+    )
+
+
+def _robots_flags(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """The shared robots.txt group algebra: one row per group line
+    (ua / allow / disallow / delay) with (host, ln, kind, value,
+    group_id, grp_exact, grp_wild, host_has_exact) — the single-scan
+    window chain :func:`robots_rules` and :func:`robots_crawl_delay`
+    both filter. ``Crawl-delay`` lines are GROUP lines (they end a
+    user-agent run like rules do) — mirrored in the SQL twin and the
+    test reference."""
     lines = F.split(
         F.regexp_replace(F.col(robots_col), "\r", ""), "\n"
     )
@@ -1146,6 +1182,7 @@ def robots_rules(
         F.when(low.rlike("^user-agent[\t ]*:"), "ua")
         .when(low.rlike("^allow[\t ]*:"), "allow")
         .when(low.rlike("^disallow[\t ]*:"), "disallow")
+        .when(low.rlike("^crawl-delay[\t ]*:"), "delay")
         .otherwise("other")
     )
     value = F.regexp_replace(line, "(?i)^[a-z-]+[\t ]*:[\t ]*", "")
@@ -1165,7 +1202,7 @@ def robots_rules(
     is_ua = F.col("kind") == "ua"
     wg = Window.partitionBy("host", "group_id")
     wh = Window.partitionBy("host")
-    flags = grouped.withColumns(
+    return grouped.withColumns(
         {
             "grp_exact": F.max(
                 (is_ua & (F.lower(F.col("value")) == agent_lc)).cast("int")
@@ -1176,24 +1213,70 @@ def robots_rules(
         }
     ).withColumn("host_has_exact", F.max("grp_exact").over(wh))
 
-    # Most real rules are plain path prefixes — matched with a codegen
-    # startswith (no regex). Only rules containing '*' or a trailing
-    # '$' get a compiled pattern (non-literal regex recompiles per
-    # evaluation in both engines; keeping it off the common case
-    # matters when the frontier is the 100 TB side).
-    has_wild = F.col("value").contains("*") | F.col("value").endswith("$")
-    return flags.filter(
-        F.col("kind").isin("allow", "disallow")
-        & (F.col("value") != "")
-        & F.when(
-            F.col("host_has_exact") == 1, F.col("grp_exact") == 1
-        ).otherwise(F.col("grp_wild") == 1)
-    ).select(
-        "host",
-        (F.col("kind") == "allow").alias("is_allow"),
-        F.col("value").alias("rule"),
-        F.length("value").alias("rule_len"),
-        F.when(has_wild, _robots_pattern(F.col("value"))).alias("pattern"),
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str = "bbbot",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds) applying to ``agent`` — the
+    scheduler's politeness interval next to :func:`robots_filter`'s
+    allow/deny. Same group-applicability algebra as the rules (exact
+    agent groups shadow ``*``); when several applicable groups carry a
+    delay the MAXIMUM wins (the conservative politeness choice —
+    documented, since the de-facto standard leaves multiplicity
+    unspecified). Non-numeric values are ignored. Hosts with no
+    applicable delay produce no row (scheduler default applies).
+
+    Output: (host, crawl_delay double), one row per host.
+    """
+    flags = _robots_flags(robots, agent, host_col, robots_col)
+    applicable = F.when(
+        F.col("host_has_exact") == 1, F.col("grp_exact") == 1
+    ).otherwise(F.col("grp_wild") == 1)
+    delays = flags.filter(
+        (F.col("kind") == "delay")
+        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        & applicable
+    )
+    return delays.groupBy("host").agg(
+        F.max(F.col("value").cast("double")).alias("crawl_delay")
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` URLs from robots.txt — group-INDEPENDENT per the
+    sitemaps.org protocol (they apply regardless of user-agent, so no
+    agent parameter). URL case is preserved. Output: (host,
+    sitemap_url), one row per sitemap line, distinct."""
+    lines = F.split(
+        F.regexp_replace(F.col(robots_col), "\r", ""), "\n"
+    )
+    x = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(lines).alias("raw"),
+    )
+    line = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), "#.*$", ""), "^[\t ]+", ""
+        ),
+        "[\t ]+$",
+        "",
+    )
+    url = F.regexp_replace(line, "(?i)^sitemap[\t ]*:[\t ]*", "")
+    return (
+        x.select("host", line.alias("line"), url.alias("sitemap_url"))
+        .filter(
+            F.lower(F.col("line")).rlike("^sitemap[\t ]*:")
+            & (F.col("sitemap_url") != "")
+        )
+        .select("host", "sitemap_url")
+        .distinct()
     )
 
 
@@ -1298,6 +1381,8 @@ parsed0 AS (
               WHEN regexp_matches(lower(line), '^allow[\t ]*:') THEN 'allow'
               WHEN regexp_matches(lower(line), '^disallow[\t ]*:')
                 THEN 'disallow'
+              WHEN regexp_matches(lower(line), '^crawl-delay[\t ]*:')
+                THEN 'delay'
               ELSE 'other' END AS kind,
          regexp_replace(line, '(?i)^[a-z-]+[\t ]*:[\t ]*', '') AS value
   FROM lns

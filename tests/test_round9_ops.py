@@ -454,8 +454,13 @@ def _robots_allowed_ref(robots_txt: str, agent: str, path: str):
     toks = []
     for raw in robots_txt.replace("\r", "").split("\n"):
         ln = re.sub(r"#.*$", "", raw).strip("\t ")  # RFC WS: space/tab
-        m = re.match(r"(?i)^(user-agent|allow|disallow)[\t ]*:[\t ]*(.*)$", ln)
+        m = re.match(
+            r"(?i)^(user-agent|allow|disallow|crawl-delay)[\t ]*:[\t ]*(.*)$",
+            ln,
+        )
         if m:
+            # crawl-delay is a GROUP line: it ends a user-agent run
+            # (engine parity) but contributes no path rule
             toks.append((m.group(1).lower(), m.group(2).strip("\t ")))
     groups, i = [], 0
     while i < len(toks):
@@ -466,7 +471,7 @@ def _robots_allowed_ref(robots_txt: str, agent: str, path: str):
                 i += 1
             rules = []
             while i < len(toks) and toks[i][0] != "user-agent":
-                if toks[i][1]:
+                if toks[i][1] and toks[i][0] in ("allow", "disallow"):
                     rules.append((toks[i][0] == "allow", toks[i][1]))
                 i += 1
             groups.append((agents, rules))
@@ -586,11 +591,22 @@ def test_robots_sql_vs_python_reference_fuzz():
                 for _ in range(rng.randint(1, 2)):
                     sep = rng.choice([": ", ":", ":\t", "\t: "])
                     lines.append(pad(f"User-agent{sep}{rng.choice(agents)}"))
+                    if rng.random() < 0.15:
+                        # the divergence-prone shape: a delay BETWEEN
+                        # UA lines splits the run into two groups
+                        lines.append(f"Crawl-delay: {rng.randint(1, 5)}")
                 for _ in range(rng.randint(0, 3)):
                     kind = rng.choice(["Allow", "Disallow"])
                     val = rng.choice(rule_atoms + [""])
                     sep = rng.choice([": ", ":", ":\t"])
                     lines.append(pad(f"{kind}{sep}{val}"))
+                if rng.random() < 0.25:
+                    # crawl-delay: a GROUP line (ends a UA run) with no
+                    # path rule — both engines and the reference must
+                    # split groups identically around it
+                    lines.append(pad(f"Crawl-delay: {rng.randint(0, 9)}"))
+                if rng.random() < 0.2:
+                    lines.append("Sitemap: https://s.test/map.xml")
                 if rng.random() < 0.3:
                     lines.append("# comment")
                 if rng.random() < 0.3:
@@ -708,3 +724,67 @@ def test_robots_filter_null_and_degenerate_inputs(spark):
     )
     assert got == want
     assert all(allowed for (_u, h, allowed, _r) in got if h != "b.com")
+
+
+def test_robots_crawl_delay_and_sitemaps(spark):
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_crawl_delay,
+        robots_sitemaps,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            # exact group (delay 7) shadows '*' group (delay 1)
+            ("a.com", "User-agent: bbbot\nCrawl-delay: 7\nDisallow: /x\n"
+                      "\nUser-agent: *\nCrawl-delay: 1\n"
+                      "Sitemap: https://a.com/SiteMap.xml\n"),
+            # only '*' group applies; two applicable delays -> MAX
+            ("b.com", "User-agent: *\nCrawl-delay: 2\n"
+                      "User-agent: *\nCrawl-delay: 10\n"),
+            # non-numeric delay ignored; no row
+            ("c.com", "User-agent: *\nCrawl-delay: soon\n"),
+            # delay in a non-applicable group only; no row
+            ("d.com", "User-agent: other\nCrawl-delay: 9\n"
+                      "Sitemap: https://d.com/a.xml\n"
+                      "Sitemap: https://d.com/b.xml\n"
+                      "Sitemap: https://d.com/a.xml\n"),  # dup collapses
+        ],
+        "host string, robots_txt string",
+    )
+    delays = {r.host: r.crawl_delay
+              for r in robots_crawl_delay(robots, agent="bbbot").collect()}
+    assert delays == {"a.com": 7.0, "b.com": 10.0}
+    maps = sorted((r.host, r.sitemap_url)
+                  for r in robots_sitemaps(robots).collect())
+    assert maps == [
+        ("a.com", "https://a.com/SiteMap.xml"),  # case preserved
+        ("d.com", "https://d.com/a.xml"),
+        ("d.com", "https://d.com/b.xml"),
+    ]
+
+
+def test_crawl_delay_line_splits_ua_run(spark):
+    """`ua / Crawl-delay / ua` is TWO groups (the delay line ends the
+    user-agent run) — so the second agent does NOT inherit the first
+    group's rules. Engine and reference agree by construction; this
+    pins the behavior explicitly."""
+    from bb_bigdata_log_tools_spark.operators.curation import robots_filter
+
+    robots = spark.createDataFrame(
+        [("e.com", "User-agent: bbbot\nCrawl-delay: 3\n"
+                   "User-agent: other\nDisallow: /only-other\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://e.com/only-other/x",)], "url string"
+    )
+    got = robots_filter(urls, robots, agent="bbbot").collect()[0]
+    # the Disallow belongs to the SECOND group (agent 'other'), so
+    # bbbot — whose group holds only the delay — is allowed
+    assert got.allowed is True and got.matched_rule == ""
+    ref = _robots_allowed_ref(
+        "User-agent: bbbot\nCrawl-delay: 3\n"
+        "User-agent: other\nDisallow: /only-other\n",
+        "bbbot", "/only-other/x",
+    )
+    assert ref == (True, "")
