@@ -187,12 +187,11 @@ def _dechunk(body: bytes) -> bytes | None:
         if j < 0:
             return None
         tok = body[i:j].split(b";", 1)[0].strip()
-        try:
-            size = int(tok, 16)
-        except ValueError:
+        # pure HEXDIG only (RFC 9112): int(tok, 16) alone would also
+        # accept Python-isms like '0x1f', '+5', '1_0'
+        if not tok or any(c not in b"0123456789abcdefABCDEF" for c in tok):
             return None
-        if size < 0:
-            return None
+        size = int(tok, 16)
         i = j + 2
         if size == 0:
             return bytes(out)

@@ -674,3 +674,17 @@ def test_write_warc_accepts_binary_payload_with_invalid_utf8(spark, tmp_path):
     row = read_warc(spark, out + "/*.warc.gz").collect()[0]
     assert b"ok " in bytes(row.payload) and b" page" in bytes(row.payload)
     assert b"\xff" not in bytes(row.payload)  # replaced, not raw
+
+
+def test_http_chunk_size_token_is_strict_hex():
+    """'0x1f', '+5', '1_0' parse as ints in Python but are not legal
+    HTTP chunk sizes — the de-chunker must reject them (raw fallback),
+    while plain upper/lower hex still decodes."""
+    for bad in (b"0x5\r\nhello\r\n0\r\n\r\n",
+                b"+5\r\nhello\r\n0\r\n\r\n",
+                b"1_0\r\nhellohellohellob\r\n0\r\n\r\n"):
+        blk = _http_with(bad, [b"Transfer-Encoding: chunked"])
+        assert parse_http_response(blk)[2] == bad  # kept raw
+    ok = b"A\r\n0123456789\r\n0\r\n\r\n"
+    blk = _http_with(ok, [b"Transfer-Encoding: chunked"])
+    assert parse_http_response(blk)[2] == b"0123456789"
