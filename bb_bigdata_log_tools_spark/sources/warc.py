@@ -268,6 +268,14 @@ def parse_http_response(block: bytes):
         decoded = _dechunk(body)
         if decoded is not None:
             body = decoded
+    # transfer-level compression ("Transfer-Encoding: gzip, chunked"
+    # = chunked(gzip(body))): inflate AFTER de-chunking
+    for t_comp in ("gzip", "x-gzip", "deflate"):
+        if t_comp in t_enc:
+            inflated = _decode_content_encoding(body, t_comp)
+            if inflated is not None:
+                body = inflated
+            break
     if c_enc:
         inflated = _decode_content_encoding(body, c_enc)
         if inflated is not None:

@@ -688,3 +688,17 @@ def test_http_chunk_size_token_is_strict_hex():
     ok = b"A\r\n0123456789\r\n0\r\n\r\n"
     blk = _http_with(ok, [b"Transfer-Encoding: chunked"])
     assert parse_http_response(blk)[2] == b"0123456789"
+
+
+def test_http_transfer_encoding_gzip_chunked():
+    """'Transfer-Encoding: gzip, chunked' = chunked(gzip(body)):
+    de-chunk first, then inflate the transfer coding."""
+    import gzip as _gz
+
+    want = b"<p>transfer-compressed page body</p>"
+    enc = _gz.compress(want)
+    blk = _http_with(
+        _chunked(enc, [13, 100]),
+        [b"Transfer-Encoding: gzip, chunked"],
+    )
+    assert parse_http_response(blk) == (200, "text/html", want)
