@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bb_bigdata_log_tools_spark.operators.curation import (  # noqa: E402
     crawl_curate,
     crawl_frontier,
+    robots_crawl_delay,
     robots_filter,
 )
 from bb_bigdata_log_tools_spark.operators.html import (  # noqa: E402
@@ -127,13 +128,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         )
         robots = spark.createDataFrame(
             [("crawl.example",
-              "User-agent: *\nDisallow: /d/1\nAllow: /d/1.html\n")],
+              "User-agent: *\nDisallow: /d/1\nAllow: /d/1.html\n"
+              "Crawl-delay: 2\nSitemap: https://crawl.example/map.xml\n")],
             "host string, robots_txt string",
         )
         gated = robots_filter(frontier, robots, sort=False)
         n_ok = gated.filter(F.col("allowed")).count()
+        delays = {r.host: r.crawl_delay
+                  for r in robots_crawl_delay(robots).collect()}
         print(f"frontier: {gated.count()} candidate URLs,"
-              f" {n_ok} allowed by robots.txt")
+              f" {n_ok} allowed by robots.txt,"
+              f" crawl-delay {delays.get('crawl.example')} s")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if owns_session:
