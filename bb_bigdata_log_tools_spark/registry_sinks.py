@@ -506,33 +506,42 @@ ORDER BY target_uri
 """
 
 
-def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl front door composed end-to-end: staged .warc.gz →
-    read_warc → charset-aware body decode (decode_payload_text: BOM /
-    header / meta-sniff resolution, translate-exact single-byte
-    charsets, crash-proof UTF-8-replace fallback) → html_extract_text.
-    Oracle = the SAME extraction algebra over the page table directly,
-    so a green row certifies that extraction from the crawl container
-    equals extraction from the source pages byte for byte."""
-    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
-    from bb_bigdata_log_tools_spark.sources.warc import (
-        decode_payload_text,
-        read_warc,
-    )
+def _warc_response_pages(recs: DataFrame, with_base: bool = False) -> DataFrame:
+    """200-response records → (doc_id, html[, base_url]) through the
+    charset-aware decode (decode_payload_text: BOM / header /
+    meta-sniff resolution, translate-exact single-byte charsets,
+    crash-proof UTF-8-replace fallback) — the ONE page-decode copy
+    every crawl-glue key shares."""
+    from bb_bigdata_log_tools_spark.sources.warc import decode_payload_text
 
-    store = _warc_store(spark, sf_dir)
-    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = decode_payload_text(
-        recs.filter(
-            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-        )
-    ).select(
+    cols = [
         F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
         .cast("long")
         .alias("doc_id"),
-        "html",
-    )
-    return html_extract_text(ensure_parallelism(pages))
+        F.col("html"),
+    ]
+    if with_base:
+        cols.append(F.col("target_uri").alias("base_url"))
+    return decode_payload_text(
+        recs.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+    ).select(*cols)
+
+
+def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door composed end-to-end: staged .warc.gz →
+    read_warc → charset-aware body decode (_warc_response_pages) →
+    html_extract_text. Oracle = the SAME extraction algebra over the
+    page table directly, so a green row certifies that extraction
+    from the crawl container equals extraction from the source pages
+    byte for byte."""
+    from bb_bigdata_log_tools_spark.operators.html import html_extract_text
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    return html_extract_text(ensure_parallelism(_warc_response_pages(recs)))
 
 
 def _warc_extract_text_oracle() -> str:
@@ -577,14 +586,7 @@ def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-    ).select(
-        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
-    )
+    pages = _warc_response_pages(recs)
     aliases = pages.filter(
         F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
     ).select(
@@ -715,15 +717,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-    ).select(
-        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
-        F.col("target_uri").alias("base_url"),
-    )
+    pages = _warc_response_pages(recs, with_base=True)
     links = html_extract_links(
         ensure_parallelism(pages), sort=False
     ).join(pages.select("doc_id", "base_url"), "doc_id")
@@ -925,14 +919,7 @@ def q_warc_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-    ).select(
-        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
-    )
+    pages = _warc_response_pages(recs)
     return html_extract_links(ensure_parallelism(pages))
 
 
@@ -957,14 +944,7 @@ def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = recs.filter(
-        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
-    ).select(
-        F.regexp_extract("target_uri", r"/d/(\d+)\.html$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.make_valid_utf8(F.col("payload").cast("string")).alias("html"),
-    )
+    pages = _warc_response_pages(recs)
     texts = html_extract_text(ensure_parallelism(pages), sort=False).select(
         "doc_id",
         "text",
