@@ -1003,6 +1003,36 @@ def dedup_url(
     return small_sort(out, "canonical_url") if sort else out
 
 
+def frontier_urls(
+    links: DataFrame,
+    base_col: str = "base_url",
+    href_col: str = "href",
+) -> DataFrame:
+    """The stateless absolutize + canonicalize projection shared by
+    :func:`crawl_frontier` (batch aggregate) and the streaming
+    incremental-frontier mode (which cannot aggregate the same way):
+    (doc_id, url, canonical_url) per resolvable anchor. Pure per-row
+    column algebra — runs identically on a batch or streaming
+    relation. Absolutization policy: see :func:`crawl_frontier`."""
+    href = F.col(href_col)
+    base_head = F.lower(
+        F.regexp_extract(F.col(base_col), r"^(https?://[^/?#]+)", 1)
+    )
+    absolute = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("//"), F.lit(None))
+        .when(href.startswith("/"), F.concat(base_head, href))
+        .otherwise(F.lit(None))
+    )
+    return (
+        links.select(F.col("doc_id"), absolute.alias("url"))
+        .filter(F.col("url").isNotNull())
+        .select(
+            "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+        )
+    )
+
+
 def crawl_frontier(
     links: DataFrame,
     base_col: str = "base_url",
@@ -1029,24 +1059,9 @@ def crawl_frontier(
     100 TB shape: per-row column algebra in the scan + ONE
     (canonical_url, counts) aggregate with map-side partials.
     """
-    href = F.col(href_col)
-    base_head = F.lower(
-        F.regexp_extract(F.col(base_col), r"^(https?://[^/?#]+)", 1)
-    )
-    absolute = (
-        F.when(href.rlike("^https?://"), href)
-        .when(href.startswith("//"), F.lit(None))
-        .when(href.startswith("/"), F.concat(base_head, href))
-        .otherwise(F.lit(None))
-    )
-    urls = links.select(
-        F.col("doc_id"), absolute.alias("url")
-    ).filter(F.col("url").isNotNull())
+    urls = frontier_urls(links, base_col=base_col, href_col=href_col)
     out = (
-        urls.select(
-            "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
-        )
-        .groupBy("canonical_url")
+        urls.groupBy("canonical_url")
         .agg(
             F.countDistinct("url").alias("n_variants"),
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -1159,7 +1174,15 @@ def _robots_flags(
     window chain :func:`robots_rules` and :func:`robots_crawl_delay`
     both filter. ``Crawl-delay`` lines are GROUP lines (they end a
     user-agent run like rules do) — mirrored in the SQL twin and the
-    test reference."""
+    test reference. PINNED DIVERGENCE from Google's open-source
+    robots.txt parser: that parser ignores unrecognized/delay lines
+    without terminating the UA collection, so a delay line BETWEEN
+    consecutive User-agent lines assigns the surrounding rules to one
+    group there and to two groups here; ``Sitemap`` lines (parsed
+    group-independently by :func:`robots_sitemaps`) do not split a
+    run in either parser. The choice here keeps every directive the
+    group algebra consumes on one uniform rule — fuzz-differenced
+    against the pure-Python reference in tests/test_round9_ops.py."""
     lines = F.split(
         F.regexp_replace(F.col(robots_col), "\r", ""), "\n"
     )
@@ -1294,7 +1317,11 @@ def robots_filter(
     robots.txt for the host) means allowed.
 
     Output: (url, host, allowed, matched_rule) — ``matched_rule`` is
-    the winning rule path ('' when none matched).
+    the winning rule path ('' when none matched). Cardinality
+    contract: ONE ROW PER DISTINCT URL — the decision rank partitions
+    by ``url``, so duplicate frontier rows collapse (a robots verdict
+    is a property of the URL, not of the row; callers needing
+    per-row passthrough join this output back on ``url``).
 
     100 TB shape: the frontier joins the per-host rule relation on
     ``host`` — rules are |hosts|-sized (broadcast when small, AQE
@@ -1348,16 +1375,124 @@ def robots_filter(
     return small_sort(best, "url") if sort else best
 
 
-def robots_filter_sql(
+def frontier_schedule(
+    frontier: DataFrame,
+    robots: DataFrame,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Per-host fetch waves — the scheduler output that closes the
+    crawl loop: :func:`crawl_frontier` (what to fetch) ×
+    :func:`robots_filter` (may we) × :func:`robots_crawl_delay` (how
+    fast) × :func:`robots_sitemaps` (host-declared seeds).
+
+    Semantics:
+
+    - frontier URLs pass the RFC 9309 allow gate; disallowed URLs are
+      DROPPED (the gate's verdict, not a scheduling choice);
+    - sitemap URLs from robots.txt join as SEEDS (``is_seed=1``) —
+      they are host-declared fetch targets, so they bypass the gate
+      and rank before every frontier URL on their host (their host is
+      the sitemap URL's own, which may differ from the declaring
+      host); a URL that is both seed and frontier schedules once, as
+      a seed;
+    - ``wave`` = rank within host ordered by (is_seed DESC, priority
+      DESC, url) — priority comes from ``priority_col`` (e.g.
+      crawl_frontier's n_occurrences), 0 when absent; duplicate
+      frontier rows collapse to one fetch (the robots_filter
+      cardinality contract);
+    - ``fetch_offset_s`` = (wave - 1) × the host's Crawl-delay
+      (``default_delay`` when the host declares none) — the earliest
+      polite fetch time relative to the host's first fetch.
+
+    Output: (url, host, is_seed, priority, wave, crawl_delay,
+    fetch_offset_s).
+
+    Reference parity: the closest analog is the reference's
+    hand-rolled hourly path scheduler (fs/PathInfo.java's time-walk
+    over date-partitioned paths); this engine's version derives the
+    schedule relationally from crawl + politeness inputs instead of a
+    clock walk.
+
+    100 TB shape: the gate is robots_filter's bounded fan-out join;
+    everything after is ONE exchange on ``host`` (the wave rank) over
+    the allowed frontier — per-host ordering only, no global sort.
+    Hot hosts are real skew here, but a wave is meaningful only
+    within a host, so the partition IS the unit of work; a host too
+    hot for one task is a host you shard by wave range downstream.
+    """
+    gate = robots_filter(frontier, robots, agent=agent, url_col=url_col,
+                         sort=False)
+    allowed = gate.filter(F.col("allowed")).select("url", "host")
+    if priority_col is not None:
+        prio = frontier.groupBy(F.col(url_col).alias("url")).agg(
+            F.max(priority_col).cast("double").alias("priority")
+        )
+        allowed = allowed.join(prio, "url", "left").withColumn(
+            "priority", F.coalesce(F.col("priority"), F.lit(0.0))
+        )
+    else:
+        allowed = allowed.withColumn("priority", F.lit(0.0))
+    allowed = allowed.withColumn("is_seed", F.lit(0))
+    seeds = (
+        robots_sitemaps(robots)
+        .select(F.col("sitemap_url").alias("url"))
+        .filter(F.col("url").rlike("^https?://"))
+        .select(
+            "url",
+            F.lower(
+                F.regexp_extract("url", "^https?://([^/?#]+)", 1)
+            ).alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.lit(1).alias("is_seed"),
+        )
+    )
+    merged = (
+        allowed.unionByName(seeds)
+        .groupBy("url", "host")
+        .agg(
+            F.max("is_seed").alias("is_seed"),
+            F.max("priority").alias("priority"),
+        )
+    )
+    delays = robots_crawl_delay(robots, agent=agent)
+    wv = Window.partitionBy("host").orderBy(
+        F.desc("is_seed"), F.desc("priority"), F.asc("url")
+    )
+    out = (
+        merged.join(delays, "host", "left")
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+        )
+        .withColumn("wave", F.row_number().over(wv))
+        .select(
+            "url",
+            "host",
+            "is_seed",
+            "priority",
+            "wave",
+            "crawl_delay",
+            ((F.col("wave") - 1) * F.col("crawl_delay")).alias(
+                "fetch_offset_s"
+            ),
+        )
+    )
+    return small_sort(out, "host", "wave") if sort else out
+
+
+def _robots_sql_ctes(
     urls_sql: str, robots_sql: str, agent: str = "bbbot"
 ) -> str:
-    """The SAME politeness gate as :func:`robots_filter` in DuckDB SQL
-    (oracle / SQL surface), built from the same constants — identical
-    line split, group algebra, escape-replace chain, window rank.
-    ``urls_sql`` must yield a ``url`` column, ``robots_sql`` a
-    ``(host, robots_txt)`` relation. (DuckDB string literals take
-    backslashes literally — this text is for the DuckDB dialect; the
-    Spark engine runs the same algebra via the DataFrame twin.)"""
+    """The shared WITH-clause body of the robots SQL family — line
+    split, group algebra, escape-replace chain, per-URL decision rank
+    (CTEs ``robots`` … ``best``). :func:`robots_filter_sql` closes it
+    with the gate projection; :func:`frontier_schedule_sql` extends
+    it with delay/sitemap/wave CTEs. One copy, so the twins cannot
+    drift from each other."""
     esc_chain = "body"
     for ch in ROBOTS_REGEX_ESCAPES:
         q = ch.replace("'", "''")
@@ -1459,12 +1594,96 @@ best AS (
                             ORDER BY m DESC, rule_len DESC,
                                      ia DESC, rule DESC) AS rn
   FROM j
-)
+)"""
+
+
+def robots_filter_sql(
+    urls_sql: str, robots_sql: str, agent: str = "bbbot"
+) -> str:
+    """The SAME politeness gate as :func:`robots_filter` in DuckDB SQL
+    (oracle / SQL surface), built from the same constants — identical
+    line split, group algebra, escape-replace chain, window rank.
+    ``urls_sql`` must yield a ``url`` column, ``robots_sql`` a
+    ``(host, robots_txt)`` relation. (DuckDB string literals take
+    backslashes literally — this text is for the DuckDB dialect; the
+    Spark engine runs the same algebra via the DataFrame twin.)"""
+    return (
+        _robots_sql_ctes(urls_sql, robots_sql, agent)
+        + """
 SELECT url, host, (m = 0 OR ia = 1) AS allowed,
        CASE WHEN m = 1 THEN rule ELSE '' END AS matched_rule
 FROM best WHERE rn = 1
 ORDER BY url
 """
+    )
+
+
+def frontier_schedule_sql(
+    urls_sql: str,
+    robots_sql: str,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+) -> str:
+    """:func:`frontier_schedule` in DuckDB SQL, extending the shared
+    robots CTE body with delay / sitemap / wave CTEs. ``urls_sql``
+    must yield ``url`` (plus ``priority`` when ``with_priority``);
+    ``robots_sql`` a ``(host, robots_txt)`` relation."""
+    prio = (
+        "coalesce((SELECT max(CAST(priority AS DOUBLE)) FROM urls uu"
+        " WHERE uu.url = g.url), 0.0)"
+        if with_priority
+        else "0.0"
+    )
+    return (
+        _robots_sql_ctes(urls_sql, robots_sql, agent)
+        + f""",
+gated AS (
+  SELECT g.url, g.host, 0 AS is_seed, {prio} AS priority
+  FROM best g WHERE g.rn = 1 AND (g.m = 0 OR g.ia = 1)
+),
+sitemaps AS (
+  SELECT DISTINCT
+         regexp_replace(line, '(?i)^sitemap[\t ]*:[\t ]*', '') AS url
+  FROM lns
+  WHERE regexp_matches(lower(line), '^sitemap[\t ]*:')
+    AND regexp_replace(line, '(?i)^sitemap[\t ]*:[\t ]*', '') <> ''
+),
+seeds AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         1 AS is_seed, 0.0 AS priority
+  FROM sitemaps WHERE regexp_matches(url, '^https?://')
+),
+merged AS (
+  SELECT url, host, max(is_seed) AS is_seed, max(priority) AS priority
+  FROM (SELECT * FROM gated UNION ALL SELECT * FROM seeds)
+  GROUP BY url, host
+),
+delays AS (
+  SELECT host, max(CAST(value AS DOUBLE)) AS crawl_delay
+  FROM flags2
+  WHERE kind = 'delay'
+    AND regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$')
+    AND CASE WHEN host_has_exact = 1 THEN grp_exact = 1
+             ELSE grp_wild = 1 END
+  GROUP BY host
+),
+sched AS (
+  SELECT m.url, m.host, m.is_seed, m.priority,
+         CAST(row_number() OVER (
+           PARTITION BY m.host
+           ORDER BY m.is_seed DESC, m.priority DESC, m.url
+         ) AS INTEGER) AS wave,
+         coalesce(d.crawl_delay, {default_delay!r}) AS crawl_delay
+  FROM merged m LEFT JOIN delays d ON m.host = d.host
+)
+SELECT url, host, is_seed, priority, wave, crawl_delay,
+       (wave - 1) * crawl_delay AS fetch_offset_s
+FROM sched
+ORDER BY host, wave
+"""
+    )
 
 
 def corpus_curate(

@@ -297,6 +297,7 @@ def html_extract_links(
     html_col: str = "html",
     id_col: str = "doc_id",
     sort: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Extract the link graph from an HTML column: one row per anchor
     in document order — (doc_id, link_pos, href, anchor_text,
@@ -322,13 +323,19 @@ def html_extract_links(
         F.coalesce(F.col(html_col), F.lit("")), r"(?s)<!--.*?-->", " "
     )
     anchors = F.regexp_extract_all(raw, F.lit(_ANCHOR_HREF), F.lit(0))
+    # extra_cols ride the projection (e.g. base_url for the streaming
+    # frontier, where a join back to the page relation would be a
+    # stream-stream join) — passthrough, no extra work
+    extras = [F.col(c) for c in extra_cols]
     out = (
         df.select(
             F.col(id_col).alias("doc_id"),
+            *extras,
             F.posexplode(anchors).alias("link_pos", "a"),
         )
         .select(
             "doc_id",
+            *extra_cols,
             F.col("link_pos").cast("int").alias("link_pos"),
             F.regexp_extract("a", _ANCHOR_HREF, 1).alias("href"),
             _plain_text(

@@ -381,72 +381,22 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-9 rotation (policy above, executed): (a) new round-9 keys at
-# the head so they earn driver evidence immediately; (b) the 14
-# r4-vintage keys deferred from the round-8 rotation — after round 9
-# they stop being the oldest evidence on the tree; (c) the 45-key
-# r5-vintage cohort, of which the first 50 - (new + 14) fit this
-# round's window and the tail leads round 10. After r9 no key's
-# driver evidence is older than r5, and after the r10 tail pass the
-# two-round rotation cadence covers every key at <= 4 rounds stale.
+# Round-10 rotation (policy above, executed): (a) the 4 new round-10
+# keys at the head so they earn driver evidence immediately; (b) the
+# 19-key r5-vintage tail deferred from the round-9 rotation (oldest
+# evidence on the tree — events_dau_wau onward in the old list);
+# (c) the 48-key r6-vintage cohort, of which the first 27 fit this
+# round's 50-key window and the 21-key tail (stream_approx_distinct
+# onward) leads round 11. After r10 no key's driver evidence is older
+# than r6; the two-round cadence then covers every key at <= 4 rounds
+# stale.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-9 new keys (each pushes one tail key to round 10) ---
-    "write_warc",
-    "read_warc",
-    "warc_extract_text",
-    "crawl_curate",
-    "write_wet",
-    "warc_extract_links",
-    "read_warc_split",
-    "stream_warc_ingest",
-    "crawl_frontier",
-    "robots_filter",
-    # --- the 14 deferred r4-vintage keys (oldest driver evidence
-    # on the tree after the r8 rotation) ---
-    "clean_text",
-    "dataset_stats",
-    "filter_blocklist",
-    "length_histogram",
-    "sample_stratified",
-    "sample_weighted",
-    "shuffle_shards",
-    "split_assign",
-    "url_domain_stats",
-    "time_rollup",
-    "unigram_perplexity",
-    "sample_exact_stratified",
-    "tfidf_keywords",
-    "quality_filter",
-    # --- r5-vintage cohort (45 keys; with 10 round-9 keys + the 14
-    # r4-vintage block ahead of it, the first 26 fit the 50-key
-    # window — text_entropy is the last in — and the 19-key tail
-    # from events_dau_wau onward leads the round-10 rotation) ---
-    "dedup_edit_distance",
-    "minhash_recall_eval",
-    "shingle_novelty",
-    "lang_id_eval",
-    "text_near_template",
-    "docs_minhash_signature",
-    "boom_read_pushdown",
-    "log_dedup_window",
-    "sql_passthrough",
-    "log_grep_context",
-    "log_tail",
-    "tpch_q2",
-    "tpch_q11",
-    "events_robust_anomaly",
-    "funnel_time_stats",
-    "events_seasonality",
-    "events_autocorrelation",
-    "events_forecast_baseline",
-    "embedding_quantize",
-    "perplexity_buckets",
-    "oov_rate",
-    "token_budget_plan",
-    "ip_prefix_stats",
-    "sample_reservoir",
-    "embedding_outliers",
-    "text_entropy",
+    # --- round-10 new keys ---
+    "frontier_schedule",
+    "write_wat",
+    "decode_payload_text",
+    "stream_frontier",
+    # --- the 19-key r5-vintage tail (deferred from round 9) ---
     "events_dau_wau",
     "sessions_summary",
     "log_json_field_stats",
@@ -466,6 +416,58 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_rate_limit",
     "stream_session_window",
+    # --- r6-vintage cohort (48 keys; the first 27 fit this round's
+    # window — audio_resample is the last in — and the 21-key tail
+    # from stream_approx_distinct onward leads round 11) ---
+    "log_grep",
+    "log_format_sort",
+    "tpch_q1",
+    "tpch_q3",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster",
+    "multimodal_meta",
+    "media_frame_sample",
+    "media_resize",
+    "dedup_keep_best",
+    "semdedup",
+    "stream_sessionize",
+    "cluster_size_stats",
+    "dedup_pagerank",
+    "dedup_suffix_array",
+    "tfidf_cosine_pairs",
+    "log_templates",
+    "log_volume_trend",
+    "bigram_perplexity",
+    "token_fertility_by_lang",
+    "vocab_zipf_fit",
+    "quality_feature_matrix",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
+    "audio_pcm_stats",
+    "audio_resample",
+    # --- r6 tail (leads the round-11 window) ---
+    "stream_approx_distinct",
+    "dedup_graph_triangles",
+    "boom_read_split",
+    "events_bot_detection",
+    "contrastive_pairs",
+    "mlm_mask_preview",
+    "source_quality_report",
+    "events_conversion_attribution",
+    "events_rollup_cube",
+    "events_user_pivot",
+    "events_variant_extract",
+    "dedup_winnowing",
+    "shard_skew_report",
+    "dedup_resolve",
+    "stream_cms_freq",
+    "bloom_decontaminate",
+    "bpe_pair_stats",
+    "dedup_url",
+    "corpus_curate",
+    "overlap_kmv",
+    "minhash_bucket_stats",
 ]
 
 QUERIES: dict[str, QueryFn] = {

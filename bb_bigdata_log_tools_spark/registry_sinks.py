@@ -347,6 +347,17 @@ N_WARC_SHARDS = 8
 _WARC_DATE = "2026-01-01T00:00:00Z"
 _WARC_URI_PREFIX = "https://crawl.example/d/"
 
+# binaryFile's schema is fixed, but STREAMING file sources demand it
+# spelled out — one copy for every readStream crawl key
+_BINFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
 
 def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthesized crawl pages (the html_extract_* page
@@ -789,7 +800,9 @@ _ROBOTS_FIXTURE = [
 _ROBOTS_HOSTS = ["a.com", "b.com", "c.com", "d.com", "e.com", "norobots.com"]
 
 
-def _frontier_url_spark(docs: DataFrame) -> DataFrame:
+def _frontier_url_spark(
+    docs: DataFrame, with_priority: bool = False
+) -> DataFrame:
     host = F.element_at(
         F.array(*[F.lit(h) for h in _ROBOTS_HOSTS]),
         (F.col("doc_id") % 6 + 1).cast("int"),
@@ -804,9 +817,10 @@ def _frontier_url_spark(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/tmp/x"), sid))
         .otherwise(F.concat(F.lit("/"), F.col("source"), F.lit("/a"), sid))
     )
-    return docs.select(
-        F.concat(F.lit("https://"), host, path).alias("url")
-    )
+    cols = [F.concat(F.lit("https://"), host, path).alias("url")]
+    if with_priority:
+        cols.append((F.col("doc_id") % 17).cast("double").alias("priority"))
+    return docs.select(*cols)
 
 
 _FRONTIER_URL_SQL = """
@@ -848,18 +862,11 @@ def _robots_filter_oracle() -> str:
         robots_filter_sql,
     )
 
-    vals = ", ".join(
-        "('%s', '%s')"
-        % (
-            h,
-            t.replace("'", "''")
-            .replace("\r", "' || chr(13) || '")
-            .replace("\n", "' || chr(10) || '"),
-        )
-        for h, t in _ROBOTS_FIXTURE
+    return robots_filter_sql(
+        _FRONTIER_URL_SQL,
+        _robots_values_sql(_ROBOTS_FIXTURE),
+        agent="bbbot",
     )
-    robots_sql = f"SELECT * FROM (VALUES {vals}) t(host, robots_txt)"
-    return robots_filter_sql(_FRONTIER_URL_SQL, robots_sql, agent="bbbot")
 
 
 def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,19 +883,9 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_bigdata_log_tools_spark.sources.warc import parse_warc_files
 
     store = _warc_store(spark, sf_dir)
-    # binaryFile's schema is fixed, but STREAMING file sources demand
-    # it spelled out
-    bin_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("modificationTime", T.TimestampType()),
-            T.StructField("length", T.LongType()),
-            T.StructField("content", T.BinaryType()),
-        ]
-    )
     files = (
         spark.readStream.format("binaryFile")
-        .schema(bin_schema)
+        .schema(_BINFILE_SCHEMA)
         .option("pathGlobFilter", "*.warc.gz")
         .load(store)
     )
@@ -987,6 +984,422 @@ ORDER BY target_uri
 """
 
 
+# --------------------------------------------------------------------------
+# round-10: the crawl loop CLOSED — scheduler output, the WAT sink,
+# the charset decode gate, and the streaming incremental frontier.
+# --------------------------------------------------------------------------
+
+# Politeness fixture EXTENDED with Crawl-delay and Sitemap lines (the
+# r9 _ROBOTS_FIXTURE stays untouched so robots_filter's pinned oracle
+# cannot drift): a.com declares a delay + sitemap in the '*' group;
+# b.com's exact-bbbot group carries 0.5 s while its '*' group carries
+# 10 s (exact shadowing must pick 0.5); c.com's delay lives in a group
+# that doesn't apply to bbbot (default applies); d.com has a
+# non-numeric delay (ignored) before a numeric one; e.com declares two
+# sitemaps, one on ANOTHER host (seed host = the sitemap URL's own).
+_ROBOTS_SCHED_FIXTURE = [
+    (
+        "a.com",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Crawl-delay: 2\nSitemap: https://a.com/sitemap.xml\n",
+    ),
+    (
+        "b.com",
+        "User-agent: bbbot\nDisallow: /*.pdf$\nAllow: /docs\n"
+        "Crawl-delay: 0.5\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 10\n",
+    ),
+    ("c.com", "User-agent: other\nDisallow: /\nCrawl-delay: 7\n"),
+    (
+        "d.com",
+        "User-agent: x\nUser-agent: *\nDisallow: /tmp\n"
+        "Crawl-delay: abc\nCrawl-delay: 3\n",
+    ),
+    (
+        "e.com",
+        "Disallow: /orphan\nUser-agent: *\nDisallow: /docs/f*.pdf\n"
+        "Sitemap: https://cdn.example/e-sitemap.xml\n"
+        "Sitemap: https://e.com/s2.xml\n",
+    ),
+]
+
+_FRONTIER_URL_PRIO_SQL = _FRONTIER_URL_SQL.replace(
+    "AS url\nFROM documents",
+    "AS url,\n       CAST(doc_id % 17 AS DOUBLE) AS priority\nFROM documents",
+)
+
+
+def _robots_values_sql(fixture) -> str:
+    """(host, robots_txt) rows as a DuckDB VALUES relation — control
+    characters rendered with chr() so the oracle string survives any
+    quoting layer (the _robots_filter_oracle escaping, factored)."""
+    vals = ", ".join(
+        "('%s', '%s')"
+        % (
+            h,
+            t.replace("'", "''")
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '"),
+        )
+        for h, t in fixture
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(host, robots_txt)"
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl SCHEDULER output — frontier × robots allow gate ×
+    Crawl-delay × sitemap seeds composed into per-host fetch waves
+    (operators/curation.py frontier_schedule). Frontier = the
+    documents-derived URL synthesis with a priority column; robots =
+    the extended politeness fixture (delays + sitemaps). Oracle =
+    frontier_schedule_sql over the same inputs — the whole schedule
+    (gate verdicts, seed injection, wave ranks, offsets) re-derived in
+    DuckDB from one shared CTE body."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        frontier_schedule,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frontier = _frontier_url_spark(
+        ensure_parallelism(docs), with_priority=True
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_SCHED_FIXTURE, "host string, robots_txt string"
+    )
+    return frontier_schedule(
+        frontier, robots, agent="bbbot", default_delay=1.0,
+        priority_col="priority",
+    )
+
+
+def _frontier_schedule_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        frontier_schedule_sql,
+    )
+
+    return frontier_schedule_sql(
+        _FRONTIER_URL_PRIO_SQL,
+        _robots_values_sql(_ROBOTS_SCHED_FIXTURE),
+        agent="bbbot",
+        default_delay=1.0,
+        with_priority=True,
+    )
+
+
+def _wat_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page WAT metadata JSON from the staged crawl: url + HTTP
+    envelope + sorted outlinks (html_extract_links). The JSON is
+    deterministic column concat — byte-reproducible by the SQL twin —
+    so the sink oracle can pin payload md5s exactly."""
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    pages = _warc_response_pages(recs)
+    links = html_extract_links(ensure_parallelism(pages), sort=False)
+    agg = links.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("href")).alias("hrefs")
+    )
+    uri = F.concat(
+        F.lit(_WARC_URI_PREFIX), F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    outlinks = F.when(
+        F.coalesce(F.size("hrefs"), F.lit(0)) == 0, F.lit("[]")
+    ).otherwise(
+        F.concat(F.lit('["'), F.array_join("hrefs", '","'), F.lit('"]'))
+    )
+    return (
+        pages.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit('{"url":"'),
+                uri,
+                F.lit('","status":200,"content_type":"text/html",'
+                      '"outlinks":'),
+                outlinks,
+                F.lit("}"),
+            ).alias("wat_json"),
+            uri.alias("target_uri"),
+            F.lit(_WARC_DATE).alias("warc_date"),
+        )
+    )
+
+
+def q_write_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT round trip — the THIRD Common Crawl artifact as a sink:
+    staged crawl → per-page metadata JSON (headers + outlinks) →
+    distributed WAT export (metadata records through the shared
+    shard-writer core) → read_warc read-back. Oracle recomputes the
+    JSON byte-for-byte from the page/link algebra, so a green row
+    certifies framing AND metadata-payload fidelity end-to-end."""
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc, write_wat
+
+    meta = _wat_meta(spark, sf_dir)
+    out = _tmp("wat_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    write_wat(meta, out, n_shards=N_WARC_SHARDS).collect()
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return back.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _write_wat_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links_sql,
+    )
+
+    links_sql = html_extract_links_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+    return f"""
+WITH l AS ({links_sql}),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         string_agg(href, '","' ORDER BY href) AS hrefs
+  FROM l GROUP BY doc_id
+),
+pages AS ({_warc_page_sql()}),
+m AS (
+  SELECT p.doc_id,
+         '{{"url":"' || p.target_uri
+         || '","status":200,"content_type":"text/html","outlinks":'
+         || CASE WHEN a.n IS NULL THEN '[]'
+                 ELSE '["' || a.hrefs || '"]' END
+         || '}}' AS wat_json,
+         p.target_uri
+  FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id
+)
+SELECT target_uri,
+       'metadata' AS warc_type,
+       '<urn:wat:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       CAST(octet_length(encode(wat_json)) AS BIGINT) AS n_bytes,
+       md5(wat_json) AS payload_md5
+FROM m
+ORDER BY target_uri
+"""
+
+
+# charset gate fixture: doc_id % 7 picks the page's encoding; the
+# decoration strings are chosen INSIDE each codepage; document text is
+# projected to printable ASCII (the one subset every menu charset
+# encodes identically) so encode() is total and the oracle can rebuild
+# the expected decode as decoration || ascii(text).
+#   (header content-type | None, python codec, page prefix,
+#    expected canon charset, jvm_decoded, charset_supported)
+_CHARSET_VARIANTS = [
+    ("text/html; charset=utf-8", "utf-8", "Ünïcode ✓ ", "utf-8",
+     True, True),
+    ("text/html; charset=windows-1251", "windows-1251", "привет ",
+     "windows-1251", True, True),
+    # no header charset: resolution must come from the meta sniff
+    ("text/html", "koi8-r", "<meta charset=koi8-r>москва ", "koi8-r",
+     True, True),
+    ("text/html; charset=latin2", "iso-8859-2", "Łódź ", "iso-8859-2",
+     True, True),
+    ("text/html; charset=shift_jis", "shift_jis", "こんにちは ",
+     "shift_jis", False, True),
+    # BOM-resolved utf-16le (no header): python branch, BOM stripped
+    ("text/html", "utf-16-le", "ユニコード ", "utf-16le", False, True),
+    # unknown label: utf-8-replace fallback, stays flagged
+    ("text/html; charset=klingon", None, "", "klingon", False, False),
+]
+
+_ASCII_RE = "[^ -~]"
+
+
+def q_decode_payload_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charset-aware page decode surfaced as its own gate key: a
+    mixed-charset store synthesized from documents (doc_id % 7 →
+    windows-1251 / koi8-r-via-meta / iso-8859-2 / shift_jis /
+    BOM'd utf-16le / unknown-label rows) pushed through
+    decode_payload_text_full. The oracle pins, PER ROW, the resolved
+    charset label, the JVM/Python tier boundary (jvm_decoded), the
+    post-completion supported flag, and the md5 of the decoded text —
+    the translate tables, BOM strip, meta sniff, and Python-codec
+    completion all get a direct DuckDB check instead of riding
+    composition keys."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        decode_payload_text_full,
+    )
+
+    docs = ensure_parallelism(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    variants = _CHARSET_VARIANTS
+
+    def enc(batches):
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads, ctypes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                a = re.sub(_ASCII_RE, "", str(text))
+                ctype, codec, prefix, *_ = variants[int(doc_id) % 7]
+                page = prefix + a
+                if codec is None:
+                    payload = page.encode("ascii")
+                elif codec == "utf-16-le":
+                    payload = b"\xff\xfe" + page.encode(codec)
+                else:
+                    payload = page.encode(codec)
+                ids.append(int(doc_id))
+                payloads.append(payload)
+                ctypes.append(ctype)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "http_content_type": ctypes,
+                }
+            )
+
+    raw = docs.mapInPandas(
+        enc, "doc_id long, payload binary, http_content_type string"
+    )
+    out = decode_payload_text_full(raw)
+    return out.select(
+        "doc_id",
+        "charset",
+        "jvm_decoded",
+        "charset_supported",
+        F.md5(F.encode("html", "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _decode_payload_text_oracle() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cs = " ".join(
+        f"WHEN {i} THEN {lit(v[3])}"
+        for i, v in enumerate(_CHARSET_VARIANTS)
+    )
+    jvm = " ".join(
+        f"WHEN {i} THEN {str(v[4]).lower()}"
+        for i, v in enumerate(_CHARSET_VARIANTS)
+    )
+    sup = " ".join(
+        f"WHEN {i} THEN {str(v[5]).lower()}"
+        for i, v in enumerate(_CHARSET_VARIANTS)
+    )
+    txt = " ".join(
+        f"WHEN {i} THEN {lit(v[2])} || a"
+        for i, v in enumerate(_CHARSET_VARIANTS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_ASCII_RE}', '', 'g') AS a
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 7 {cs} END AS charset,
+       CASE doc_id % 7 {jvm} END AS jvm_decoded,
+       CASE doc_id % 7 {sup} END AS charset_supported,
+       md5(CASE doc_id % 7 {txt} END) AS text_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
+def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental frontier: arriving .warc.gz batches →
+    stateless parse/decode/link-extract/absolutize/canonicalize (the
+    SAME projections as the batch path — frontier_urls carries
+    base_url through html_extract_links instead of a stream-stream
+    join) → stateful dropDuplicates on canonical_url → append-mode
+    new-URL discovery. Bounded drain equals the batch frontier's
+    distinct key set (FULL oracle). Production swap: unbounded crawls
+    bound the seen-set state with dropDuplicatesWithinWatermark over
+    the ingest time (re-discovery after the horizon is a re-fetch
+    candidate anyway — the crawl-refresh policy, not a bug)."""
+    from bb_bigdata_log_tools_spark.operators.curation import frontier_urls
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links,
+    )
+    from bb_bigdata_log_tools_spark.registry_streaming import (
+        _drain_to_memory,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import parse_warc_files
+
+    store = _warc_store(spark, sf_dir)
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(store)
+    )
+    recs = parse_warc_files(files)
+    pages = _warc_response_pages(recs, with_base=True)
+    links = html_extract_links(
+        pages, sort=False, extra_cols=("base_url",)
+    )
+    urls = frontier_urls(links)
+    disc = urls.select(
+        "canonical_url",
+        F.lower(
+            F.regexp_extract("canonical_url", "^https?://([^/?#]+)", 1)
+        ).alias("host"),
+    ).dropDuplicates(["canonical_url"])
+    out = _drain_to_memory(disc, "stream_frontier_sink", "append")
+    return out.orderBy("canonical_url")
+
+
+def _stream_frontier_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.html import (
+        html_extract_links_sql,
+    )
+
+    links_sql = html_extract_links_sql(
+        f"SELECT doc_id, html FROM ({_warc_page_sql()})"
+    )
+    base = (
+        f"lower(regexp_extract('{_WARC_URI_PREFIX}' ||"
+        " CAST(doc_id AS VARCHAR) || '.html',"
+        " '^(https?://[^/?#]+)', 1))"
+    )
+    return f"""
+WITH l AS ({links_sql}),
+a AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(href, '^https?://') THEN href
+              WHEN href LIKE '//%' THEN NULL
+              WHEN href LIKE '/%' THEN {base} || href
+              ELSE NULL END AS url
+  FROM l
+),
+c AS (
+  SELECT lower(regexp_extract(url, '^(https?://[^/?#]+)', 1))
+         || regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(url, '^https?://[^/?#]+', ''),
+                  '#.*$', ''),
+                '\\?utm_[^&#? ]*(&utm_[^&#? ]*)*$', ''),
+              '/$', '') AS canonical_url
+  FROM a WHERE url IS NOT NULL
+)
+SELECT DISTINCT canonical_url,
+       lower(regexp_extract(canonical_url, '^https?://([^/?#]+)', 1))
+         AS host
+FROM c
+ORDER BY canonical_url
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -1004,6 +1417,10 @@ SINK_QUERIES = {
     "stream_warc_ingest": q_stream_warc_ingest,
     "crawl_frontier": q_crawl_frontier,
     "robots_filter": q_robots_filter,
+    "frontier_schedule": q_frontier_schedule,
+    "write_wat": q_write_wat,
+    "decode_payload_text": q_decode_payload_text,
+    "stream_frontier": q_stream_frontier,
 }
 
 SINK_ORACLES = {
@@ -1017,6 +1434,10 @@ SINK_ORACLES = {
     "stream_warc_ingest": _read_warc_oracle(),
     "crawl_frontier": _crawl_frontier_oracle(),
     "robots_filter": _robots_filter_oracle(),
+    "frontier_schedule": _frontier_schedule_oracle(),
+    "write_wat": _write_wat_oracle(),
+    "decode_payload_text": _decode_payload_text_oracle(),
+    "stream_frontier": _stream_frontier_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -73,13 +73,28 @@ MAX_MEMBER_BYTES = 256 << 20
 #: Incremental-feed chunk for the member walk (see below).
 _GZ_CHUNK = 4 << 20
 
+#: Decompressed-piece bound for the member walk: the feed chunk caps
+#: the COMPRESSED side only — highly compressible streams (HTML
+#: crawls routinely 10-50×) would otherwise inflate one feed chunk
+#: into a single giant piece, defeating the rolling-buffer memory
+#: bound (probe-measured: a 26 MiB stream compressing to 265 KiB
+#: arrived as ONE piece before this cap).
+_GZ_OUT_CHUNK = 1 << 20
 
-def split_gzip_members(blob: bytes) -> Iterator[bytes]:
-    """Decompressed payload of each gzip member of a multi-member
-    stream, in order (the Common Crawl record-per-member layout).
-    A truncated/corrupt tail — or a member inflating past
-    :data:`MAX_MEMBER_BYTES` (bomb guard) — ends the iteration
-    (keep-going contract: the valid prefix is the answer).
+
+#: Sentinel yielded by :func:`_walk_gzip_members` between members.
+_MEMBER_END = object()
+
+
+def _walk_gzip_members(blob: bytes) -> Iterator[object]:
+    """Core incremental walk of a multi-member gzip stream: yields
+    decompressed PIECES (chunk-sized, never a whole member) with a
+    :data:`_MEMBER_END` sentinel after each complete member. A
+    truncated/corrupt tail — or a member inflating past
+    :data:`MAX_MEMBER_BYTES` (bomb guard) — ends the iteration with
+    the truncated member's pieces un-terminated (no sentinel), so
+    member-level consumers can drop them while stream-level consumers
+    keep the valid prefix.
 
     The compressed bytes are fed to the decompressor in fixed
     ``_GZ_CHUNK`` slices of a ``memoryview``: feeding the whole
@@ -87,65 +102,86 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     ``unused_data`` after EVERY member — an O(members × bytes) copy
     that turned a single 50k-record 1x-file read into minutes
     (measured 355 s → linear after this rewrite). Per member the
-    walk now touches only that member's bytes plus at most one
-    chunk of tail."""
+    walk touches only that member's bytes plus at most one chunk of
+    tail; per STEP it holds one compressed chunk and its inflated
+    output — the bound that keeps a giant single-member .warc.gz from
+    resident-setting an executor."""
     mv = memoryview(blob)
     n = len(blob)
     pos = 0
     while pos < n:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        out = []
         size = 0
         p = pos
         end_of_member = -1
         while p < n:
             chunk = mv[p : min(p + _GZ_CHUNK, n)]
-            try:
-                piece = d.decompress(chunk, MAX_MEMBER_BYTES - size + 1)
-            except zlib.error:
-                return
-            out.append(piece)
-            size += len(piece)
-            if size > MAX_MEMBER_BYTES:
-                return  # bomb guard: member inflates past the cap
+            data = chunk
+            while True:
+                take = min(MAX_MEMBER_BYTES - size + 1, _GZ_OUT_CHUNK)
+                try:
+                    piece = d.decompress(data, take)
+                except zlib.error:
+                    return
+                size += len(piece)
+                if size > MAX_MEMBER_BYTES:
+                    return  # bomb guard: member inflates past the cap
+                if piece:
+                    yield piece
+                if d.eof or not d.unconsumed_tail:
+                    break
+                data = d.unconsumed_tail
             if d.eof:
                 end_of_member = p + len(chunk) - len(d.unused_data)
                 break
-            if d.unconsumed_tail:
-                return  # cap reached mid-stream without eof
             p += len(chunk)
         if end_of_member <= pos:  # truncated member (or no progress)
             return
-        yield b"".join(out)
+        yield _MEMBER_END
         pos = end_of_member
 
 
-def _decode_stream(blob: bytes) -> bytes:
-    """Full decompressed byte stream of a ``.warc`` / ``.warc.gz``
-    blob (gzip sniffed by magic, multi-member concatenation)."""
-    if blob[:2] == b"\x1f\x8b":
-        return b"".join(split_gzip_members(blob))
-    return blob
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompressed payload of each COMPLETE gzip member of a
+    multi-member stream, in order (the Common Crawl record-per-member
+    layout) — the member-level view of :func:`_walk_gzip_members`
+    (truncated trailing member dropped; keep-going contract)."""
+    out: list[bytes] = []
+    for piece in _walk_gzip_members(blob):
+        if piece is _MEMBER_END:
+            yield b"".join(out)
+            out = []
+        else:
+            out.append(piece)
 
 
-def parse_warc_records(blob: bytes):
-    """Yield (headers dict, block bytes) per WARC record of a
-    DECOMPRESSED stream. Header names are lower-cased; the version
-    line is checked for the ``WARC/`` magic. Malformed framing stops
-    the walk (valid-prefix contract)."""
+def _scan_records(buf, final: bool):
+    """Resumable WARC record scan over the FRONT of a decompressed
+    buffer: returns (records, consumed, alive) where ``records`` is a
+    list of (headers dict, block bytes) for every COMPLETE record at
+    the buffer front, ``consumed`` the byte offset the caller may
+    discard, and ``alive`` False when framing is malformed (the walk
+    must stop for good — valid-prefix contract). With ``final=False``
+    an incomplete record at the end simply waits for more bytes
+    (consumed stops before it); with ``final=True`` it is a truncated
+    tail and is dropped. The ONE copy of record framing, shared by the
+    whole-stream parse and the incremental member walk."""
     pos = 0
-    n = len(blob)
+    n = len(buf)
+    records: list[tuple[dict[str, str], bytes]] = []
     while pos < n:
         # tolerate inter-record padding
-        while pos < n and blob[pos : pos + 2] == CRLF:
+        while pos < n and buf[pos : pos + 2] == CRLF:
             pos += 2
-        end = blob.find(CRLF + CRLF, pos)
+        end = buf.find(CRLF + CRLF, pos)
         if end < 0:
-            return
-        head = blob[pos:end]
+            if not final and n - pos < (64 << 10):
+                return records, pos, True  # header may still complete
+            return records, pos, False  # truncated (or absurd) header
+        head = buf[pos:end]
         lines = head.split(CRLF)
         if not lines or not lines[0].startswith(b"WARC/"):
-            return
+            return records, pos, False
         headers: dict[str, str] = {}
         for ln in lines[1:]:
             name, sep, value = ln.partition(b":")
@@ -156,17 +192,59 @@ def parse_warc_records(blob: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            return records, pos, False
         if length < 0:
             # a negative Content-Length would move the scan BACKWARD —
             # the same header would then re-parse forever (found by the
             # round-9 review; regression-tested)
-            return
+            return records, pos, False
         block_start = end + 4
         if block_start + length > n:
-            return  # truncated record
-        yield headers, blob[block_start : block_start + length]
+            # block incomplete: wait for more members unless final
+            return records, pos, not final
+        records.append(
+            (headers, bytes(buf[block_start : block_start + length]))
+        )
         pos = block_start + length
+    return records, pos, True
+
+
+def parse_warc_records(blob: bytes):
+    """Yield (headers dict, block bytes) per WARC record of a
+    DECOMPRESSED stream. Header names are lower-cased; the version
+    line is checked for the ``WARC/`` magic. Malformed framing stops
+    the walk (valid-prefix contract)."""
+    records, _consumed, _alive = _scan_records(blob, final=True)
+    yield from records
+
+
+def iter_warc_records(blob: bytes):
+    """Yield (headers dict, block bytes) per WARC record of a raw
+    ``.warc`` / ``.warc.gz`` blob WITHOUT materializing the full
+    decompressed stream: the gzip walk yields chunk-sized pieces into
+    a rolling buffer that is drained record-by-record, so peak memory
+    is one decode chunk plus one partial record — not the whole
+    inflated file (~10× the compressed bytes on text), and not even
+    one whole member (a giant SINGLE-member .warc.gz — the
+    un-indexed-upload shape — stays flat too). Records spanning
+    member boundaries (non-CC layouts gzip the stream split
+    arbitrarily) complete as pieces arrive; only a stream-final
+    partial record is dropped (truncation contract)."""
+    if blob[:2] != b"\x1f\x8b":
+        yield from parse_warc_records(blob)
+        return
+    buf = bytearray()
+    for piece in _walk_gzip_members(blob):
+        if piece is _MEMBER_END:
+            continue  # record framing doesn't care about member seams
+        buf += piece
+        records, consumed, alive = _scan_records(buf, final=False)
+        yield from records
+        del buf[:consumed]
+        if not alive:
+            return
+    records, _consumed, _alive = _scan_records(buf, final=True)
+    yield from records
 
 
 #: Per-record decompressed-body cap: a few KB of gzip can inflate to
@@ -207,9 +285,16 @@ def _dechunk(body: bytes) -> bytes | None:
 def _decode_content_encoding(body: bytes, encoding: str) -> bytes | None:
     """Inflate a gzip/deflate HTTP body (Content-Encoding), bounded by
     HTTP_BODY_DECODE_CAP. Returns None for other encodings, malformed
-    streams, or cap overflow — the caller keeps the raw body.
-    'deflate' tries zlib-wrapped first, then raw-deflate (both occur
-    in the wild)."""
+    OR TRUNCATED streams, or cap overflow — the caller keeps the raw
+    body. 'deflate' tries zlib-wrapped first, then raw-deflate (both
+    occur in the wild).
+
+    Truncation is detected via ``d.eof``: zlib does not raise when a
+    stream simply stops early, so without the check a cut-off body
+    would silently yield a PARTIAL page presented as fully decoded —
+    inconsistent with the raw-body fallback every other malformation
+    takes. Reaching eof also means the gzip trailer (CRC32 + ISIZE)
+    was processed, so CRC mismatches raise inside decompress."""
     import zlib
 
     enc = encoding.strip().lower()
@@ -225,7 +310,9 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes | None:
             out = d.decompress(body, HTTP_BODY_DECODE_CAP)
             if d.unconsumed_tail:
                 return None  # cap exceeded — keep the raw body
-            return out + d.flush()
+            if not d.eof:
+                return None  # truncated stream — keep the raw body
+            return out
         except zlib.error:
             continue
     return None
@@ -315,8 +402,19 @@ def _single_byte_translate(py_codec: str) -> tuple[str, str]:
 #: Arrow-batched Python decode branch in a deployment that needs
 #: them.
 SINGLE_BYTE_CHARSETS: tuple[tuple[str, tuple[str, ...]], ...] = (
-    ("windows-1252", ("windows-1252", "cp1252", "x-cp1252")),
-    ("iso-8859-1", ("iso-8859-1", "latin-1", "latin1", "iso8859-1", "l1")),
+    # WHATWG: the iso-8859-1/latin1 and us-ascii labels ARE
+    # windows-1252 (browsers decode them that way — real pages labeled
+    # iso-8859-1 routinely carry cp1252 smart quotes/dashes in
+    # 0x80–0x9F, which a true Latin-1 decode would turn into C1
+    # control characters).
+    (
+        "windows-1252",
+        (
+            "windows-1252", "cp1252", "x-cp1252",
+            "iso-8859-1", "latin-1", "latin1", "iso8859-1", "l1",
+            "us-ascii", "ascii",
+        ),
+    ),
     ("iso-8859-2", ("iso-8859-2", "latin2")),
     ("iso-8859-15", ("iso-8859-15", "latin9")),
     ("windows-1251", ("windows-1251", "cp1251")),
@@ -331,7 +429,7 @@ SINGLE_BYTE_CHARSETS: tuple[tuple[str, tuple[str, ...]], ...] = (
 #: a fixed deny-list would silently mojibake the exotic ones.
 _JVM_DECODABLE_LABELS = tuple(
     a for _c, aliases in SINGLE_BYTE_CHARSETS for a in aliases
-) + ("utf-8", "utf8", "us-ascii", "ascii")
+) + ("utf-8", "utf8")
 
 
 def decode_payload_text(
@@ -346,13 +444,19 @@ def decode_payload_text(
     KILLS the job on the first malformed page (Spark 4 decode throws).
     Resolution order (WHATWG-style, simplified):
 
-    1. a UTF-16/UTF-8 byte-order mark;
+    1. a UTF-16/UTF-8 byte-order mark (a BOM is a MARK, not content:
+       the UTF-8 BOM bytes are stripped before decoding);
     2. the ``charset=`` parameter of the Content-Type header value;
     3. a ``<meta charset=…>`` sniffed from the first ``sniff_bytes``
        bytes (decoded as ISO-8859-1 — byte-transparent — for the
        sniff only);
     4. UTF-8 with replacement (the web default; also every unknown
        label).
+
+    Labels alias per the WHATWG encoding standard where the menu
+    covers them — notably ``iso-8859-1``/``latin1``/``us-ascii`` ARE
+    ``windows-1252`` (what browsers actually do; real iso-labeled
+    pages carry cp1252 punctuation in 0x80–0x9F).
 
     Single-byte charsets (:data:`SINGLE_BYTE_CHARSETS`) decode
     exactly via ISO-8859-1 + ``translate``; UTF-8/ASCII via the
@@ -398,7 +502,14 @@ def decode_payload_text(
     # wraps the raw bytes as a string WITHOUT validating (invalid
     # UTF-8 survives inside the "string" and crashes at the next
     # Arrow boundary) — make_valid_utf8 is what actually replaces.
-    utf8_fallback = F.make_valid_utf8(payload.cast("string"))
+    # A UTF-8 BOM is a byte-order MARK, not content (WHATWG strips
+    # it before decoding): drop the three bytes so the decoded text
+    # doesn't lead with U+FEFF — a ZWNBSP prefix would make the page
+    # hash/dedup differently from its BOM-less twin.
+    utf8_payload = F.when(
+        bom3 == "EFBBBF", F.expr(f"substring({payload_col}, 4)")
+    ).otherwise(payload)
+    utf8_fallback = F.make_valid_utf8(utf8_payload.cast("string"))
     decoded = None
     for canon, aliases in SINGLE_BYTE_CHARSETS:
         src, dst = _single_byte_translate(canon)
@@ -445,12 +556,17 @@ def decode_payload_text_full(
     corpus scan-side; ONLY the flagged slice (a fraction of a percent
     of real crawls) crosses the Arrow boundary — both slices stay
     executor-side and union back with no shuffle.
+
+    Adds ``jvm_decoded`` (was the row decoded entirely JVM-side?) next
+    to the re-evaluated ``charset_supported`` — the tier boundary
+    stays observable after the Python completion (quality gates and
+    the driver oracle pin it).
     """
     from pyspark.sql import functions as F
 
     base = decode_payload_text(
         df, payload_col, ctype_col, out_col, sniff_bytes
-    )
+    ).withColumn("jvm_decoded", F.col("charset_supported"))
     supported = base.filter(F.col("charset_supported"))
     flagged = base.filter(~F.col("charset_supported"))
     schema = base.schema
@@ -461,10 +577,20 @@ def decode_payload_text_full(
 
         import pandas as pd  # noqa: F401
 
+        # a BOM is a byte-order MARK, not content (WHATWG strips it
+        # before decoding) — the JVM tier does the same for UTF-8
+        _BOMS = {
+            "utf-16le": b"\xff\xfe",
+            "utf-16be": b"\xfe\xff",
+            "utf-8": b"\xef\xbb\xbf",
+        }
         for pdf in batches:
             texts, ok = [], []
             for payload, label in zip(pdf[payload_col], pdf["charset"]):
                 raw = bytes(payload)
+                bom = _BOMS.get(label)
+                if bom and raw.startswith(bom):
+                    raw = raw[len(bom):]
                 try:
                     codec = codecs.lookup(label)
                     texts.append(codec.decode(raw, "replace")[0])
@@ -507,14 +633,23 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
         import pandas as pd
 
         cols = [f.name for f in WARC_SCHEMA.fields]
+        # Chunked yields bound executor memory: a 1 GB .warc.gz would
+        # otherwise accumulate EVERY record row of the file in one
+        # pandas frame before the first Arrow batch leaves Python.
+        # Paired with iter_warc_records' rolling member buffer, peak
+        # per-task memory is the compressed blob + one member + one
+        # output chunk — flat in file size past the blob itself.
+        chunk_rows = 2000
         for pdf in batches:
             out = {k: [] for k in cols}
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                stream = _decode_stream(bytes(blob))
                 for i, (hdr, block) in enumerate(
-                    parse_warc_records(stream)
+                    iter_warc_records(bytes(blob))
                 ):
                     _append_record_row(out, fpath, i, hdr, block)
+                    if len(out["file"]) >= chunk_rows:
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in cols}
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
@@ -908,3 +1043,34 @@ def write_wet(
         texts, "wet:", n_shards, id_col, text_col, uri_col, date_col
     )
     return _write_record_shards(tagged, out_dir, "wet", n_shards, rec)
+
+
+def write_wat(
+    meta: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    json_col: str = "wat_json",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """DISTRIBUTED WAT export — the third Common Crawl artifact: one
+    ``metadata`` record per input row whose block is the page's
+    metadata JSON (``json_col``, already serialized by the caller —
+    typically headers + outlinks from ``html_extract_links``; keeping
+    serialization caller-side keeps this sink one copy of the shared
+    shard-writer core with write_warc/write_wet, not a JSON policy).
+    Record Content-Type is ``application/json`` (the CC WAT layout);
+    read back with :func:`read_warc` (metadata payloads flow
+    verbatim)."""
+
+    def rec(key, payload, uri, date):
+        return build_warc_record(
+            "metadata", f"<urn:wat:{key}>", uri, date,
+            payload.encode("utf-8"), content_type="application/json",
+        )
+
+    tagged = _tag_shards(
+        meta, "wat:", n_shards, id_col, json_col, uri_col, date_col
+    )
+    return _write_record_shards(tagged, out_dir, "wat", n_shards, rec)

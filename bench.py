@@ -214,6 +214,12 @@ BENCH_QUERIES = [
     "stream_warc_ingest",
     "crawl_frontier",
     "robots_filter",
+    # round-10: the crawl loop closed (scheduler, WAT sink, charset
+    # gate, streaming frontier)
+    "frontier_schedule",
+    "write_wat",
+    "decode_payload_text",
+    "stream_frontier",
 ]
 
 

@@ -494,6 +494,18 @@ def test_http_content_encoding_gzip_and_deflate():
     assert parse_http_response(
         _http_with(b"nogzip", [b"Content-Encoding: gzip"])
     )[2] == b"nogzip"
+    # TRUNCATED gzip stream: zlib doesn't raise on a cut-off body, but
+    # presenting a partial page as fully decoded would be silent data
+    # loss — the d.eof check keeps the raw body instead
+    cut = _gz.compress(want)[:-8]
+    assert parse_http_response(
+        _http_with(cut, [b"Content-Encoding: gzip"])
+    )[2] == cut
+    # truncated zlib-wrapped deflate likewise
+    cut2 = _zl.compress(want)[: len(_zl.compress(want)) // 2]
+    assert parse_http_response(
+        _http_with(cut2, [b"Content-Encoding: deflate"])
+    )[2] == cut2
 
 
 def test_http_chunked_then_gzip():
@@ -586,9 +598,12 @@ def test_decode_payload_text_charsets(spark):
         # (doc, payload bytes, content_type, want charset, supported, text)
         (0, euro.encode("windows-1252"),
          "text/html; charset=windows-1252", "windows-1252", True, euro),
-        (1, "caf\xe9 au lait".encode("iso-8859-1"),
-         'text/html; charset="ISO-8859-1"', "iso-8859-1", True,
-         "caf\xe9 au lait"),
+        # WHATWG: the iso-8859-1 label IS windows-1252 — cp1252 smart
+        # quotes (0x93/0x94) in an iso-labeled page must decode as
+        # quotes, not C1 controls
+        (1, b"caf\xe9 \x93au lait\x94",
+         'text/html; charset="ISO-8859-1"', "windows-1252", True,
+         "caf\xe9 “au lait”"),
         (2, ru.encode("windows-1251"),
          "text/html; charset=windows-1251", "windows-1251", True, ru),
         (3, meta_page.encode("windows-1252"),
@@ -605,6 +620,14 @@ def test_decode_payload_text_charsets(spark):
          "utf-16le", False, None),  # flagged for the python branch
         (9, "sjis".encode(), "text/html; charset=Shift_JIS",
          "shift_jis", False, None),
+        # a UTF-8 BOM selects utf-8 AND is stripped (it is a mark,
+        # not content — a U+FEFF prefix would dedup/hash differently
+        # from the BOM-less twin)
+        (10, b"\xef\xbb\xbf" + "bom page".encode(), "text/html",
+         "utf-8", True, "bom page"),
+        # us-ascii label: WHATWG maps it to windows-1252 too
+        (11, "plain".encode(), "text/html; charset=us-ascii",
+         "windows-1252", True, "plain"),
     ]
     df = spark.createDataFrame(
         [(i, p, ct) for i, p, ct, *_ in cases],
