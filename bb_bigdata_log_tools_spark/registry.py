@@ -381,21 +381,22 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-10 rotation (policy above, executed): (a) the 4 new round-10
+# Round-10 rotation (policy above, executed): (a) the 5 new round-10
 # keys at the head so they earn driver evidence immediately; (b) the
 # 19-key r5-vintage tail deferred from the round-9 rotation (oldest
 # evidence on the tree — events_dau_wau onward in the old list);
-# (c) the 48-key r6-vintage cohort, of which the first 27 fit this
-# round's 50-key window and the 21-key tail (stream_approx_distinct
-# onward) leads round 11. After r10 no key's driver evidence is older
-# than r6; the two-round cadence then covers every key at <= 4 rounds
-# stale.
+# (c) the 48-key r6-vintage cohort, of which the first 26 fit this
+# round's 50-key window (audio_pcm_stats is the last in) and the
+# 22-key tail (audio_resample onward) leads round 11. After r10 no
+# key's driver evidence is older than r6; the two-round cadence then
+# covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-10 new keys ---
     "frontier_schedule",
     "write_wat",
     "decode_payload_text",
     "stream_frontier",
+    "write_warc_revisit",
     # --- the 19-key r5-vintage tail (deferred from round 9) ---
     "events_dau_wau",
     "sessions_summary",
@@ -445,8 +446,8 @@ _WINDOW_PRIORITY: list[str] = [
     "approx_distinct_hll",
     "approx_distinct_kmv",
     "audio_pcm_stats",
-    "audio_resample",
     # --- r6 tail (leads the round-11 window) ---
+    "audio_resample",
     "stream_approx_distinct",
     "dedup_graph_triangles",
     "boom_read_split",

@@ -1315,6 +1315,88 @@ ORDER BY doc_id
 """
 
 
+def q_write_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-side dedup round trip: the page set PLUS re-crawl
+    aliases (the crawl_curate alias fixture — same bytes under a
+    second URL) through write_warc_deduped → aliased captures become
+    ``revisit`` records (empty block, WARC-Refers-To the keeper,
+    md5-labelled payload digest) → read_warc read-back surfaces the
+    linkage columns. Oracle replays keeper selection (min id per
+    payload digest) and pins record type, refers-to, digest, and
+    payload md5 per row — the CC deduplication story certified
+    end-to-end."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        read_warc,
+        write_warc_deduped,
+    )
+
+    pages = _warc_pages(spark, sf_dir)
+    aliases = pages.filter(
+        F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
+    ).select(
+        (F.col("doc_id") + _CC_ALIAS_OFFSET).alias("doc_id"),
+        "html",
+        F.concat(
+            F.lit(_WARC_URI_PREFIX),
+            (F.col("doc_id") + _CC_ALIAS_OFFSET).cast("string"),
+            F.lit(".html"),
+        ).alias("target_uri"),
+        "warc_date",
+    )
+    out = _tmp("warc_revisit", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    write_warc_deduped(
+        ensure_parallelism(pages.unionByName(aliases)), out,
+        n_shards=N_WARC_SHARDS,
+    ).collect()
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return back.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "refers_to",
+        "payload_digest",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _write_warc_revisit_oracle() -> str:
+    return f"""
+WITH pages AS (
+  SELECT doc_id, html, target_uri FROM ({_warc_page_sql()})
+  UNION ALL
+  SELECT doc_id + {_CC_ALIAS_OFFSET},
+         html,
+         '{_WARC_URI_PREFIX}' || CAST(doc_id + {_CC_ALIAS_OFFSET} AS VARCHAR)
+           || '.html'
+  FROM ({_warc_page_sql()})
+  WHERE doc_id % {_CC_ALIAS_MOD} = {_CC_ALIAS_REM}
+),
+k AS (
+  SELECT doc_id, html, target_uri, md5(html) AS digest,
+         min(doc_id) OVER (PARTITION BY md5(html)) AS keeper
+  FROM pages
+)
+SELECT target_uri,
+       CASE WHEN doc_id = keeper THEN 'response' ELSE 'revisit' END
+         AS warc_type,
+       '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       CASE WHEN doc_id = keeper THEN ''
+            ELSE '<urn:doc:' || CAST(keeper AS VARCHAR) || '>' END
+         AS refers_to,
+       'md5:' || digest AS payload_digest,
+       CAST(CASE WHEN doc_id = keeper
+                 THEN octet_length(encode(html)) ELSE 0 END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN doc_id = keeper THEN md5(html)
+            ELSE md5('') END AS payload_md5
+FROM k
+ORDER BY target_uri
+"""
+
+
 def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental frontier: arriving .warc.gz batches →
     stateless parse/decode/link-extract/absolutize/canonicalize (the
@@ -1421,6 +1503,7 @@ SINK_QUERIES = {
     "write_wat": q_write_wat,
     "decode_payload_text": q_decode_payload_text,
     "stream_frontier": q_stream_frontier,
+    "write_warc_revisit": q_write_warc_revisit,
 }
 
 SINK_ORACLES = {
@@ -1438,6 +1521,7 @@ SINK_ORACLES = {
     "write_wat": _write_wat_oracle(),
     "decode_payload_text": _decode_payload_text_oracle(),
     "stream_frontier": _stream_frontier_oracle(),
+    "write_warc_revisit": _write_warc_revisit_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

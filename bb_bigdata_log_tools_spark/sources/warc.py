@@ -55,6 +55,11 @@ WARC_SCHEMA = T.StructType(
         T.StructField("record_id", T.StringType()),
         T.StructField("target_uri", T.StringType()),
         T.StructField("warc_date", T.StringType()),
+        # revisit-record linkage (WARC 1.1 §6.7): which earlier capture
+        # this record deduplicates against, and the payload digest the
+        # claim rests on — '' on records that don't carry the headers
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("http_content_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
@@ -670,6 +675,8 @@ def _append_record_row(out: dict, fpath: str, pos: int, hdr, block) -> None:
     out["record_id"].append(hdr.get("warc-record-id", ""))
     out["target_uri"].append(hdr.get("warc-target-uri", ""))
     out["warc_date"].append(hdr.get("warc-date", ""))
+    out["refers_to"].append(hdr.get("warc-refers-to", ""))
+    out["payload_digest"].append(hdr.get("warc-payload-digest", ""))
     out["http_status"].append(status)
     out["http_content_type"].append(ctype)
     out["n_bytes"].append(len(body))
@@ -806,10 +813,13 @@ def build_warc_record(
     warc_date: str,
     block: bytes,
     content_type: str | None = None,
+    extra_headers: tuple[tuple[str, str], ...] = (),
 ) -> bytes:
     """Spec-conformant serialized WARC record (writer side — shared by
     the distributed sink and the fixture writer so record bytes cannot
-    drift between them)."""
+    drift between them). ``extra_headers`` emit in order after the
+    Target-URI line (revisit linkage: WARC-Refers-To /
+    WARC-Payload-Digest / WARC-Profile)."""
     if content_type is None:
         content_type = (
             "application/http;msgtype=response"
@@ -824,6 +834,8 @@ def build_warc_record(
     ]
     if target_uri:
         head.append(b"WARC-Target-URI: " + target_uri.encode())
+    for name, value in extra_headers:
+        head.append(name.encode() + b": " + value.encode())
     head.append(b"Content-Type: " + content_type.encode())
     head.append(b"Content-Length: " + str(len(block)).encode())
     return CRLF.join(head) + CRLF + CRLF + block + CRLF + CRLF
@@ -883,9 +895,12 @@ def _write_record_shards(
 ) -> DataFrame:
     """Shared distributed shard-writer core (the ``write_webdataset``
     pattern, sources/webdataset.py): ``tagged`` carries (shard_id,
-    rec_key, payload string, target_uri, warc_date);
-    ``make_record(key, payload, uri, date) -> bytes`` serializes one
-    WARC record. One exchange on shard_id, records sorted by key
+    rec_key, payload string, target_uri, warc_date[, rec_meta]);
+    ``make_record(key, payload, uri, date[, meta]) -> bytes``
+    serializes one WARC record (the meta argument is passed only when
+    ``tagged`` carries the optional ``rec_meta`` column — the revisit
+    sink's keeper/digest linkage; sinks without it keep the 4-arg
+    signature). One exchange on shard_id, records sorted by key
     within a shard, one gzip member per record, attempt-unique temp
     name + atomic rename publish. Returns the manifest (shard_id,
     path, n_records, total_bytes — UNCOMPRESSED record bytes, the
@@ -914,15 +929,25 @@ def _write_record_shards(
             )
         sid = int(pdf["shard_id"].iloc[0])
         path = os.path.join(out_dir, f"{prefix}-{sid:05d}.warc.gz")
+        has_meta = "rec_meta" in pdf.columns
         # FULL-tuple sort: key ties (duplicate ids) must still order
         # deterministically or re-runs stop being byte-identical
-        rows = sorted(
-            (int(k), str(p), str(u), str(d))
-            for k, p, u, d in zip(
-                pdf["rec_key"], pdf["payload"], pdf["target_uri"],
-                pdf["warc_date"],
+        if has_meta:
+            rows = sorted(
+                (int(k), str(p), str(u), str(d), str(m))
+                for k, p, u, d, m in zip(
+                    pdf["rec_key"], pdf["payload"], pdf["target_uri"],
+                    pdf["warc_date"], pdf["rec_meta"],
+                )
             )
-        )
+        else:
+            rows = sorted(
+                (int(k), str(p), str(u), str(d))
+                for k, p, u, d in zip(
+                    pdf["rec_key"], pdf["payload"], pdf["target_uri"],
+                    pdf["warc_date"],
+                )
+            )
         tc = TaskContext.get()
         attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         tmp = f"{path}.inprogress.{attempt}"
@@ -933,8 +958,8 @@ def _write_record_shards(
         # (read_warc_split) possible without boundary heuristics.
         idx_lines = []
         with open(tmp, "wb") as f:
-            for i, (key, payload, uri, date) in enumerate(rows):
-                rec = make_record(key, payload, uri, date)
+            for i, row in enumerate(rows):
+                rec = make_record(*row)
                 member = gzip_member(rec)
                 idx_lines.append(f"{i} {f.tell()} {len(member)}\n")
                 f.write(member)
@@ -968,6 +993,7 @@ def _tag_shards(
     payload_col: str,
     uri_col: str,
     date_col: str,
+    meta_col: str | None = None,
 ) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -977,7 +1003,7 @@ def _tag_shards(
         md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
         F.lit(n_shards),
     ).cast("int")
-    return df.select(
+    cols = [
         shard.alias("shard_id"),
         F.col(id_col).cast("long").alias("rec_key"),
         # make_valid_utf8: the writer is an applyInPandas (Arrow
@@ -987,7 +1013,10 @@ def _tag_shards(
         F.make_valid_utf8(F.col(payload_col).cast("string")).alias("payload"),
         F.col(uri_col).cast("string").alias("target_uri"),
         F.col(date_col).cast("string").alias("warc_date"),
-    )
+    ]
+    if meta_col is not None:
+        cols.append(F.col(meta_col).cast("string").alias("rec_meta"))
+    return df.select(*cols)
 
 
 def write_warc(
@@ -1074,3 +1103,89 @@ def write_wat(
         meta, "wat:", n_shards, id_col, json_col, uri_col, date_col
     )
     return _write_record_shards(tagged, out_dir, "wat", n_shards, rec)
+
+
+#: WARC 1.1 revisit profile URI for payload-identical re-crawls.
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def write_warc_deduped(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """CRAWLER-side dedup export — the Common Crawl deduplication
+    story as a sink: pages whose payload digest matches an earlier
+    capture are written as ``revisit`` records (WARC 1.1 §6.7,
+    identical-payload-digest profile: empty block, WARC-Refers-To the
+    keeper's record id, WARC-Payload-Digest the shared digest) instead
+    of storing the body twice; the digest-first capture (lowest id —
+    deterministic, re-run stable) stays a full ``response`` record,
+    digest-stamped. Keeper selection is the dup_exact algebra
+    (min(id) over md5(payload)) — one window over the digest
+    clustering, then the shared shard-writer core.
+
+    Digest note: WARC-Payload-Digest is ``md5:<hex>`` here (labelled
+    algorithm per the spec's ``algorithm:value`` form; CC ships
+    sha1/base32 — md5 keeps the digest recomputable by the engine's
+    SQL twins, and the label makes the choice explicit on every
+    record).
+
+    100 TB shape: ONE digest exchange (the window) + the writer's
+    shard exchange; revisit blocks are empty, so storage and write
+    bandwidth drop by the duplicate mass — the reason the profile
+    exists.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    digest = F.md5(F.encode(F.col(html_col).cast("string"), "UTF-8"))
+    w = Window.partitionBy("_digest")
+    marked = (
+        pages.withColumn("_digest", digest)
+        .withColumn("_keeper", F.min(F.col(id_col)).over(w))
+        .withColumn(
+            "_meta",
+            F.concat(
+                F.lit("md5:"), F.col("_digest"), F.lit("|"),
+                F.when(
+                    F.col(id_col) != F.col("_keeper"),
+                    F.col("_keeper").cast("string"),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "_payload",
+            F.when(
+                F.col(id_col) == F.col("_keeper"), F.col(html_col)
+            ).otherwise(F.lit("")),
+        )
+    )
+
+    def rec(key, payload, uri, date, meta):
+        digest_part, _, keeper = meta.partition("|")
+        if keeper:  # duplicate capture → revisit record, empty block
+            return build_warc_record(
+                "revisit", f"<urn:doc:{key}>", uri, date, b"",
+                content_type="application/http;msgtype=response",
+                extra_headers=(
+                    ("WARC-Refers-To", f"<urn:doc:{keeper}>"),
+                    ("WARC-Payload-Digest", digest_part),
+                    ("WARC-Profile", REVISIT_PROFILE),
+                ),
+            )
+        return build_warc_record(
+            "response", f"<urn:doc:{key}>", uri, date,
+            build_http_response(payload.encode("utf-8")),
+            extra_headers=(("WARC-Payload-Digest", digest_part),),
+        )
+
+    tagged = _tag_shards(
+        marked, "warc:", n_shards, id_col, "_payload", uri_col, date_col,
+        meta_col="_meta",
+    )
+    return _write_record_shards(tagged, out_dir, "crawl", n_shards, rec)

@@ -220,10 +220,29 @@ BENCH_QUERIES = [
     "write_wat",
     "decode_payload_text",
     "stream_frontier",
+    "write_warc_revisit",
 ]
 
 
 RERUN_THRESHOLD_S = 2.5
+
+#: Annotate readings taken under hypervisor contention: the round-10
+#: adjudication showed multi-stage Python-worker keys run 2-3x slower
+#: during steal windows (stream_skew_asof_join 12.8 s @ 3.7% steal →
+#: 3.5 s @ 0.1%, converging monotonically). A steal%-stamped artifact
+#: lets the regression gate tell environment from code.
+STEAL_ANNOTATE_PCT = 0.5
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat — 0,0 where the
+    file is unavailable (non-Linux; steal annotation disabled)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:  # noqa: BLE001 — annotation is best-effort
+        return 0, 0
 
 
 def run_bench(spark, sf_dir: str, queries: dict, names: list[str]) -> dict:
@@ -249,22 +268,32 @@ def run_bench(spark, sf_dir: str, queries: dict, names: list[str]) -> dict:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     reruns: dict[str, list[float]] = {}
+    steal: dict[str, float] = {}
 
-    def one_run(fn):
+    def one_run(fn, name=None):
+        s0_tot, s0_st = _cpu_sample()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink: forces full computation of every column
         # JVM-side (count() would let Catalyst prune; foreach would
         # pay Python serialization that isn't the engine's work).
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        s1_tot, s1_st = _cpu_sample()
+        if name is not None and s1_tot > s0_tot:
+            pct = 100.0 * (s1_st - s0_st) / (s1_tot - s0_tot)
+            if pct >= STEAL_ANNOTATE_PCT:
+                # keep the WORST steal seen across this key's runs —
+                # the contamination bound, not the average
+                steal[name] = max(steal.get(name, 0.0), round(pct, 2))
+        return dt
 
     for name in names:
         fn = queries.get(name)
         if fn is None:
             continue
         try:
-            first = one_run(fn)
+            first = one_run(fn, name)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
@@ -274,7 +303,7 @@ def run_bench(spark, sf_dir: str, queries: dict, names: list[str]) -> dict:
             # reading — the retry exists to improve a reading, never
             # to turn one into an error
             try:
-                second = one_run(fn)
+                second = one_run(fn, name)
             except Exception as exc:  # noqa: BLE001
                 reruns[name] = [round(first, 3), f"retry failed: {exc}"[:120]]
                 continue
@@ -294,6 +323,8 @@ def run_bench(spark, sf_dir: str, queries: dict, names: list[str]) -> dict:
         payload["errors"] = errors
     if reruns:
         payload["reruns"] = reruns
+    if steal:
+        payload["steal_pct"] = steal
     return payload
 
 
@@ -360,6 +391,8 @@ def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
         summary["error_count"] = len(payload["errors"])
     if "reruns" in payload:
         summary["rerun_count"] = len(payload["reruns"])
+    if "steal_pct" in payload:
+        summary["steal_flagged"] = len(payload["steal_pct"])
     lines = [json.dumps(summary)]
     names = list(timings)
     for i in range(0, len(names), chunk_size):
@@ -374,6 +407,16 @@ def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
             chunk = {n: payload["reruns"][n] for n in rnames[i : i + chunk_size]}
             lines.append(
                 json.dumps({"bench_reruns_part": i // chunk_size + 1, "reruns": chunk})
+            )
+    if "steal_pct" in payload:
+        # hypervisor-contention stamps: which keys ran under >=0.5%
+        # steal and how bad — the environment-vs-code audit trail the
+        # r10 BASELINE adjudication calls for
+        snames = list(payload["steal_pct"])
+        for i in range(0, len(snames), chunk_size):
+            chunk = {n: payload["steal_pct"][n] for n in snames[i : i + chunk_size]}
+            lines.append(
+                json.dumps({"bench_steal_part": i // chunk_size + 1, "steal_pct": chunk})
             )
     if "errors" in payload:
         # errors chunk like timings: a broken session can fail ~150

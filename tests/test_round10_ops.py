@@ -266,6 +266,33 @@ def test_frontier_urls_projection(spark):
     ]
 
 
+def test_write_warc_deduped_revisit_roundtrip(spark, tmp_path):
+    """Duplicate-payload captures become revisit records (empty block,
+    refers-to the lowest-id keeper, shared md5-labelled digest);
+    keepers stay digest-stamped response records."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc_deduped
+
+    pages = spark.createDataFrame(
+        [
+            (1, "<p>same body</p>", "https://x.test/1", "2026-01-01T00:00:00Z"),
+            (5, "<p>same body</p>", "https://x.test/5", "2026-01-01T00:00:00Z"),
+            (3, "<p>unique</p>", "https://x.test/3", "2026-01-01T00:00:00Z"),
+        ],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    out = str(tmp_path / "dedup")
+    write_warc_deduped(pages, out, n_shards=2).collect()
+    back = {r.record_id: r for r in read_warc(spark, out + "/*.warc.gz").collect()}
+    r1, r5, r3 = back["<urn:doc:1>"], back["<urn:doc:5>"], back["<urn:doc:3>"]
+    assert r1.warc_type == "response" and r1.refers_to == ""
+    assert bytes(r1.payload) == b"<p>same body</p>"
+    assert r5.warc_type == "revisit"
+    assert r5.refers_to == "<urn:doc:1>"
+    assert r5.payload_digest == r1.payload_digest
+    assert r5.payload_digest.startswith("md5:") and r5.n_bytes == 0
+    assert r3.warc_type == "response" and r3.refers_to == ""
+
+
 @pytest.mark.slow
 def test_registry_round10_vs_duckdb(spark, sf_dir):
     """The four new keys against their DuckDB oracles at test SF —
@@ -282,7 +309,7 @@ def test_registry_round10_vs_duckdb(spark, sf_dir):
         )
     for key in (
         "frontier_schedule", "write_wat", "decode_payload_text",
-        "stream_frontier",
+        "stream_frontier", "write_warc_revisit",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
