@@ -560,7 +560,13 @@ def decode_payload_text_full(
     100 TB shape: the JVM tier handles the overwhelming share of the
     corpus scan-side; ONLY the flagged slice (a fraction of a percent
     of real crawls) crosses the Arrow boundary — both slices stay
-    executor-side and union back with no shuffle.
+    executor-side and union back with no shuffle. Plan note: the two
+    union branches each re-evaluate the upstream plan (Spark shares no
+    subplan across a union) — cheap when the input is a columnar scan
+    with the flagged branch's filter pushed down; if the upstream is
+    itself an expensive parse (raw WARC bytes), materialize the parsed
+    records first (write/persist) and decode from that relation, or
+    accept one extra scan.
 
     Adds ``jvm_decoded`` (was the row decoded entirely JVM-side?) next
     to the re-evaluated ``charset_supported`` — the tier boundary

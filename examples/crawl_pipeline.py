@@ -4,11 +4,14 @@ Run:  python examples/crawl_pipeline.py [sf_dir]
 
 crawl bytes (.warc.gz) → record parse → HTML extraction (text /
 links / metadata) → curation decision list (thin-gate, exact dedup,
-decontamination, split) → WET export of the kept text — the Common
-Crawl WARC/WET/WAT triple as one lazy DataFrame program. Every
-operator documents its 100 TB shape in its docstring; the only
-driver-side materializations here are the prints and the ≤ n_shards
-sink manifests.
+decontamination, split) → WET export of the kept text → the crawl
+loop CLOSED: frontier → robots gate → per-host fetch waves
+(frontier_schedule), plus the WAT metadata export and the dedup
+(revisit-record) export — all three Common Crawl artifacts and the
+scheduler as one lazy DataFrame program. Every operator documents
+its 100 TB shape in its docstring; the only driver-side
+materializations here are the prints and the ≤ n_shards sink
+manifests.
 """
 
 import shutil
@@ -22,6 +25,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from bb_bigdata_log_tools_spark.operators.curation import (  # noqa: E402
     crawl_curate,
     crawl_frontier,
+    frontier_schedule,
     robots_crawl_delay,
     robots_filter,
 )
@@ -34,6 +38,8 @@ from bb_bigdata_log_tools_spark.session import get_spark, table  # noqa: E402
 from bb_bigdata_log_tools_spark.sources.warc import (  # noqa: E402
     read_warc,
     write_warc,
+    write_warc_deduped,
+    write_wat,
     write_wet,
 )
 
@@ -139,6 +145,68 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         print(f"frontier: {gated.count()} candidate URLs,"
               f" {n_ok} allowed by robots.txt,"
               f" crawl-delay {delays.get('crawl.example')} s")
+
+        # -- 6. the SCHEDULER: gate x delay x sitemap seeds -> per-host
+        #       fetch waves (what the fetcher actually consumes)
+        sched = frontier_schedule(frontier, robots, default_delay=1.0)
+        first = sched.limit(3).collect()
+        print("fetch waves:", [
+            (r.url, r.wave, r.fetch_offset_s) for r in first
+        ])
+
+        # -- 7. the remaining CC artifacts: WAT metadata JSON per page,
+        #       and the dedup export (duplicate payloads stored as
+        #       revisit records referencing the keeper — storage drops
+        #       by the duplicate mass)
+        meta = pages.join(
+            links.groupBy("doc_id").agg(
+                F.sort_array(F.collect_list("href")).alias("hrefs")
+            ),
+            "doc_id", "left",
+        ).select(
+            "doc_id",
+            F.concat(
+                F.lit('{"url":"https://crawl.example/d/'),
+                F.col("doc_id").cast("string"),
+                F.lit('.html","outlinks":['),
+                F.when(F.coalesce(F.size("hrefs"), F.lit(0)) == 0, F.lit(""))
+                .otherwise(F.concat(F.lit('"'), F.array_join("hrefs", '","'),
+                                    F.lit('"'))),
+                F.lit("]}"),
+            ).alias("wat_json"),
+            F.concat(F.lit("https://crawl.example/d/"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        )
+        wat_man = write_wat(meta, f"{work}/wat", n_shards=2).collect()
+        print(f"WAT export: {sum(m.n_records for m in wat_man)} metadata"
+              f" records in {len(wat_man)} shards")
+        cap = pages.select(
+            "doc_id", "html",
+            F.concat(F.lit("https://crawl.example/d/"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        )
+        # simulate re-crawls: every 40th page captured again at a
+        # second URL — same payload, so the dedup export stores the
+        # second capture as a revisit record
+        recrawls = cap.filter(F.col("doc_id") % 40 == 7).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "html",
+            F.concat(F.lit("https://mirror.example/d/"),
+                     F.col("doc_id").cast("string"),
+                     F.lit(".html")).alias("target_uri"),
+            "warc_date",
+        )
+        dedup_man = write_warc_deduped(
+            cap.unionByName(recrawls), f"{work}/dedup", n_shards=2,
+        ).collect()
+        revisits = read_warc(spark, f"{work}/dedup/*.warc.gz").filter(
+            F.col("warc_type") == "revisit"
+        ).count()
+        print(f"dedup export: {sum(m.n_records for m in dedup_man)} records,"
+              f" {revisits} stored as revisit (empty-body) records")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if owns_session:
