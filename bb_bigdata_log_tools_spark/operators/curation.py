@@ -973,6 +973,58 @@ def canonical_url(col: Column) -> Column:
     return F.concat(head, tail)
 
 
+def cdx_urlkey(col: Column) -> Column:
+    """SURT-style urlkey (Sort-friendly URI Reordering Transform) for
+    a URL column — the CDX index key Common Crawl's cluster.idx sorts
+    by: scheme dropped, host lowercased with a single leading ``www.``
+    stripped and its labels REVERSED comma-joined (``com,example``),
+    then ``)`` + lowercased path (trailing slash stripped, fragment
+    dropped) + ``?`` + alphabetically sorted query params. URLs of the
+    same site cluster under one key prefix regardless of spelling —
+    what makes a prefix lookup over a sorted index work.
+
+    Pinned simplifications (documented, both twins identical): ports
+    are not specially handled (a ``host:8080`` rides inside the last
+    reversed label) and per-param ``%``-decoding is skipped — the
+    transform is deterministic either way, which is what the index
+    needs."""
+    host = F.lower(F.regexp_extract(col, r"^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    key_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(col, r"^https?://[^/?#]+", ""), "#.*$", ""
+        )
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(rest, r"\?.*$", ""), "/$", ""
+    )
+    q = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qsorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        key_host,
+        F.lit(")"),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
+def cdx_urlkey_sql(expr: str) -> str:
+    """The :func:`cdx_urlkey` transform as a DuckDB expression over
+    ``expr`` (a SQL fragment yielding the URL) — the oracle twin,
+    built step-for-step like the Column version."""
+    host = f"regexp_replace(lower(regexp_extract({expr}, '^https?://([^/?#]+)', 1)), '^www\\.', '')"
+    key_host = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    rest = f"lower(regexp_replace(regexp_replace({expr}, '^https?://[^/?#]+', ''), '#.*$', ''))"
+    path = f"regexp_replace(regexp_replace({rest}, '\\?.*$', ''), '/$', '')"
+    q = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    return (
+        f"{key_host} || ')' || {path} || "
+        f"CASE WHEN {q} <> '' THEN '?' || {qsorted} ELSE '' END"
+    )
+
+
 def dedup_url(
     df: DataFrame, text_col: str = "text", sort: bool = True
 ) -> DataFrame:

@@ -1397,6 +1397,51 @@ ORDER BY target_uri
 """
 
 
+def q_write_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index round trip — the fourth CC artifact: staged crawl →
+    read_warc → write_cdx (SURT urlkey + timestamp + searchable-field
+    JSON lines, md5-hash-sharded, sorted within shard) → plain-text
+    read-back parsed into columns. Oracle recomputes the SURT
+    transform (cdx_urlkey_sql, the same algebra step for step),
+    timestamp digits, and digest from the page table — a green row
+    certifies the index's keys, lines, and layout end-to-end."""
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc, write_cdx
+
+    store = _warc_store(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+    out = _tmp("cdx_write", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    write_cdx(recs.filter(F.col("warc_type") == "response"), out,
+              n_shards=N_WARC_SHARDS)
+    lines = spark.read.text(os.path.join(out, "shard=*"))
+    v = F.col("value")
+    return lines.select(
+        F.regexp_extract(v, r"^(\S+) ", 1).alias("urlkey"),
+        F.regexp_extract(v, r"^\S+ (\d{14}) ", 1).alias("ts14"),
+        F.regexp_extract(v, r'"url":"([^"]+)"', 1).alias("url"),
+        F.regexp_extract(v, r'"mime":"([^"]*)"', 1).alias("mime"),
+        F.regexp_extract(v, r'"status":(\d+)', 1).cast("int").alias("status"),
+        F.regexp_extract(v, r'"digest":"([^"]+)"', 1).alias("digest"),
+    ).orderBy("urlkey", "url")
+
+
+def _write_cdx_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey_sql
+
+    key = cdx_urlkey_sql("target_uri")
+    return f"""
+WITH pages AS ({_warc_page_sql()})
+SELECT {key} AS urlkey,
+       regexp_replace(warc_date, '[^0-9]', '', 'g') AS ts14,
+       target_uri AS url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(html) AS digest
+FROM pages
+ORDER BY urlkey, url
+"""
+
+
 def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental frontier: arriving .warc.gz batches →
     stateless parse/decode/link-extract/absolutize/canonicalize (the
@@ -1504,6 +1549,7 @@ SINK_QUERIES = {
     "decode_payload_text": q_decode_payload_text,
     "stream_frontier": q_stream_frontier,
     "write_warc_revisit": q_write_warc_revisit,
+    "write_cdx": q_write_cdx,
 }
 
 SINK_ORACLES = {
@@ -1522,6 +1568,7 @@ SINK_ORACLES = {
     "decode_payload_text": _decode_payload_text_oracle(),
     "stream_frontier": _stream_frontier_oracle(),
     "write_warc_revisit": _write_warc_revisit_oracle(),
+    "write_cdx": _write_cdx_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1111,6 +1111,81 @@ def write_wat(
     return _write_record_shards(tagged, out_dir, "wat", n_shards, rec)
 
 
+def write_cdx(
+    records: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    ctype_col: str = "http_content_type",
+    status_col: str = "http_status",
+    payload_col: str = "payload",
+) -> int:
+    """CDX index export — the FOURTH Common Crawl artifact: one text
+    line per capture, ``urlkey timestamp {json}`` (CDXJ shape), where
+    urlkey is the SURT transform (operators/curation.py cdx_urlkey —
+    same-site captures cluster under one key prefix), timestamp the
+    14-digit capture time, and the JSON carries the searchable fields
+    (url, mime, status, md5-labelled digest). Returns the row count,
+    verified from the written files.
+
+    Layout: ``shard=N/*.txt`` with shard = md5(urlkey) — a lookup
+    hashes the urlkey to pick its shard, then scans lines sorted by
+    (urlkey, url) within it (the engine's hash-sharded twin of CC's
+    globally-sorted cluster.idx: O(1) shard routing instead of a
+    binary search over shard boundaries; divergence documented). The
+    BYTE-location fields CC's CDX carries (filename/offset/length)
+    live in this engine's ``.idx`` sidecars (the split-scan index,
+    one per .warc.gz shard) — this artifact indexes the SEARCH axis,
+    the sidecars index the STORAGE axis.
+
+    Determinism: the md5-shard + sortWithinPartitions discipline
+    (write_jsonl_shards's prefix-match trick keeps FileFormatWriter
+    from re-sorting), so re-runs are byte-identical.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey
+
+    uri = F.col(uri_col)
+    urlkey = cdx_urlkey(uri)
+    ts14 = F.regexp_replace(F.col(date_col), "[^0-9]", "")
+    line = F.concat(
+        urlkey,
+        F.lit(" "),
+        ts14,
+        F.lit(' {"url":"'),
+        uri,
+        F.lit('","mime":"'),
+        F.coalesce(F.col(ctype_col), F.lit("")),
+        F.lit('","status":'),
+        F.col(status_col).cast("string"),
+        F.lit(',"digest":"md5:'),
+        F.md5(F.col(payload_col)),
+        F.lit('"}'),
+    )
+    shard = F.pmod(md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)).cast("int")
+    (
+        records.select(
+            shard.alias("shard"),
+            urlkey.alias("_k"),
+            uri.alias("_u"),
+            line.alias("value"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_k", "_u")
+        .select("shard", "value")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )
+    spark = records.sparkSession
+    return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
+
+
 #: WARC 1.1 revisit profile URI for payload-identical re-crawls.
 REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 

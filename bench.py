@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "decode_payload_text",
     "stream_frontier",
     "write_warc_revisit",
+    "write_cdx",
 ]
 
 

@@ -98,6 +98,44 @@ def test_iter_warc_records_unterminated_header_bounded():
     assert list(iter_warc_records(blob)) == []
 
 
+@pytest.mark.parametrize("seed", [11, 29, 63])
+def test_iter_warc_records_fuzz_member_splits(seed, monkeypatch):
+    """Differential property: for random record sets, ANY partition of
+    the stream into gzip members and ANY decode chunk size, the
+    incremental walk equals the whole-stream parse record for
+    record."""
+    import random
+
+    from bb_bigdata_log_tools_spark.sources import warc as W
+
+    rng = random.Random(seed)
+    monkeypatch.setattr(W, "_GZ_CHUNK", rng.choice([1, 3, 64, 1 << 20]))
+    monkeypatch.setattr(W, "_GZ_OUT_CHUNK", rng.choice([1, 7, 1 << 20]))
+    recs = [
+        W.build_warc_record(
+            rng.choice(["response", "conversion", "metadata"]),
+            f"<urn:f:{i}>",
+            f"https://ex.com/{i}",
+            "2026-01-01T00:00:00Z",
+            bytes(rng.randrange(256) for _ in range(rng.randrange(400))),
+        )
+        for i in range(rng.randint(2, 9))
+    ]
+    stream = b"".join(recs)
+    want = list(W.parse_warc_records(stream))
+    for _ in range(8):
+        cuts = sorted(
+            rng.sample(range(1, len(stream)), rng.randint(0, 5))
+        )
+        parts = [
+            stream[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(stream)])
+        ]
+        blob = b"".join(gzip.compress(p, mtime=0) for p in parts if p)
+        got = list(W.iter_warc_records(blob))
+        assert got == want, (cuts, len(got), len(want))
+
+
 def test_frontier_schedule_waves(spark):
     """Waves: seeds first, then priority DESC, then url; disallowed
     URLs dropped; exact-agent delay shadows '*'; hosts without a
@@ -293,6 +331,60 @@ def test_write_warc_deduped_revisit_roundtrip(spark, tmp_path):
     assert r3.warc_type == "response" and r3.refers_to == ""
 
 
+def test_cdx_urlkey_transform(spark):
+    """SURT key: host reversed comma-joined, www. stripped, lowercased,
+    query params sorted, fragment/trailing-slash dropped — and the
+    DuckDB twin computes the identical key for every case."""
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey,
+        cdx_urlkey_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.Example.COM/Path/To?b=2&a=1#frag",
+         "com,example)/path/to?a=1&b=2"),
+        ("http://sub.site.org/x/", "org,site,sub)/x"),
+        ("https://one.net", "net,one)"),
+        ("https://www.w.co/q?z", "co,w)/q?z"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.k for r in df.select(cdx_urlkey(F.col("url")).alias("k")).collect()]
+    assert got == [want for _, want in cases]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}')" for u, _ in cases)
+    twin = con.execute(
+        f"SELECT {cdx_urlkey_sql('url')} FROM (VALUES {vals}) t(url)"
+    ).fetchall()
+    assert [t[0] for t in twin] == [want for _, want in cases]
+
+
+def test_write_cdx_layout_and_lines(spark, tmp_path):
+    """CDX lines land hash-sharded, sorted by (urlkey, url) within a
+    shard, with the searchable JSON fields."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_cdx
+
+    recs = spark.createDataFrame(
+        [
+            ("https://b.com/x", "2026-01-01T00:00:00Z", "text/html", 200,
+             bytearray(b"xx")),
+            ("https://a.com/y", "2026-01-01T00:00:00Z", "text/html", 404,
+             bytearray(b"yy")),
+        ],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx")
+    n = write_cdx(recs, out, n_shards=2)
+    assert n == 2
+    lines = [r.value for r in spark.read.text(out + "/shard=*").collect()]
+    assert any(l.startswith("com,a)/y 20260101000000 ") for l in lines)
+    assert any('"status":404' in l for l in lines)
+    assert all('"digest":"md5:' in l for l in lines)
+
+
 @pytest.mark.slow
 def test_registry_round10_vs_duckdb(spark, sf_dir):
     """The four new keys against their DuckDB oracles at test SF —
@@ -309,7 +401,7 @@ def test_registry_round10_vs_duckdb(spark, sf_dir):
         )
     for key in (
         "frontier_schedule", "write_wat", "decode_payload_text",
-        "stream_frontier", "write_warc_revisit",
+        "stream_frontier", "write_warc_revisit", "write_cdx",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
