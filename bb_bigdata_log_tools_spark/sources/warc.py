@@ -1224,7 +1224,13 @@ def write_warc_deduped(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    digest = F.md5(F.encode(F.col(html_col).cast("string"), "UTF-8"))
+    # digest the SANITIZED payload (make_valid_utf8 — the same
+    # normalization the shard writer applies) so the stamped digest
+    # always equals md5 of the bytes a reader gets back, even for a
+    # binary html column carrying invalid UTF-8
+    digest = F.md5(
+        F.encode(F.make_valid_utf8(F.col(html_col).cast("string")), "UTF-8")
+    )
     w = Window.partitionBy("_digest")
     marked = (
         pages.withColumn("_digest", digest)
