@@ -1216,13 +1216,18 @@ def write_warc_deduped(
     SQL twins, and the label makes the choice explicit on every
     record).
 
-    100 TB shape: ONE digest exchange (the window) + the writer's
-    shard exchange; revisit blocks are empty, so storage and write
-    bandwidth drop by the duplicate mass — the reason the profile
-    exists.
+    100 TB shape: keeper selection is an AGGREGATE + join, not a
+    window — ``groupBy(digest).min(id)`` gets map-side partial
+    combine (the keeper relation arriving at the shuffle is one row
+    per distinct digest per task), and the digest join gets AQE's
+    skew-join split; a ``min() over (partition by digest)`` window
+    would serialize an all-duplicate corpus (one digest = one
+    partition = one task) with no mitigation available. Then the
+    writer's shard exchange; revisit blocks are empty, so storage and
+    write bandwidth drop by the duplicate mass — the reason the
+    profile exists.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     # digest the SANITIZED payload (make_valid_utf8 — the same
     # normalization the shard writer applies) so the stamped digest
@@ -1231,10 +1236,12 @@ def write_warc_deduped(
     digest = F.md5(
         F.encode(F.make_valid_utf8(F.col(html_col).cast("string")), "UTF-8")
     )
-    w = Window.partitionBy("_digest")
+    tagged0 = pages.withColumn("_digest", digest)
+    keepers = tagged0.groupBy("_digest").agg(
+        F.min(F.col(id_col)).alias("_keeper")
+    )
     marked = (
-        pages.withColumn("_digest", digest)
-        .withColumn("_keeper", F.min(F.col(id_col)).over(w))
+        tagged0.join(keepers, "_digest")
         .withColumn(
             "_meta",
             F.concat(

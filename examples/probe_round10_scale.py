@@ -165,4 +165,52 @@ many_hosts(docs1, "warmup-hosts-1x")
 h1 = many_hosts(docs1, "hosts-1x")
 h10 = many_hosts(docs10, "hosts-10x")
 print(f"many-hosts 10x-both-sides ratio: {h10 / h1:.2f}x")
+
+# ---------------------------------------------------------- dedup skew
+# write_warc_deduped's adversarial shape: EVERY payload identical ->
+# one digest owns the whole corpus. Keeper selection is an aggregate
+# + AQE-skew-split join (a window over the digest would serialize
+# this shape in one task with no mitigation). Pass bar: all-dup wall
+# tracks all-unique wall at the same row count.
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+from bb_bigdata_log_tools_spark.sources.warc import (  # noqa: E402
+    write_warc_deduped,
+)
+
+
+def skew_pages(n, dup):
+    body = (
+        F.lit("<p>" + "same body " * 50 + "</p>")
+        if dup
+        else F.concat(F.lit("<p>uniq "), F.col("id").cast("string"),
+                      F.lit(" body</p>"))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        body.alias("html"),
+        F.concat(F.lit("https://x.test/"),
+                 F.col("id").cast("string")).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+    ).repartition(32)
+
+
+def skew_run(n, dup, label):
+    out = tempfile.mkdtemp(prefix="dedupskew_")
+    t0 = time.time()
+    man = write_warc_deduped(skew_pages(n, dup), out, n_shards=8).collect()
+    dt = time.time() - t0
+    print(f"{label}: n={n} dup={dup} -> "
+          f"{sum(m.n_records for m in man)} recs in {dt:.2f} s")
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
+skew_run(20_000, True, "dedup warm")
+d1 = skew_run(20_000, True, "all-dup 1x")
+d10 = skew_run(200_000, True, "all-dup 10x")
+u10 = skew_run(200_000, False, "all-uniq 10x")
+print(f"all-dup 10x ratio: {d10 / d1:.2f}x; "
+      f"all-dup vs all-uniq at 10x: {d10 / u10:.2f}x")
 spark.stop()
