@@ -1480,8 +1480,11 @@ def frontier_schedule(
                          sort=False)
     allowed = gate.filter(F.col("allowed")).select("url", "host")
     if priority_col is not None:
+        # cast BEFORE max (the SQL twin's max(CAST(...)) order): a
+        # string priority column would otherwise max lexicographically
+        # ('9' > '10') and diverge from the oracle
         prio = frontier.groupBy(F.col(url_col).alias("url")).agg(
-            F.max(priority_col).cast("double").alias("priority")
+            F.max(F.col(priority_col).cast("double")).alias("priority")
         )
         allowed = allowed.join(prio, "url", "left").withColumn(
             "priority", F.coalesce(F.col("priority"), F.lit(0.0))

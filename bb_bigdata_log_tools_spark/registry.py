@@ -418,9 +418,9 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_rate_limit",
     "stream_session_window",
-    # --- r6-vintage cohort (48 keys; the first 27 fit this round's
-    # window — audio_resample is the last in — and the 21-key tail
-    # from stream_approx_distinct onward leads round 11) ---
+    # --- r6-vintage cohort (48 keys; the first 25 fit this round's
+    # window — approx_distinct_kmv is the last in — and the 23-key
+    # tail from audio_pcm_stats onward leads round 11) ---
     "log_grep",
     "log_format_sort",
     "tpch_q1",

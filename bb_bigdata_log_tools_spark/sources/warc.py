@@ -160,67 +160,85 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
             out.append(piece)
 
 
-def _scan_records(buf, final: bool):
-    """Resumable WARC record scan over the FRONT of a decompressed
-    buffer: returns (records, consumed, alive) where ``records`` is a
-    list of (headers dict, block bytes) for every COMPLETE record at
-    the buffer front, ``consumed`` the byte offset the caller may
-    discard, and ``alive`` False when framing is malformed (the walk
-    must stop for good — valid-prefix contract). With ``final=False``
-    an incomplete record at the end simply waits for more bytes
-    (consumed stops before it); with ``final=True`` it is a truncated
-    tail and is dropped. The ONE copy of record framing, shared by the
-    whole-stream parse and the incremental member walk."""
-    pos = 0
+#: :func:`_scan_one` outcomes.
+_REC_OK, _REC_WAIT, _REC_DEAD = 0, 1, 2
+
+
+def _scan_one(buf, pos: int, final: bool):
+    """Scan ONE WARC record at ``buf[pos:]`` — the single copy of
+    record framing shared by the whole-stream parse and the
+    incremental member walk. Returns
+    ``(status, newpos, headers, block)``:
+
+    - ``_REC_OK``: a complete record; ``newpos`` is the offset after
+      it.
+    - ``_REC_WAIT`` (never with ``final=True``): the record may still
+      complete when more bytes arrive; ``newpos`` is where to resume
+      (the caller may discard everything before it).
+    - ``_REC_DEAD``: malformed framing (bad magic, unparseable or
+      negative Content-Length) or a final-truncated tail — the walk
+      must stop for good (valid-prefix contract).
+
+    Garbage is bounded by the MAGIC check, not a header-size cap: as
+    soon as five bytes are visible they must read ``WARC/``, so a
+    non-WARC stream dies immediately while a legitimate record header
+    may grow arbitrarily (matching whole-stream parse semantics —
+    both readers accept the same streams by construction)."""
     n = len(buf)
-    records: list[tuple[dict[str, str], bytes]] = []
-    while pos < n:
-        # tolerate inter-record padding
-        while pos < n and buf[pos : pos + 2] == CRLF:
-            pos += 2
-        end = buf.find(CRLF + CRLF, pos)
-        if end < 0:
-            if not final and n - pos < (64 << 10):
-                return records, pos, True  # header may still complete
-            return records, pos, False  # truncated (or absurd) header
-        head = buf[pos:end]
-        lines = head.split(CRLF)
-        if not lines or not lines[0].startswith(b"WARC/"):
-            return records, pos, False
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            name, sep, value = ln.partition(b":")
-            if sep:
-                headers[name.strip().lower().decode("ascii", "replace")] = (
-                    value.strip().decode("utf-8", "replace")
-                )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return records, pos, False
-        if length < 0:
-            # a negative Content-Length would move the scan BACKWARD —
-            # the same header would then re-parse forever (found by the
-            # round-9 review; regression-tested)
-            return records, pos, False
-        block_start = end + 4
-        if block_start + length > n:
-            # block incomplete: wait for more members unless final
-            return records, pos, not final
-        records.append(
-            (headers, bytes(buf[block_start : block_start + length]))
-        )
-        pos = block_start + length
-    return records, pos, True
+    # tolerate inter-record padding
+    while pos < n and buf[pos : pos + 2] == CRLF:
+        pos += 2
+    if pos >= n:
+        return (_REC_WAIT if not final else _REC_DEAD), pos, None, None
+    visible = buf[pos : pos + 5]
+    if len(visible) < 5:
+        # fewer than 5 bytes visible non-final: ALWAYS wait — the tail
+        # may be a split "\r\n" padding pair or a partial magic, and
+        # at most 4 bytes stay buffered either way
+        return (_REC_WAIT if not final else _REC_DEAD), pos, None, None
+    if bytes(visible) != b"WARC/":
+        return _REC_DEAD, pos, None, None
+    end = buf.find(CRLF + CRLF, pos)
+    if end < 0:
+        return (_REC_WAIT if not final else _REC_DEAD), pos, None, None
+    lines = bytes(memoryview(buf)[pos:end]).split(CRLF)
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        name, sep, value = ln.partition(b":")
+        if sep:
+            headers[name.strip().lower().decode("ascii", "replace")] = (
+                value.strip().decode("utf-8", "replace")
+            )
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return _REC_DEAD, pos, None, None
+    if length < 0:
+        # a negative Content-Length would move the scan BACKWARD —
+        # the same header would then re-parse forever (found by the
+        # round-9 review; regression-tested)
+        return _REC_DEAD, pos, None, None
+    block_start = end + 4
+    if block_start + length > n:
+        # block incomplete: wait for more bytes unless final
+        return (_REC_WAIT if not final else _REC_DEAD), pos, None, None
+    block = bytes(memoryview(buf)[block_start : block_start + length])
+    return _REC_OK, block_start + length, headers, block
 
 
 def parse_warc_records(blob: bytes):
     """Yield (headers dict, block bytes) per WARC record of a
-    DECOMPRESSED stream. Header names are lower-cased; the version
-    line is checked for the ``WARC/`` magic. Malformed framing stops
-    the walk (valid-prefix contract)."""
-    records, _consumed, _alive = _scan_records(blob, final=True)
-    yield from records
+    DECOMPRESSED stream, lazily (a generator — the uncompressed-file
+    path of :func:`parse_warc_files` relies on records streaming out
+    without materializing the whole list). Header names are
+    lower-cased; the version line is checked for the ``WARC/`` magic.
+    Malformed framing stops the walk (valid-prefix contract)."""
+    pos = 0
+    while True:
+        status, pos, hdr, block = _scan_one(blob, pos, final=True)
+        if status != _REC_OK:
+            return
+        yield hdr, block
 
 
 def iter_warc_records(blob: bytes):
@@ -243,13 +261,21 @@ def iter_warc_records(blob: bytes):
         if piece is _MEMBER_END:
             continue  # record framing doesn't care about member seams
         buf += piece
-        records, consumed, alive = _scan_records(buf, final=False)
-        yield from records
-        del buf[:consumed]
-        if not alive:
+        pos = 0
+        while True:
+            status, pos, hdr, block = _scan_one(buf, pos, final=False)
+            if status != _REC_OK:
+                break
+            yield hdr, block
+        del buf[:pos]
+        if status == _REC_DEAD:
             return
-    records, _consumed, _alive = _scan_records(buf, final=True)
-    yield from records
+    pos = 0
+    while True:
+        status, pos, hdr, block = _scan_one(buf, pos, final=True)
+        if status != _REC_OK:
+            return
+        yield hdr, block
 
 
 #: Per-record decompressed-body cap: a few KB of gzip can inflate to
@@ -512,7 +538,7 @@ def decode_payload_text(
     # doesn't lead with U+FEFF — a ZWNBSP prefix would make the page
     # hash/dedup differently from its BOM-less twin.
     utf8_payload = F.when(
-        bom3 == "EFBBBF", F.expr(f"substring({payload_col}, 4)")
+        bom3 == "EFBBBF", F.expr(f"substring(`{payload_col}`, 4)")
     ).otherwise(payload)
     utf8_fallback = F.make_valid_utf8(utf8_payload.cast("string"))
     decoded = None
@@ -1150,9 +1176,16 @@ def write_cdx(
     from bb_bigdata_log_tools_spark.functions.hashing import md5_long
     from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey
 
+    # null-guard EVERY line piece: F.concat propagates null, and a
+    # null line is a capture silently missing from the index (or a
+    # text-writer error). A capture without a URI is unindexable —
+    # those rows are dropped up front rather than keyed on ''.
+    records = records.filter(F.col(uri_col).isNotNull())
     uri = F.col(uri_col)
     urlkey = cdx_urlkey(uri)
-    ts14 = F.regexp_replace(F.col(date_col), "[^0-9]", "")
+    ts14 = F.regexp_replace(
+        F.coalesce(F.col(date_col), F.lit("")), "[^0-9]", ""
+    )
     line = F.concat(
         urlkey,
         F.lit(" "),
@@ -1162,9 +1195,9 @@ def write_cdx(
         F.lit('","mime":"'),
         F.coalesce(F.col(ctype_col), F.lit("")),
         F.lit('","status":'),
-        F.col(status_col).cast("string"),
+        F.coalesce(F.col(status_col).cast("string"), F.lit("0")),
         F.lit(',"digest":"md5:'),
-        F.md5(F.col(payload_col)),
+        F.md5(F.coalesce(F.col(payload_col), F.lit(b""))),
         F.lit('"}'),
     )
     shard = F.pmod(md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)).cast("int")

@@ -91,11 +91,33 @@ def test_iter_warc_records_malformed_middle_stops_walk():
     assert _ids(list(iter_warc_records(blob))) == ["<urn:doc:0>"]
 
 
-def test_iter_warc_records_unterminated_header_bounded():
-    """A stream that never terminates its header must not buffer
-    unboundedly — the 64 KiB header cap declares it malformed."""
-    blob = gzip.compress(b"WARC/1.1\r\nX: " + b"a" * (1 << 20), mtime=0)
+def test_iter_warc_records_non_warc_garbage_dies_fast():
+    """A non-WARC stream must not buffer unboundedly — the magic check
+    kills the walk as soon as five bytes are visible."""
+    blob = gzip.compress(b"NOTWARC" + b"a" * (1 << 20), mtime=0)
     assert list(iter_warc_records(blob)) == []
+
+
+def test_iter_warc_records_huge_header_matches_whole_parse():
+    """REGRESSION (round-10 review): a record with a multi-MiB header
+    (e.g. a pathological WARC-Target-URI) parsed fully in
+    parse_warc_records but the incremental walk's old 64 KiB
+    no-CRLFCRLF cap declared it dead — the two readers must accept
+    the same streams by construction (magic-bounded, not
+    size-bounded)."""
+    big_uri = "https://x.test/" + "a" * (2 << 20)
+    recs = [
+        build_warc_record(
+            "response", "<urn:doc:0>", big_uri, "2026-01-01T00:00:00Z",
+            build_http_response(b"<p>big header page</p>"),
+        ),
+        _records(1)[0],
+    ]
+    stream = b"".join(recs)
+    want = list(parse_warc_records(stream))
+    assert len(want) == 2
+    got = list(iter_warc_records(gzip.compress(stream, mtime=0)))
+    assert got == want
 
 
 @pytest.mark.parametrize("seed", [11, 29, 63])
