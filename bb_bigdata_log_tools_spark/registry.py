@@ -381,13 +381,13 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-10 rotation (policy above, executed): (a) the 6 new round-10
+# Round-10 rotation (policy above, executed): (a) the 7 new round-10
 # keys at the head so they earn driver evidence immediately; (b) the
 # 19-key r5-vintage tail deferred from the round-9 rotation (oldest
 # evidence on the tree — events_dau_wau onward in the old list);
-# (c) the 48-key r6-vintage cohort, of which the first 25 fit this
-# round's 50-key window (approx_distinct_kmv is the last in) and the
-# 23-key tail (audio_pcm_stats onward) leads round 11. After r10 no
+# (c) the 48-key r6-vintage cohort, of which the first 24 fit this
+# round's 50-key window (approx_distinct_hll is the last in) and the
+# 24-key tail (approx_distinct_kmv onward) leads round 11. After r10 no
 # key's driver evidence is older than r6; the two-round cadence then
 # covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
@@ -398,6 +398,7 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_frontier",
     "write_warc_revisit",
     "write_cdx",
+    "cdx_lookup",
     # --- the 19-key r5-vintage tail (deferred from round 9) ---
     "events_dau_wau",
     "sessions_summary",
@@ -418,9 +419,9 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_rate_limit",
     "stream_session_window",
-    # --- r6-vintage cohort (48 keys; the first 25 fit this round's
-    # window — approx_distinct_kmv is the last in — and the 23-key
-    # tail from audio_pcm_stats onward leads round 11) ---
+    # --- r6-vintage cohort (48 keys; the first 24 fit this round's
+    # window — approx_distinct_hll is the last in — and the 24-key
+    # tail from approx_distinct_kmv onward leads round 11) ---
     "log_grep",
     "log_format_sort",
     "tpch_q1",
@@ -445,8 +446,8 @@ _WINDOW_PRIORITY: list[str] = [
     "vocab_zipf_fit",
     "quality_feature_matrix",
     "approx_distinct_hll",
-    "approx_distinct_kmv",
     # --- r6 tail (leads the round-11 window) ---
+    "approx_distinct_kmv",
     "audio_pcm_stats",
     "audio_resample",
     "stream_approx_distinct",

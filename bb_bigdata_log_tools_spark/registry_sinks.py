@@ -1442,6 +1442,72 @@ ORDER BY urlkey, url
 """
 
 
+_CDX_PROBE_IDS = (1, 7, 42)
+
+
+def _cdx_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the CDX index of the staged crawl once per sf_dir
+    (marker + content-version discipline like _warc_store — the index
+    embeds page digests, so a template edit must re-stage)."""
+    import hashlib
+
+    from bb_bigdata_log_tools_spark.sources.warc import read_warc, write_cdx
+
+    out = _tmp("cdx_store", sf_dir)
+    marker = os.path.join(out, "_STAGED")
+    version = hashlib.md5(("cdx-v1:" + _warc_page_sql()).encode()).hexdigest()
+    staged = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+    if staged != version:
+        shutil.rmtree(out, ignore_errors=True)
+        store = _warc_store(spark, sf_dir)
+        recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
+        write_cdx(recs.filter(F.col("warc_type") == "response"), out,
+                  n_shards=N_WARC_SHARDS)
+        with open(marker, "w") as f:
+            f.write(version)
+    return out
+
+
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of the CDX layout's O(1) claim: three probe URLs
+    route to their shards by hashing the SURT key — the scan lists
+    only those shard directories (≤3 of 8), not the whole index.
+    Oracle = the searchable fields recomputed from the page table for
+    the probed doc_ids; a green row certifies key computation, shard
+    routing, and line parsing agree with the writer end-to-end."""
+    from bb_bigdata_log_tools_spark.sources.warc import cdx_lookup
+
+    store = _cdx_store(spark, sf_dir)
+    urls = [
+        f"{_WARC_URI_PREFIX}{i}.html" for i in _CDX_PROBE_IDS
+    ]
+    return cdx_lookup(spark, store, urls, n_shards=N_WARC_SHARDS).orderBy(
+        "urlkey"
+    )
+
+
+def _cdx_lookup_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey_sql
+
+    key = cdx_urlkey_sql("target_uri")
+    ids = ", ".join(str(i) for i in _CDX_PROBE_IDS)
+    return f"""
+WITH pages AS ({_warc_page_sql()})
+SELECT {key} AS urlkey,
+       regexp_replace(warc_date, '[^0-9]', '', 'g') AS ts14,
+       target_uri AS url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(html) AS digest
+FROM pages
+WHERE doc_id IN ({ids})
+ORDER BY urlkey
+"""
+
+
 def q_stream_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental frontier: arriving .warc.gz batches →
     stateless parse/decode/link-extract/absolutize/canonicalize (the
@@ -1550,6 +1616,7 @@ SINK_QUERIES = {
     "stream_frontier": q_stream_frontier,
     "write_warc_revisit": q_write_warc_revisit,
     "write_cdx": q_write_cdx,
+    "cdx_lookup": q_cdx_lookup,
 }
 
 SINK_ORACLES = {
@@ -1569,6 +1636,7 @@ SINK_ORACLES = {
     "stream_frontier": _stream_frontier_oracle(),
     "write_warc_revisit": _write_warc_revisit_oracle(),
     "write_cdx": _write_cdx_oracle(),
+    "cdx_lookup": _cdx_lookup_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1219,6 +1219,56 @@ def write_cdx(
     return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
 
 
+def cdx_lookup(
+    spark: SparkSession,
+    store_dir: str,
+    urls: list[str],
+    n_shards: int = 8,
+) -> DataFrame:
+    """Point lookup through a :func:`write_cdx` store — the read side
+    of the hash-sharded layout's O(1) routing claim: each probe URL's
+    SURT key picks its shard directly (md5(urlkey) % n_shards), so the
+    scan reads ONLY the shards the probe set hashes to — at most
+    len(urls) of them, however many captures the store indexes.
+
+    The probe keys/shards are computed by a tiny Spark job over the
+    SAME Column algebra the writer used (cdx_urlkey + the md5 shard —
+    re-implementing the transform driver-side would be a second copy
+    that could drift), then collected (len(urls) rows — lookup
+    plumbing, not data). Returns the matching index lines parsed into
+    (urlkey, ts14, url, mime, status, digest).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bb_bigdata_log_tools_spark.functions.hashing import md5_long
+    from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey
+
+    probe = spark.createDataFrame([(u,) for u in urls], "url string")
+    key = cdx_urlkey(F.col("url"))
+    keys = probe.select(
+        key.alias("k"),
+        F.pmod(md5_long(F.concat(F.lit("cdx:"), key)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    ).collect()
+    shard_dirs = sorted(
+        {_os.path.join(store_dir, f"shard={r.shard}") for r in keys}
+    )
+    wanted = [r.k for r in keys]
+    v = F.col("value")
+    lines = spark.read.text(shard_dirs)
+    return lines.select(
+        F.regexp_extract(v, r"^(\S+) ", 1).alias("urlkey"),
+        F.regexp_extract(v, r"^\S+ (\d{14}) ", 1).alias("ts14"),
+        F.regexp_extract(v, r'"url":"([^"]+)"', 1).alias("url"),
+        F.regexp_extract(v, r'"mime":"([^"]*)"', 1).alias("mime"),
+        F.regexp_extract(v, r'"status":(\d+)', 1).cast("int").alias("status"),
+        F.regexp_extract(v, r'"digest":"([^"]+)"', 1).alias("digest"),
+    ).filter(F.col("urlkey").isin(wanted))
+
+
 #: WARC 1.1 revisit profile URI for payload-identical re-crawls.
 REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
 

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "stream_frontier",
     "write_warc_revisit",
     "write_cdx",
+    "cdx_lookup",
 ]
 
 

@@ -383,6 +383,32 @@ def test_cdx_urlkey_transform(spark):
     assert [t[0] for t in twin] == [want for _, want in cases]
 
 
+def test_cdx_lookup_routes_to_probe_shards(spark, tmp_path):
+    """The lookup reads ONLY the shard directories the probe keys hash
+    to, and returns exactly the probed captures."""
+    from bb_bigdata_log_tools_spark.sources.warc import cdx_lookup, write_cdx
+
+    recs = spark.createDataFrame(
+        [
+            (f"https://h{i}.test/p{i}", "2026-01-01T00:00:00Z",
+             "text/html", 200, bytearray(f"body{i}".encode()))
+            for i in range(40)
+        ],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx")
+    write_cdx(recs, out, n_shards=8)
+    got = cdx_lookup(
+        spark, out, ["https://h3.test/p3", "https://h17.test/p17"],
+        n_shards=8,
+    ).collect()
+    assert sorted(r.url for r in got) == [
+        "https://h17.test/p17", "https://h3.test/p3",
+    ]
+    assert all(r.status == 200 and r.digest.startswith("md5:") for r in got)
+
+
 def test_write_cdx_layout_and_lines(spark, tmp_path):
     """CDX lines land hash-sharded, sorted by (urlkey, url) within a
     shard, with the searchable JSON fields."""
@@ -424,6 +450,7 @@ def test_registry_round10_vs_duckdb(spark, sf_dir):
     for key in (
         "frontier_schedule", "write_wat", "decode_payload_text",
         "stream_frontier", "write_warc_revisit", "write_cdx",
+        "cdx_lookup",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
