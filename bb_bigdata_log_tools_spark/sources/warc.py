@@ -1216,6 +1216,13 @@ def write_cdx(
         .text(out_dir)
     )
     spark = records.sparkSession
+    # zero-row input writes no shard dirs at all — the verification
+    # glob would throw PATH_NOT_FOUND on an empty (but valid) index
+    if not any(
+        e.startswith("shard=")
+        for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
+    ):
+        return 0
     return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
 
 
@@ -1253,10 +1260,24 @@ def cdx_lookup(
         .cast("int")
         .alias("shard"),
     ).collect()
+    # a probe may hash to a shard no capture ever landed in — its dir
+    # doesn't exist and spark.read.text would throw on the whole batch
+    # (local-path check; a remote store swaps this for its FS client,
+    # the open_for_read seam's sibling)
     shard_dirs = sorted(
-        {_os.path.join(store_dir, f"shard={r.shard}") for r in keys}
+        d
+        for d in {
+            _os.path.join(store_dir, f"shard={r.shard}") for r in keys
+        }
+        if _os.path.isdir(_local_path(d))
     )
     wanted = [r.k for r in keys]
+    empty_schema = (
+        "urlkey string, ts14 string, url string, mime string,"
+        " status int, digest string"
+    )
+    if not shard_dirs:
+        return spark.createDataFrame([], empty_schema)
     v = F.col("value")
     lines = spark.read.text(shard_dirs)
     return lines.select(

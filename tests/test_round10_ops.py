@@ -409,6 +409,54 @@ def test_cdx_lookup_routes_to_probe_shards(spark, tmp_path):
     assert all(r.status == 200 and r.digest.startswith("md5:") for r in got)
 
 
+def test_write_cdx_empty_input_and_sparse_lookup(spark, tmp_path):
+    """Degenerate shapes: a zero-row export is a valid empty index
+    (0 returned, no PATH_NOT_FOUND), and a lookup probing a shard no
+    capture landed in returns empty instead of throwing on the
+    missing directory."""
+    from bb_bigdata_log_tools_spark.sources.warc import cdx_lookup, write_cdx
+
+    empty = spark.createDataFrame(
+        [], "target_uri string, warc_date string,"
+        " http_content_type string, http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx")
+    assert write_cdx(empty, out, n_shards=2) == 0
+    assert cdx_lookup(spark, out, ["https://a.test/x"], n_shards=2).count() == 0
+    # one capture, then probe a URL hashing to the OTHER (absent) shard
+    one = spark.createDataFrame(
+        [("https://b.com/x", "2026-01-01T00:00:00Z", "text/html", 200,
+          bytearray(b"xx"))],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out2 = str(tmp_path / "cdx2")
+    assert write_cdx(one, out2, n_shards=64) == 1
+    got = cdx_lookup(
+        spark, out2,
+        ["https://b.com/x", "https://nohit.example/q"], n_shards=64,
+    ).collect()
+    assert [r.url for r in got] == ["https://b.com/x"]
+
+
+def test_frontier_schedule_empty_robots(spark):
+    """No robots.txt anywhere: everything allowed, default delay,
+    no seeds — the open-web default."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        frontier_schedule,
+    )
+
+    robots = spark.createDataFrame([], "host string, robots_txt string")
+    frontier = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",)], "url string"
+    )
+    rows = frontier_schedule(frontier, robots, default_delay=2.0).collect()
+    assert [(r.url, r.wave, r.crawl_delay) for r in rows] == [
+        ("https://a.com/1", 1, 2.0),
+        ("https://a.com/2", 2, 2.0),
+    ]
+
+
 def test_write_cdx_layout_and_lines(spark, tmp_path):
     """CDX lines land hash-sharded, sorted by (urlkey, url) within a
     shard, with the searchable JSON fields."""
