@@ -979,7 +979,10 @@ def cdx_urlkey(col: Column) -> Column:
     by: scheme dropped, host lowercased with a single leading ``www.``
     stripped and its labels REVERSED comma-joined (``com,example``),
     then ``)`` + lowercased path (trailing slash stripped, fragment
-    dropped) + ``?`` + alphabetically sorted query params. URLs of the
+    dropped; a ROOT/empty path keys as ``)/`` — Common Crawl's
+    cluster.idx spells the root capture ``com,example)/``, and a
+    bare ``)`` would sort a site's root OUTSIDE its own prefix
+    range) + ``?`` + alphabetically sorted query params. URLs of the
     same site cluster under one key prefix regardless of spelling —
     what makes a prefix lookup over a sorted index work.
 
@@ -996,9 +999,10 @@ def cdx_urlkey(col: Column) -> Column:
             F.regexp_replace(col, r"^https?://[^/?#]+", ""), "#.*$", ""
         )
     )
-    path = F.regexp_replace(
+    path0 = F.regexp_replace(
         F.regexp_replace(rest, r"\?.*$", ""), "/$", ""
     )
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     q = F.regexp_extract(rest, r"\?(.*)$", 1)
     qsorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
     return F.concat(
@@ -1016,7 +1020,8 @@ def cdx_urlkey_sql(expr: str) -> str:
     host = f"regexp_replace(lower(regexp_extract({expr}, '^https?://([^/?#]+)', 1)), '^www\\.', '')"
     key_host = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
     rest = f"lower(regexp_replace(regexp_replace({expr}, '^https?://[^/?#]+', ''), '#.*$', ''))"
-    path = f"regexp_replace(regexp_replace({rest}, '\\?.*$', ''), '/$', '')"
+    path0 = f"regexp_replace(regexp_replace({rest}, '\\?.*$', ''), '/$', '')"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
     q = f"regexp_extract({rest}, '\\?(.*)$', 1)"
     qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
     return (

@@ -1455,7 +1455,9 @@ def _cdx_store(spark: SparkSession, sf_dir: str) -> str:
 
     out = _tmp("cdx_store", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    version = hashlib.md5(("cdx-v1:" + _warc_page_sql()).encode()).hexdigest()
+    # v2: SURT root-path spelling changed to ')/' (r11) — the staged
+    # index embeds urlkeys, so a transform edit must re-stage
+    version = hashlib.md5(("cdx-v2:" + _warc_page_sql()).encode()).hexdigest()
     staged = None
     if os.path.exists(marker):
         with open(marker) as f:

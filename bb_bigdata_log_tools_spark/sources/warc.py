@@ -538,7 +538,7 @@ def decode_payload_text(
     # doesn't lead with U+FEFF — a ZWNBSP prefix would make the page
     # hash/dedup differently from its BOM-less twin.
     utf8_payload = F.when(
-        bom3 == "EFBBBF", F.expr(f"substring(`{payload_col}`, 4)")
+        bom3 == "EFBBBF", F.substring(payload, 4, 2147483647)
     ).otherwise(payload)
     utf8_fallback = F.make_valid_utf8(utf8_payload.cast("string"))
     decoded = None
@@ -1209,7 +1209,11 @@ def write_cdx(
             line.alias("value"),
         )
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "_k", "_u")
+        # the full line joins the sort key: two captures of the same
+        # URL (different timestamp/digest — the re-crawl shape a CDX
+        # exists to index) tie on (_k, _u), and a tie would make
+        # within-shard line order nondeterministic across re-runs
+        .sortWithinPartitions("shard", "_k", "_u", "value")
         .select("shard", "value")
         .write.mode("overwrite")
         .partitionBy("shard")

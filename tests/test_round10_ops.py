@@ -369,7 +369,10 @@ def test_cdx_urlkey_transform(spark):
         ("https://www.Example.COM/Path/To?b=2&a=1#frag",
          "com,example)/path/to?a=1&b=2"),
         ("http://sub.site.org/x/", "org,site,sub)/x"),
-        ("https://one.net", "net,one)"),
+        # root captures key as ')/' — the CC cluster.idx spelling, so
+        # a site root sorts INSIDE its own prefix range
+        ("https://one.net", "net,one)/"),
+        ("https://one.net/", "net,one)/"),
         ("https://www.w.co/q?z", "co,w)/q?z"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")

@@ -67,6 +67,41 @@ def test_multi_member_gzip_split():
     ]
 
 
+def test_truncated_member_record_walk_vs_member_split():
+    """DOCUMENTED divergence between the two consumers of a truncated
+    gzip member, pinned so it stays a contract and not an accident:
+    the record walk (iter_warc_records, backing read_warc) keeps every
+    record that FULLY decompressed out of the valid prefix of the
+    truncated member, while the member splitter (split_gzip_members,
+    backing the CC record-per-member consumers) drops the incomplete
+    member wholly — the walk's unit is the record, the splitter's
+    unit is the member."""
+    import hashlib
+
+    from bb_bigdata_log_tools_spark.sources.warc import iter_warc_records
+
+    rec_a = build_warc_record(*_resp(1, "<p>aaa</p>"))
+    rec_b = build_warc_record(*_resp(2, "<p>bbb</p>"))
+    # incompressible filler keeps compressed size ~ raw size, so a cut
+    # at raw-offset-of-rec_b + margin is guaranteed to land AFTER
+    # rec_b's bytes decompressed and BEFORE the member's end
+    filler = b"".join(
+        hashlib.sha256(bytes([i & 0xFF, i >> 8])).digest()
+        for i in range(4096)
+    ).hex()
+    rec_c = build_warc_record(*_resp(3, filler))
+    member2 = gzip_member(rec_b + rec_c)
+    cut = len(rec_b) + 8192
+    assert cut < len(member2)  # the truncation really is mid-member
+    blob = gzip_member(rec_a) + member2[:cut]
+    # member splitter: only the complete member survives
+    assert list(split_gzip_members(blob)) == [rec_a]
+    # record walk: rec_b fully decompressed from the valid prefix of
+    # the truncated member, so it is a good record and is kept
+    got = [h["warc-record-id"] for h, _ in iter_warc_records(blob)]
+    assert got == ["<urn:doc:1>", "<urn:doc:2>"]
+
+
 def test_malformed_framing_keeps_valid_prefix():
     good = build_warc_record(*_resp(1, "<p>one</p>"))
     stream = good + b"NOT A WARC RECORD\r\n\r\n" + good
