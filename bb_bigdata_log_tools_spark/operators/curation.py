@@ -1746,6 +1746,253 @@ ORDER BY host, wave
     )
 
 
+def robots_staleness(
+    robots: DataFrame,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    host_col: str = "host",
+    fetched_col: str = "fetched_at",
+    sort: bool = True,
+) -> DataFrame:
+    """Robots-cache freshness model — the politeness tier's refresh
+    policy: a cached robots.txt is only as good as its age (RFC 9309
+    §2.4: crawlers may cache the file, SHOULD refresh it; Google
+    documents 24 h in practice — ``ttl_s`` is the knob). Input is the
+    age-stamped robots relation (host, robots_txt, fetched_at);
+    output per host: ``robots_age_s`` (seconds since fetch at
+    ``now``), ``robots_stale`` (age past TTL → re-fetch before
+    trusting the cached rules), ``refetch_after_s`` (seconds of
+    validity remaining — the scheduler's refresh countdown, 0 once
+    stale).
+
+    Age is a timestamp DIFFERENCE (both ends converted under the same
+    session zone), so timezone offsets cancel and the oracle twin
+    (:func:`robots_staleness_sql`) computes the identical integer.
+
+    100 TB shape: pure per-row column algebra over the |hosts|-sized
+    relation — no shuffle (the sort is presentation only)."""
+    age = (
+        F.unix_timestamp(F.lit(now).cast("timestamp"))
+        - F.unix_timestamp(F.col(fetched_col).cast("timestamp"))
+    ).cast("bigint")
+    out = robots.select(
+        F.col(host_col).alias("host"),
+        F.col(fetched_col).alias("fetched_at"),
+        age.alias("robots_age_s"),
+        (age > F.lit(int(ttl_s))).alias("robots_stale"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(int(ttl_s)).cast("bigint") - age,
+        ).alias("refetch_after_s"),
+    )
+    return small_sort(out, "host") if sort else out
+
+
+def robots_staleness_sql(
+    robots_sql: str, now: str, ttl_s: int = 7 * 86400
+) -> str:
+    """:func:`robots_staleness` in DuckDB SQL — ``robots_sql`` must
+    yield (host, …, fetched_at)."""
+    return f"""
+WITH robots AS ({robots_sql}),
+aged AS (
+  SELECT host, fetched_at,
+         date_diff('second', CAST(fetched_at AS TIMESTAMP),
+                   TIMESTAMP '{now}') AS robots_age_s
+  FROM robots)
+SELECT host, fetched_at, robots_age_s,
+       robots_age_s > {int(ttl_s)} AS robots_stale,
+       greatest(CAST(0 AS BIGINT), {int(ttl_s)} - robots_age_s)
+         AS refetch_after_s
+FROM aged
+ORDER BY host
+"""
+
+
+def robots_filter_aged(
+    frontier: DataFrame,
+    robots: DataFrame,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    url_col: str = "url",
+    sort: bool = True,
+) -> DataFrame:
+    """Gate decisions that carry their cache provenance:
+    :func:`robots_filter`'s verdicts joined with
+    :func:`robots_staleness`, so a scheduler can tell "allowed under
+    a FRESH policy" from "allowed under one that needs re-fetching"
+    (a stale-cache verdict is provisional). Hosts with NO cached
+    robots.txt read as stale with null age — "never fetched" means
+    fetch robots.txt before trusting the implicit allow, the same
+    posture RFC 9309 takes toward unreachable files.
+
+    Output: (url, host, allowed, matched_rule, robots_age_s,
+    robots_stale) — robots_filter's cardinality contract (one row per
+    distinct URL) is preserved; the join adds columns, never rows
+    (staleness is per-host, the gate output carries each URL's host
+    exactly once).
+
+    100 TB shape: robots_filter's bounded fan-out join + one
+    |hosts|-sized left join on host (broadcast when small, AQE
+    otherwise) — no new exchange over the frontier."""
+    gate = robots_filter(
+        frontier, robots, agent=agent, url_col=url_col, sort=False
+    )
+    ages = robots_staleness(robots, now, ttl_s, sort=False).select(
+        "host", "robots_age_s", "robots_stale"
+    )
+    out = gate.join(ages, "host", "left").select(
+        "url",
+        "host",
+        "allowed",
+        "matched_rule",
+        "robots_age_s",
+        F.coalesce(F.col("robots_stale"), F.lit(True)).alias(
+            "robots_stale"
+        ),
+    )
+    return small_sort(out, "url") if sort else out
+
+
+def robots_filter_aged_sql(
+    urls_sql: str,
+    robots_sql: str,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+) -> str:
+    """:func:`robots_filter_aged` in DuckDB SQL — the shared robots
+    CTE body closed with the gate projection plus the per-host age
+    join. ``robots_sql`` must yield (host, robots_txt, fetched_at)."""
+    return (
+        _robots_sql_ctes(urls_sql, robots_sql, agent)
+        + f""",
+aged AS (
+  SELECT host,
+         date_diff('second', CAST(fetched_at AS TIMESTAMP),
+                   TIMESTAMP '{now}') AS robots_age_s
+  FROM robots)
+SELECT b.url, b.host, (b.m = 0 OR b.ia = 1) AS allowed,
+       CASE WHEN b.m = 1 THEN b.rule ELSE '' END AS matched_rule,
+       a.robots_age_s,
+       coalesce(a.robots_age_s > {int(ttl_s)}, TRUE) AS robots_stale
+FROM best b LEFT JOIN aged a ON b.host = a.host
+WHERE b.rn = 1
+ORDER BY b.url
+"""
+    )
+
+
+def crawl_refresh(
+    captures: DataFrame,
+    now_date: str,
+    url_col: str = "url",
+    date_col: str = "capture_date",
+    digest_col: str = "digest",
+    change_prior: float = 0.1,
+    sort: bool = True,
+) -> DataFrame:
+    """Re-crawl prioritizer — which URLs to fetch NEXT, ranked by
+    capture age × observed change rate. The input is the capture
+    history the engine already emits: (url, capture date, payload
+    digest) rows from the CDX index (:func:`write_cdx` lines carry
+    all three) or the revisit/digest relation
+    (``write_warc_deduped``'s linkage — an identical digest on a
+    re-crawl IS a no-change observation).
+
+    Per URL: ``n_captures``; ``last_capture``; ``age_days`` (against
+    ``now_date``); ``change_rate`` = digest-changes / re-crawls
+    (a capture whose digest differs from the previous capture of the
+    same URL counts as one change; single-capture URLs rate 0 — no
+    re-crawl evidence yet); ``refresh_priority`` = age_days ×
+    (change_rate + ``change_prior``) — a page that changed on most
+    re-crawls outranks a static page of the same age, while the
+    additive prior keeps never-changing (and never-re-crawled) pages
+    from starving: their priority still grows with age, just
+    ``change_prior``× slower.
+
+    100 TB shape: ONE exchange on url — the lag window and the
+    groupBy share the url partitioning (Catalyst reuses it), per-URL
+    history is bounded by the re-crawl count, and no global sort
+    exists anywhere (the sort here is presentation only; a real
+    scheduler takes the top-K per host downstream)."""
+    hist = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("capture_date"),
+        F.col(digest_col).alias("digest"),
+    )
+    w = Window.partitionBy("url").orderBy("capture_date", "digest")
+    prev = F.lag("digest").over(w)
+    changed = F.when(prev.isNull(), F.lit(0)).otherwise(
+        (F.col("digest") != prev).cast("int")
+    )
+    agg = (
+        hist.withColumn("changed", changed)
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.max("capture_date").alias("last_capture"),
+            F.sum("changed").alias("n_changes"),
+        )
+    )
+    age_days = F.datediff(
+        F.lit(now_date).cast("date"), F.col("last_capture").cast("date")
+    )
+    rate = F.when(
+        F.col("n_captures") > 1,
+        F.col("n_changes") / (F.col("n_captures") - 1),
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        "url",
+        F.col("n_captures").cast("bigint").alias("n_captures"),
+        "last_capture",
+        age_days.cast("int").alias("age_days"),
+        rate.alias("change_rate"),
+        (age_days.cast("double") * (rate + F.lit(float(change_prior))))
+        .alias("refresh_priority"),
+    )
+    return small_sort(out, "url") if sort else out
+
+
+def crawl_refresh_sql(
+    captures_sql: str, now_date: str, change_prior: float = 0.1
+) -> str:
+    """:func:`crawl_refresh` in DuckDB SQL — ``captures_sql`` must
+    yield (url, capture_date, digest). The division casts to DOUBLE
+    explicitly (DuckDB divides integers integrally; Spark's ``/`` is
+    always fractional)."""
+    return f"""
+WITH caps AS ({captures_sql}),
+hist AS (
+  SELECT url, capture_date, digest,
+         CASE WHEN lag(digest) OVER (PARTITION BY url
+                ORDER BY capture_date, digest) IS NULL THEN 0
+              WHEN digest <> lag(digest) OVER (PARTITION BY url
+                ORDER BY capture_date, digest) THEN 1
+              ELSE 0 END AS changed
+  FROM caps),
+agg AS (
+  SELECT url, count(*) AS n_captures,
+         max(capture_date) AS last_capture,
+         sum(changed) AS n_changes
+  FROM hist GROUP BY url),
+scored AS (
+  SELECT url, CAST(n_captures AS BIGINT) AS n_captures, last_capture,
+         CAST(date_diff('day', CAST(last_capture AS DATE),
+                        DATE '{now_date}') AS INTEGER) AS age_days,
+         CASE WHEN n_captures > 1
+              THEN CAST(n_changes AS DOUBLE) / (n_captures - 1)
+              ELSE 0.0 END AS change_rate
+  FROM agg)
+SELECT url, n_captures, last_capture, age_days, change_rate,
+       age_days * (change_rate + {float(change_prior)!r})
+         AS refresh_priority
+FROM scored
+ORDER BY url
+"""
+
+
 def corpus_curate(
     documents: DataFrame,
     benchmark: DataFrame,

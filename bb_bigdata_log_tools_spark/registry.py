@@ -381,72 +381,21 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-10 rotation (policy above, executed): (a) the 7 new round-10
+# Round-11 rotation (policy above, executed): (a) the 3 new round-11
 # keys at the head so they earn driver evidence immediately; (b) the
-# 19-key r5-vintage tail deferred from the round-9 rotation (oldest
-# evidence on the tree — events_dau_wau onward in the old list);
-# (c) the 48-key r6-vintage cohort, of which the first 24 fit this
-# round's 50-key window (approx_distinct_hll is the last in) and the
-# 24-key tail (approx_distinct_kmv onward) leads round 11. After r10 no
-# key's driver evidence is older than r6; the two-round cadence then
-# covers every key at <= 4 rounds stale.
+# 24-key r6-vintage tail deferred from the round-10 rotation (oldest
+# evidence on the tree — approx_distinct_kmv onward in the old list);
+# (c) the 50-key r7-vintage cohort (CORRECTNESS_r07 order), of which
+# the first 23 fit this round's 50-key window (log_index is the last
+# in) and the 27-key tail (log_stats_hourly onward) leads round 12.
+# After r11 no key's driver evidence is older than r7; the two-round
+# cadence then covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-10 new keys ---
-    "frontier_schedule",
-    "write_wat",
-    "decode_payload_text",
-    "stream_frontier",
-    "write_warc_revisit",
-    "write_cdx",
-    "cdx_lookup",
-    # --- the 19-key r5-vintage tail (deferred from round 9) ---
-    "events_dau_wau",
-    "sessions_summary",
-    "log_json_field_stats",
-    "source_similarity",
-    "events_value_quantiles",
-    "events_path_transitions",
-    "table_profile",
-    "zorder_layout",
-    "compaction_plan",
-    "snapshot_diff",
-    "grouped_topk_per_source",
-    "events_cohort_matrix",
-    "events_histogram_ntile",
-    "events_user_lifespan",
-    "stream_watermarked_counts",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_rate_limit",
-    "stream_session_window",
-    # --- r6-vintage cohort (48 keys; the first 24 fit this round's
-    # window — approx_distinct_hll is the last in — and the 24-key
-    # tail from approx_distinct_kmv onward leads round 11) ---
-    "log_grep",
-    "log_format_sort",
-    "tpch_q1",
-    "tpch_q3",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster",
-    "multimodal_meta",
-    "media_frame_sample",
-    "media_resize",
-    "dedup_keep_best",
-    "semdedup",
-    "stream_sessionize",
-    "cluster_size_stats",
-    "dedup_pagerank",
-    "dedup_suffix_array",
-    "tfidf_cosine_pairs",
-    "log_templates",
-    "log_volume_trend",
-    "bigram_perplexity",
-    "token_fertility_by_lang",
-    "vocab_zipf_fit",
-    "quality_feature_matrix",
-    "approx_distinct_hll",
-    # --- r6 tail (leads the round-11 window) ---
+    # --- round-11 new keys ---
+    "cdx_range_scan",
+    "robots_staleness",
+    "crawl_refresh",
+    # --- the 24-key r6-vintage tail (deferred from round 10) ---
     "approx_distinct_kmv",
     "audio_pcm_stats",
     "audio_resample",
@@ -471,6 +420,60 @@ _WINDOW_PRIORITY: list[str] = [
     "corpus_curate",
     "overlap_kmv",
     "minhash_bucket_stats",
+    # --- r7-vintage cohort (50 keys, CORRECTNESS_r07 order; the
+    # first 23 fit this round's window — log_index is the last in —
+    # and the 27-key tail from log_stats_hourly onward leads r12) ---
+    "quantile_sketch",
+    "weighted_quantile_sketch",
+    "cms_weighted_freq",
+    "boom_write",
+    "write_jsonl_shards",
+    "read_jsonl",
+    "write_webdataset",
+    "read_webdataset",
+    "samples_from_members",
+    "events_asof_strict",
+    "stream_skew_asof_join",
+    "dedup_lines",
+    "sample_weighted_exact",
+    "sample_weighted_stratified",
+    "bpe_train",
+    "bpe_apply",
+    "stream_quantile",
+    "cms_freq_estimate",
+    "log_cat",
+    "log_search",
+    "log_multisearch_or",
+    "log_multisearch_and",
+    "log_index",
+    # --- r7 tail (leads the round-12 window) ---
+    "log_stats_hourly",
+    "log_query_index",
+    "log_cat_by_time",
+    "boom_read",
+    "ts_parse_rfc5424",
+    "ts_parse_rfc3164",
+    "text_to_boom",
+    "gzip_text_read",
+    "hfind",
+    "multimodal_decode",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "events_sessionize",
+    "events_topk_users",
+    "events_funnel",
+    "events_moving_avg",
+    "events_hourly_anomaly",
+    "text_ngram_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
 ]
 
 QUERIES: dict[str, QueryFn] = {

@@ -1595,6 +1595,264 @@ ORDER BY canonical_url
 """
 
 
+# --------------------------------------------------------------------------
+# round-11: the crawl tier's FRESHNESS axis — range-served CDX prefix
+# queries, the robots-cache staleness model, and the re-crawl
+# prioritizer that consumes the capture/digest history.
+# --------------------------------------------------------------------------
+
+#: Fetch timestamps for the aged robots fixture — the r9
+#: _ROBOTS_FIXTURE texts stay untouched (robots_filter's pinned gate
+#: oracle cannot drift); ages span fresh / stale / the exact-TTL
+#: boundary, and norobots.com (absent) exercises the never-fetched
+#: path (null age, stale by definition).
+_ROBOTS_NOW = "2026-08-16 00:00:00"
+_ROBOTS_TTL_S = 7 * 86400
+_ROBOTS_FETCHED = {
+    "a.com": "2026-08-15 12:00:00",  # 12 h old — fresh
+    "b.com": "2026-08-01 00:00:00",  # 15 d — stale
+    "c.com": "2026-08-14 00:00:00",  # 2 d — fresh
+    "d.com": "2026-07-01 00:00:00",  # 46 d — stale
+    "e.com": "2026-08-09 00:00:00",  # EXACTLY ttl — not stale (strict >)
+}
+_ROBOTS_AGE_FIXTURE = [
+    (h, t, _ROBOTS_FETCHED[h]) for h, t in _ROBOTS_FIXTURE
+]
+
+
+def _robots_aged_values_sql(fixture) -> str:
+    """(host, robots_txt, fetched_at) rows as a DuckDB VALUES relation
+    — the 3-column sibling of :func:`_robots_values_sql`."""
+    vals = ", ".join(
+        "('%s', '%s', '%s')"
+        % (
+            h,
+            t.replace("'", "''")
+            .replace("\r", "' || chr(13) || '")
+            .replace("\n", "' || chr(10) || '"),
+            fetched,
+        )
+        for h, t, fetched in fixture
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) t(host, robots_txt, fetched_at)"
+    )
+
+
+def q_robots_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness tier's refresh policy: gate verdicts that carry
+    their cache provenance (operators/curation.py robots_filter_aged =
+    robots_filter × robots_staleness). The aged fixture spans fresh /
+    stale / exactly-TTL hosts plus a never-fetched host (null age,
+    stale). Oracle = robots_filter_aged_sql — the shared robots CTE
+    body closed with the age join, so gate and freshness algebra
+    cannot drift from the engine."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter_aged,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frontier = _frontier_url_spark(ensure_parallelism(docs))
+    robots = spark.createDataFrame(
+        _ROBOTS_AGE_FIXTURE,
+        "host string, robots_txt string, fetched_at string",
+    )
+    return robots_filter_aged(
+        frontier, robots, now=_ROBOTS_NOW, ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot",
+    )
+
+
+def _robots_staleness_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter_aged_sql,
+    )
+
+    return robots_filter_aged_sql(
+        _FRONTIER_URL_SQL,
+        _robots_aged_values_sql(_ROBOTS_AGE_FIXTURE),
+        now=_ROBOTS_NOW,
+        ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot",
+    )
+
+
+#: Synthetic capture history for crawl_refresh: per document,
+#: 1 + doc_id % 3 captures spaced (doc_id % 5 + 1) days apart from a
+#: fixed epoch; even docs keep one digest (never change), odd docs
+#: change digest on every re-crawl — both change-rate extremes plus
+#: the single-capture (no-evidence) shape.
+_CRAWL_REFRESH_NOW = "2026-08-16"
+_CAPTURE_URI_SQL = (
+    "'https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.org/d/' || CAST(doc_id AS VARCHAR) || '.html'"
+)
+_CAPTURE_HISTORY_SQL = f"""
+SELECT {_CAPTURE_URI_SQL} AS url,
+       CAST(DATE '2026-05-01'
+            + CAST(i * ((doc_id % 5) + 1) AS INTEGER) AS VARCHAR)
+         AS capture_date,
+       md5(text || CASE WHEN doc_id % 2 = 0 THEN '0'
+                        ELSE CAST(i AS VARCHAR) END) AS digest
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(
+       0, CAST(doc_id % 3 AS INTEGER))) AS i) g
+"""
+
+
+def _capture_history_spark(docs: DataFrame) -> DataFrame:
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("i"),
+    )
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    cap_date = F.date_format(
+        F.date_add(
+            F.lit("2026-05-01").cast("date"),
+            (F.col("i") * (F.col("doc_id") % 5 + 1)).cast("int"),
+        ),
+        "yyyy-MM-dd",
+    )
+    digest = F.md5(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("0")).otherwise(
+                F.col("i").cast("string")
+            ),
+        )
+    )
+    return d.select(
+        url.alias("url"),
+        cap_date.alias("capture_date"),
+        digest.alias("digest"),
+    )
+
+
+def q_crawl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-crawl prioritizer closing the freshness loop: capture
+    history (url, date, digest — the relation the CDX index / revisit
+    records emit) → per-URL change rate × age → fetch priority
+    (operators/curation.py crawl_refresh). The fixture exercises
+    never-changing, always-changing, and single-capture URLs across a
+    spread of ages. Oracle = crawl_refresh_sql over the identical
+    history SQL."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    caps = _capture_history_spark(ensure_parallelism(docs))
+    return crawl_refresh(caps, now_date=_CRAWL_REFRESH_NOW)
+
+
+def _crawl_refresh_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh_sql,
+    )
+
+    return crawl_refresh_sql(
+        _CAPTURE_HISTORY_SQL, now_date=_CRAWL_REFRESH_NOW
+    )
+
+
+#: Range-layout CDX store fixture: multi-host URIs (doc_id % 7 picks
+#: the site) so a domain-prefix probe has shards to PRUNE — the staged
+#: crawl's single-host layout would cover every shard trivially.
+_CDX_RANGE_PROBE_PREFIX = "org,example,site3)"
+
+
+def _cdx_range_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    return ensure_parallelism(docs).select(
+        uri.alias("target_uri"),
+        F.lit(_WARC_DATE).alias("warc_date"),
+        F.lit("text/html").alias("http_content_type"),
+        F.lit(200).alias("http_status"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def _cdx_range_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the RANGE-layout CDX index once per sf_dir (the _cdx_store
+    marker discipline; version pins the URI mapping + digest source)."""
+    import hashlib
+
+    from bb_bigdata_log_tools_spark.sources.warc import write_cdx
+
+    out = _tmp("cdx_range_store", sf_dir)
+    marker = os.path.join(out, "_STAGED")
+    version = hashlib.md5(
+        ("cdx-range-v1:" + _CAPTURE_URI_SQL).encode()
+    ).hexdigest()
+    staged = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+    if staged != version:
+        shutil.rmtree(out, ignore_errors=True)
+        write_cdx(
+            _cdx_range_records(spark, sf_dir), out,
+            n_shards=N_WARC_SHARDS, layout="range",
+        )
+        with open(marker, "w") as f:
+            f.write(version)
+    return out
+
+
+def q_cdx_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX layout that serves the REAL query pattern: a
+    domain-prefix probe ("site3.example.org/*" — pywb / cluster.idx)
+    over a SURT-range-partitioned index reads only the shards whose
+    written key range intersects the prefix interval (the _RANGES
+    boundary manifest routes it; the hash layout must scan ALL shards
+    for the same question). Oracle recomputes the probed site's index
+    lines from the documents table via the shared SURT twin."""
+    from bb_bigdata_log_tools_spark.sources.warc import cdx_range_scan
+
+    store = _cdx_range_store(spark, sf_dir)
+    return cdx_range_scan(
+        spark, store, _CDX_RANGE_PROBE_PREFIX
+    ).orderBy("urlkey", "url")
+
+
+def _cdx_range_scan_oracle() -> str:
+    import re
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey_sql,
+    )
+
+    key = cdx_urlkey_sql(_CAPTURE_URI_SQL)
+    ts14 = re.sub(r"[^0-9]", "", _WARC_DATE)
+    return f"""
+SELECT {key} AS urlkey,
+       '{ts14}' AS ts14,
+       {_CAPTURE_URI_SQL} AS url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(text) AS digest
+FROM documents
+WHERE doc_id % 7 = 3
+ORDER BY urlkey, url
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -1619,6 +1877,9 @@ SINK_QUERIES = {
     "write_warc_revisit": q_write_warc_revisit,
     "write_cdx": q_write_cdx,
     "cdx_lookup": q_cdx_lookup,
+    "cdx_range_scan": q_cdx_range_scan,
+    "robots_staleness": q_robots_staleness,
+    "crawl_refresh": q_crawl_refresh,
 }
 
 SINK_ORACLES = {
@@ -1639,6 +1900,9 @@ SINK_ORACLES = {
     "write_warc_revisit": _write_warc_revisit_oracle(),
     "write_cdx": _write_cdx_oracle(),
     "cdx_lookup": _cdx_lookup_oracle(),
+    "cdx_range_scan": _cdx_range_scan_oracle(),
+    "robots_staleness": _robots_staleness_oracle(),
+    "crawl_refresh": _crawl_refresh_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

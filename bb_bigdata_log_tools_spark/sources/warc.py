@@ -1146,6 +1146,7 @@ def write_cdx(
     ctype_col: str = "http_content_type",
     status_col: str = "http_status",
     payload_col: str = "payload",
+    layout: str = "hash",
 ) -> int:
     """CDX index export — the FOURTH Common Crawl artifact: one text
     line per capture, ``urlkey timestamp {json}`` (CDXJ shape), where
@@ -1155,19 +1156,33 @@ def write_cdx(
     (url, mime, status, md5-labelled digest). Returns the row count,
     verified from the written files.
 
-    Layout: ``shard=N/*.txt`` with shard = md5(urlkey) — a lookup
-    hashes the urlkey to pick its shard, then scans lines sorted by
-    (urlkey, url) within it (the engine's hash-sharded twin of CC's
-    globally-sorted cluster.idx: O(1) shard routing instead of a
-    binary search over shard boundaries; divergence documented). The
-    BYTE-location fields CC's CDX carries (filename/offset/length)
-    live in this engine's ``.idx`` sidecars (the split-scan index,
-    one per .warc.gz shard) — this artifact indexes the SEARCH axis,
-    the sidecars index the STORAGE axis.
+    Two layouts, one per query pattern:
 
-    Determinism: the md5-shard + sortWithinPartitions discipline
+    - ``layout="hash"`` (default): ``shard=N/*.txt`` with shard =
+      md5(urlkey) — a POINT lookup hashes the urlkey to pick its
+      shard O(1) (:func:`cdx_lookup`), but a prefix/domain query must
+      scan every shard (every shard may hold keys of any site).
+    - ``layout="range"``: shards are GLOBAL SURT-KEY RANGES
+      (repartitionByRange — Spark's sampled range partitioner), with
+      a ``_RANGES`` boundary manifest (shard → actual written
+      min/max urlkey, the cluster.idx role) so a PREFIX query
+      ("example.com/*", the pywb / CC cluster.idx pattern) prunes to
+      only the shards whose range intersects the prefix interval
+      (:func:`cdx_range_scan`). Point lookups still work (a point is
+      a degenerate prefix) at O(log-ish) instead of O(1).
+
+    The BYTE-location fields CC's CDX carries (filename/offset/
+    length) live in this engine's ``.idx`` sidecars (the split-scan
+    index, one per .warc.gz shard) — this artifact indexes the SEARCH
+    axis, the sidecars index the STORAGE axis.
+
+    Determinism: shard + full-line sortWithinPartitions discipline
     (write_jsonl_shards's prefix-match trick keeps FileFormatWriter
-    from re-sorting), so re-runs are byte-identical.
+    from re-sorting), so hash-layout re-runs are byte-identical; the
+    range layout's BOUNDARIES come from Spark's seeded range sampler
+    (stable for identical input splits), and correctness never
+    depends on boundary placement — the manifest records the ACTUAL
+    written min/max per shard, so pruning is exact regardless.
     """
     import os as _os
 
@@ -1200,25 +1215,42 @@ def write_cdx(
         F.md5(F.coalesce(F.col(payload_col), F.lit(b""))),
         F.lit('"}'),
     )
-    shard = F.pmod(md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)).cast("int")
-    (
-        records.select(
-            shard.alias("shard"),
-            urlkey.alias("_k"),
-            uri.alias("_u"),
-            line.alias("value"),
+    if layout == "range":
+        ranged = records.select(
+            urlkey.alias("_k"), uri.alias("_u"), line.alias("value")
+        ).repartitionByRange(n_shards, "_k", "_u", "value")
+        (
+            ranged.select(
+                F.spark_partition_id().alias("shard"), "_k", "_u", "value"
+            )
+            .sortWithinPartitions("shard", "_k", "_u", "value")
+            .select("shard", "value")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .text(out_dir)
         )
-        .repartition(n_shards, "shard")
-        # the full line joins the sort key: two captures of the same
-        # URL (different timestamp/digest — the re-crawl shape a CDX
-        # exists to index) tie on (_k, _u), and a tie would make
-        # within-shard line order nondeterministic across re-runs
-        .sortWithinPartitions("shard", "_k", "_u", "value")
-        .select("shard", "value")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .text(out_dir)
-    )
+    else:
+        shard = F.pmod(
+            md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)
+        ).cast("int")
+        (
+            records.select(
+                shard.alias("shard"),
+                urlkey.alias("_k"),
+                uri.alias("_u"),
+                line.alias("value"),
+            )
+            .repartition(n_shards, "shard")
+            # the full line joins the sort key: two captures of the same
+            # URL (different timestamp/digest — the re-crawl shape a CDX
+            # exists to index) tie on (_k, _u), and a tie would make
+            # within-shard line order nondeterministic across re-runs
+            .sortWithinPartitions("shard", "_k", "_u", "value")
+            .select("shard", "value")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .text(out_dir)
+        )
     spark = records.sparkSession
     # zero-row input writes no shard dirs at all — the verification
     # glob would throw PATH_NOT_FOUND on an empty (but valid) index
@@ -1226,7 +1258,40 @@ def write_cdx(
         e.startswith("shard=")
         for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
     ):
+        if layout == "range":
+            _os.makedirs(_local_path(out_dir), exist_ok=True)
+            with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
+                      "w") as f:
+                f.write("")
         return 0
+    if layout == "range":
+        # boundary manifest from the WRITTEN data (|shards| rows — the
+        # cluster.idx role): shard id from the file path, min/max of
+        # the line's leading urlkey token, plus the total for the
+        # return contract. Deriving bounds from what landed on disk
+        # (not from the plan) keeps pruning exact even if the range
+        # sampler placed boundaries unevenly.
+        lines = spark.read.text(_os.path.join(out_dir, "shard=*"))
+        bounds = (
+            lines.select(
+                F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
+                .cast("int")
+                .alias("shard"),
+                F.substring_index("value", " ", 1).alias("k"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.min("k").alias("lo"),
+                F.max("k").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
+                  "w") as f:
+            for r in sorted(bounds, key=lambda r: r.shard):
+                f.write(f"{r.shard}\t{r.lo}\t{r.hi}\n")
+        return sum(r.n for r in bounds)
     return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
 
 
@@ -1276,14 +1341,29 @@ def cdx_lookup(
         if _os.path.isdir(_local_path(d))
     )
     wanted = [r.k for r in keys]
-    empty_schema = (
-        "urlkey string, ts14 string, url string, mime string,"
-        " status int, digest string"
-    )
     if not shard_dirs:
-        return spark.createDataFrame([], empty_schema)
-    v = F.col("value")
+        return spark.createDataFrame([], CDX_LINE_SCHEMA)
     lines = spark.read.text(shard_dirs)
+    return _parse_cdx_lines(lines).filter(F.col("urlkey").isin(wanted))
+
+
+#: Parsed CDX line schema — shared by the point and range readers.
+CDX_LINE_SCHEMA = (
+    "urlkey string, ts14 string, url string, mime string,"
+    " status int, digest string"
+)
+
+#: Range-layout boundary manifest file name (the cluster.idx role).
+CDX_RANGES_FILE = "_RANGES"
+
+
+def _parse_cdx_lines(lines: DataFrame) -> DataFrame:
+    """``urlkey ts14 {json}`` text lines → the searchable columns —
+    ONE copy of the line grammar, shared by :func:`cdx_lookup` and
+    :func:`cdx_range_scan` so the readers cannot drift."""
+    from pyspark.sql import functions as F
+
+    v = F.col("value")
     return lines.select(
         F.regexp_extract(v, r"^(\S+) ", 1).alias("urlkey"),
         F.regexp_extract(v, r"^\S+ (\d{14}) ", 1).alias("ts14"),
@@ -1291,7 +1371,74 @@ def cdx_lookup(
         F.regexp_extract(v, r'"mime":"([^"]*)"', 1).alias("mime"),
         F.regexp_extract(v, r'"status":(\d+)', 1).cast("int").alias("status"),
         F.regexp_extract(v, r'"digest":"([^"]+)"', 1).alias("digest"),
-    ).filter(F.col("urlkey").isin(wanted))
+    )
+
+
+def read_cdx_ranges(store_dir: str) -> list[tuple[int, str, str]]:
+    """The range-layout boundary manifest as (shard, lo_key, hi_key)
+    triples — |shards|-sized driver-side metadata (the same class of
+    read as a parquet footer or the split-scan ``.idx`` sidecars).
+    Missing or empty manifest reads as no ranges (an empty index)."""
+    import os as _os
+
+    p = _os.path.join(_local_path(store_dir), CDX_RANGES_FILE)
+    out: list[tuple[int, str, str]] = []
+    if not _os.path.exists(p):
+        return out
+    with open(p, encoding="utf-8") as f:
+        for ln in f:
+            parts = ln.rstrip("\n").split("\t")
+            if len(parts) == 3:
+                out.append((int(parts[0]), parts[1], parts[2]))
+    return out
+
+
+def covering_range_shards(
+    bounds: list[tuple[int, str, str]], prefix: str
+) -> list[int]:
+    """Shards whose written [lo, hi] urlkey range can contain a key
+    starting with ``prefix``: such keys occupy the interval
+    [prefix, prefix + U+10FFFF), so a shard qualifies iff
+    hi >= prefix and lo <= prefix + U+10FFFF. Pure function — the
+    pruning decision is unit-testable without a store."""
+    hi_probe = prefix + "\U0010ffff"
+    return [s for s, lo, hi in bounds if hi >= prefix and lo <= hi_probe]
+
+
+def cdx_range_scan(
+    spark: SparkSession, store_dir: str, prefix: str
+) -> DataFrame:
+    """Prefix/domain query over a range-layout :func:`write_cdx`
+    store — the REAL CDX serving pattern (pywb, Common Crawl's
+    cluster.idx): "all captures under ``example.com/*``" is a SURT-key
+    prefix probe. The ``_RANGES`` manifest routes it to ONLY the
+    shards whose written key range intersects the prefix interval —
+    the hash layout must scan every shard for the same question,
+    which is exactly the divergence this layout closes.
+
+    100 TB shape: the manifest is |shards|-sized driver metadata; the
+    scan lists only covering shard directories (contiguous under the
+    global key order, typically a small constant for a single site);
+    the prefix filter is a codegen ``startswith`` on the leading
+    token. No shuffle — the output is scan-shaped.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    shards = covering_range_shards(read_cdx_ranges(store_dir), prefix)
+    dirs = [
+        d
+        for d in (
+            _os.path.join(store_dir, f"shard={s}") for s in sorted(shards)
+        )
+        if _os.path.isdir(_local_path(d))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], CDX_LINE_SCHEMA)
+    return _parse_cdx_lines(spark.read.text(dirs)).filter(
+        F.col("urlkey").startswith(prefix)
+    )
 
 
 #: WARC 1.1 revisit profile URI for payload-identical re-crawls.

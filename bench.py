@@ -223,7 +223,19 @@ BENCH_QUERIES = [
     "write_warc_revisit",
     "write_cdx",
     "cdx_lookup",
+    # round-11: the freshness axis (range-served CDX prefix queries,
+    # robots-cache staleness, the re-crawl prioritizer)
+    "cdx_range_scan",
+    "robots_staleness",
+    "crawl_refresh",
 ]
+
+#: Full-payload sidecar at the repo root: the driver keeps only a
+#: bounded stdout tail (BENCH_r10.json carried just 2000 chars — the
+#: per-key map was unauditable from the artifact), so every run ALSO
+#: persists the complete {queries, reruns, steal_pct, errors} payload
+#: here, committed per round as the audit trail.
+FULL_ARTIFACT = "BENCH_FULL_latest.json"
 
 
 RERUN_THRESHOLD_S = 2.5
@@ -368,6 +380,17 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
     payload = run_bench(spark, sf_dir, QUERIES, BENCH_QUERIES)
+    # persist the FULL per-key map (timings + reruns + steal stamps +
+    # errors) next to the repo — the auditable artifact; stdout lines
+    # below remain the bounded-capture-safe transport
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), FULL_ARTIFACT
+        )
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except Exception as exc:  # noqa: BLE001 — sidecar is best-effort
+        print(json.dumps({"full_artifact_error": str(exc)[:200]}))
     for line in emit_lines(payload):
         print(line, flush=True)
     spark.stop()
@@ -395,6 +418,7 @@ def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
         summary["rerun_count"] = len(payload["reruns"])
     if "steal_pct" in payload:
         summary["steal_flagged"] = len(payload["steal_pct"])
+    summary["full_artifact"] = FULL_ARTIFACT
     lines = [json.dumps(summary)]
     names = list(timings)
     for i in range(0, len(names), chunk_size):

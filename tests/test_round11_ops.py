@@ -1,0 +1,278 @@
+"""Round-11 operators: the SURT-range CDX layout + prefix scan, the
+robots-cache staleness model, and the crawl_refresh prioritizer —
+semantics units, pruning proofs, plan shape, and the driver-gate
+oracle replica."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ CDX range
+
+
+def test_covering_range_shards_pure():
+    """The pruning decision alone: a shard qualifies iff its written
+    [lo, hi] range intersects [prefix, prefix+MAXCHAR)."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        covering_range_shards,
+    )
+
+    bounds = [
+        (0, "com,alpha)/a", "com,golf)/m"),
+        (1, "com,golf)/n", "com,kilo)/z"),
+        (2, "com,lima)/a", "org,zulu)/z"),
+    ]
+    # a whole-site prefix inside shard 1 only
+    assert covering_range_shards(bounds, "com,india)") == [1]
+    # a site whose captures SPAN the 0/1 shard boundary: both shards
+    assert covering_range_shards(bounds, "com,golf)") == [0, 1]
+    # a prefix strictly between two shards' ranges: nothing to scan
+    assert covering_range_shards(bounds, "com,kzzz)") == []
+    # before all keys / after all keys: nothing to scan
+    assert covering_range_shards(bounds, "aaa") == []
+    assert covering_range_shards(bounds, "zzz") == []
+    # a prefix equal to a shard's hi key still covers that shard
+    assert covering_range_shards(bounds, "com,golf)/m") == [0]
+
+
+def test_cdx_range_layout_manifest_and_scan(spark, tmp_path):
+    """Range layout end-to-end: the _RANGES manifest records sorted,
+    non-overlapping written key ranges; a domain-prefix scan prunes to
+    a strict subset of shards and returns exactly that site's
+    captures; an out-of-range prefix scans nothing."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        covering_range_shards,
+        read_cdx_ranges,
+        write_cdx,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (
+                f"https://host{i % 8:02d}.test/p{i}",
+                "2026-01-01T00:00:00Z",
+                "text/html",
+                200,
+                bytearray(f"body{i}".encode()),
+            )
+            for i in range(64)
+        ],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx_range")
+    n = write_cdx(recs, out, n_shards=4, layout="range")
+    assert n == 64
+    bounds = read_cdx_ranges(out)
+    assert 1 <= len(bounds) <= 4
+    # ranges are globally ordered and non-overlapping: each shard's lo
+    # is > the previous shard's hi (range partitioning = global order)
+    for (s0, _lo0, hi0), (s1, lo1, _hi1) in zip(bounds, bounds[1:]):
+        assert s0 < s1 and hi0 <= lo1
+    # domain-prefix probe: prunes (when >1 shard) and returns the site
+    prefix = "test,host03)"
+    shards = covering_range_shards(bounds, prefix)
+    if len(bounds) > 1:
+        assert 0 < len(shards) < len(bounds)
+    got = cdx_range_scan(spark, out, prefix).orderBy("url").collect()
+    want = sorted(
+        f"https://host03.test/p{i}" for i in range(64) if i % 8 == 3
+    )
+    assert [r.url for r in got] == want
+    assert all(r.urlkey.startswith(prefix) for r in got)
+    assert all(r.status == 200 and r.digest.startswith("md5:") for r in got)
+    # out-of-range prefix: no covering shards, empty result
+    assert covering_range_shards(bounds, "zzz,nohost)") == []
+    assert cdx_range_scan(spark, out, "zzz,nohost)").count() == 0
+
+
+def test_cdx_range_empty_input(spark, tmp_path):
+    """Zero-row input writes an EMPTY manifest (not a missing file) and
+    the scan over it returns an empty, correctly-typed relation."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        read_cdx_ranges,
+        write_cdx,
+    )
+
+    recs = spark.createDataFrame(
+        [],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx_range_empty")
+    assert write_cdx(recs, out, n_shards=4, layout="range") == 0
+    assert read_cdx_ranges(out) == []
+    df = cdx_range_scan(spark, out, "com,x)")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "urlkey", "ts14", "url", "mime", "status", "digest",
+    ]
+
+
+# ------------------------------------------------------------ robots staleness
+
+
+def test_robots_staleness_semantics(spark):
+    """Age arithmetic, the strict-> TTL boundary, and the countdown."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_staleness,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("fresh.com", "User-agent: *\n", "2026-08-15 12:00:00"),
+            ("stale.com", "User-agent: *\n", "2026-08-01 00:00:00"),
+            ("edge.com", "User-agent: *\n", "2026-08-09 00:00:00"),
+        ],
+        "host string, robots_txt string, fetched_at string",
+    )
+    rows = {
+        r.host: r
+        for r in robots_staleness(
+            robots, now="2026-08-16 00:00:00", ttl_s=7 * 86400
+        ).collect()
+    }
+    assert rows["fresh.com"].robots_age_s == 12 * 3600
+    assert rows["fresh.com"].robots_stale is False
+    assert rows["fresh.com"].refetch_after_s == 7 * 86400 - 12 * 3600
+    assert rows["stale.com"].robots_age_s == 15 * 86400
+    assert rows["stale.com"].robots_stale is True
+    assert rows["stale.com"].refetch_after_s == 0
+    # EXACTLY at TTL: not stale (strict >), zero seconds remaining
+    assert rows["edge.com"].robots_age_s == 7 * 86400
+    assert rows["edge.com"].robots_stale is False
+    assert rows["edge.com"].refetch_after_s == 0
+
+
+def test_robots_filter_aged_missing_host(spark):
+    """A frontier host with NO cached robots.txt gates as allowed (the
+    robots_filter left-join contract) but reads STALE with null age —
+    never-fetched means fetch before trusting the implicit allow."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        robots_filter_aged,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://known.com/x",), ("https://unknown.com/y",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("known.com", "User-agent: *\nDisallow: /x\n",
+          "2026-08-15 12:00:00")],
+        "host string, robots_txt string, fetched_at string",
+    )
+    rows = {
+        r.url: r
+        for r in robots_filter_aged(
+            frontier, robots, now="2026-08-16 00:00:00", ttl_s=7 * 86400
+        ).collect()
+    }
+    k = rows["https://known.com/x"]
+    assert k.allowed is False and k.robots_stale is False
+    assert k.robots_age_s == 12 * 3600
+    u = rows["https://unknown.com/y"]
+    assert u.allowed is True and u.robots_stale is True
+    assert u.robots_age_s is None
+
+
+# --------------------------------------------------------------- crawl refresh
+
+
+def test_crawl_refresh_semantics(spark):
+    """Change-rate extremes, the single-capture prior, the age axis,
+    and the ranking they compose to."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+    )
+
+    caps = spark.createDataFrame(
+        [
+            # always-changing: 3 captures, 2 changes
+            ("https://a/hot", "2026-05-01", "d1"),
+            ("https://a/hot", "2026-05-11", "d2"),
+            ("https://a/hot", "2026-05-21", "d3"),
+            # never-changing: 3 captures, 0 changes
+            ("https://a/static", "2026-05-01", "s"),
+            ("https://a/static", "2026-05-11", "s"),
+            ("https://a/static", "2026-05-21", "s"),
+            # single capture: no re-crawl evidence
+            ("https://a/new", "2026-08-01", "n"),
+        ],
+        "url string, capture_date string, digest string",
+    )
+    rows = {
+        r.url: r
+        for r in crawl_refresh(
+            caps, now_date="2026-08-16", change_prior=0.1
+        ).collect()
+    }
+    hot, static, new = (
+        rows["https://a/hot"], rows["https://a/static"], rows["https://a/new"]
+    )
+    assert (hot.n_captures, hot.age_days, hot.change_rate) == (3, 87, 1.0)
+    assert hot.refresh_priority == pytest.approx(87 * 1.1)
+    assert (static.n_captures, static.change_rate) == (3, 0.0)
+    assert static.refresh_priority == pytest.approx(87 * 0.1)
+    assert (new.n_captures, new.age_days, new.change_rate) == (1, 15, 0.0)
+    assert new.refresh_priority == pytest.approx(15 * 0.1)
+    # the ranking the scheduler reads: changing page first, then the
+    # static page of the same age only if older than the prior allows
+    assert hot.refresh_priority > static.refresh_priority
+    assert static.refresh_priority > new.refresh_priority
+
+
+def test_crawl_refresh_single_exchange_plan(spark):
+    """The lag window and the groupBy share the url partitioning —
+    ONE exchange over the capture history, no global sort."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+    )
+
+    caps = spark.createDataFrame(
+        [(f"https://h/{i % 10}", f"2026-05-{i % 28 + 1:02d}", f"d{i}")
+         for i in range(100)],
+        "url string, capture_date string, digest string",
+    )
+    plan = crawl_refresh(
+        caps, now_date="2026-08-16", sort=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ gate replica
+
+
+@pytest.mark.slow
+def test_registry_round11_vs_duckdb(spark, sf_dir):
+    """The three new keys against their DuckDB oracles at test SF —
+    the driver-gate replica (the r10 pattern)."""
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.registry import ORACLES, QUERIES
+    from bb_bigdata_log_tools_spark.session import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    for key in ("cdx_range_scan", "robots_staleness", "crawl_refresh"):
+        got = QUERIES[key](spark, sf_dir).toPandas()
+        want = con.execute(ORACLES[key]).fetchdf()
+        assert list(got.columns) == list(want.columns), key
+        assert len(got) == len(want), key
+        assert len(got) > 0, key
+        for c in got.columns:
+            gv, wv = list(got[c]), list(want[c])
+            if got[c].dtype.kind == "f":
+                # nan_ok: the never-fetched host's null age reads as
+                # NaN through pandas on BOTH sides
+                assert gv == pytest.approx(wv, nan_ok=True), (key, c)
+            else:
+                assert gv == wv, (key, c)
