@@ -1191,6 +1191,15 @@ def write_cdx(
     from bb_bigdata_log_tools_spark.functions.hashing import md5_long
     from bb_bigdata_log_tools_spark.operators.curation import cdx_urlkey
 
+    if layout not in ("hash", "range"):
+        # loud, not a silent fall-through to hash: a typo'd layout
+        # would produce an index whose READ path (cdx_range_scan)
+        # finds no manifest and quietly serves nothing
+        raise ValueError(
+            f"write_cdx: unknown layout {layout!r} (expected 'hash' or"
+            " 'range')"
+        )
+
     # null-guard EVERY line piece: F.concat propagates null, and a
     # null line is a capture silently missing from the index (or a
     # text-writer error). A capture without a URI is unindexable —

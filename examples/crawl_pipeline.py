@@ -6,9 +6,11 @@ crawl bytes (.warc.gz) → record parse → HTML extraction (text /
 links / metadata) → curation decision list (thin-gate, exact dedup,
 decontamination, split) → WET export of the kept text → the crawl
 loop CLOSED: frontier → robots gate → per-host fetch waves
-(frontier_schedule), plus the WAT metadata export and the dedup
-(revisit-record) export — all three Common Crawl artifacts and the
-scheduler as one lazy DataFrame program. Every operator documents
+(frontier_schedule), plus the WAT metadata export, the dedup
+(revisit-record) export, and the FRESHNESS axis (range-layout CDX
+prefix queries, robots-cache expiry, re-crawl prioritization) — all
+four Common Crawl artifacts and the scheduler as one lazy DataFrame
+program. Every operator documents
 its 100 TB shape in its docstring; the only driver-side
 materializations here are the prints and the ≤ n_shards sink
 manifests.
@@ -207,6 +209,58 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         ).count()
         print(f"dedup export: {sum(m.n_records for m in dedup_man)} records,"
               f" {revisits} stored as revisit (empty-body) records")
+
+        # -- 8. the FRESHNESS axis: a range-layout CDX index serving
+        #       domain-prefix queries (only the covering shards are
+        #       scanned), robots-cache expiry, and the re-crawl
+        #       prioritizer over the capture/digest history
+        from bb_bigdata_log_tools_spark.operators.curation import (
+            crawl_refresh,
+            robots_staleness,
+        )
+        from bb_bigdata_log_tools_spark.sources.warc import (
+            cdx_range_scan,
+            write_cdx,
+        )
+
+        captures = read_warc(spark, f"{work}/dedup/*.warc.gz").filter(
+            F.col("warc_type").isin("response", "revisit")
+        )
+        n_idx = write_cdx(
+            captures, f"{work}/cdx", n_shards=2, layout="range"
+        )
+        mirror = cdx_range_scan(spark, f"{work}/cdx", "example,mirror)")
+        print(f"CDX range index: {n_idx} lines;"
+              f" mirror.example/* -> {mirror.count()} captures"
+              f" (covering shards only)")
+        aged = robots.join(
+            spark.createDataFrame(
+                [("crawl.example", "2026-08-01 00:00:00")],
+                "host string, fetched_at string",
+            ),
+            "host",
+        )
+        stale = robots_staleness(
+            aged, now="2026-08-16 00:00:00", ttl_s=7 * 86400
+        )
+        print("robots cache:", [
+            (r.host, r.robots_age_s, bool(r.robots_stale))
+            for r in stale.collect()
+        ])
+        refresh = crawl_refresh(
+            captures.select(
+                F.col("target_uri").alias("url"),
+                F.substring("warc_date", 1, 10).alias("capture_date"),
+                F.col("payload_digest").alias("digest"),
+            ),
+            now_date="2026-08-16",
+        )
+        top = refresh.orderBy(
+            F.desc("refresh_priority"), "url"
+        ).limit(3).collect()
+        print("re-crawl priorities:", [
+            (r.url, r.age_days, round(r.refresh_priority, 2)) for r in top
+        ])
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if owns_session:
