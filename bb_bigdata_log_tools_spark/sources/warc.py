@@ -1435,7 +1435,22 @@ def cdx_range_scan(
 
     from pyspark.sql import functions as F
 
-    shards = covering_range_shards(read_cdx_ranges(store_dir), prefix)
+    bounds = read_cdx_ranges(store_dir)
+    if not bounds:
+        # a store with shard dirs but NO manifest is not an empty
+        # index — it is a hash-layout store (or a failed stage) probed
+        # with the range reader, and silently serving zero rows would
+        # read as "no captures for this site". Loud.
+        local = _local_path(store_dir)
+        if _os.path.isdir(local) and any(
+            e.startswith("shard=") for e in _os.listdir(local)
+        ):
+            raise ValueError(
+                f"cdx_range_scan: {store_dir!r} has shard dirs but no"
+                f" {CDX_RANGES_FILE} manifest — was it written with"
+                " write_cdx(layout='range')?"
+            )
+    shards = covering_range_shards(bounds, prefix)
     dirs = [
         d
         for d in (

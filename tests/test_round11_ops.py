@@ -245,6 +245,135 @@ def test_crawl_refresh_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cdx_range_scan_rejects_hash_store(spark, tmp_path):
+    """Probing a HASH-layout store (shard dirs, no _RANGES manifest)
+    with the range reader raises loudly instead of silently serving
+    zero rows — 'no captures for this site' must never be an artifact
+    of pointing the wrong reader at a store."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        write_cdx,
+    )
+
+    recs = spark.createDataFrame(
+        [("https://a.com/x", "2026-01-01T00:00:00Z", "text/html", 200,
+          bytearray(b"x"))],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx_hash")
+    write_cdx(recs, out, n_shards=2)  # hash layout — no manifest
+    with pytest.raises(ValueError, match="_RANGES"):
+        cdx_range_scan(spark, out, "com,a)")
+    # and an unknown layout is rejected at the writer
+    with pytest.raises(ValueError, match="unknown layout"):
+        write_cdx(recs, str(tmp_path / "x"), layout="zorder")
+
+
+def test_covering_range_shards_property():
+    """Property (hypothesis): for ANY partition of a sorted key set
+    into contiguous shard ranges and ANY probe prefix, the covering
+    set contains EVERY shard holding a matching key (no false
+    negatives — pruning must never lose captures)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        covering_range_shards,
+    )
+
+    keys_st = st.lists(
+        st.text(
+            alphabet="abc,)/0123456789", min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(keys=keys_st, n_shards=st.integers(1, 5), prefix=st.text(
+        alphabet="abc,)/0123456789", min_size=0, max_size=6))
+    def run(keys, n_shards, prefix):
+        ks = sorted(set(keys))
+        # contiguous shard ranges over the sorted keys
+        per = max(1, -(-len(ks) // n_shards))
+        bounds, assign = [], {}
+        for s in range(n_shards):
+            chunk = ks[s * per : (s + 1) * per]
+            if not chunk:
+                continue
+            bounds.append((s, chunk[0], chunk[-1]))
+            for k in chunk:
+                assign[k] = s
+        covered = set(covering_range_shards(bounds, prefix))
+        holding = {assign[k] for k in ks if k.startswith(prefix)}
+        assert holding <= covered  # NO false negatives, ever
+
+    run()
+
+
+def test_crawl_refresh_python_differential(spark):
+    """crawl_refresh vs an independent pure-Python reference over a
+    seeded random capture history (the robots_filter differential
+    discipline): n/last/age/rate/priority all equal per URL."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(40):
+        url = f"https://h{u % 7}.test/p{u}"
+        n = rng.randint(1, 5)
+        dates = sorted(
+            rng.sample(
+                [f"2026-{m:02d}-{d:02d}" for m in range(3, 8)
+                 for d in range(1, 28)],
+                n,
+            )
+        )
+        for i, dt in enumerate(dates):
+            # ~half the urls mutate on some re-crawls
+            dig = f"d{u}-{i}" if (u % 2 and rng.random() < 0.7) else f"d{u}"
+            rows.append((url, dt, dig))
+    got = {
+        r.url: r
+        for r in crawl_refresh(
+            spark.createDataFrame(
+                rows, "url string, capture_date string, digest string"
+            ),
+            now_date="2026-08-16",
+        ).collect()
+    }
+    # pure-Python reference
+    import datetime as dtm
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    for url, dt, dig in rows:
+        hist[url].append((dt, dig))
+    assert set(got) == set(hist)
+    for url, caps in hist.items():
+        caps.sort()  # (date, digest) — the engine's window order
+        n = len(caps)
+        changes = sum(
+            1 for a, b in zip(caps, caps[1:]) if a[1] != b[1]
+        )
+        last = max(c[0] for c in caps)
+        age = (
+            dtm.date(2026, 8, 16)
+            - dtm.date(*map(int, last.split("-")))
+        ).days
+        rate = changes / (n - 1) if n > 1 else 0.0
+        r = got[url]
+        assert r.n_captures == n and r.last_capture == last
+        assert r.age_days == age
+        assert r.change_rate == pytest.approx(rate)
+        assert r.refresh_priority == pytest.approx(age * (rate + 0.1))
+
+
 # ------------------------------------------------------------------ gate replica
 
 
