@@ -1853,6 +1853,69 @@ ORDER BY urlkey, url
 """
 
 
+def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX compaction — the cluster.idx maintenance pattern AND the
+    hash→range migration path in one op: two per-crawl-batch stores
+    (even doc_ids written HASH-layout, odd doc_ids RANGE-layout — the
+    mixed-input shape) merge into ONE range-layout store by pure text
+    merge (merge_cdx_stores; lines never re-derived from captures).
+    The merged store is read back through the range reader with the
+    EMPTY prefix (every shard covers — the full-index read). Oracle =
+    the whole index recomputed from documents: a green row certifies
+    that merge loses nothing, duplicates nothing, and the rewritten
+    manifest routes the whole key space."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        merge_cdx_stores,
+        write_cdx,
+    )
+
+    recs = _cdx_range_records(spark, sf_dir)
+    base = _tmp("cdx_merge", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    write_cdx(
+        recs.filter(F.col("target_uri").rlike("/d/[0-9]*[02468]\\.html$")),
+        os.path.join(base, "a"),
+        n_shards=N_WARC_SHARDS,
+    )
+    write_cdx(
+        recs.filter(F.col("target_uri").rlike("/d/[0-9]*[13579]\\.html$")),
+        os.path.join(base, "b"),
+        n_shards=N_WARC_SHARDS,
+        layout="range",
+    )
+    out = os.path.join(base, "merged")
+    merge_cdx_stores(
+        spark,
+        [os.path.join(base, "a"), os.path.join(base, "b")],
+        out,
+        n_shards=N_WARC_SHARDS,
+    )
+    return cdx_range_scan(spark, out, "").orderBy("urlkey", "url")
+
+
+def _cdx_merge_oracle() -> str:
+    import re
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey_sql,
+    )
+
+    key = cdx_urlkey_sql(_CAPTURE_URI_SQL)
+    ts14 = re.sub(r"[^0-9]", "", _WARC_DATE)
+    return f"""
+SELECT {key} AS urlkey,
+       '{ts14}' AS ts14,
+       {_CAPTURE_URI_SQL} AS url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(text) AS digest
+FROM documents
+ORDER BY urlkey, url
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -1880,6 +1943,7 @@ SINK_QUERIES = {
     "cdx_range_scan": q_cdx_range_scan,
     "robots_staleness": q_robots_staleness,
     "crawl_refresh": q_crawl_refresh,
+    "cdx_merge": q_cdx_merge,
 }
 
 SINK_ORACLES = {
@@ -1903,6 +1967,7 @@ SINK_ORACLES = {
     "cdx_range_scan": _cdx_range_scan_oracle(),
     "robots_staleness": _robots_staleness_oracle(),
     "crawl_refresh": _crawl_refresh_oracle(),
+    "cdx_merge": _cdx_merge_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1225,41 +1225,34 @@ def write_cdx(
         F.lit('"}'),
     )
     if layout == "range":
-        ranged = records.select(
-            urlkey.alias("_k"), uri.alias("_u"), line.alias("value")
-        ).repartitionByRange(n_shards, "_k", "_u", "value")
-        (
-            ranged.select(
-                F.spark_partition_id().alias("shard"), "_k", "_u", "value"
-            )
-            .sortWithinPartitions("shard", "_k", "_u", "value")
-            .select("shard", "value")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .text(out_dir)
-        )
-    else:
-        shard = F.pmod(
-            md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)
-        ).cast("int")
-        (
+        return _write_cdx_range_lines(
             records.select(
-                shard.alias("shard"),
-                urlkey.alias("_k"),
-                uri.alias("_u"),
-                line.alias("value"),
-            )
-            .repartition(n_shards, "shard")
-            # the full line joins the sort key: two captures of the same
-            # URL (different timestamp/digest — the re-crawl shape a CDX
-            # exists to index) tie on (_k, _u), and a tie would make
-            # within-shard line order nondeterministic across re-runs
-            .sortWithinPartitions("shard", "_k", "_u", "value")
-            .select("shard", "value")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .text(out_dir)
+                urlkey.alias("_k"), uri.alias("_u"), line.alias("value")
+            ),
+            out_dir,
+            n_shards,
         )
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("cdx:"), urlkey)), F.lit(n_shards)
+    ).cast("int")
+    (
+        records.select(
+            shard.alias("shard"),
+            urlkey.alias("_k"),
+            uri.alias("_u"),
+            line.alias("value"),
+        )
+        .repartition(n_shards, "shard")
+        # the full line joins the sort key: two captures of the same
+        # URL (different timestamp/digest — the re-crawl shape a CDX
+        # exists to index) tie on (_k, _u), and a tie would make
+        # within-shard line order nondeterministic across re-runs
+        .sortWithinPartitions("shard", "_k", "_u", "value")
+        .select("shard", "value")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )
     spark = records.sparkSession
     # zero-row input writes no shard dirs at all — the verification
     # glob would throw PATH_NOT_FOUND on an empty (but valid) index
@@ -1267,41 +1260,125 @@ def write_cdx(
         e.startswith("shard=")
         for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
     ):
-        if layout == "range":
-            _os.makedirs(_local_path(out_dir), exist_ok=True)
-            with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
-                      "w") as f:
-                f.write("")
         return 0
-    if layout == "range":
-        # boundary manifest from the WRITTEN data (|shards| rows — the
-        # cluster.idx role): shard id from the file path, min/max of
-        # the line's leading urlkey token, plus the total for the
-        # return contract. Deriving bounds from what landed on disk
-        # (not from the plan) keeps pruning exact even if the range
-        # sampler placed boundaries unevenly.
-        lines = spark.read.text(_os.path.join(out_dir, "shard=*"))
-        bounds = (
-            lines.select(
-                F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
-                .cast("int")
-                .alias("shard"),
-                F.substring_index("value", " ", 1).alias("k"),
-            )
-            .groupBy("shard")
-            .agg(
-                F.min("k").alias("lo"),
-                F.max("k").alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+    return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
+
+
+def _write_cdx_range_lines(
+    lines: DataFrame, out_dir: str, n_shards: int
+) -> int:
+    """The RANGE-layout write tail shared by :func:`write_cdx` and
+    :func:`merge_cdx_stores`: (_k, _u, value) rows → globally
+    range-partitioned ``shard=N`` text dirs + the ``_RANGES`` boundary
+    manifest. Returns the written line count."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    spark = lines.sparkSession
+    (
+        lines.repartitionByRange(n_shards, "_k", "_u", "value")
+        .select(
+            F.spark_partition_id().alias("shard"), "_k", "_u", "value"
         )
+        .sortWithinPartitions("shard", "_k", "_u", "value")
+        .select("shard", "value")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )
+    if not any(
+        e.startswith("shard=")
+        for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
+    ):
+        # zero-row input: an EMPTY manifest (not a missing one — the
+        # range reader treats missing-with-shards as a layout error)
+        _os.makedirs(_local_path(out_dir), exist_ok=True)
         with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
                   "w") as f:
-            for r in sorted(bounds, key=lambda r: r.shard):
-                f.write(f"{r.shard}\t{r.lo}\t{r.hi}\n")
-        return sum(r.n for r in bounds)
-    return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
+            f.write("")
+        return 0
+    # boundary manifest from the WRITTEN data (|shards| rows — the
+    # cluster.idx role): shard id from the file path, min/max of the
+    # line's leading urlkey token, plus the total for the return
+    # contract. Deriving bounds from what landed on disk (not from
+    # the plan) keeps pruning exact even if the range sampler placed
+    # boundaries unevenly.
+    written = spark.read.text(_os.path.join(out_dir, "shard=*"))
+    bounds = (
+        written.select(
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
+            .cast("int")
+            .alias("shard"),
+            F.substring_index("value", " ", 1).alias("k"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.min("k").alias("lo"),
+            F.max("k").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
+              "w") as f:
+        for r in sorted(bounds, key=lambda r: r.shard):
+            f.write(f"{r.shard}\t{r.lo}\t{r.hi}\n")
+    return sum(r.n for r in bounds)
+
+
+def merge_cdx_stores(
+    spark: SparkSession,
+    store_dirs: list[str],
+    out_dir: str,
+    n_shards: int = 8,
+) -> int:
+    """Compaction/merge of N CDX stores into ONE range-layout store —
+    the cluster.idx maintenance pattern: a crawler emits one index per
+    crawl batch; serving wants a single globally-sorted index. Inputs
+    may be ANY mix of hash- and range-layout stores (the merge reads
+    index LINES, so it is also the hash→range MIGRATION path —
+    converting an existing point-lookup store for prefix serving is
+    ``merge_cdx_stores(spark, [old], new)``).
+
+    Pure text merge: lines are never re-derived from captures (the
+    index is the source of truth here); the sort keys (_k = leading
+    urlkey token, _u = the url field) are re-parsed from each line by
+    the SAME grammar the readers use. Duplicate lines are KEPT — two
+    crawls capturing the same URL are two index entries (that is what
+    a CDX records); capture-level dedup belongs upstream
+    (``write_warc_deduped``).
+
+    100 TB shape: one scan of the input stores' text, ONE range
+    exchange (the same write path as ``write_cdx(layout='range')``),
+    no driver-side data — the manifest collect is |shards| rows.
+    Missing input dirs are skipped (a crawl batch with zero captures
+    writes no shard dirs)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    globs = [
+        _os.path.join(d, "shard=*")
+        for d in store_dirs
+        if _os.path.isdir(_local_path(d))
+        and any(
+            e.startswith("shard=") for e in _os.listdir(_local_path(d))
+        )
+    ]
+    if not globs:
+        return _write_cdx_range_lines(
+            spark.createDataFrame([], "_k string, _u string, value string"),
+            out_dir,
+            n_shards,
+        )
+    raw = spark.read.text(globs)
+    lines = raw.select(
+        F.substring_index("value", " ", 1).alias("_k"),
+        F.regexp_extract("value", r'"url":"([^"]+)"', 1).alias("_u"),
+        "value",
+    )
+    return _write_cdx_range_lines(lines, out_dir, n_shards)
 
 
 def cdx_lookup(

@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "cdx_range_scan",
     "robots_staleness",
     "crawl_refresh",
+    "cdx_merge",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

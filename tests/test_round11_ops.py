@@ -245,6 +245,57 @@ def test_crawl_refresh_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cdx_merge_mixed_layouts(spark, tmp_path):
+    """merge_cdx_stores: a hash-layout store and a range-layout store
+    merge into one range store holding the exact line multiset — and
+    merging a single hash store IS the hash→range migration."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        merge_cdx_stores,
+        read_cdx_ranges,
+        write_cdx,
+    )
+
+    def recs(lo, hi):
+        return spark.createDataFrame(
+            [
+                (f"https://h{i % 5}.test/p{i}", "2026-01-01T00:00:00Z",
+                 "text/html", 200, bytearray(f"b{i}".encode()))
+                for i in range(lo, hi)
+            ],
+            "target_uri string, warc_date string,"
+            " http_content_type string, http_status int, payload binary",
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_cdx(recs(0, 20), a, n_shards=2)                  # hash
+    write_cdx(recs(20, 50), b, n_shards=3, layout="range")  # range
+    out = str(tmp_path / "merged")
+    n = merge_cdx_stores(spark, [a, b], out, n_shards=4)
+    assert n == 50
+    got = cdx_range_scan(spark, out, "").orderBy("url").collect()
+    assert len(got) == 50
+    assert sorted(r.url for r in got) == sorted(
+        f"https://h{i % 5}.test/p{i}" for i in range(50)
+    )
+    bounds = read_cdx_ranges(out)
+    for (s0, _l0, h0), (s1, l1, _h1) in zip(bounds, bounds[1:]):
+        assert s0 < s1 and h0 <= l1  # still globally ordered
+    # hash -> range migration: merge of ONE hash store
+    mig = str(tmp_path / "migrated")
+    assert merge_cdx_stores(spark, [a], mig, n_shards=2) == 20
+    assert cdx_range_scan(spark, mig, "test,h1)").count() == 4
+    # duplicate lines are KEPT (two crawls = two entries; documented)
+    dup = str(tmp_path / "dup")
+    assert merge_cdx_stores(spark, [a, a], dup, n_shards=2) == 40
+    # missing/empty inputs are skipped; all-missing -> empty store
+    empty = str(tmp_path / "empty")
+    assert merge_cdx_stores(
+        spark, [str(tmp_path / "nope")], empty, n_shards=2
+    ) == 0
+    assert cdx_range_scan(spark, empty, "test,").count() == 0
+
+
 def test_cdx_range_scan_rejects_hash_store(spark, tmp_path):
     """Probing a HASH-layout store (shard dirs, no _RANGES manifest)
     with the range reader raises loudly instead of silently serving
@@ -391,7 +442,9 @@ def test_registry_round11_vs_duckdb(spark, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    for key in ("cdx_range_scan", "robots_staleness", "crawl_refresh"):
+    for key in (
+        "cdx_range_scan", "robots_staleness", "crawl_refresh", "cdx_merge",
+    ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
         assert list(got.columns) == list(want.columns), key
