@@ -1916,6 +1916,87 @@ ORDER BY urlkey, url
 """
 
 
+def _cdx_located_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the LOCATED hash-layout CDX index of the staged crawl —
+    the search axis joined with the storage axis (read_warc ⋈
+    parse_warc_idx on (file, rec_pos)), the index warc_fetch serves
+    ranged reads from. Marker discipline; the version pins the page
+    template AND the warc-store layout tag (locations embed byte
+    offsets, so a store re-stage must re-locate)."""
+    import hashlib
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        parse_warc_idx,
+        read_warc,
+        write_cdx,
+    )
+
+    out = _tmp("cdx_located", sf_dir)
+    marker = os.path.join(out, "_STAGED")
+    version = hashlib.md5(
+        ("cdx-located-v1:" + _warc_page_sql()).encode()
+    ).hexdigest()
+    staged = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+    if staged != version:
+        shutil.rmtree(out, ignore_errors=True)
+        store = _warc_store(spark, sf_dir)
+        glob = os.path.join(store, "*.warc.gz")
+        recs = read_warc(spark, glob).filter(
+            F.col("warc_type") == "response"
+        )
+        located = recs.join(
+            parse_warc_idx(spark, glob), ["file", "rec_pos"]
+        )
+        write_cdx(
+            located, out, n_shards=N_WARC_SHARDS, locate=True
+        )
+        with open(marker, "w") as f:
+            f.write(version)
+    return out
+
+
+def q_warc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-access page serving — the pywb loop (URL → CDX →
+    ranged GET) certified end-to-end: three probe URLs route through
+    the LOCATED CDX store (O(1) shard pick), the matched lines'
+    (filename, offset, length) drive seeks that read ONLY the probed
+    gzip members, and the fetched records' bytes must equal the page
+    table's — the oracle pins uri/type/record-id/length/md5 per
+    probed page. The index scan is ≤3 of 8 shard dirs; the data read
+    is 3 members out of the whole store."""
+    from bb_bigdata_log_tools_spark.sources.warc import warc_fetch
+
+    _warc_store(spark, sf_dir)  # the located index reads this store
+    cdx = _cdx_located_store(spark, sf_dir)
+    urls = [f"{_WARC_URI_PREFIX}{i}.html" for i in _CDX_PROBE_IDS]
+    rows = warc_fetch(spark, cdx, urls, n_shards=N_WARC_SHARDS)
+    return rows.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _warc_fetch_oracle() -> str:
+    ids = ", ".join(str(i) for i in _CDX_PROBE_IDS)
+    return f"""
+WITH pages AS ({_warc_page_sql()})
+SELECT target_uri,
+       'response' AS warc_type,
+       '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+       md5(html) AS payload_md5
+FROM pages
+WHERE doc_id IN ({ids})
+ORDER BY target_uri
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -1944,6 +2025,7 @@ SINK_QUERIES = {
     "robots_staleness": q_robots_staleness,
     "crawl_refresh": q_crawl_refresh,
     "cdx_merge": q_cdx_merge,
+    "warc_fetch": q_warc_fetch,
 }
 
 SINK_ORACLES = {
@@ -1968,6 +2050,7 @@ SINK_ORACLES = {
     "robots_staleness": _robots_staleness_oracle(),
     "crawl_refresh": _crawl_refresh_oracle(),
     "cdx_merge": _cdx_merge_oracle(),
+    "warc_fetch": _warc_fetch_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

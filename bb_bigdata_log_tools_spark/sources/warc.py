@@ -774,16 +774,34 @@ def read_warc_split(
     from pyspark.sql import functions as F
 
     n = parallelism or spark.sparkContext.defaultParallelism
-    idx_files = spark.read.format("binaryFile").load(path + ".idx")
-
-    IDX_SCHEMA = T.StructType(
-        [
-            T.StructField("file", T.StringType()),
-            T.StructField("rec_pos", T.IntegerType()),
-            T.StructField("offset", T.LongType()),
-            T.StructField("length", T.LongType()),
-        ]
+    entries = (
+        parse_warc_idx(spark, path)
+        .repartition(n)  # round-robin: splits WITHIN files too
+        .sortWithinPartitions(F.col("file"), F.col("offset"))
     )
+    return entries.mapInPandas(_read_member_rows, WARC_SCHEMA)
+
+
+#: (file, rec_pos, offset, length) — the sidecar-entry relation.
+IDX_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rec_pos", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def parse_warc_idx(spark: SparkSession, path: str) -> DataFrame:
+    """The ``.idx`` sidecar entries of a WARC store as a relation:
+    (file, rec_pos, offset, length) — one row per gzip member. This is
+    the STORAGE-axis metadata (KB per file), factored out of
+    :func:`read_warc_split` so the split scan, the located CDX export,
+    and :func:`warc_fetch` all consume ONE copy of the sidecar
+    grammar. ``path`` is the ``.warc.gz`` glob; indexes are found at
+    ``path + ".idx"``."""
+    idx_files = spark.read.format("binaryFile").load(path + ".idx")
 
     def parse_idx(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -800,42 +818,43 @@ def read_warc_split(
                     out["length"].append(int(length))
             yield pd.DataFrame(out)
 
-    entries = (
-        idx_files.select("path", "content")
-        .mapInPandas(parse_idx, IDX_SCHEMA)
-        .repartition(n)  # round-robin: splits WITHIN files too
-        .sortWithinPartitions(F.col("file"), F.col("offset"))
+    return idx_files.select("path", "content").mapInPandas(
+        parse_idx, IDX_SCHEMA
     )
 
-    def read_members(batches: Iterator["object"]) -> Iterator["object"]:
-        import pandas as pd
 
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        open_path, fh = None, None
-        try:
-            for pdf in batches:
-                out = {k: [] for k in cols}
-                for fpath, pos, off, length in zip(
-                    pdf["file"], pdf["rec_pos"], pdf["offset"], pdf["length"]
-                ):
-                    if fpath != open_path:
-                        if fh is not None:
-                            fh.close()
-                        fh = open_for_read(str(fpath))
-                        open_path = fpath
-                    fh.seek(int(off))
-                    member = fh.read(int(length))
-                    for blob in split_gzip_members(member):
-                        for hdr, block in parse_warc_records(blob):
-                            _append_record_row(
-                                out, str(fpath), int(pos), hdr, block
-                            )
-                yield pd.DataFrame(out)
-        finally:
-            if fh is not None:
-                fh.close()
+def _read_member_rows(batches: Iterator["object"]) -> Iterator["object"]:
+    """(file, rec_pos, offset, length) batches → parsed record rows:
+    seek + ranged read of exactly the probed gzip members (one open
+    file handle at a time, entries pre-sorted by (file, offset)).
+    The single copy of the ranged-read loop, shared by
+    :func:`read_warc_split` and :func:`warc_fetch`."""
+    import pandas as pd
 
-    return entries.mapInPandas(read_members, WARC_SCHEMA)
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    open_path, fh = None, None
+    try:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for fpath, pos, off, length in zip(
+                pdf["file"], pdf["rec_pos"], pdf["offset"], pdf["length"]
+            ):
+                if fpath != open_path:
+                    if fh is not None:
+                        fh.close()
+                    fh = open_for_read(str(fpath))
+                    open_path = fpath
+                fh.seek(int(off))
+                member = fh.read(int(length))
+                for blob in split_gzip_members(member):
+                    for hdr, block in parse_warc_records(blob):
+                        _append_record_row(
+                            out, str(fpath), int(pos), hdr, block
+                        )
+            yield pd.DataFrame(out)
+    finally:
+        if fh is not None:
+            fh.close()
 
 
 def build_warc_record(
@@ -1147,6 +1166,7 @@ def write_cdx(
     status_col: str = "http_status",
     payload_col: str = "payload",
     layout: str = "hash",
+    locate: bool = False,
 ) -> int:
     """CDX index export — the FOURTH Common Crawl artifact: one text
     line per capture, ``urlkey timestamp {json}`` (CDXJ shape), where
@@ -1173,8 +1193,17 @@ def write_cdx(
 
     The BYTE-location fields CC's CDX carries (filename/offset/
     length) live in this engine's ``.idx`` sidecars (the split-scan
-    index, one per .warc.gz shard) — this artifact indexes the SEARCH
-    axis, the sidecars index the STORAGE axis.
+    index, one per .warc.gz shard) by default — this artifact indexes
+    the SEARCH axis, the sidecars index the STORAGE axis. Passing
+    ``locate=True`` joins the two axes the way CC's real CDX does:
+    ``records`` must then also carry ``file``/``rec_pos``/``offset``/
+    ``length`` columns (the :func:`read_warc` output joined with
+    :func:`parse_warc_idx` on (file, rec_pos)), and each line's JSON
+    gains ``filename``/``rec_pos``/``offset``/``length`` — the index
+    :func:`warc_fetch` serves ranged byte reads from. Filenames are
+    recorded as the reader's URIs (absolute ``file:`` paths locally;
+    CC records archive-relative names — documented divergence, the
+    ``open_for_read`` seam resolves either).
 
     Determinism: shard + full-line sortWithinPartitions discipline
     (write_jsonl_shards's prefix-match trick keeps FileFormatWriter
@@ -1222,8 +1251,24 @@ def write_cdx(
         F.coalesce(F.col(status_col).cast("string"), F.lit("0")),
         F.lit(',"digest":"md5:'),
         F.md5(F.coalesce(F.col(payload_col), F.lit(b""))),
-        F.lit('"}'),
+        F.lit('"'),
     )
+    if locate:
+        # the storage-axis fields (null-guarded like every other
+        # piece — a located index row missing its location would
+        # otherwise null the whole line out of the index)
+        line = F.concat(
+            line,
+            F.lit(',"filename":"'),
+            F.coalesce(F.col("file"), F.lit("")),
+            F.lit('","rec_pos":'),
+            F.coalesce(F.col("rec_pos").cast("string"), F.lit("0")),
+            F.lit(',"offset":'),
+            F.coalesce(F.col("offset").cast("string"), F.lit("-1")),
+            F.lit(',"length":'),
+            F.coalesce(F.col("length").cast("string"), F.lit("-1")),
+        )
+    line = F.concat(line, F.lit("}"))
     if layout == "range":
         return _write_cdx_range_lines(
             records.select(
@@ -1386,6 +1431,7 @@ def cdx_lookup(
     store_dir: str,
     urls: list[str],
     n_shards: int = 8,
+    located: bool = False,
 ) -> DataFrame:
     """Point lookup through a :func:`write_cdx` store — the read side
     of the hash-sharded layout's O(1) routing claim: each probe URL's
@@ -1428,9 +1474,13 @@ def cdx_lookup(
     )
     wanted = [r.k for r in keys]
     if not shard_dirs:
-        return spark.createDataFrame([], CDX_LINE_SCHEMA)
+        return spark.createDataFrame(
+            [], CDX_LINE_SCHEMA_LOCATED if located else CDX_LINE_SCHEMA
+        )
     lines = spark.read.text(shard_dirs)
-    return _parse_cdx_lines(lines).filter(F.col("urlkey").isin(wanted))
+    return _parse_cdx_lines(lines, located=located).filter(
+        F.col("urlkey").isin(wanted)
+    )
 
 
 #: Parsed CDX line schema — shared by the point and range readers.
@@ -1439,25 +1489,99 @@ CDX_LINE_SCHEMA = (
     " status int, digest string"
 )
 
+#: The located variant (write_cdx(locate=True) lines).
+CDX_LINE_SCHEMA_LOCATED = (
+    CDX_LINE_SCHEMA
+    + ", filename string, rec_pos int, offset bigint, length bigint"
+)
+
 #: Range-layout boundary manifest file name (the cluster.idx role).
 CDX_RANGES_FILE = "_RANGES"
 
 
-def _parse_cdx_lines(lines: DataFrame) -> DataFrame:
+def _parse_cdx_lines(lines: DataFrame, located: bool = False) -> DataFrame:
     """``urlkey ts14 {json}`` text lines → the searchable columns —
     ONE copy of the line grammar, shared by :func:`cdx_lookup` and
-    :func:`cdx_range_scan` so the readers cannot drift."""
+    :func:`cdx_range_scan` so the readers cannot drift. With
+    ``located`` the storage-axis fields a ``locate=True`` export
+    carries parse too (missing fields read as null — probing a
+    non-located store with the located reader is visible, not a
+    silent zero)."""
     from pyspark.sql import functions as F
 
     v = F.col("value")
-    return lines.select(
+    cols = [
         F.regexp_extract(v, r"^(\S+) ", 1).alias("urlkey"),
         F.regexp_extract(v, r"^\S+ (\d{14}) ", 1).alias("ts14"),
         F.regexp_extract(v, r'"url":"([^"]+)"', 1).alias("url"),
         F.regexp_extract(v, r'"mime":"([^"]*)"', 1).alias("mime"),
         F.regexp_extract(v, r'"status":(\d+)', 1).cast("int").alias("status"),
         F.regexp_extract(v, r'"digest":"([^"]+)"', 1).alias("digest"),
+    ]
+    if located:
+        def num(field, typ):
+            ex = F.regexp_extract(v, rf'"{field}":(-?\d+)', 1)
+            return F.when(ex != "", ex.cast(typ)).alias(field)
+
+        cols += [
+            F.regexp_extract(v, r'"filename":"([^"]*)"', 1)
+            .alias("filename"),
+            num("rec_pos", "int"),
+            num("offset", "bigint"),
+            num("length", "bigint"),
+        ]
+    return lines.select(*cols)
+
+
+def warc_fetch(
+    spark: SparkSession,
+    cdx_store: str,
+    urls: list[str],
+    n_shards: int = 8,
+) -> DataFrame:
+    """Random-access page serving over engine artifacts — the pywb
+    loop (URL → CDX → ranged GET) as one relational op: probe URLs
+    route through a LOCATED hash-layout CDX store
+    (``write_cdx(locate=True)``, O(1) shard pick per probe), the
+    matched lines carry (filename, rec_pos, offset, length), and the
+    fetch seeks + reads EXACTLY those gzip members through the shared
+    :func:`_read_member_rows` loop. Returns full record rows
+    (:func:`read_warc` schema).
+
+    100 TB shape: the index scan lists ≤|probes| of the CDX shards;
+    the data read is the probed members' bytes — KB against a 100 TB
+    archive, never a file scan. The location collect is bounded by
+    |probes| × captures-per-URL (serving plumbing, not data); probed
+    members de-duplicate before reading (two captures can share a
+    member only in non-1:1 layouts). Probing a store written WITHOUT
+    ``locate=True`` raises — null locations mean the store cannot
+    serve byte ranges."""
+    from pyspark.sql import functions as F
+
+    hits = cdx_lookup(
+        spark, cdx_store, urls, n_shards=n_shards, located=True
     )
+    locs = hits.select(
+        "filename", "rec_pos", "offset", "length"
+    ).collect()
+    if not locs:
+        return spark.createDataFrame([], WARC_SCHEMA)
+    if any(r.offset is None or r.length is None for r in locs):
+        raise ValueError(
+            "warc_fetch: matched CDX lines carry no byte locations —"
+            " was the store written with write_cdx(locate=True)?"
+        )
+    entries = sorted(
+        {
+            (r.filename, int(r.rec_pos or 0), int(r.offset),
+             int(r.length))
+            for r in locs
+        }
+    )
+    edf = spark.createDataFrame(entries, IDX_SCHEMA).sortWithinPartitions(
+        "file", "offset"
+    )
+    return edf.mapInPandas(_read_member_rows, WARC_SCHEMA)
 
 
 def read_cdx_ranges(store_dir: str) -> list[tuple[int, str, str]]:

@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "robots_staleness",
     "crawl_refresh",
     "cdx_merge",
+    "warc_fetch",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

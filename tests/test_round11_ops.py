@@ -296,6 +296,53 @@ def test_cdx_merge_mixed_layouts(spark, tmp_path):
     assert cdx_range_scan(spark, empty, "test,").count() == 0
 
 
+def test_warc_fetch_serving_loop(spark, tmp_path):
+    """The pywb loop over engine artifacts: write_warc (with .idx
+    sidecars) → located CDX export (search axis ⋈ storage axis) →
+    warc_fetch probes read exactly the probed pages' bytes back."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        parse_warc_idx,
+        read_warc,
+        warc_fetch,
+        write_cdx,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (i, f"<p>page {i}</p>",
+             f"https://s.test/d/{i}.html", "2026-01-01T00:00:00Z")
+            for i in range(30)
+        ],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    store = str(tmp_path / "warc")
+    write_warc(pages, store, n_shards=2).collect()
+    glob = store + "/*.warc.gz"
+    located = read_warc(spark, glob).join(
+        parse_warc_idx(spark, glob), ["file", "rec_pos"]
+    )
+    cdx = str(tmp_path / "cdx")
+    write_cdx(located, cdx, n_shards=4, locate=True)
+    urls = [f"https://s.test/d/{i}.html" for i in (3, 17)]
+    got = warc_fetch(spark, cdx, urls, n_shards=4).orderBy(
+        "target_uri"
+    ).collect()
+    assert [r.target_uri for r in got] == sorted(urls)
+    assert [bytes(r.payload) for r in got] == [
+        b"<p>page 17</p>", b"<p>page 3</p>",
+    ]
+    # a NON-located store cannot serve byte ranges: loud, not empty
+    plain = str(tmp_path / "cdx_plain")
+    write_cdx(located, plain, n_shards=4)
+    with pytest.raises(ValueError, match="locate=True"):
+        warc_fetch(spark, plain, urls, n_shards=4)
+    # probing URLs the store never captured returns an empty relation
+    assert warc_fetch(
+        spark, cdx, ["https://s.test/d/999.html"], n_shards=4
+    ).count() == 0
+
+
 def test_cdx_range_scan_rejects_hash_store(spark, tmp_path):
     """Probing a HASH-layout store (shard dirs, no _RANGES manifest)
     with the range reader raises loudly instead of silently serving
@@ -443,7 +490,8 @@ def test_registry_round11_vs_duckdb(spark, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     for key in (
-        "cdx_range_scan", "robots_staleness", "crawl_refresh", "cdx_merge",
+        "cdx_range_scan", "robots_staleness", "crawl_refresh",
+        "cdx_merge", "warc_fetch",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
