@@ -261,6 +261,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> None:
         print("re-crawl priorities:", [
             (r.url, r.age_days, round(r.refresh_priority, 2)) for r in top
         ])
+
+        # -- 9. SERVE a page back out of the archive — the pywb loop:
+        #       located CDX (search axis ⋈ storage axis) routes the
+        #       URL to its byte range; the fetch reads ONLY that
+        #       gzip member, not the store
+        from bb_bigdata_log_tools_spark.sources.warc import (
+            parse_warc_idx,
+            warc_fetch,
+        )
+
+        glob = f"{work}/dedup/*.warc.gz"
+        located = read_warc(spark, glob).join(
+            parse_warc_idx(spark, glob), ["file", "rec_pos"]
+        )
+        write_cdx(located, f"{work}/cdx_located", n_shards=2,
+                  locate=True)
+        served = warc_fetch(
+            spark, f"{work}/cdx_located",
+            ["https://crawl.example/d/7.html"], n_shards=2,
+        ).collect()
+        print(f"served: {served[0].target_uri} ->"
+              f" {len(bytes(served[0].payload))} bytes"
+              f" (one ranged member read)")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         if owns_session:
