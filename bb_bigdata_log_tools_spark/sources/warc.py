@@ -1596,10 +1596,20 @@ def read_cdx_ranges(store_dir: str) -> list[tuple[int, str, str]]:
     if not _os.path.exists(p):
         return out
     with open(p, encoding="utf-8") as f:
-        for ln in f:
-            parts = ln.rstrip("\n").split("\t")
-            if len(parts) == 3:
-                out.append((int(parts[0]), parts[1], parts[2]))
+        for i, ln in enumerate(f):
+            stripped = ln.rstrip("\n")
+            if not stripped:
+                continue
+            parts = stripped.split("\t")
+            if len(parts) != 3:
+                # LOUD: a malformed line means a shard silently
+                # missing from every covering-set decision — pruning
+                # false negatives are lost captures, not a warning
+                raise ValueError(
+                    f"read_cdx_ranges: malformed manifest line {i + 1}"
+                    f" in {p!r}: {stripped[:80]!r}"
+                )
+            out.append((int(parts[0]), parts[1], parts[2]))
     return out
 
 

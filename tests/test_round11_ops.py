@@ -472,6 +472,86 @@ def test_crawl_refresh_python_differential(spark):
         assert r.refresh_priority == pytest.approx(age * (rate + 0.1))
 
 
+def test_read_cdx_ranges_rejects_corrupt_manifest(tmp_path):
+    """A malformed _RANGES line raises — a silently-skipped line would
+    drop its shard from every covering-set decision (pruning false
+    negatives = lost captures). Blank lines stay tolerated."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        CDX_RANGES_FILE,
+        read_cdx_ranges,
+    )
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / CDX_RANGES_FILE).write_text(
+        "0\tcom,a)/\tcom,m)/\n\n1\tcom,n)/\tcom,z)/\n"
+    )
+    assert read_cdx_ranges(str(store)) == [
+        (0, "com,a)/", "com,m)/"),
+        (1, "com,n)/", "com,z)/"),
+    ]
+    (store / CDX_RANGES_FILE).write_text(
+        "0\tcom,a)/\tcom,m)/\n1\tcorrupt-no-tabs\n"
+    )
+    with pytest.raises(ValueError, match="malformed manifest line 2"):
+        read_cdx_ranges(str(store))
+
+
+def test_cdx_urlkey_twin_differential(spark):
+    """cdx_urlkey (Spark Column algebra) vs cdx_urlkey_sql (DuckDB)
+    over a seeded-random URL corpus — the transform now keys FIVE
+    registry rows, so a twin drift here has the widest blast radius
+    in the crawl tier. Covers: case, www., ports, queries (multi-param,
+    empty values, duplicate keys), fragments, trailing slashes, root
+    paths, deep subdomains, %-escapes, and plain garbage."""
+    import random
+
+    import duckdb
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey,
+        cdx_urlkey_sql,
+    )
+
+    rng = random.Random(1107)
+    hosts = [
+        "example.com", "www.Example.COM", "a.b.c.d.org", "x.io",
+        "WWW.UPPER.NET", "host:8080", "single",
+    ]
+    paths = [
+        "", "/", "/A/B", "/a/b/", "/p%20q", "/x.html", "//double",
+        "/UPPER/Case/", "/.", "/..",
+    ]
+    queries = [
+        "", "?b=2&a=1", "?z", "?a=&b=1", "?a=1&a=0", "?B=1&a=2",
+        "?x=%41", "?empty=",
+    ]
+    frags = ["", "#frag", "#a/b?c=1"]
+    urls = []
+    for _ in range(120):
+        urls.append(
+            ("https" if rng.random() < 0.5 else "http")
+            + "://" + rng.choice(hosts) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.k
+        for r in df.coalesce(1)
+        .select(cdx_urlkey(F.col("url")).alias("k"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}')" for u in urls)
+    want = [
+        t[0]
+        for t in con.execute(
+            f"SELECT {cdx_urlkey_sql('url')} FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    ]
+    assert got == want
+
+
 # ------------------------------------------------------------------ gate replica
 
 
