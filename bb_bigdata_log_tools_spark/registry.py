@@ -381,13 +381,13 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-11 rotation (policy above, executed): (a) the 5 new round-11
+# Round-11 rotation (policy above, executed): (a) the 6 new round-11
 # keys at the head so they earn driver evidence immediately; (b) the
 # 24-key r6-vintage tail deferred from the round-10 rotation (oldest
 # evidence on the tree — approx_distinct_kmv onward in the old list);
 # (c) the 50-key r7-vintage cohort (CORRECTNESS_r07 order), of which
-# the first 21 fit this round's 50-key window (log_multisearch_or is
-# the last in) and the 29-key tail (log_multisearch_and onward) leads
+# the first 20 fit this round's 50-key window (log_search is the
+# last in) and the 30-key tail (log_multisearch_or onward) leads
 # round 12. After r11 no key's driver evidence is older than r7; the
 # two-round cadence then covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
@@ -397,6 +397,7 @@ _WINDOW_PRIORITY: list[str] = [
     "crawl_refresh",
     "cdx_merge",
     "warc_fetch",
+    "cdx_temporal",
     # --- the 24-key r6-vintage tail (deferred from round 10) ---
     "approx_distinct_kmv",
     "audio_pcm_stats",
@@ -423,9 +424,8 @@ _WINDOW_PRIORITY: list[str] = [
     "overlap_kmv",
     "minhash_bucket_stats",
     # --- r7-vintage cohort (50 keys, CORRECTNESS_r07 order; the
-    # first 21 fit this round's window — log_multisearch_or is the
-    # last in — and the 29-key tail from log_multisearch_and onward
-    # leads r12) ---
+    # first 20 fit this round's window — log_search is the last in —
+    # and the 30-key tail from log_multisearch_or onward leads r12) ---
     "quantile_sketch",
     "weighted_quantile_sketch",
     "cms_weighted_freq",
@@ -446,8 +446,8 @@ _WINDOW_PRIORITY: list[str] = [
     "cms_freq_estimate",
     "log_cat",
     "log_search",
-    "log_multisearch_or",
     # --- r7 tail (leads the round-12 window) ---
+    "log_multisearch_or",
     "log_multisearch_and",
     "log_index",
     "log_stats_hourly",

@@ -1997,6 +1997,67 @@ ORDER BY target_uri
 """
 
 
+#: Temporal probe bounds (inclusive; short ts_to pads with 9s).
+_CDX_TS_FROM = "20260502000000"
+_CDX_TS_TO = "20260505"
+
+
+def q_cdx_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAYBACK query shape — domain prefix × capture-time
+    interval: the multi-date capture history (the crawl_refresh
+    fixture — several captures per URL, days apart, digests evolving)
+    indexed into a range-layout CDX store, then probed for ONE site's
+    captures DURING a four-day window (inclusive 14-digit bounds,
+    short ts_to padded — plain string compares, fixed-width digits
+    order chronologically). Oracle re-derives the probed site's lines
+    from the same history SQL with the same date interval."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        write_cdx,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    caps = _capture_history_spark(ensure_parallelism(docs))
+    recs = caps.select(
+        F.col("url").alias("target_uri"),
+        F.concat(F.col("capture_date"), F.lit("T00:00:00Z")).alias(
+            "warc_date"
+        ),
+        F.lit("text/html").alias("http_content_type"),
+        F.lit(200).alias("http_status"),
+        F.encode("digest", "UTF-8").alias("payload"),
+    )
+    out = _tmp("cdx_temporal", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    write_cdx(recs, out, n_shards=N_WARC_SHARDS, layout="range")
+    return cdx_range_scan(
+        spark, out, _CDX_RANGE_PROBE_PREFIX,
+        ts_from=_CDX_TS_FROM, ts_to=_CDX_TS_TO,
+    ).orderBy("urlkey", "ts14", "url")
+
+
+def _cdx_temporal_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey_sql,
+    )
+
+    key = cdx_urlkey_sql("url")
+    return f"""
+WITH caps AS ({_CAPTURE_HISTORY_SQL})
+SELECT {key} AS urlkey,
+       regexp_replace(capture_date, '-', '', 'g') || '000000' AS ts14,
+       url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(digest) AS digest
+FROM caps
+WHERE url LIKE 'https://site3.example.org/%'
+  AND regexp_replace(capture_date, '-', '', 'g') || '000000'
+        BETWEEN '{_CDX_TS_FROM}' AND '{_CDX_TS_TO.ljust(14, "9")}'
+ORDER BY urlkey, ts14, url
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -2026,6 +2087,7 @@ SINK_QUERIES = {
     "crawl_refresh": q_crawl_refresh,
     "cdx_merge": q_cdx_merge,
     "warc_fetch": q_warc_fetch,
+    "cdx_temporal": q_cdx_temporal,
 }
 
 SINK_ORACLES = {
@@ -2051,6 +2113,7 @@ SINK_ORACLES = {
     "crawl_refresh": _crawl_refresh_oracle(),
     "cdx_merge": _cdx_merge_oracle(),
     "warc_fetch": _warc_fetch_oracle(),
+    "cdx_temporal": _cdx_temporal_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1626,7 +1626,11 @@ def covering_range_shards(
 
 
 def cdx_range_scan(
-    spark: SparkSession, store_dir: str, prefix: str
+    spark: SparkSession,
+    store_dir: str,
+    prefix: str,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
 ) -> DataFrame:
     """Prefix/domain query over a range-layout :func:`write_cdx`
     store — the REAL CDX serving pattern (pywb, Common Crawl's
@@ -1636,11 +1640,20 @@ def cdx_range_scan(
     the hash layout must scan every shard for the same question,
     which is exactly the divergence this layout closes.
 
+    ``ts_from``/``ts_to`` add the TEMPORAL axis — the wayback query
+    shape ("captures of example.com/* during June"): inclusive
+    14-digit timestamp bounds (prefixes shorter than 14 digits work
+    too — ``ts_from="202606"`` means from June 1, and a short
+    ``ts_to`` is padded with ``9``s so ``"202606"`` means through
+    June 30) filtered with plain string comparison: fixed-width digit
+    strings compare lexically = chronologically.
+
     100 TB shape: the manifest is |shards|-sized driver metadata; the
     scan lists only covering shard directories (contiguous under the
     global key order, typically a small constant for a single site);
     the prefix filter is a codegen ``startswith`` on the leading
-    token. No shuffle — the output is scan-shaped.
+    token and the time filter two codegen string compares. No
+    shuffle — the output is scan-shaped.
     """
     import os as _os
 
@@ -1671,9 +1684,16 @@ def cdx_range_scan(
     ]
     if not dirs:
         return spark.createDataFrame([], CDX_LINE_SCHEMA)
-    return _parse_cdx_lines(spark.read.text(dirs)).filter(
+    out = _parse_cdx_lines(spark.read.text(dirs)).filter(
         F.col("urlkey").startswith(prefix)
     )
+    if ts_from is not None:
+        out = out.filter(F.col("ts14") >= str(ts_from))
+    if ts_to is not None:
+        out = out.filter(
+            F.col("ts14") <= str(ts_to).ljust(14, "9")
+        )
+    return out
 
 
 #: WARC 1.1 revisit profile URI for payload-identical re-crawls.

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "crawl_refresh",
     "cdx_merge",
     "warc_fetch",
+    "cdx_temporal",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

@@ -296,6 +296,42 @@ def test_cdx_merge_mixed_layouts(spark, tmp_path):
     assert cdx_range_scan(spark, empty, "test,").count() == 0
 
 
+def test_cdx_range_scan_temporal_bounds(spark, tmp_path):
+    """The wayback shape: prefix × inclusive ts14 interval. Bounds are
+    string compares; a short ts_to pads with 9s (a month prefix means
+    THROUGH that month's end, not up to its first instant)."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_range_scan,
+        write_cdx,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            ("https://t.test/p", f"2026-0{m}-15T12:00:00Z",
+             "text/html", 200, bytearray(f"b{m}".encode()))
+            for m in range(1, 7)
+        ],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    out = str(tmp_path / "cdx_t")
+    write_cdx(recs, out, n_shards=2, layout="range")
+    scan = lambda **kw: sorted(  # noqa: E731
+        r.ts14
+        for r in cdx_range_scan(spark, out, "test,t)", **kw).collect()
+    )
+    assert len(scan()) == 6
+    # inclusive full-width bounds
+    assert scan(ts_from="20260215120000", ts_to="20260415120000") == [
+        "20260215120000", "20260315120000", "20260415120000",
+    ]
+    # short prefixes: ts_from floors, ts_to pads with 9s (month END)
+    assert scan(ts_from="202603", ts_to="202605") == [
+        "20260315120000", "20260415120000", "20260515120000",
+    ]
+    assert scan(ts_from="20270101000000") == []
+
+
 def test_warc_fetch_serving_loop(spark, tmp_path):
     """The pywb loop over engine artifacts: write_warc (with .idx
     sidecars) → located CDX export (search axis ⋈ storage axis) →
@@ -571,7 +607,7 @@ def test_registry_round11_vs_duckdb(spark, sf_dir):
         )
     for key in (
         "cdx_range_scan", "robots_staleness", "crawl_refresh",
-        "cdx_merge", "warc_fetch",
+        "cdx_merge", "warc_fetch", "cdx_temporal",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
