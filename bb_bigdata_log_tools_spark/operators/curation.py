@@ -1678,17 +1678,17 @@ ORDER BY url
     )
 
 
-def frontier_schedule_sql(
+def _schedule_sql_ctes(
     urls_sql: str,
     robots_sql: str,
     agent: str = "bbbot",
     default_delay: float = 1.0,
     with_priority: bool = False,
 ) -> str:
-    """:func:`frontier_schedule` in DuckDB SQL, extending the shared
-    robots CTE body with delay / sitemap / wave CTEs. ``urls_sql``
-    must yield ``url`` (plus ``priority`` when ``with_priority``);
-    ``robots_sql`` a ``(host, robots_txt)`` relation."""
+    """The shared gate→seeds→delays→wave CTE chain ending in ``sched``
+    — one copy under :func:`frontier_schedule_sql` and
+    :func:`fetch_timeline_sql`, so the scheduler and the budget
+    simulator cannot drift."""
     prio = (
         "coalesce((SELECT max(CAST(priority AS DOUBLE)) FROM urls uu"
         " WHERE uu.url = g.url), 0.0)"
@@ -1737,13 +1737,160 @@ sched AS (
          ) AS INTEGER) AS wave,
          coalesce(d.crawl_delay, {default_delay!r}) AS crawl_delay
   FROM merged m LEFT JOIN delays d ON m.host = d.host
-)
+)"""
+    )
+
+
+def frontier_schedule_sql(
+    urls_sql: str,
+    robots_sql: str,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+) -> str:
+    """:func:`frontier_schedule` in DuckDB SQL, extending the shared
+    robots CTE body with delay / sitemap / wave CTEs. ``urls_sql``
+    must yield ``url`` (plus ``priority`` when ``with_priority``);
+    ``robots_sql`` a ``(host, robots_txt)`` relation."""
+    return (
+        _schedule_sql_ctes(
+            urls_sql, robots_sql, agent, default_delay, with_priority
+        )
+        + """
 SELECT url, host, is_seed, priority, wave, crawl_delay,
        (wave - 1) * crawl_delay AS fetch_offset_s
 FROM sched
 ORDER BY host, wave
 """
     )
+
+
+def fetch_timeline_sql(
+    urls_sql: str,
+    robots_sql: str,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+) -> str:
+    """:func:`fetch_timeline` in DuckDB SQL — the shared schedule CTE
+    chain closed with the staleness join and the robots re-fetch
+    injection. ``robots_sql`` must yield (host, robots_txt,
+    fetched_at)."""
+    return (
+        _schedule_sql_ctes(
+            urls_sql, robots_sql, agent, default_delay, with_priority
+        )
+        + f""",
+aged AS (
+  SELECT host,
+         date_diff('second', CAST(fetched_at AS TIMESTAMP),
+                   TIMESTAMP '{now}') AS robots_age_s
+  FROM robots),
+st AS (
+  SELECT s.*, coalesce(a.robots_age_s > {int(ttl_s)}, TRUE) AS stale
+  FROM sched s LEFT JOIN aged a ON s.host = a.host)
+SELECT url, host, is_seed, 0 AS is_robots_fetch, priority, wave,
+       crawl_delay,
+       (CASE WHEN stale THEN wave ELSE wave - 1 END) * crawl_delay
+         AS fetch_offset_s
+FROM st
+UNION ALL
+SELECT 'https://' || host || '/robots.txt' AS url, host,
+       0 AS is_seed, 1 AS is_robots_fetch, 0.0 AS priority,
+       0 AS wave, max(crawl_delay) AS crawl_delay,
+       0.0 AS fetch_offset_s
+FROM st WHERE stale GROUP BY host
+ORDER BY host, wave
+"""
+    )
+
+
+def fetch_timeline(
+    frontier: DataFrame,
+    robots: DataFrame,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """The politeness-BUDGET simulator — what the fetcher actually
+    executes when the robots cache is allowed to expire:
+    :func:`frontier_schedule`'s per-host waves composed with
+    :func:`robots_staleness`, with the robots.txt RE-FETCH injected
+    into the timeline. Per host:
+
+    - FRESH robots cache: the schedule is frontier_schedule's —
+      wave k fetches at (k-1) × crawl_delay;
+    - STALE (or never-fetched) cache: a synthetic
+      ``https://<host>/robots.txt`` fetch takes wave 0 / offset 0
+      (the verdicts are provisional until the policy is re-read —
+      RFC 9309 §2.4), and every URL wave shifts one delay later
+      (wave k fetches at k × crawl_delay) — the politeness COST of
+      the refresh is visible in the offsets, which is the budget
+      question this op answers.
+
+    Output: (url, host, is_seed, is_robots_fetch, priority, wave,
+    crawl_delay, fetch_offset_s) — robots fetches carry
+    ``is_robots_fetch = 1``, wave 0.
+
+    100 TB shape: frontier_schedule's plan (bounded gate join + ONE
+    host exchange) plus a |hosts|-sized staleness join and a
+    per-host aggregate for the injected rows — nothing new touches
+    the frontier at scale."""
+    sched = frontier_schedule(
+        frontier,
+        robots,
+        agent=agent,
+        default_delay=default_delay,
+        url_col=url_col,
+        priority_col=priority_col,
+        sort=False,
+    )
+    ages = robots_staleness(robots, now, ttl_s, sort=False).select(
+        "host", "robots_stale"
+    )
+    s = sched.join(ages, "host", "left").withColumn(
+        "stale", F.coalesce(F.col("robots_stale"), F.lit(True))
+    )
+    urls = s.select(
+        "url",
+        "host",
+        "is_seed",
+        F.lit(0).alias("is_robots_fetch"),
+        "priority",
+        "wave",
+        "crawl_delay",
+        (
+            F.when(F.col("stale"), F.col("wave")).otherwise(
+                F.col("wave") - 1
+            )
+            * F.col("crawl_delay")
+        ).alias("fetch_offset_s"),
+    )
+    rob = (
+        s.filter(F.col("stale"))
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/robots.txt")
+            ).alias("url"),
+            "host",
+            F.lit(0).alias("is_seed"),
+            F.lit(1).alias("is_robots_fetch"),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).alias("wave"),
+            "crawl_delay",
+            F.lit(0.0).alias("fetch_offset_s"),
+        )
+    )
+    out = urls.unionByName(rob)
+    return small_sort(out, "host", "wave") if sort else out
 
 
 def robots_staleness(

@@ -381,15 +381,15 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-11 rotation (policy above, executed): (a) the 6 new round-11
+# Round-11 rotation (policy above, executed): (a) the 7 new round-11
 # keys at the head so they earn driver evidence immediately; (b) the
 # 24-key r6-vintage tail deferred from the round-10 rotation (oldest
 # evidence on the tree — approx_distinct_kmv onward in the old list);
 # (c) the 50-key r7-vintage cohort (CORRECTNESS_r07 order), of which
-# the first 20 fit this round's 50-key window (log_search is the
-# last in) and the 30-key tail (log_multisearch_or onward) leads
-# round 12. After r11 no key's driver evidence is older than r7; the
-# two-round cadence then covers every key at <= 4 rounds stale.
+# the first 19 fit this round's 50-key window (log_cat is the last
+# in) and the 31-key tail (log_search onward) leads round 12. After
+# r11 no key's driver evidence is older than r7; the two-round
+# cadence then covers every key at <= 4 rounds stale.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-11 new keys ---
     "cdx_range_scan",
@@ -398,6 +398,7 @@ _WINDOW_PRIORITY: list[str] = [
     "cdx_merge",
     "warc_fetch",
     "cdx_temporal",
+    "fetch_timeline",
     # --- the 24-key r6-vintage tail (deferred from round 10) ---
     "approx_distinct_kmv",
     "audio_pcm_stats",
@@ -424,8 +425,8 @@ _WINDOW_PRIORITY: list[str] = [
     "overlap_kmv",
     "minhash_bucket_stats",
     # --- r7-vintage cohort (50 keys, CORRECTNESS_r07 order; the
-    # first 20 fit this round's window — log_search is the last in —
-    # and the 30-key tail from log_multisearch_or onward leads r12) ---
+    # first 19 fit this round's window — log_cat is the last in —
+    # and the 31-key tail from log_search onward leads r12) ---
     "quantile_sketch",
     "weighted_quantile_sketch",
     "cms_weighted_freq",
@@ -445,8 +446,8 @@ _WINDOW_PRIORITY: list[str] = [
     "stream_quantile",
     "cms_freq_estimate",
     "log_cat",
-    "log_search",
     # --- r7 tail (leads the round-12 window) ---
+    "log_search",
     "log_multisearch_or",
     "log_multisearch_and",
     "log_index",

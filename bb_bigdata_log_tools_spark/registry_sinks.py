@@ -1997,6 +1997,58 @@ ORDER BY target_uri
 """
 
 
+#: The scheduler fixture texts (delays + sitemaps) age-stamped — the
+#: budget simulator needs BOTH axes: politeness intervals to shift
+#: and cache ages to decide which hosts re-fetch robots.txt first.
+_ROBOTS_SCHED_AGE_FIXTURE = [
+    (h, t, _ROBOTS_FETCHED[h]) for h, t in _ROBOTS_SCHED_FIXTURE
+]
+
+
+def q_fetch_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness-BUDGET simulator (operators/curation.py
+    fetch_timeline): frontier_schedule's per-host waves × the
+    robots-cache staleness model, with the robots.txt re-fetch
+    INJECTED into the timeline — stale (and never-fetched) hosts pay
+    one extra delay on every URL and fetch robots.txt at wave 0.
+    Fixture: the scheduler robots texts (delays, sitemaps, exact-agent
+    shadowing) age-stamped fresh/stale/boundary; sitemap seeds on a
+    never-fetched host exercise the implicit-stale path. Oracle =
+    fetch_timeline_sql over the SHARED schedule CTE chain."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_timeline,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frontier = _frontier_url_spark(
+        ensure_parallelism(docs), with_priority=True
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_SCHED_AGE_FIXTURE,
+        "host string, robots_txt string, fetched_at string",
+    )
+    return fetch_timeline(
+        frontier, robots, now=_ROBOTS_NOW, ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot", default_delay=1.0, priority_col="priority",
+    )
+
+
+def _fetch_timeline_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_timeline_sql,
+    )
+
+    return fetch_timeline_sql(
+        _FRONTIER_URL_PRIO_SQL,
+        _robots_aged_values_sql(_ROBOTS_SCHED_AGE_FIXTURE),
+        now=_ROBOTS_NOW,
+        ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot",
+        default_delay=1.0,
+        with_priority=True,
+    )
+
+
 #: Temporal probe bounds (inclusive; short ts_to pads with 9s).
 _CDX_TS_FROM = "20260502000000"
 _CDX_TS_TO = "20260505"
@@ -2088,6 +2140,7 @@ SINK_QUERIES = {
     "cdx_merge": q_cdx_merge,
     "warc_fetch": q_warc_fetch,
     "cdx_temporal": q_cdx_temporal,
+    "fetch_timeline": q_fetch_timeline,
 }
 
 SINK_ORACLES = {
@@ -2114,6 +2167,7 @@ SINK_ORACLES = {
     "cdx_merge": _cdx_merge_oracle(),
     "warc_fetch": _warc_fetch_oracle(),
     "cdx_temporal": _cdx_temporal_oracle(),
+    "fetch_timeline": _fetch_timeline_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "cdx_merge",
     "warc_fetch",
     "cdx_temporal",
+    "fetch_timeline",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

@@ -182,6 +182,50 @@ def test_robots_filter_aged_missing_host(spark):
 # --------------------------------------------------------------- crawl refresh
 
 
+def test_fetch_timeline_robots_refetch_injection(spark):
+    """The budget simulator: a FRESH host keeps frontier_schedule's
+    offsets ((wave-1) x delay); a STALE host fetches robots.txt at
+    wave 0 / offset 0 and every URL shifts one delay later (wave x
+    delay); a NEVER-FETCHED host reads as stale."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_timeline,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://fresh.com/a",), ("https://fresh.com/b",),
+         ("https://stale.com/a",), ("https://stale.com/b",),
+         ("https://new.com/x",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("fresh.com", "User-agent: *\nCrawl-delay: 2\n",
+             "2026-08-15 12:00:00"),
+            ("stale.com", "User-agent: *\nCrawl-delay: 4\n",
+             "2026-08-01 00:00:00"),
+        ],
+        "host string, robots_txt string, fetched_at string",
+    )
+    rows = fetch_timeline(
+        frontier, robots, now="2026-08-16 00:00:00", ttl_s=7 * 86400,
+        default_delay=1.0,
+    ).collect()
+    by = {(r.host, r.url): r for r in rows}
+    # fresh: no robots fetch, offsets (wave-1) x 2
+    assert ("fresh.com", "https://fresh.com/robots.txt") not in by
+    assert by[("fresh.com", "https://fresh.com/a")].fetch_offset_s == 0.0
+    assert by[("fresh.com", "https://fresh.com/b")].fetch_offset_s == 2.0
+    # stale: robots fetch at wave 0 / offset 0, urls shifted to wave x 4
+    rob = by[("stale.com", "https://stale.com/robots.txt")]
+    assert (rob.is_robots_fetch, rob.wave, rob.fetch_offset_s) == (1, 0, 0.0)
+    assert by[("stale.com", "https://stale.com/a")].fetch_offset_s == 4.0
+    assert by[("stale.com", "https://stale.com/b")].fetch_offset_s == 8.0
+    # never-fetched host: implicit stale — robots fetch + shift
+    nrob = by[("new.com", "https://new.com/robots.txt")]
+    assert nrob.is_robots_fetch == 1 and nrob.fetch_offset_s == 0.0
+    assert by[("new.com", "https://new.com/x")].fetch_offset_s == 1.0
+
+
 def test_crawl_refresh_semantics(spark):
     """Change-rate extremes, the single-capture prior, the age axis,
     and the ranking they compose to."""
@@ -607,7 +651,7 @@ def test_registry_round11_vs_duckdb(spark, sf_dir):
         )
     for key in (
         "cdx_range_scan", "robots_staleness", "crawl_refresh",
-        "cdx_merge", "warc_fetch", "cdx_temporal",
+        "cdx_merge", "warc_fetch", "cdx_temporal", "fetch_timeline",
     ):
         got = QUERIES[key](spark, sf_dir).toPandas()
         want = con.execute(ORACLES[key]).fetchdf()
