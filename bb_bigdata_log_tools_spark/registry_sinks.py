@@ -377,6 +377,29 @@ def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: WARC store layout tag (v2: CDX-style .idx sidecars for the split
+#: reader). Folded into EVERY staged-store version string that embeds
+#: byte offsets into that layout — a layout bump must re-stage them.
+_WARC_LAYOUT_TAG = "v2-idx"
+
+
+def _cdx_version(tag: str, *parts: str) -> str:
+    """Staged-CDX content version: md5 over the version tag, every
+    content input the store embeds (page/URI SQL), AND the urlkey
+    transform spelling (``cdx_urlkey_sql`` — staged indexes embed
+    urlkeys, so a SURT edit must re-stage; pinning the rendered SQL
+    makes that automatic instead of a manual tag bump)."""
+    import hashlib
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey_sql,
+    )
+
+    return hashlib.md5(
+        ":".join((tag, *parts, cdx_urlkey_sql("url"))).encode()
+    ).hexdigest()
+
+
 def _warc_page_sql() -> str:
     from bb_bigdata_log_tools_spark.registry_textprep import _html_sql_expr
 
@@ -408,7 +431,7 @@ def _warc_store(spark: SparkSession, sf_dir: str) -> str:
     # layout tag bumps force a re-stage when the STORE FORMAT itself
     # changes (v2: CDX-style .idx sidecars for the split reader)
     version = hashlib.md5(
-        ("v2-idx:" + _warc_page_sql()).encode()
+        (_WARC_LAYOUT_TAG + ":" + _warc_page_sql()).encode()
     ).hexdigest()
     staged = None
     if os.path.exists(marker):
@@ -1449,15 +1472,14 @@ def _cdx_store(spark: SparkSession, sf_dir: str) -> str:
     """Stage the CDX index of the staged crawl once per sf_dir
     (marker + content-version discipline like _warc_store — the index
     embeds page digests, so a template edit must re-stage)."""
-    import hashlib
-
     from bb_bigdata_log_tools_spark.sources.warc import read_warc, write_cdx
 
     out = _tmp("cdx_store", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    # v2: SURT root-path spelling changed to ')/' (r11) — the staged
-    # index embeds urlkeys, so a transform edit must re-stage
-    version = hashlib.md5(("cdx-v2:" + _warc_page_sql()).encode()).hexdigest()
+    # the staged index embeds urlkeys — _cdx_version pins the SURT
+    # transform spelling so an edit re-stages automatically (v2 was
+    # the manual bump this mechanism replaces)
+    version = _cdx_version("cdx-v2", _warc_page_sql())
     staged = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -1790,16 +1812,13 @@ def _cdx_range_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cdx_range_store(spark: SparkSession, sf_dir: str) -> str:
     """Stage the RANGE-layout CDX index once per sf_dir (the _cdx_store
-    marker discipline; version pins the URI mapping + digest source)."""
-    import hashlib
-
+    marker discipline; version pins the URI mapping + digest source +
+    the SURT transform spelling via _cdx_version)."""
     from bb_bigdata_log_tools_spark.sources.warc import write_cdx
 
     out = _tmp("cdx_range_store", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    version = hashlib.md5(
-        ("cdx-range-v1:" + _CAPTURE_URI_SQL).encode()
-    ).hexdigest()
+    version = _cdx_version("cdx-range-v1", _CAPTURE_URI_SQL)
     staged = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -1921,10 +1940,9 @@ def _cdx_located_store(spark: SparkSession, sf_dir: str) -> str:
     the search axis joined with the storage axis (read_warc ⋈
     parse_warc_idx on (file, rec_pos)), the index warc_fetch serves
     ranged reads from. Marker discipline; the version pins the page
-    template AND the warc-store layout tag (locations embed byte
-    offsets, so a store re-stage must re-locate)."""
-    import hashlib
-
+    template, the SURT spelling (_cdx_version) AND the warc-store
+    layout tag (locations embed byte offsets into that layout, so a
+    layout bump must re-locate)."""
     from bb_bigdata_log_tools_spark.sources.warc import (
         parse_warc_idx,
         read_warc,
@@ -1933,9 +1951,9 @@ def _cdx_located_store(spark: SparkSession, sf_dir: str) -> str:
 
     out = _tmp("cdx_located", sf_dir)
     marker = os.path.join(out, "_STAGED")
-    version = hashlib.md5(
-        ("cdx-located-v1:" + _warc_page_sql()).encode()
-    ).hexdigest()
+    version = _cdx_version(
+        "cdx-located-v1", _WARC_LAYOUT_TAG, _warc_page_sql()
+    )
     staged = None
     if os.path.exists(marker):
         with open(marker) as f:

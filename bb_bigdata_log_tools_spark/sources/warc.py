@@ -1300,10 +1300,14 @@ def write_cdx(
     )
     spark = records.sparkSession
     # zero-row input writes no shard dirs at all — the verification
-    # glob would throw PATH_NOT_FOUND on an empty (but valid) index
+    # glob would throw PATH_NOT_FOUND on an empty (but valid) index.
+    # The listdir goes through _local_path like every other local
+    # check: a file: URI out_dir would otherwise always read as empty.
+    local_out = _local_path(out_dir)
     if not any(
         e.startswith("shard=")
-        for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
+        for e in (_os.listdir(local_out) if _os.path.isdir(local_out)
+                  else ())
     ):
         return 0
     return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
@@ -1332,13 +1336,19 @@ def _write_cdx_range_lines(
         .partitionBy("shard")
         .text(out_dir)
     )
+    # the existence check and the manifest write must agree on the
+    # path spelling (_local_path): checking the raw URI while writing
+    # the stripped path would misclassify a populated file:-URI store
+    # as zero-row and emit an empty manifest over real shards
+    local_out = _local_path(out_dir)
     if not any(
         e.startswith("shard=")
-        for e in (_os.listdir(out_dir) if _os.path.isdir(out_dir) else ())
+        for e in (_os.listdir(local_out) if _os.path.isdir(local_out)
+                  else ())
     ):
         # zero-row input: an EMPTY manifest (not a missing one — the
         # range reader treats missing-with-shards as a layout error)
-        _os.makedirs(_local_path(out_dir), exist_ok=True)
+        _os.makedirs(local_out, exist_ok=True)
         with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
                   "w") as f:
             f.write("")
@@ -1566,7 +1576,16 @@ def warc_fetch(
     ).collect()
     if not locs:
         return spark.createDataFrame([], WARC_SCHEMA)
-    if any(r.offset is None or r.length is None for r in locs):
+    # locate=True serializes a NULL offset/length as -1 (the line
+    # grammar has no null literal), so "missing" arrives here as a
+    # negative number, not None — both spellings mean the store
+    # cannot serve byte ranges, and a silent seek(-1) would read
+    # garbage from the member tail
+    if any(
+        r.offset is None or r.length is None
+        or r.offset < 0 or r.length < 0
+        for r in locs
+    ):
         raise ValueError(
             "warc_fetch: matched CDX lines carry no byte locations —"
             " was the store written with write_cdx(locate=True)?"
@@ -1617,12 +1636,17 @@ def covering_range_shards(
     bounds: list[tuple[int, str, str]], prefix: str
 ) -> list[int]:
     """Shards whose written [lo, hi] urlkey range can contain a key
-    starting with ``prefix``: such keys occupy the interval
-    [prefix, prefix + U+10FFFF), so a shard qualifies iff
-    hi >= prefix and lo <= prefix + U+10FFFF. Pure function — the
-    pruning decision is unit-testable without a store."""
-    hi_probe = prefix + "\U0010ffff"
-    return [s for s, lo, hi in bounds if hi >= prefix and lo <= hi_probe]
+    starting with ``prefix``: a shard qualifies iff hi >= prefix and
+    lo's truncation to len(prefix) sorts <= prefix (the exact
+    intersection test — a sentinel upper bound like
+    prefix + U+10FFFF would wrongly prune a shard whose lo is that
+    sentinel followed by more characters). An empty prefix covers
+    every shard. Pure function — the pruning decision is
+    unit-testable without a store."""
+    n = len(prefix)
+    return [
+        s for s, lo, hi in bounds if hi >= prefix and lo[:n] <= prefix
+    ]
 
 
 def cdx_range_scan(
