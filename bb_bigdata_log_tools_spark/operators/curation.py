@@ -1765,7 +1765,7 @@ ORDER BY host, wave
     )
 
 
-def fetch_timeline_sql(
+def _timeline_sql_ctes(
     urls_sql: str,
     robots_sql: str,
     now: str,
@@ -1774,10 +1774,11 @@ def fetch_timeline_sql(
     default_delay: float = 1.0,
     with_priority: bool = False,
 ) -> str:
-    """:func:`fetch_timeline` in DuckDB SQL — the shared schedule CTE
-    chain closed with the staleness join and the robots re-fetch
-    injection. ``robots_sql`` must yield (host, robots_txt,
-    fetched_at)."""
+    """The shared schedule chain extended with the staleness join and
+    the robots re-fetch injection, ending in a ``timeline`` CTE — one
+    copy under :func:`fetch_timeline_sql` and
+    :func:`fetch_conditional_sql`, so the budget simulator and the
+    conditional-revisit planner cannot drift."""
     return (
         _schedule_sql_ctes(
             urls_sql, robots_sql, agent, default_delay, with_priority
@@ -1790,18 +1791,45 @@ aged AS (
   FROM robots),
 st AS (
   SELECT s.*, coalesce(a.robots_age_s > {int(ttl_s)}, TRUE) AS stale
-  FROM sched s LEFT JOIN aged a ON s.host = a.host)
-SELECT url, host, is_seed, 0 AS is_robots_fetch, priority, wave,
-       crawl_delay,
-       (CASE WHEN stale THEN wave ELSE wave - 1 END) * crawl_delay
-         AS fetch_offset_s
-FROM st
-UNION ALL
-SELECT 'https://' || host || '/robots.txt' AS url, host,
-       0 AS is_seed, 1 AS is_robots_fetch, 0.0 AS priority,
-       0 AS wave, max(crawl_delay) AS crawl_delay,
-       0.0 AS fetch_offset_s
-FROM st WHERE stale GROUP BY host
+  FROM sched s LEFT JOIN aged a ON s.host = a.host),
+timeline AS (
+  SELECT url, host, is_seed, 0 AS is_robots_fetch, priority, wave,
+         crawl_delay,
+         (CASE WHEN stale THEN wave ELSE wave - 1 END) * crawl_delay
+           AS fetch_offset_s
+  FROM st
+  UNION ALL
+  SELECT 'https://' || host || '/robots.txt' AS url, host,
+         0 AS is_seed, 1 AS is_robots_fetch, 0.0 AS priority,
+         0 AS wave, max(crawl_delay) AS crawl_delay,
+         0.0 AS fetch_offset_s
+  FROM st WHERE stale GROUP BY host
+)"""
+    )
+
+
+def fetch_timeline_sql(
+    urls_sql: str,
+    robots_sql: str,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+) -> str:
+    """:func:`fetch_timeline` in DuckDB SQL — the shared schedule CTE
+    chain closed with the staleness join and the robots re-fetch
+    injection (:func:`_timeline_sql_ctes`). ``robots_sql`` must yield
+    (host, robots_txt, fetched_at)."""
+    return (
+        _timeline_sql_ctes(
+            urls_sql, robots_sql, now, ttl_s, agent, default_delay,
+            with_priority,
+        )
+        + """
+SELECT url, host, is_seed, is_robots_fetch, priority, wave,
+       crawl_delay, fetch_offset_s
+FROM timeline
 ORDER BY host, wave
 """
     )
@@ -2102,15 +2130,16 @@ def crawl_refresh(
     return small_sort(out, "url") if sort else out
 
 
-def crawl_refresh_sql(
+def _refresh_sql_ctes(
     captures_sql: str, now_date: str, change_prior: float = 0.1
 ) -> str:
-    """:func:`crawl_refresh` in DuckDB SQL — ``captures_sql`` must
-    yield (url, capture_date, digest). The division casts to DOUBLE
+    """The crawl_refresh CTE chain (no leading WITH), ending in a
+    ``refresh`` CTE carrying the full output projection — one copy
+    under :func:`crawl_refresh_sql` and
+    :func:`fetch_conditional_sql`. The division casts to DOUBLE
     explicitly (DuckDB divides integers integrally; Spark's ``/`` is
     always fractional)."""
-    return f"""
-WITH caps AS ({captures_sql}),
+    return f"""caps AS ({captures_sql}),
 hist AS (
   SELECT url, capture_date, digest,
          CASE WHEN lag(digest) OVER (PARTITION BY url
@@ -2131,13 +2160,470 @@ scored AS (
          CASE WHEN n_captures > 1
               THEN CAST(n_changes AS DOUBLE) / (n_captures - 1)
               ELSE 0.0 END AS change_rate
-  FROM agg)
+  FROM agg),
+refresh AS (
+  SELECT url, n_captures, last_capture, age_days, change_rate,
+         age_days * (change_rate + {float(change_prior)!r})
+           AS refresh_priority
+  FROM scored
+)"""
+
+
+def crawl_refresh_sql(
+    captures_sql: str, now_date: str, change_prior: float = 0.1
+) -> str:
+    """:func:`crawl_refresh` in DuckDB SQL — the shared CTE chain
+    (:func:`_refresh_sql_ctes`) closed with the output projection.
+    ``captures_sql`` must yield (url, capture_date, digest)."""
+    return (
+        "WITH "
+        + _refresh_sql_ctes(captures_sql, now_date, change_prior)
+        + """
 SELECT url, n_captures, last_capture, age_days, change_rate,
-       age_days * (change_rate + {float(change_prior)!r})
-         AS refresh_priority
-FROM scored
+       refresh_priority
+FROM refresh
 ORDER BY url
 """
+    )
+
+
+def _absolutize_href(href: Column, base_url: Column) -> Column:
+    """Absolutized URL from an href-like column against its base —
+    the ONE absolutization policy shared by the frontier
+    (:func:`frontier_urls`) and the redirect resolver: absolute
+    ``http(s)://`` values pass through; site-relative (leading ``/``
+    but not ``//``) join the base's scheme+host; everything else
+    (protocol-relative, path-relative, mailto/javascript) is null —
+    precision over recall, same reasoning as :func:`crawl_frontier`."""
+    origin = F.regexp_extract(base_url, r"^(https?://[^/?#]+)", 1)
+    return (
+        F.when(href.rlike("^https?://"), href)
+        .when(
+            href.startswith("/") & ~href.startswith("//"),
+            F.concat(origin, href),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def resolve_redirects(
+    captures: DataFrame,
+    url_col: str = "url",
+    status_col: str = "http_status",
+    location_col: str = "location",
+    max_hops: int = 5,
+    sort: bool = True,
+) -> DataFrame:
+    """Bounded redirect-chain resolution over a capture relation —
+    the frontier's 3xx axis: each ``Location`` header a crawl stored
+    (``read_warc_headers``) is an edge url → absolutized target, and
+    every captured URL walks its chain to a final target so the
+    frontier schedules the page that actually serves content, not a
+    hop in the middle.
+
+    Edge relation: rows with 3xx status and a non-empty location;
+    targets absolutize against the capture URL under the frontier's
+    policy (:func:`_absolutize_href` — non-resolvable targets drop
+    the edge). A URL captured more than once keeps ONE edge: the
+    lexicographically smallest target (deterministic; callers with a
+    capture-date column should pre-filter to the latest capture).
+
+    The walk: ≤ ``max_hops`` steps, each a left join of the current
+    positions against the edge relation; a step onto a URL already in
+    the walked path sets ``looped`` and freezes the position (the
+    loop guard — a 301 cycle must not spin), as does hop exhaustion.
+    Output per distinct input URL: (url, final_url, n_hops, looped).
+    ``n_hops`` = 0 means a direct (non-redirecting) capture.
+
+    100 TB shape: ``max_hops`` is a small constant, so the walk is a
+    fixed chain of hash joins on the URL key — the edge side is
+    |3xx captures| (typically ≪ corpus, broadcast when small) and no
+    iteration count depends on data. The path array is bounded by
+    ``max_hops`` + 1 entries."""
+    src = F.col(url_col)
+    edges = (
+        captures.filter(
+            (F.col(status_col) >= 300)
+            & (F.col(status_col) < 400)
+            & (F.coalesce(F.col(location_col), F.lit("")) != "")
+        )
+        .select(
+            src.alias("src"),
+            _absolutize_href(F.col(location_col), src).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    state = (
+        captures.select(src.alias("url"))
+        .distinct()
+        .select(
+            "url",
+            F.col("url").alias("cur"),
+            F.lit(0).alias("n_hops"),
+            F.array(F.col("url")).alias("path"),
+            F.lit(False).alias("looped"),
+        )
+    )
+    for _ in range(int(max_hops)):
+        j = state.join(edges, state["cur"] == edges["src"], "left")
+        revisit = F.array_contains(F.col("path"), F.col("dst"))
+        stepped = F.col("dst").isNotNull() & ~revisit
+        loop_hit = F.col("dst").isNotNull() & revisit
+        state = j.select(
+            "url",
+            F.when(stepped, F.col("dst"))
+            .otherwise(F.col("cur"))
+            .alias("cur"),
+            (F.col("n_hops") + stepped.cast("int")).alias("n_hops"),
+            F.when(stepped, F.array_append("path", F.col("dst")))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            (F.col("looped") | loop_hit).alias("looped"),
+        )
+    out = state.select(
+        "url",
+        F.col("cur").alias("final_url"),
+        "n_hops",
+        "looped",
+    )
+    return small_sort(out, "url") if sort else out
+
+
+def resolve_redirects_sql(
+    captures_sql: str, max_hops: int = 5
+) -> str:
+    """:func:`resolve_redirects` in DuckDB SQL — the same bounded
+    walk as a recursive CTE with the identical path-array loop guard
+    (the unrolled joins and the guarded recursion visit the same
+    states because each src keeps exactly one edge). ``captures_sql``
+    must yield (url, http_status, location)."""
+    return f"""
+WITH RECURSIVE caps AS ({captures_sql}),
+e AS (
+  SELECT url AS src,
+         min(CASE WHEN regexp_matches(location, '^https?://')
+                    THEN location
+                  WHEN starts_with(location, '/')
+                       AND NOT starts_with(location, '//')
+                    THEN regexp_extract(url, '^(https?://[^/?#]+)', 1)
+                         || location
+                  END) AS dst
+  FROM caps
+  WHERE http_status >= 300 AND http_status < 400
+    AND coalesce(location, '') <> ''
+  GROUP BY url
+  HAVING min(CASE WHEN regexp_matches(location, '^https?://')
+                    THEN location
+                  WHEN starts_with(location, '/')
+                       AND NOT starts_with(location, '//')
+                    THEN regexp_extract(url, '^(https?://[^/?#]+)', 1)
+                         || location
+                  END) IS NOT NULL
+),
+walk AS (
+  SELECT url, url AS cur, 0 AS n_hops, [url] AS path, FALSE AS looped
+  FROM (SELECT DISTINCT url FROM caps)
+  UNION ALL
+  SELECT w.url,
+         CASE WHEN list_contains(w.path, e.dst)
+              THEN w.cur ELSE e.dst END AS cur,
+         w.n_hops + CASE WHEN list_contains(w.path, e.dst)
+                         THEN 0 ELSE 1 END AS n_hops,
+         CASE WHEN list_contains(w.path, e.dst)
+              THEN w.path ELSE list_append(w.path, e.dst) END AS path,
+         w.looped OR list_contains(w.path, e.dst) AS looped
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE w.n_hops < {int(max_hops)} AND NOT w.looped
+),
+final AS (
+  SELECT url, cur AS final_url, n_hops, looped,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY n_hops DESC,
+                                     CAST(looped AS INTEGER) DESC)
+           AS rn
+  FROM walk
+)
+SELECT url, final_url, n_hops, looped
+FROM final WHERE rn = 1
+ORDER BY url
+"""
+
+
+#: The five predefined XML entities, decode order pinned: ``&amp;``
+#: LAST (unescaping it first would conjure entities out of literal
+#: text like ``&amp;lt;``). One list, walked identically by the Spark
+#: operator and any SQL twin.
+XML_ENTITY_DECODES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _xml_unescape(col: Column) -> Column:
+    for ent, ch in XML_ENTITY_DECODES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _xml_field(block: Column, tag: str) -> Column:
+    """Text content of the first ``<tag>…</tag>`` element inside an
+    XML fragment column — whitespace-trimmed, entity-decoded, null
+    when the element is absent or empty."""
+    return F.nullif(
+        _xml_unescape(
+            F.regexp_extract(
+                block, rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1
+            )
+        ),
+        F.lit(""),
+    )
+
+
+def sitemap_parse(
+    payloads: DataFrame,
+    roots: list[str] | None = None,
+    url_col: str = "sitemap_url",
+    xml_col: str = "xml",
+    max_depth: int = 3,
+    sort: bool = True,
+) -> DataFrame:
+    """sitemaps.org XML → the crawl seed relation: ``<urlset>``
+    documents yield one row per ``<url>`` entry ((sitemap_url, host,
+    url, lastmod, changefreq, priority, depth)); ``<sitemapindex>``
+    documents recurse — each ``<sitemap><loc>`` child resolves
+    against the SAME payload relation (the fetched-sitemap store) and
+    its entries surface at ``depth`` + 1, bounded by ``max_depth``
+    with a visited-set loop guard (an index citing itself — or two
+    indexes citing each other — terminates instead of spinning).
+
+    ``payloads`` is the fetched-sitemap relation (url → XML text;
+    gzip ``.xml.gz`` bodies decompress at fetch/read time — e.g.
+    ``gzip_text_read`` — this operator is transport-agnostic);
+    ``roots`` selects the entry points (None = every payload row is a
+    root, depth 0). Parsing is the documented subset grammar shared
+    with the SQL twin: plain ``<url>``/``<sitemap>`` blocks,
+    ``<loc>``/``<lastmod>``/``<changefreq>``/``<priority>`` children,
+    whitespace-trimmed, the five predefined XML entities decoded
+    (:data:`XML_ENTITY_DECODES`); CDATA and attribute-carrying entry
+    tags are out of scope (documented). Entries without a ``<loc>``
+    drop; ``priority`` casts to double (null when absent/malformed);
+    ``host`` comes from the entry URL.
+
+    Downstream: ``lastmod`` feeds :func:`crawl_refresh` as a change
+    prior (a sitemap-declared modification after the last capture is
+    re-crawl evidence the digest history can't see yet) and the
+    (url, priority) projection feeds :func:`frontier_schedule` as
+    ranked seeds via its ``priority_col``.
+
+    100 TB shape: the per-document block explode is scan-parallel
+    column algebra (one regexp pass per payload, fan-out = entries
+    per sitemap, spec-capped at 50k); the recursion is ``max_depth``
+    (a small constant) hash joins on the sitemap URL key against the
+    |sitemaps|-sized payload relation — never a join over the
+    extracted URL rows."""
+    base = payloads.select(
+        F.col(url_col).alias("sitemap_url"), F.col(xml_col).alias("xml")
+    )
+    level = (
+        base.filter(F.col("sitemap_url").isin(list(roots)))
+        if roots is not None
+        else base
+    )
+    visited = level.select("sitemap_url")
+    parts = []
+    for depth in range(int(max_depth) + 1):
+        blocks = F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
+            )
+        )
+        entries = level.select(
+            "sitemap_url", blocks.alias("block")
+        ).select(
+            "sitemap_url",
+            _xml_field(F.col("block"), "loc").alias("url"),
+            _xml_field(F.col("block"), "lastmod").alias("lastmod"),
+            _xml_field(F.col("block"), "changefreq").alias(
+                "changefreq"
+            ),
+            _xml_field(F.col("block"), "priority")
+            .try_cast("double")
+            .alias("priority"),
+            F.lit(depth).alias("depth"),
+        )
+        parts.append(entries.filter(F.col("url").isNotNull()))
+        if depth == int(max_depth):
+            break
+        kids = F.explode(
+            F.regexp_extract_all(
+                F.col("xml"),
+                F.lit(r"(?s)<sitemap>(.*?)</sitemap>"),
+                F.lit(1),
+            )
+        )
+        children = (
+            level.select(kids.alias("block"))
+            .select(_xml_field(F.col("block"), "loc").alias("sitemap_url"))
+            .filter(F.col("sitemap_url").isNotNull())
+            .distinct()
+        )
+        nxt = children.join(base, "sitemap_url").join(
+            visited, "sitemap_url", "left_anti"
+        )
+        visited = visited.union(nxt.select("sitemap_url")).distinct()
+        level = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    host = F.lower(F.regexp_extract(F.col("url"), "^https?://([^/?#]+)", 1))
+    out = out.select(
+        "sitemap_url",
+        host.alias("host"),
+        "url",
+        "lastmod",
+        "changefreq",
+        "priority",
+        "depth",
+    )
+    return small_sort(out, "url", "sitemap_url") if sort else out
+
+
+def fetch_conditional(
+    timeline: DataFrame,
+    validators: DataFrame,
+    refresh: DataFrame,
+    priority_threshold: float = 1.0,
+    sort: bool = True,
+) -> DataFrame:
+    """Conditional-revisit planning — the If-None-Match /
+    If-Modified-Since budget saving made visible: each
+    :func:`fetch_timeline` row joins the cache validators its last
+    capture stored (``read_warc_headers``: ETag / Last-Modified) and
+    its :func:`crawl_refresh` priority, and is marked
+    ``validate_only`` when a validator exists AND the refresh
+    priority sits below ``priority_threshold`` — a low-urgency page
+    with a validator costs one conditional GET (usually a 304, no
+    body) instead of a full fetch.
+
+    ``validators``: (url, etag, last_modified) — multiple captures of
+    a URL merge field-wise by ``max`` ('' loses to any value;
+    deterministic; pre-filter to the latest capture when header
+    history matters). ``refresh``: (url, refresh_priority). Rows
+    never drop and never multiply (both joins are per-URL aggregates
+    on the left-join key). Policy pins: robots fetches are NEVER
+    validate_only (the policy file must be re-read in full), and a
+    URL with no capture history (null refresh_priority) fetches in
+    full — "never seen" is not "low priority".
+
+    Output: the timeline columns + (etag, last_modified,
+    has_validator, refresh_priority, validate_only).
+
+    100 TB shape: two per-URL hash joins added to fetch_timeline's
+    plan — validators and refresh are |URL|-keyed relations with
+    map-side-combined aggregates; no new exchange over the frontier
+    beyond the join keys, no window, no driver state."""
+    v = (
+        validators.select(
+            "url",
+            F.coalesce(F.col("etag"), F.lit("")).alias("etag"),
+            F.coalesce(F.col("last_modified"), F.lit("")).alias(
+                "last_modified"
+            ),
+        )
+        .groupBy("url")
+        .agg(
+            F.max("etag").alias("etag"),
+            F.max("last_modified").alias("last_modified"),
+        )
+    )
+    r = refresh.select("url", "refresh_priority")
+    j = timeline.join(v, "url", "left").join(r, "url", "left")
+    etag = F.coalesce(F.col("etag"), F.lit(""))
+    lastmod = F.coalesce(F.col("last_modified"), F.lit(""))
+    has_v = (etag != "") | (lastmod != "")
+    out = j.select(
+        "url",
+        "host",
+        "is_seed",
+        "is_robots_fetch",
+        "priority",
+        "wave",
+        "crawl_delay",
+        "fetch_offset_s",
+        etag.alias("etag"),
+        lastmod.alias("last_modified"),
+        has_v.alias("has_validator"),
+        "refresh_priority",
+        (
+            has_v
+            & (F.col("is_robots_fetch") == 0)
+            & F.col("refresh_priority").isNotNull()
+            & (
+                F.col("refresh_priority")
+                < F.lit(float(priority_threshold))
+            )
+        ).alias("validate_only"),
+    )
+    return small_sort(out, "host", "wave", "url") if sort else out
+
+
+def fetch_conditional_sql(
+    urls_sql: str,
+    robots_sql: str,
+    validators_sql: str,
+    captures_sql: str,
+    now: str,
+    now_date: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+    change_prior: float = 0.1,
+    priority_threshold: float = 1.0,
+) -> str:
+    """:func:`fetch_conditional` in DuckDB SQL — the shared timeline
+    CTE chain (:func:`_timeline_sql_ctes`) composed with the shared
+    refresh chain (:func:`_refresh_sql_ctes`) and the validator
+    merge, closed with the validate_only projection. No algebra is
+    restated — both chains are the same text the standalone twins
+    close over, so the composition cannot drift from its parts."""
+    thr = float(priority_threshold)
+    return (
+        _timeline_sql_ctes(
+            urls_sql, robots_sql, now, ttl_s, agent, default_delay,
+            with_priority,
+        )
+        + ",\n"
+        + _refresh_sql_ctes(captures_sql, now_date, change_prior)
+        + f""",
+validators AS (
+  SELECT url, max(coalesce(etag, '')) AS etag,
+         max(coalesce(last_modified, '')) AS last_modified
+  FROM ({validators_sql}) GROUP BY url
+)
+SELECT t.url, t.host, t.is_seed, t.is_robots_fetch, t.priority,
+       t.wave, t.crawl_delay, t.fetch_offset_s,
+       coalesce(v.etag, '') AS etag,
+       coalesce(v.last_modified, '') AS last_modified,
+       (coalesce(v.etag, '') <> ''
+        OR coalesce(v.last_modified, '') <> '') AS has_validator,
+       r.refresh_priority,
+       ((coalesce(v.etag, '') <> ''
+         OR coalesce(v.last_modified, '') <> '')
+        AND t.is_robots_fetch = 0
+        AND r.refresh_priority IS NOT NULL
+        AND r.refresh_priority < {thr!r}) AS validate_only
+FROM timeline t
+LEFT JOIN validators v ON t.url = v.url
+LEFT JOIN refresh r ON t.url = r.url
+ORDER BY t.host, t.wave, t.url
+"""
+    )
 
 
 def corpus_curate(

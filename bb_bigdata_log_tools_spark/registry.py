@@ -381,72 +381,20 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-11 rotation (policy above, executed): (a) the 7 new round-11
+# Round-12 rotation (policy above, executed): (a) the new round-12
 # keys at the head so they earn driver evidence immediately; (b) the
-# 24-key r6-vintage tail deferred from the round-10 rotation (oldest
-# evidence on the tree — approx_distinct_kmv onward in the old list);
-# (c) the 50-key r7-vintage cohort (CORRECTNESS_r07 order), of which
-# the first 19 fit this round's 50-key window (log_cat is the last
-# in) and the 31-key tail (log_search onward) leads round 12. After
-# r11 no key's driver evidence is older than r7; the two-round
-# cadence then covers every key at <= 4 rounds stale.
+# 31-key r7-vintage tail (oldest evidence on the tree — log_search
+# onward, deferred from the round-11 rotation); (c) the r8 cohort
+# (CORRECTNESS_r08 order) fills the remaining window slots —
+# html_extract_text through text_fingerprint make the 50 with three
+# new keys at the head; the r8 tail (text_repetition onward) leads
+# round 13. After r12 no key's driver evidence is older than r8.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-11 new keys ---
-    "cdx_range_scan",
-    "robots_staleness",
-    "crawl_refresh",
-    "cdx_merge",
-    "warc_fetch",
-    "cdx_temporal",
-    "fetch_timeline",
-    # --- the 24-key r6-vintage tail (deferred from round 10) ---
-    "approx_distinct_kmv",
-    "audio_pcm_stats",
-    "audio_resample",
-    "stream_approx_distinct",
-    "dedup_graph_triangles",
-    "boom_read_split",
-    "events_bot_detection",
-    "contrastive_pairs",
-    "mlm_mask_preview",
-    "source_quality_report",
-    "events_conversion_attribution",
-    "events_rollup_cube",
-    "events_user_pivot",
-    "events_variant_extract",
-    "dedup_winnowing",
-    "shard_skew_report",
-    "dedup_resolve",
-    "stream_cms_freq",
-    "bloom_decontaminate",
-    "bpe_pair_stats",
-    "dedup_url",
-    "corpus_curate",
-    "overlap_kmv",
-    "minhash_bucket_stats",
-    # --- r7-vintage cohort (50 keys, CORRECTNESS_r07 order; the
-    # first 19 fit this round's window — log_cat is the last in —
-    # and the 31-key tail from log_search onward leads r12) ---
-    "quantile_sketch",
-    "weighted_quantile_sketch",
-    "cms_weighted_freq",
-    "boom_write",
-    "write_jsonl_shards",
-    "read_jsonl",
-    "write_webdataset",
-    "read_webdataset",
-    "samples_from_members",
-    "events_asof_strict",
-    "stream_skew_asof_join",
-    "dedup_lines",
-    "sample_weighted_exact",
-    "sample_weighted_stratified",
-    "bpe_train",
-    "bpe_apply",
-    "stream_quantile",
-    "cms_freq_estimate",
-    "log_cat",
-    # --- r7 tail (leads the round-12 window) ---
+    # --- round-12 new keys ---
+    "sitemap_parse",
+    "crawl_redirects",
+    "fetch_conditional",
+    # --- the 31-key r7-vintage tail (deferred from round 11) ---
     "log_search",
     "log_multisearch_or",
     "log_multisearch_and",
@@ -478,6 +426,60 @@ _WINDOW_PRIORITY: list[str] = [
     "text_ngram_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # --- r8 cohort (CORRECTNESS_r08 order; the first 16 fit this
+    # round's 50-key window — text_fingerprint is the last in — and
+    # the tail from text_repetition onward leads round 13) ---
+    "html_extract_text",
+    "html_extract_links",
+    "html_extract_metadata",
+    "image_dhash",
+    "dedup_image",
+    "dedup_image_cluster",
+    "audio_fingerprint",
+    "dedup_audio",
+    "bpe_train_bytes",
+    "bpe_apply_bytes",
+    "dedup_embedding",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    # --- r8 tail (leads the round-13 window) ---
+    "text_repetition",
+    "avro_generic_read",
+    "avro_block_scan",
+    "avro_block_merge",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "stream_grep",
+    "stream_hourly_stats",
+    "stream_dedup",
+    "stream_funnel_match",
+    "ann_recall_eval",
+    "ann_topk_ivf",
+    "bm25_search",
+    "chunk_dedup_stats",
+    "chunk_documents",
+    "decontaminate",
+    "dedup_cross_source",
+    "dedup_incremental",
+    "domain_mix_weights",
+    "events_asof_join",
+    "events_interval_join",
+    "events_retention",
+    "events_rfm",
+    "kmeans_embeddings",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 QUERIES: dict[str, QueryFn] = {

@@ -2128,6 +2128,438 @@ ORDER BY urlkey, ts14, url
 """
 
 
+# --------------------------------------------------------------------------
+# round-12: the crawl tier's DISCOVERY + BUDGET axes — sitemap.xml
+# seed parsing (with sitemapindex recursion), 3xx redirect-chain
+# resolution over stored Location headers, and the conditional-revisit
+# (ETag / If-Modified-Since) composition over the fetch timeline.
+# --------------------------------------------------------------------------
+
+_SITEMAP_INDEX_URL = "https://www.example.org/sitemap_index.xml"
+_SITEMAP_CHANGEFREQS = ("daily", "weekly", "monthly")
+
+
+def _sitemap_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fetched-sitemap relation for the sitemap_parse key: one
+    ``<urlset>`` per site (entries built from documents — loc with an
+    entity-escaped query string, lastmod/changefreq/priority cycles)
+    plus ONE ``<sitemapindex>`` listing all seven site sitemaps AND
+    itself — the self-citation exercises the loop guard in the gate,
+    not just in unit tests. Entries are doc_id-sorted inside each
+    urlset so the XML bytes are deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 7).cast("string")
+    sm_url = F.concat(
+        F.lit("https://site"), site, F.lit(".example.org/sitemap.xml")
+    )
+    loc = F.concat(
+        F.lit("https://site"),
+        site,
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html?a=1&amp;b="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    lastmod = F.date_format(
+        F.date_add(
+            F.lit("2026-05-01").cast("date"),
+            (F.col("doc_id") % 5).cast("int"),
+        ),
+        "yyyy-MM-dd",
+    )
+    cf = F.element_at(
+        F.array(*[F.lit(c) for c in _SITEMAP_CHANGEFREQS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        loc,
+        F.lit("</loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod><changefreq>"),
+        cf,
+        F.lit("</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    per_site = (
+        ensure_parallelism(docs)
+        .select(sm_url.alias("sitemap_url"), "doc_id", entry.alias("e"))
+        .groupBy("sitemap_url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))
+                        ),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    idx_xml = (
+        "<sitemapindex>"
+        + "".join(
+            f"<sitemap><loc>https://site{n}.example.org/sitemap.xml"
+            "</loc></sitemap>"
+            for n in range(7)
+        )
+        + f"<sitemap><loc>{_SITEMAP_INDEX_URL}</loc></sitemap>"
+        + "</sitemapindex>"
+    )
+    idx = spark.createDataFrame(
+        [(_SITEMAP_INDEX_URL, idx_xml)], "sitemap_url string, xml string"
+    )
+    return per_site.unionByName(idx)
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery — the tier robots_sitemaps stops at, carried
+    to the seed relation (operators/curation.py sitemap_parse): a
+    sitemapindex root (which also cites ITSELF — live loop-guard
+    coverage) fans out to seven per-site urlsets, whose entries parse
+    into (host, url, lastmod, changefreq, priority) at depth 1 —
+    lastmod feeds crawl_refresh as a change prior, (url, priority)
+    feeds frontier_schedule as ranked seeds. Entity-escaped query
+    strings decode; the oracle recomputes every field straight from
+    documents (round-trip certification, the write_cdx discipline);
+    grammar parity vs a pure-Python ElementTree reference parser is
+    pinned by the unit differential (tests/test_round12_ops.py)."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sitemap_parse,
+    )
+
+    return sitemap_parse(
+        _sitemap_payloads(spark, sf_dir), roots=[_SITEMAP_INDEX_URL]
+    )
+
+
+def _sitemap_parse_oracle() -> str:
+    return """
+SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/sitemap.xml' AS sitemap_url,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+         || '.html?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+       CAST(DATE '2026-05-01' + CAST(doc_id % 5 AS INTEGER) AS VARCHAR)
+         AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority,
+       1 AS depth
+FROM documents
+ORDER BY url, sitemap_url
+"""
+
+
+def _redirect_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the redirect-chain WARC store: every document has its
+    200 capture at ``/d/<id>.html``; ``doc_id % 4 == 1`` adds a 301
+    at ``/old/<id>.html`` with a SITE-RELATIVE Location, and
+    ``doc_id % 8 == 5`` (a subset of the former — the chain) adds a
+    302 at ``/oldest/<id>.html`` with an ABSOLUTE Location — both
+    absolutization forms exercised. Rebuilt per call (the cdx_temporal
+    discipline: no marker, no staleness hazard)."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc_http
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    site = (F.col("doc_id") % 7).cast("string")
+    origin = F.concat(
+        F.lit("https://site"), site, F.lit(".example.org")
+    )
+    sid = F.col("doc_id").cast("string")
+    ok = docs.select(
+        (F.col("doc_id") * 4).alias("rec_id"),
+        F.col("text").alias("body"),
+        F.concat(origin, F.lit("/d/"), sid, F.lit(".html")).alias(
+            "target_uri"
+        ),
+        F.lit(_WARC_DATE).alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("").alias("http_headers"),
+    )
+    moved = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") * 4 + 1).alias("rec_id"),
+        F.lit("").alias("body"),
+        F.concat(origin, F.lit("/old/"), sid, F.lit(".html")).alias(
+            "target_uri"
+        ),
+        F.lit(_WARC_DATE).alias("warc_date"),
+        F.lit(301).alias("http_status"),
+        F.concat(
+            F.lit("Location: /d/"), sid, F.lit(".html")
+        ).alias("http_headers"),
+    )
+    chained = docs.filter(F.col("doc_id") % 8 == 5).select(
+        (F.col("doc_id") * 4 + 2).alias("rec_id"),
+        F.lit("").alias("body"),
+        F.concat(origin, F.lit("/oldest/"), sid, F.lit(".html")).alias(
+            "target_uri"
+        ),
+        F.lit(_WARC_DATE).alias("warc_date"),
+        F.lit(302).alias("http_status"),
+        F.concat(
+            F.lit("Location: "), origin, F.lit("/old/"), sid,
+            F.lit(".html"),
+        ).alias("http_headers"),
+    )
+    out = _tmp("warc_redirects", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc_http(
+        ok.unionByName(moved).unionByName(chained),
+        out,
+        n_shards=N_WARC_SHARDS,
+        id_col="rec_id",
+        body_col="body",
+    ).collect()
+    return out
+
+
+def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect resolution in the frontier: a staged crawl whose 3xx
+    captures carry Location headers (site-relative AND absolute,
+    1- and 2-hop chains) reads back header-only
+    (sources/warc.py read_warc_headers — no body decode), and every
+    captured URL walks its chain (operators/curation.py
+    resolve_redirects, ≤5 hops, path-array loop guard) to the target
+    the frontier should schedule. The oracle recomputes the expected
+    (url, final_url, n_hops) straight from documents — the staged
+    chains must resolve to exactly the frontier the direct 200
+    captures produce. Walk semantics are pinned independently by the
+    resolve_redirects_sql differential (tests/test_round12_ops.py)."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        resolve_redirects,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        read_warc_headers,
+    )
+
+    store = _redirect_store(spark, sf_dir)
+    heads = read_warc_headers(
+        spark, os.path.join(store, "*.warc.gz")
+    ).select(
+        F.col("target_uri").alias("url"), "http_status", "location"
+    )
+    return resolve_redirects(heads, max_hops=5)
+
+
+def _crawl_redirects_oracle() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.org' AS origin
+  FROM documents)
+SELECT origin || '/d/' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       origin || '/d/' || CAST(doc_id AS VARCHAR) || '.html'
+         AS final_url,
+       0 AS n_hops, FALSE AS looped
+FROM d
+UNION ALL
+SELECT origin || '/old/' || CAST(doc_id AS VARCHAR) || '.html',
+       origin || '/d/' || CAST(doc_id AS VARCHAR) || '.html',
+       1, FALSE
+FROM d WHERE doc_id % 4 = 1
+UNION ALL
+SELECT origin || '/oldest/' || CAST(doc_id AS VARCHAR) || '.html',
+       origin || '/d/' || CAST(doc_id AS VARCHAR) || '.html',
+       2, FALSE
+FROM d WHERE doc_id % 8 = 5
+ORDER BY url
+"""
+
+
+#: Aged robots fixture for the capture-site hosts (site0..site6) —
+#: crawl-delay spreads, an exact-agent group shadowing a disallow-all
+#: '*' group, a full /d/ disallow (urls vanish from the timeline), a
+#: sitemap seed on the exactly-at-TTL host, and site6 absent (the
+#: never-fetched stale path).
+_SITE_ROBOTS_AGE_FIXTURE = [
+    (
+        "site0.example.org",
+        "User-agent: *\nCrawl-delay: 2\n",
+        "2026-08-15 00:00:00",  # fresh
+    ),
+    (
+        "site1.example.org",
+        "User-agent: *\nDisallow:\n",
+        "2026-08-01 00:00:00",  # stale
+    ),
+    (
+        "site2.example.org",
+        "User-agent: bbbot\nCrawl-delay: 0.5\n"
+        "User-agent: *\nDisallow: /\n",
+        "2026-08-14 12:00:00",  # fresh; exact group wins
+    ),
+    (
+        "site3.example.org",
+        "User-agent: *\nCrawl-delay: 10\n",
+        "2026-07-01 00:00:00",  # stale
+    ),
+    (
+        "site4.example.org",
+        "User-agent: *\nDisallow: /nothing\n\n"
+        "Sitemap: https://site4.example.org/sitemap.xml\n",
+        "2026-08-09 00:00:00",  # exactly TTL — not stale (strict >)
+    ),
+    (
+        "site5.example.org",
+        "User-agent: *\nDisallow: /d/\n",
+        "2026-08-15 06:00:00",  # fresh; blocks every capture URL
+    ),
+]
+
+_FC_THRESHOLD = 50.0
+
+_VALIDATORS_SQL = f"""
+SELECT {_CAPTURE_URI_SQL} AS url,
+       CASE WHEN doc_id % 3 = 0
+            THEN '"t-' || substr(md5(text), 1, 8) || '"'
+            ELSE '' END AS etag,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(DATE '2026-05-01'
+                      + CAST(doc_id % 5 AS INTEGER) AS VARCHAR)
+            ELSE '' END AS last_modified
+FROM documents
+"""
+
+
+def _validator_store(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the validator WARC store: 200 captures whose response
+    headers carry ETag (doc_id %% 3 == 0) and/or Last-Modified
+    (doc_id %% 2 == 0) — the cache-validator axis fetch_conditional
+    surfaces. Rebuilt per call (cdx_temporal discipline)."""
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc_http
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    site = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    uri = F.concat(
+        F.lit("https://site"), site, F.lit(".example.org/d/"), sid,
+        F.lit(".html"),
+    )
+    etag_line = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('ETag: "t-'),
+            F.substring(F.md5("text"), 1, 8),
+            F.lit('"'),
+        ),
+    )
+    lm_line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("Last-Modified: "),
+            F.date_format(
+                F.date_add(
+                    F.lit("2026-05-01").cast("date"),
+                    (F.col("doc_id") % 5).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ),
+        ),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.col("text").alias("body"),
+        uri.alias("target_uri"),
+        F.lit(_WARC_DATE).alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.concat_ws("\n", etag_line, lm_line).alias("http_headers"),
+    )
+    out = _tmp("warc_validators", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc_http(
+        pages, out, n_shards=N_WARC_SHARDS, body_col="body"
+    ).collect()
+    return out
+
+
+def q_fetch_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The If-None-Match / If-Modified-Since budget composition
+    (operators/curation.py fetch_conditional): the politeness-budget
+    timeline (fetch_timeline over the capture-site frontier and the
+    aged site robots) joins the cache validators the staged crawl
+    stored (write_warc_http → read_warc_headers: ETag /
+    Last-Modified) and each URL's crawl_refresh priority — rows with
+    a validator AND priority below the threshold mark validate_only
+    (one conditional GET instead of a full fetch); robots fetches and
+    never-captured URLs never do. Oracle = fetch_conditional_sql —
+    the SHARED timeline + refresh CTE chains closed with the same
+    projection, validators recomputed straight from documents."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+        fetch_conditional,
+        fetch_timeline,
+    )
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        read_warc_headers,
+    )
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    site = (F.col("doc_id") % 7).cast("string")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://site"), site, F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        (F.col("doc_id") % 17).cast("double").alias("priority"),
+    )
+    robots = spark.createDataFrame(
+        _SITE_ROBOTS_AGE_FIXTURE,
+        "host string, robots_txt string, fetched_at string",
+    )
+    tl = fetch_timeline(
+        frontier, robots, now=_ROBOTS_NOW, ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot", default_delay=1.0, priority_col="priority",
+        sort=False,
+    )
+    store = _validator_store(spark, sf_dir)
+    validators = read_warc_headers(
+        spark, os.path.join(store, "*.warc.gz")
+    ).select(
+        F.col("target_uri").alias("url"), "etag", "last_modified"
+    )
+    refresh = crawl_refresh(
+        _capture_history_spark(docs),
+        now_date=_CRAWL_REFRESH_NOW,
+        sort=False,
+    )
+    return fetch_conditional(
+        tl, validators, refresh, priority_threshold=_FC_THRESHOLD
+    )
+
+
+def _fetch_conditional_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_conditional_sql,
+    )
+
+    urls_sql = (
+        f"SELECT {_CAPTURE_URI_SQL} AS url,"
+        " CAST(doc_id % 17 AS DOUBLE) AS priority FROM documents"
+    )
+    return fetch_conditional_sql(
+        urls_sql,
+        _robots_aged_values_sql(_SITE_ROBOTS_AGE_FIXTURE),
+        _VALIDATORS_SQL,
+        _CAPTURE_HISTORY_SQL,
+        now=_ROBOTS_NOW,
+        now_date=_CRAWL_REFRESH_NOW,
+        ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot",
+        default_delay=1.0,
+        with_priority=True,
+        priority_threshold=_FC_THRESHOLD,
+    )
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -2159,6 +2591,9 @@ SINK_QUERIES = {
     "warc_fetch": q_warc_fetch,
     "cdx_temporal": q_cdx_temporal,
     "fetch_timeline": q_fetch_timeline,
+    "sitemap_parse": q_sitemap_parse,
+    "crawl_redirects": q_crawl_redirects,
+    "fetch_conditional": q_fetch_conditional,
 }
 
 SINK_ORACLES = {
@@ -2186,6 +2621,9 @@ SINK_ORACLES = {
     "warc_fetch": _warc_fetch_oracle(),
     "cdx_temporal": _cdx_temporal_oracle(),
     "fetch_timeline": _fetch_timeline_oracle(),
+    "sitemap_parse": _sitemap_parse_oracle(),
+    "crawl_redirects": _crawl_redirects_oracle(),
+    "fetch_conditional": _fetch_conditional_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

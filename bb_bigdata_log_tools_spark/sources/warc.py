@@ -68,6 +68,23 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+#: Response-header projection of a WARC store — the columns the crawl
+#: scheduler consumes (redirect targets, cache validators) without
+#: materializing payload bytes. See :func:`read_warc_headers`.
+HTTP_HEADERS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("rec_pos", T.IntegerType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+    ]
+)
+
+
 #: Per-member inflate cap — the decompression-bomb guard the PNG
 #: decoder also carries: a KB-scale hostile member expanding to
 #: multi-GB must not materialize executor-side. CC members are
@@ -399,6 +416,93 @@ def parse_http_response(block: bytes):
         if inflated is not None:
             body = inflated
     return status, ctype, body
+
+
+def parse_http_header_fields(block: bytes):
+    """(status, location, etag, last_modified) from an HTTP response
+    message head — the scheduler-facing headers (RFC 9110 §10.2.2
+    Location, §8.8.3 ETag, §8.8.2 Last-Modified). Same keep-going
+    fallback as :func:`parse_http_response` ((0, '', '', '') when the
+    block isn't an HTTP message); first occurrence of each header
+    wins; the body is never touched (no de-chunk/inflate — this is
+    the cheap header-only scan)."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return 0, "", "", ""
+    head = block[:sep].split(CRLF)
+    parts = head[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return 0, "", "", ""
+    loc, etag, lastmod = "", "", ""
+    for ln in head[1:]:
+        name, s, value = ln.partition(b":")
+        if not s:
+            continue
+        key = name.strip().lower()
+        if key == b"location" and not loc:
+            loc = value.strip().decode("utf-8", "replace")
+        elif key == b"etag" and not etag:
+            etag = value.strip().decode("utf-8", "replace")
+        elif key == b"last-modified" and not lastmod:
+            lastmod = value.strip().decode("utf-8", "replace")
+    return status, loc, etag, lastmod
+
+
+def read_warc_headers(spark: SparkSession, path: str) -> DataFrame:
+    """HTTP response HEADERS of every ``response`` record under
+    ``path`` — :data:`HTTP_HEADERS_SCHEMA` rows (file, rec_pos,
+    target_uri, warc_date, http_status, location, etag,
+    last_modified; absent headers read as ''). The scheduler's view
+    of a crawl store: 3xx ``location`` values feed the redirect
+    resolver (:func:`operators.curation.resolve_redirects`) and
+    ETag / Last-Modified feed the conditional-revisit planner
+    (:func:`operators.curation.fetch_conditional`) — neither needs
+    payload bytes, so this reader never de-chunks or inflates a body.
+
+    100 TB shape: identical to :func:`read_warc` (file-per-task
+    binaryFile fan-out, executor-side member walk) minus the body
+    decode and the payload column — the Arrow batches carry only
+    header-sized strings."""
+
+    def parse(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = [f.name for f in HTTP_HEADERS_SCHEMA.fields]
+        chunk_rows = 4000
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for i, (hdr, block) in enumerate(
+                    iter_warc_records(bytes(blob))
+                ):
+                    if hdr.get("warc-type", "") != "response":
+                        continue
+                    status, loc, etag, lastmod = (
+                        parse_http_header_fields(block)
+                    )
+                    out["file"].append(fpath)
+                    out["rec_pos"].append(i)
+                    out["target_uri"].append(
+                        hdr.get("warc-target-uri", "")
+                    )
+                    out["warc_date"].append(hdr.get("warc-date", ""))
+                    out["http_status"].append(status)
+                    out["location"].append(loc)
+                    out["etag"].append(etag)
+                    out["last_modified"].append(lastmod)
+                    if len(out["file"]) >= chunk_rows:
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in cols}
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(parse, HTTP_HEADERS_SCHEMA)
+    )
 
 
 def _single_byte_translate(py_codec: str) -> tuple[str, str]:
@@ -893,21 +997,31 @@ def build_warc_record(
 
 
 def build_http_response(
-    body: bytes, status: int = 200, content_type: str = "text/html"
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    extra_headers: tuple = (),
 ) -> bytes:
     """Minimal deterministic HTTP response message wrapping ``body``
-    (the block of a ``response`` record)."""
-    reason = {200: "OK", 404: "Not Found"}.get(status, "Status")
-    return (
-        f"HTTP/1.1 {status} {reason}".encode()
-        + CRLF
-        + f"Content-Type: {content_type}".encode()
-        + CRLF
-        + f"Content-Length: {len(body)}".encode()
-        + CRLF
-        + CRLF
-        + body
-    )
+    (the block of a ``response`` record). ``extra_headers`` emit in
+    the given order after Content-Type — the redirect (Location) and
+    conditional-revisit (ETag / Last-Modified) fixtures ride here."""
+    reason = {
+        200: "OK",
+        301: "Moved Permanently",
+        302: "Found",
+        304: "Not Modified",
+        307: "Temporary Redirect",
+        404: "Not Found",
+    }.get(status, "Status")
+    head = [
+        f"HTTP/1.1 {status} {reason}".encode(),
+        f"Content-Type: {content_type}".encode(),
+    ]
+    for name, value in extra_headers:
+        head.append(f"{name}: {value}".encode())
+    head.append(f"Content-Length: {len(body)}".encode())
+    return CRLF.join(head) + CRLF + CRLF + body
 
 
 def gzip_member(record: bytes) -> bytes:
@@ -1093,6 +1207,62 @@ def write_warc(
 
     tagged = _tag_shards(
         pages, "warc:", n_shards, id_col, html_col, uri_col, date_col
+    )
+    return _write_record_shards(tagged, out_dir, "crawl", n_shards, rec)
+
+
+def write_warc_http(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    body_col: str = "html",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    status_col: str = "http_status",
+    headers_col: str = "http_headers",
+) -> DataFrame:
+    """:func:`write_warc` with the HTTP message axis exposed: each row
+    carries its status code and extra response headers
+    (``headers_col``: ``Name: value`` lines joined by ``\\n``, '' for
+    none) — the sink that stages redirect chains (3xx + Location) and
+    conditional-revisit validators (ETag / Last-Modified). Rides the
+    shared shard-writer core via the ``rec_meta`` column (status line
+    + header lines, '\\n'-framed), so determinism, sharding, and
+    publish semantics are :func:`_write_record_shards`' verbatim."""
+    from pyspark.sql import functions as F
+
+    meta = F.concat(
+        F.coalesce(F.col(status_col).cast("string"), F.lit("200")),
+        F.lit("\n"),
+        F.coalesce(F.col(headers_col).cast("string"), F.lit("")),
+    )
+
+    def rec(key, body, uri, date, meta_s):
+        status_line, _, hdr_lines = meta_s.partition("\n")
+        extra = tuple(
+            tuple(p.strip() for p in ln.split(":", 1))
+            for ln in hdr_lines.split("\n")
+            if ":" in ln
+        )
+        return build_warc_record(
+            "response", f"<urn:doc:{key}>", uri, date,
+            build_http_response(
+                body.encode("utf-8"),
+                status=int(status_line),
+                extra_headers=extra,
+            ),
+        )
+
+    tagged = _tag_shards(
+        pages.withColumn("_rec_meta", meta),
+        "warc:",
+        n_shards,
+        id_col,
+        body_col,
+        uri_col,
+        date_col,
+        meta_col="_rec_meta",
     )
     return _write_record_shards(tagged, out_dir, "crawl", n_shards, rec)
 

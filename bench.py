@@ -232,6 +232,11 @@ BENCH_QUERIES = [
     "warc_fetch",
     "cdx_temporal",
     "fetch_timeline",
+    # round-12: the discovery + revisit-budget axes (sitemap seeds,
+    # redirect-chain resolution, conditional-GET planning)
+    "sitemap_parse",
+    "crawl_redirects",
+    "fetch_conditional",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a
@@ -386,13 +391,24 @@ def main() -> None:
     payload = run_bench(spark, sf_dir, QUERIES, BENCH_QUERIES)
     # persist the FULL per-key map (timings + reruns + steal stamps +
     # errors) next to the repo — the auditable artifact; stdout lines
-    # below remain the bounded-capture-safe transport
+    # below remain the bounded-capture-safe transport. The snapshot is
+    # ALSO written content-addressed (BENCH_FULL_<sha12>.json) and the
+    # hash rides the summary line, so a historical BENCH_r{N}.json
+    # still names its exact per-key map after _latest is overwritten
+    # by the next run.
     try:
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), FULL_ARTIFACT
-        )
-        with open(full_path, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
+        import hashlib
+
+        blob = json.dumps(payload, indent=1, sort_keys=True)
+        sha = hashlib.sha256(blob.encode()).hexdigest()[:12]
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, FULL_ARTIFACT), "w") as f:
+            f.write(blob)
+        with open(
+            os.path.join(here, f"BENCH_FULL_{sha}.json"), "w"
+        ) as f:
+            f.write(blob)
+        payload["full_sha256"] = sha
     except Exception as exc:  # noqa: BLE001 — sidecar is best-effort
         print(json.dumps({"full_artifact_error": str(exc)[:200]}))
     for line in emit_lines(payload):
@@ -423,6 +439,9 @@ def emit_lines(payload: dict, chunk_size: int = 15) -> list[str]:
     if "steal_pct" in payload:
         summary["steal_flagged"] = len(payload["steal_pct"])
     summary["full_artifact"] = FULL_ARTIFACT
+    if "full_sha256" in payload:
+        # names the exact content-addressed snapshot of this run
+        summary["full_snapshot"] = f"BENCH_FULL_{payload['full_sha256']}.json"
     lines = [json.dumps(summary)]
     names = list(timings)
     for i in range(0, len(names), chunk_size):
