@@ -2235,11 +2235,15 @@ def resolve_redirects(
     Output per distinct input URL: (url, final_url, n_hops, looped).
     ``n_hops`` = 0 means a direct (non-redirecting) capture.
 
-    100 TB shape: ``max_hops`` is a small constant, so the walk is a
-    fixed chain of hash joins on the URL key — the edge side is
-    |3xx captures| (typically ≪ corpus, broadcast when small) and no
-    iteration count depends on data. The path array is bounded by
-    ``max_hops`` + 1 entries."""
+    100 TB shape: only URLs that ARE redirects enter the walk — the
+    direct majority of the corpus exits through one semi/anti join
+    pair instead of riding |max_hops| joins (plan-audited: without
+    the split, every 200-capture shuffles once per hop). The walk
+    itself is ``max_hops`` (a small constant) hash joins on the URL
+    key over the |redirect|-sized active set (typically ≪ corpus;
+    AQE broadcasts the edge side when small) and no iteration count
+    depends on data. The path array is bounded by ``max_hops`` + 1
+    entries."""
     src = F.col(url_col)
     edges = (
         captures.filter(
@@ -2255,16 +2259,22 @@ def resolve_redirects(
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
     )
-    state = (
-        captures.select(src.alias("url"))
-        .distinct()
-        .select(
-            "url",
-            F.col("url").alias("cur"),
-            F.lit(0).alias("n_hops"),
-            F.array(F.col("url")).alias("path"),
-            F.lit(False).alias("looped"),
-        )
+    urls = captures.select(src.alias("url")).distinct()
+    srcs = edges.select(F.col("src").alias("url"))
+    # the direct majority: no outgoing edge, final immediately
+    direct = urls.join(srcs, "url", "left_anti").select(
+        "url",
+        F.col("url").alias("cur"),
+        F.lit(0).alias("n_hops"),
+        F.array(F.col("url")).alias("path"),
+        F.lit(False).alias("looped"),
+    )
+    state = urls.join(srcs, "url", "left_semi").select(
+        "url",
+        F.col("url").alias("cur"),
+        F.lit(0).alias("n_hops"),
+        F.array(F.col("url")).alias("path"),
+        F.lit(False).alias("looped"),
     )
     for _ in range(int(max_hops)):
         j = state.join(edges, state["cur"] == edges["src"], "left")
@@ -2282,7 +2292,7 @@ def resolve_redirects(
             .alias("path"),
             (F.col("looped") | loop_hit).alias("looped"),
         )
-    out = state.select(
+    out = state.unionByName(direct).select(
         "url",
         F.col("cur").alias("final_url"),
         "n_hops",
@@ -2475,7 +2485,10 @@ def sitemap_parse(
         nxt = children.join(base, "sitemap_url").join(
             visited, "sitemap_url", "left_anti"
         )
-        visited = visited.union(nxt.select("sitemap_url")).distinct()
+        # no distinct: the anti join is membership-only, and children
+        # is already distinct per level — deduping the union would
+        # add one aggregate exchange per depth for nothing
+        visited = visited.union(nxt.select("sitemap_url"))
         level = nxt
     out = parts[0]
     for p in parts[1:]:
