@@ -2639,6 +2639,167 @@ ORDER BY t.host, t.wave, t.url
     )
 
 
+def fetch_horizon(timeline: DataFrame, sort: bool = True) -> DataFrame:
+    """Per-host horizon summary of a :func:`fetch_timeline` — the
+    crawl-budget question rolled up: how many fetches does each host
+    owe (URL waves + injected robots re-fetches + seeds), at what
+    politeness delay, and how long until the host's queue drains
+    (``makespan_s`` = the last wave's offset — wall-clock lower bound
+    under one-connection-per-host politeness).
+
+    Output per host: (host, n_fetches, n_robots_fetches, n_seeds,
+    crawl_delay, makespan_s).
+
+    100 TB shape: ONE |hosts|-sized aggregate over the timeline with
+    map-side partials — no window, no join, nothing beyond the
+    timeline's own plan."""
+    out = timeline.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.sum("is_robots_fetch").cast("bigint").alias(
+            "n_robots_fetches"
+        ),
+        F.sum("is_seed").cast("bigint").alias("n_seeds"),
+        F.max("crawl_delay").alias("crawl_delay"),
+        F.max("fetch_offset_s").alias("makespan_s"),
+    )
+    return small_sort(out, "host") if sort else out
+
+
+def fetch_horizon_sql(
+    urls_sql: str,
+    robots_sql: str,
+    now: str,
+    ttl_s: int = 7 * 86400,
+    agent: str = "bbbot",
+    default_delay: float = 1.0,
+    with_priority: bool = False,
+) -> str:
+    """:func:`fetch_horizon` in DuckDB SQL — the shared timeline CTE
+    chain (:func:`_timeline_sql_ctes`) closed with the per-host
+    rollup."""
+    return (
+        _timeline_sql_ctes(
+            urls_sql, robots_sql, now, ttl_s, agent, default_delay,
+            with_priority,
+        )
+        + """
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(is_robots_fetch) AS BIGINT) AS n_robots_fetches,
+       CAST(sum(is_seed) AS BIGINT) AS n_seeds,
+       max(crawl_delay) AS crawl_delay,
+       max(fetch_offset_s) AS makespan_s
+FROM timeline
+GROUP BY host
+ORDER BY host
+"""
+    )
+
+
+def sitemap_refresh(
+    captures: DataFrame,
+    entries: DataFrame,
+    now_date: str,
+    url_col: str = "url",
+    date_col: str = "capture_date",
+    digest_col: str = "digest",
+    lastmod_col: str = "lastmod",
+    change_prior: float = 0.1,
+    sort: bool = True,
+) -> DataFrame:
+    """:func:`crawl_refresh` with the sitemap ``lastmod`` fused in as
+    a change prior (the :func:`sitemap_parse` feed the r11 VERDICT
+    called for): a sitemap-declared modification AFTER a URL's last
+    capture is re-crawl evidence the digest history can't see yet —
+    it joins the history as ONE synthetic observation (capture_date =
+    the declared date, digest = ``sitemap:<date>`` — distinct from
+    any payload digest, so it counts as a change) and the standard
+    prioritizer runs over the fused relation. Declarations at or
+    before the last capture say nothing new and fuse nothing; URLs
+    with no capture history take no prior (a never-crawled URL
+    belongs to the frontier, not the re-crawl queue); per URL the
+    LATEST declared lastmod wins; lastmod truncates to its date part
+    (W3C datetime allows full timestamps, capture dates here are
+    days).
+
+    100 TB shape: crawl_refresh's single url exchange plus one
+    |urls|-keyed aggregate on each side of the synth join — the
+    sitemap relation is seed-sized, broadcast when small."""
+    hist = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("capture_date"),
+        F.col(digest_col).alias("digest"),
+    )
+    last = hist.groupBy("url").agg(
+        F.max("capture_date").alias("last_cap")
+    )
+    sm = (
+        entries.filter(F.col(lastmod_col).isNotNull())
+        .select(
+            F.col(url_col).alias("url"),
+            F.substring(F.col(lastmod_col), 1, 10).alias("lm"),
+        )
+        .groupBy("url")
+        .agg(F.max("lm").alias("lm"))
+    )
+    synth = (
+        sm.join(last, "url")
+        .filter(F.col("lm") > F.col("last_cap"))
+        .select(
+            "url",
+            F.col("lm").alias("capture_date"),
+            F.concat(F.lit("sitemap:"), F.col("lm")).alias("digest"),
+        )
+    )
+    return crawl_refresh(
+        hist.unionByName(synth),
+        now_date,
+        change_prior=change_prior,
+        sort=sort,
+    )
+
+
+def sitemap_refresh_sql(
+    captures_sql: str,
+    entries_sql: str,
+    now_date: str,
+    change_prior: float = 0.1,
+) -> str:
+    """:func:`sitemap_refresh` in DuckDB SQL — the synth-observation
+    fusion CTEs feeding the SHARED refresh chain
+    (:func:`_refresh_sql_ctes`), so the fused prioritizer cannot
+    drift from the plain one. ``entries_sql`` must yield
+    (url, lastmod)."""
+    fused = f"""caps0 AS ({captures_sql}),
+last AS (SELECT url, max(capture_date) AS last_cap
+         FROM caps0 GROUP BY url),
+sm AS (
+  SELECT url, max(substr(lastmod, 1, 10)) AS lm
+  FROM ({entries_sql}) WHERE lastmod IS NOT NULL GROUP BY url),
+synth AS (
+  SELECT s.url, s.lm AS capture_date, 'sitemap:' || s.lm AS digest
+  FROM sm s JOIN last l ON s.url = l.url WHERE s.lm > l.last_cap),
+fused AS (
+  SELECT url, capture_date, digest FROM caps0
+  UNION ALL
+  SELECT url, capture_date, digest FROM synth)"""
+    return (
+        "WITH "
+        + fused
+        + ",\n"
+        + _refresh_sql_ctes(
+            "SELECT url, capture_date, digest FROM fused",
+            now_date,
+            change_prior,
+        )
+        + """
+SELECT url, n_captures, last_capture, age_days, change_rate,
+       refresh_priority
+FROM refresh
+ORDER BY url
+"""
+    )
+
+
 def corpus_curate(
     documents: DataFrame,
     benchmark: DataFrame,

@@ -381,19 +381,22 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-12 rotation (policy above, executed): (a) the new round-12
-# keys at the head so they earn driver evidence immediately; (b) the
-# 31-key r7-vintage tail (oldest evidence on the tree — log_search
-# onward, deferred from the round-11 rotation); (c) the r8 cohort
-# (CORRECTNESS_r08 order) fills the remaining window slots —
-# html_extract_text through text_fingerprint make the 50 with three
-# new keys at the head; the r8 tail (text_repetition onward) leads
-# round 13. After r12 no key's driver evidence is older than r8.
+# Round-12 rotation (policy above, executed): (a) the six new
+# round-12 keys at the head so they earn driver evidence immediately;
+# (b) the 31-key r7-vintage tail (oldest evidence on the tree —
+# log_search onward, deferred from the round-11 rotation); (c) the r8
+# cohort (CORRECTNESS_r08 order) fills the remaining window slots —
+# html_extract_text through ann_lsh_bucketed make the 50 with six new
+# keys at the head; the r8 tail (text_lang_id onward) leads round 13.
+# After r12 no key's driver evidence is older than r8.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-12 new keys ---
     "sitemap_parse",
     "crawl_redirects",
     "fetch_conditional",
+    "fetch_horizon",
+    "sitemap_refresh",
+    "cdx_store_prune",
     # --- the 31-key r7-vintage tail (deferred from round 11) ---
     "log_search",
     "log_multisearch_or",
@@ -426,9 +429,9 @@ _WINDOW_PRIORITY: list[str] = [
     "text_ngram_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # --- r8 cohort (CORRECTNESS_r08 order; the first 16 fit this
-    # round's 50-key window — text_fingerprint is the last in — and
-    # the tail from text_repetition onward leads round 13) ---
+    # --- r8 cohort (CORRECTNESS_r08 order; the first 13 fit this
+    # round's 50-key window — ann_lsh_bucketed is the last in — and
+    # the tail from text_lang_id onward leads round 13) ---
     "html_extract_text",
     "html_extract_links",
     "html_extract_metadata",
@@ -442,11 +445,11 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_embedding",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    # --- r8 tail (leads the round-13 window) ---
     "text_lang_id",
     "text_quality",
     "text_token_count",
     "text_fingerprint",
-    # --- r8 tail (leads the round-13 window) ---
     "text_repetition",
     "avro_generic_read",
     "avro_block_scan",

@@ -2560,6 +2560,196 @@ def _fetch_conditional_oracle() -> str:
     )
 
 
+def q_fetch_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-budget rollup (operators/curation.py fetch_horizon):
+    fetch_timeline's per-host waves summarized to (n_fetches,
+    n_robots_fetches, n_seeds, crawl_delay, makespan_s) — the
+    wall-clock lower bound per host under one-connection politeness.
+    Same fixture as the fetch_timeline key; oracle closes the SHARED
+    timeline CTE chain with the GROUP BY, so the rollup cannot drift
+    from the timeline it summarizes."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_horizon,
+        fetch_timeline,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    frontier = _frontier_url_spark(
+        ensure_parallelism(docs), with_priority=True
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_SCHED_AGE_FIXTURE,
+        "host string, robots_txt string, fetched_at string",
+    )
+    tl = fetch_timeline(
+        frontier, robots, now=_ROBOTS_NOW, ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot", default_delay=1.0, priority_col="priority",
+        sort=False,
+    )
+    return fetch_horizon(tl)
+
+
+def _fetch_horizon_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_horizon_sql,
+    )
+
+    return fetch_horizon_sql(
+        _FRONTIER_URL_PRIO_SQL,
+        _robots_aged_values_sql(_ROBOTS_SCHED_AGE_FIXTURE),
+        now=_ROBOTS_NOW,
+        ttl_s=_ROBOTS_TTL_S,
+        agent="bbbot",
+        default_delay=1.0,
+        with_priority=True,
+    )
+
+
+#: Sitemap lastmod declarations over the capture-URL universe: one
+#: third of the URLs declare a June modification (AFTER every capture
+#: — fuses a synthetic change observation), the rest declare April
+#: (before any capture — says nothing new, fuses nothing).
+_SITEMAP_LASTMOD_SQL = f"""
+SELECT {_CAPTURE_URI_SQL} AS url,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(DATE '2026-06-01'
+                      + CAST(doc_id % 10 AS INTEGER) AS VARCHAR)
+            ELSE '2026-04-01' END AS lastmod
+FROM documents
+"""
+
+
+def q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sitemap-lastmod change prior fused into the re-crawl
+    prioritizer (operators/curation.py sitemap_refresh — the
+    crawl_refresh feed the r11 VERDICT called for): June declarations
+    land as synthetic changed observations (rate and priority rise),
+    April declarations predate every capture and fuse nothing. Oracle
+    = sitemap_refresh_sql — the fusion CTEs closing over the SHARED
+    refresh chain."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sitemap_refresh,
+    )
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
+    caps = _capture_history_spark(docs)
+    site = (F.col("doc_id") % 7).cast("string")
+    entries = docs.select(
+        F.concat(
+            F.lit("https://site"), site, F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.date_format(
+                F.date_add(
+                    F.lit("2026-06-01").cast("date"),
+                    (F.col("doc_id") % 10).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ),
+        )
+        .otherwise(F.lit("2026-04-01"))
+        .alias("lastmod"),
+    )
+    return sitemap_refresh(
+        caps, entries, now_date=_CRAWL_REFRESH_NOW
+    )
+
+
+def _sitemap_refresh_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        sitemap_refresh_sql,
+    )
+
+    return sitemap_refresh_sql(
+        _CAPTURE_HISTORY_SQL,
+        _SITEMAP_LASTMOD_SQL,
+        now_date=_CRAWL_REFRESH_NOW,
+    )
+
+
+#: Per-crawl-batch store split bounds (on capture_date) + the probe
+#: interval that covers ONLY the middle store.
+_CDX_BATCH_SPLITS = ("2026-05-04", "2026-05-07")
+_CDX_STORE_TS_FROM = "20260504000000"
+_CDX_STORE_TS_TO = "20260506"
+
+
+def q_cdx_store_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIME axis of store routing — the Common Crawl layout for
+    real (one range store per crawl batch, time-partitioned ACROSS
+    stores, key-partitioned within): the capture history splits into
+    three per-batch range stores by capture date, each carrying its
+    written ``_TSRANGE`` sidecar, and a wayback-shape probe (site3 ×
+    a three-day window) routes through cdx_multi_scan — whole stores
+    outside the interval are skipped BEFORE key pruning (the probe
+    interval covers only the middle batch; the store-prune decision is
+    unit-pinned, the result certified here). Oracle re-derives the
+    probed site's lines from the history SQL with the same interval."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_multi_scan,
+        write_cdx,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    caps = _capture_history_spark(ensure_parallelism(docs))
+    recs = caps.select(
+        F.col("url").alias("target_uri"),
+        F.concat(F.col("capture_date"), F.lit("T00:00:00Z")).alias(
+            "warc_date"
+        ),
+        F.lit("text/html").alias("http_content_type"),
+        F.lit(200).alias("http_status"),
+        F.encode("digest", "UTF-8").alias("payload"),
+        F.col("capture_date"),
+    )
+    base = _tmp("cdx_batches", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    lo, hi = _CDX_BATCH_SPLITS
+    stores = []
+    for name, cond in (
+        ("a", F.col("capture_date") < lo),
+        ("b", (F.col("capture_date") >= lo) & (F.col("capture_date") < hi)),
+        ("c", F.col("capture_date") >= hi),
+    ):
+        out = os.path.join(base, name)
+        write_cdx(
+            recs.filter(cond).drop("capture_date"),
+            out,
+            n_shards=N_WARC_SHARDS,
+            layout="range",
+        )
+        stores.append(out)
+    return cdx_multi_scan(
+        spark, stores, _CDX_RANGE_PROBE_PREFIX,
+        ts_from=_CDX_STORE_TS_FROM, ts_to=_CDX_STORE_TS_TO,
+    ).orderBy("urlkey", "ts14", "url")
+
+
+def _cdx_store_prune_oracle() -> str:
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        cdx_urlkey_sql,
+    )
+
+    key = cdx_urlkey_sql("url")
+    return f"""
+WITH caps AS ({_CAPTURE_HISTORY_SQL})
+SELECT {key} AS urlkey,
+       regexp_replace(capture_date, '-', '', 'g') || '000000' AS ts14,
+       url,
+       'text/html' AS mime,
+       200 AS status,
+       'md5:' || md5(digest) AS digest
+FROM caps
+WHERE url LIKE 'https://site3.example.org/%'
+  AND regexp_replace(capture_date, '-', '', 'g') || '000000'
+        BETWEEN '{_CDX_STORE_TS_FROM}'
+            AND '{_CDX_STORE_TS_TO.ljust(14, "9")}'
+ORDER BY urlkey, ts14, url
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -2594,6 +2784,9 @@ SINK_QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "crawl_redirects": q_crawl_redirects,
     "fetch_conditional": q_fetch_conditional,
+    "fetch_horizon": q_fetch_horizon,
+    "sitemap_refresh": q_sitemap_refresh,
+    "cdx_store_prune": q_cdx_store_prune,
 }
 
 SINK_ORACLES = {
@@ -2624,6 +2817,9 @@ SINK_ORACLES = {
     "sitemap_parse": _sitemap_parse_oracle(),
     "crawl_redirects": _crawl_redirects_oracle(),
     "fetch_conditional": _fetch_conditional_oracle(),
+    "fetch_horizon": _fetch_horizon_oracle(),
+    "sitemap_refresh": _sitemap_refresh_oracle(),
+    "cdx_store_prune": _cdx_store_prune_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1479,8 +1479,25 @@ def write_cdx(
         for e in (_os.listdir(local_out) if _os.path.isdir(local_out)
                   else ())
     ):
+        _write_cdx_tsrange(local_out, None, None)
         return 0
-    return spark.read.text(_os.path.join(out_dir, "shard=*")).count()
+    # one verification pass computes the return count AND the store's
+    # written ts14 range (the _TSRANGE sidecar cdx_multi_scan prunes
+    # whole stores by) — no extra scan over the emitted text
+    ts = F.substring_index(
+        F.substring_index("value", " ", 2), " ", -1
+    )
+    stats = (
+        spark.read.text(_os.path.join(out_dir, "shard=*"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts).alias("lo"),
+            F.max(ts).alias("hi"),
+        )
+        .collect()[0]
+    )
+    _write_cdx_tsrange(local_out, stats.lo, stats.hi)
+    return stats.n
 
 
 def _write_cdx_range_lines(
@@ -1522,6 +1539,7 @@ def _write_cdx_range_lines(
         with open(_os.path.join(_local_path(out_dir), CDX_RANGES_FILE),
                   "w") as f:
             f.write("")
+        _write_cdx_tsrange(local_out, None, None)
         return 0
     # boundary manifest from the WRITTEN data (|shards| rows — the
     # cluster.idx role): shard id from the file path, min/max of the
@@ -1536,11 +1554,16 @@ def _write_cdx_range_lines(
             .cast("int")
             .alias("shard"),
             F.substring_index("value", " ", 1).alias("k"),
+            F.substring_index(
+                F.substring_index("value", " ", 2), " ", -1
+            ).alias("t"),
         )
         .groupBy("shard")
         .agg(
             F.min("k").alias("lo"),
             F.max("k").alias("hi"),
+            F.min("t").alias("tlo"),
+            F.max("t").alias("thi"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
@@ -1549,6 +1572,13 @@ def _write_cdx_range_lines(
               "w") as f:
         for r in sorted(bounds, key=lambda r: r.shard):
             f.write(f"{r.shard}\t{r.lo}\t{r.hi}\n")
+    # the store-level ts14 range rides the same verification pass —
+    # the time axis of the same written-data-derived metadata
+    _write_cdx_tsrange(
+        local_out,
+        min(r.tlo for r in bounds),
+        max(r.thi for r in bounds),
+    )
     return sum(r.n for r in bounds)
 
 
@@ -1677,6 +1707,47 @@ CDX_LINE_SCHEMA_LOCATED = (
 
 #: Range-layout boundary manifest file name (the cluster.idx role).
 CDX_RANGES_FILE = "_RANGES"
+
+#: Per-store capture-time metadata file name: the written min/max ts14
+#: of the whole store — what lets a multi-store (per-crawl-batch)
+#: probe skip entire stores on TIME before any key routing happens
+#: (the Common Crawl reality: indexes are time-partitioned per crawl,
+#: key-partitioned within).
+CDX_TSRANGE_FILE = "_TSRANGE"
+
+
+def _write_cdx_tsrange(local_out: str, lo: str | None, hi: str | None):
+    """Write the per-store ts14 range metadata (empty file for an
+    empty store — same missing-vs-empty contract as ``_RANGES``)."""
+    import os as _os
+
+    _os.makedirs(local_out, exist_ok=True)
+    with open(_os.path.join(local_out, CDX_TSRANGE_FILE), "w") as f:
+        if lo is not None and hi is not None:
+            f.write(f"{lo}\t{hi}\n")
+
+
+def read_cdx_tsrange(store_dir: str) -> tuple[str, str] | None:
+    """The store's written (min_ts14, max_ts14), or None when the
+    metadata is absent/empty — None means UNKNOWN, and an unknown
+    store is never pruned (older stores without the sidecar stay
+    correct, just unprunable on time)."""
+    import os as _os
+
+    p = _os.path.join(_local_path(store_dir), CDX_TSRANGE_FILE)
+    if not _os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        ln = f.readline().rstrip("\n")
+    if not ln:
+        return None
+    parts = ln.split("\t")
+    if len(parts) != 2:
+        raise ValueError(
+            f"read_cdx_tsrange: malformed {CDX_TSRANGE_FILE} in"
+            f" {store_dir!r}: {ln[:80]!r}"
+        )
+    return parts[0], parts[1]
 
 
 def _parse_cdx_lines(lines: DataFrame, located: bool = False) -> DataFrame:
@@ -1887,6 +1958,73 @@ def cdx_range_scan(
         out = out.filter(
             F.col("ts14") <= str(ts_to).ljust(14, "9")
         )
+    return out
+
+
+def covering_ts_stores(
+    store_ranges: list[tuple[str, tuple[str, str] | None]],
+    ts_from: str | None,
+    ts_to: str | None,
+) -> list[str]:
+    """Stores whose written [tlo, thi] ts14 range can intersect the
+    probe interval [ts_from, ts_to] (inclusive; a short ts_to is
+    padded with 9s like :func:`cdx_range_scan`). A store with UNKNOWN
+    range (None — no ``_TSRANGE`` sidecar) is always kept: pruning is
+    an optimization, never a correctness decision. Pure function —
+    unit-testable without stores."""
+    to_pad = str(ts_to).ljust(14, "9") if ts_to is not None else None
+    out = []
+    for store, rng in store_ranges:
+        if rng is None:
+            out.append(store)
+            continue
+        tlo, thi = rng
+        if ts_from is not None and thi < str(ts_from):
+            continue
+        if to_pad is not None and tlo > to_pad:
+            continue
+        out.append(store)
+    return out
+
+
+def cdx_multi_scan(
+    spark: SparkSession,
+    store_dirs: list[str],
+    prefix: str,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+) -> DataFrame:
+    """The multi-store (per-crawl-batch) CDX probe — the Common Crawl
+    layout for real: one range store per crawl batch, time-partitioned
+    ACROSS stores and key-partitioned WITHIN. A wayback-shape query
+    (prefix × time interval) prunes on TWO axes in order: whole stores
+    whose written ``_TSRANGE`` misses the interval are skipped before
+    any key routing (:func:`covering_ts_stores` — driver-side,
+    |stores|-sized metadata), then each surviving store prunes to its
+    covering key shards (:func:`cdx_range_scan`'s ``_RANGES`` path).
+    Stores without the ts sidecar (or missing dirs) are scanned
+    unpruned / skipped respectively — never a silent wrong answer.
+
+    100 TB shape: CC publishes ~100 crawl batches; a one-month probe
+    touches ~1-2 stores × the prefix's covering shards — the scan
+    cost scales with (interval × site), not the archive. The union is
+    scan-shaped: no shuffle anywhere."""
+    import os as _os
+
+    ranges = [
+        (s, read_cdx_tsrange(s))
+        for s in store_dirs
+        if _os.path.isdir(_local_path(s))
+    ]
+    keep = covering_ts_stores(ranges, ts_from, ts_to)
+    out = None
+    for s in keep:
+        part = cdx_range_scan(
+            spark, s, prefix, ts_from=ts_from, ts_to=ts_to
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame([], CDX_LINE_SCHEMA)
     return out
 
 

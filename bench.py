@@ -233,10 +233,14 @@ BENCH_QUERIES = [
     "cdx_temporal",
     "fetch_timeline",
     # round-12: the discovery + revisit-budget axes (sitemap seeds,
-    # redirect-chain resolution, conditional-GET planning)
+    # redirect-chain resolution, conditional-GET planning, per-host
+    # horizon rollup, lastmod-fused refresh, per-batch store routing)
     "sitemap_parse",
     "crawl_redirects",
     "fetch_conditional",
+    "fetch_horizon",
+    "sitemap_refresh",
+    "cdx_store_prune",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

@@ -584,6 +584,178 @@ def test_warc_fetch_negative_location_raises(spark, tmp_path):
         warc_fetch(spark, store, ["https://h0.test/p0"], n_shards=2)
 
 
+# ------------------------------------------------------- multi-store routing
+
+
+def test_covering_ts_stores_pure():
+    """Store-level time pruning alone: unknown ranges never prune,
+    intersecting intervals keep, disjoint ones skip, short ts_to pads
+    with 9s, open bounds keep everything on that side."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        covering_ts_stores,
+    )
+
+    ranges = [
+        ("a", ("20260501000000", "20260503235959")),
+        ("b", ("20260504000000", "20260506235959")),
+        ("c", ("20260507000000", "20260509235959")),
+        ("old", None),  # no sidecar: unknown, never pruned
+    ]
+    assert covering_ts_stores(ranges, "20260504000000", "20260506") == [
+        "b", "old"]
+    assert covering_ts_stores(ranges, None, "20260502") == ["a", "old"]
+    assert covering_ts_stores(ranges, "20260508000000", None) == [
+        "c", "old"]
+    assert covering_ts_stores(ranges, None, None) == [
+        "a", "b", "c", "old"]
+    # boundary: probe ending exactly at a store's first second keeps it
+    assert "b" in covering_ts_stores(ranges, "20260501", "20260504")
+    # gap probe: nothing but the unknown store
+    assert covering_ts_stores(
+        ranges, "20260510000000", "20260511"
+    ) == ["old"]
+
+
+def test_cdx_tsrange_sidecar_and_multi_scan(spark, tmp_path):
+    """write_cdx (both layouts) emits the written ts14 range; a
+    multi-store probe prunes to only the covering batches and returns
+    exactly the interval's captures; a legacy store without the
+    sidecar still scans (unknown = kept)."""
+    import os
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        CDX_TSRANGE_FILE,
+        cdx_multi_scan,
+        read_cdx_tsrange,
+        write_cdx,
+    )
+
+    def recs(days):
+        return spark.createDataFrame(
+            [
+                (
+                    f"https://h{i}.test/p{d}_{i}",
+                    f"2026-05-{d:02d}T00:00:00Z",
+                    "text/html",
+                    200,
+                    bytearray(f"b{d}{i}".encode()),
+                )
+                for d in days
+                for i in range(4)
+            ],
+            "target_uri string, warc_date string,"
+            " http_content_type string, http_status int,"
+            " payload binary",
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_cdx(recs([1, 2]), a, n_shards=2, layout="range")
+    write_cdx(recs([5, 6]), b, n_shards=2, layout="range")
+    assert read_cdx_tsrange(a) == ("20260501000000", "20260502000000")
+    assert read_cdx_tsrange(b) == ("20260505000000", "20260506000000")
+    # hash layout writes the sidecar too
+    h = str(tmp_path / "h")
+    write_cdx(recs([9]), h, n_shards=2)
+    assert read_cdx_tsrange(h) == ("20260509000000", "20260509000000")
+    got = cdx_multi_scan(
+        spark, [a, b], "", ts_from="20260505", ts_to="20260505"
+    ).collect()
+    assert sorted({r.ts14 for r in got}) == ["20260505000000"]
+    assert len(got) == 4
+    # sidecar removed: the store is unknown, scanned, and the line
+    # filter still bounds the result (pruning is optimization only)
+    os.remove(os.path.join(a, CDX_TSRANGE_FILE))
+    got2 = cdx_multi_scan(
+        spark, [a, b], "", ts_from="20260505", ts_to="20260505"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+# ----------------------------------------------------- horizon / sitemap fuse
+
+
+def test_fetch_horizon_semantics(spark):
+    """Per-host rollup: counts split URL vs robots fetches, makespan
+    is the last wave's offset."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        fetch_horizon,
+        fetch_timeline,
+    )
+
+    frontier = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(3)]
+        + [("https://b.com/q0",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\n",
+             "2026-08-15 00:00:00"),  # fresh
+            ("b.com", "User-agent: *\nDisallow:\n",
+             "2026-01-01 00:00:00"),  # stale: robots re-fetch
+        ],
+        "host string, robots_txt string, fetched_at string",
+    )
+    tl = fetch_timeline(
+        frontier, robots, now="2026-08-16 00:00:00", sort=False
+    )
+    hz = {r.host: r for r in fetch_horizon(tl).collect()}
+    a = hz["a.com"]
+    # fresh host: 3 URL waves at offsets 0/2/4, no robots fetch
+    assert (a.n_fetches, a.n_robots_fetches, a.crawl_delay,
+            a.makespan_s) == (3, 0, 2.0, 4.0)
+    b = hz["b.com"]
+    # stale host: 1 URL shifted one delay + the injected robots fetch
+    assert (b.n_fetches, b.n_robots_fetches, b.makespan_s) == (
+        2, 1, 1.0)
+
+
+def test_sitemap_refresh_semantics(spark):
+    """Newer lastmod fuses one synthetic change (priority rises);
+    older lastmod fuses nothing; never-captured URLs take no prior;
+    latest declaration wins; datetime lastmod truncates to date."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        crawl_refresh,
+        sitemap_refresh,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            ("https://a.com/p", "2026-05-01", "d1"),
+            ("https://a.com/p", "2026-05-08", "d1"),
+            ("https://a.com/q", "2026-05-01", "d1"),
+            ("https://a.com/q", "2026-05-08", "d1"),
+        ],
+        "url string, capture_date string, digest string",
+    )
+    entries = spark.createDataFrame(
+        [
+            ("https://a.com/q", "2026-06-01T09:30:00Z"),
+            ("https://a.com/q", "2026-05-20"),  # older declaration loses
+            ("https://a.com/p", "2026-04-01"),  # predates captures
+            ("https://a.com/never", "2026-06-01"),  # no history
+        ],
+        "url string, lastmod string",
+    )
+    base = {
+        r.url: r
+        for r in crawl_refresh(hist, now_date="2026-08-16").collect()
+    }
+    out = {
+        r.url: r
+        for r in sitemap_refresh(
+            hist, entries, now_date="2026-08-16"
+        ).collect()
+    }
+    assert set(out) == {"https://a.com/p", "https://a.com/q"}
+    q = out["https://a.com/q"]
+    assert q.n_captures == 3
+    assert q.last_capture == "2026-06-01"  # date part of the datetime
+    assert q.refresh_priority > base["https://a.com/q"].refresh_priority
+    assert tuple(out["https://a.com/p"]) == tuple(
+        base["https://a.com/p"])
+
+
 def test_cdx_range_write_file_uri_out_dir(spark, tmp_path):
     """ADVICE r11: a file:-URI out_dir classifies correctly — the
     populated store writes real manifest bounds (not the zero-row
