@@ -535,6 +535,93 @@ def test_timeline_refresh_cte_factoring():
     assert _refresh_sql_ctes(c, "2026-01-01") in comp
 
 
+# --------------------------------------------------------------- properties
+
+
+def _py_resolve(urls, edges, max_hops=5):
+    """Pure-Python reference of the resolve_redirects policy: one
+    min-dst edge per src, walk <= max_hops, freeze on path revisit."""
+    best = {}
+    for s, d in edges:
+        best[s] = d if s not in best else min(best[s], d)
+    out = {}
+    for u in urls:
+        cur, hops, path, looped = u, 0, [u], False
+        for _ in range(max_hops):
+            d = best.get(cur)
+            if d is None:
+                break
+            if d in path:
+                looped = True
+                break
+            cur, hops = d, hops + 1
+            path.append(d)
+        out[u] = (cur, hops, looped)
+    return out
+
+
+def test_resolve_redirects_random_graph_differential(spark):
+    """Random functional redirect graphs (chains, trees, cycles,
+    self-loops) resolve identically to the pure-Python reference —
+    one batched case instead of per-example Spark jobs."""
+    import random
+
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        resolve_redirects,
+    )
+
+    rng = random.Random(12012)
+    urls = [f"https://h{i % 7}.test/p{i}" for i in range(60)]
+    rows, edges = [], []
+    for i, u in enumerate(urls):
+        if rng.random() < 0.6:
+            dst = urls[rng.randrange(len(urls))]
+            rows.append((u, rng.choice([301, 302, 307, 308]), dst))
+            edges.append((u, dst))
+        else:
+            rows.append((u, 200, ""))
+    got = {
+        r.url: (r.final_url, r.n_hops, r.looped)
+        for r in resolve_redirects(_caps(spark, rows)).collect()
+    }
+    assert got == _py_resolve(urls, edges)
+
+
+def test_covering_ts_stores_never_loses(spark):
+    """Property (pure, hypothesis): for ANY partition of timestamped
+    lines into stores and ANY probe interval, a line inside the
+    interval always lives in a kept store."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        covering_ts_stores,
+    )
+
+    ts = st.integers(min_value=0, max_value=99).map(
+        lambda d: f"202605{d % 28 + 1:02d}{d:06d}"
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.lists(ts, min_size=0, max_size=6), min_size=1,
+                 max_size=5),
+        ts, ts,
+    )
+    def prop(stores, a, b):
+        ts_from, ts_to = min(a, b), max(a, b)
+        ranges = [
+            (str(i), (min(lines), max(lines)) if lines else None)
+            for i, lines in enumerate(stores)
+        ]
+        keep = set(covering_ts_stores(ranges, ts_from, ts_to))
+        for i, lines in enumerate(stores):
+            for t in lines:
+                if ts_from <= t <= str(ts_to).ljust(14, "9"):
+                    assert str(i) in keep
+    prop()
+
+
 # ----------------------------------------------------------- ADVICE-r11 pins
 
 
