@@ -381,14 +381,14 @@ _ALL_QUERIES: dict[str, QueryFn] = {
 # across rounds. Keys absent from the priority list keep their original
 # relative order after it.
 #
-# Round-12 rotation (policy above, executed): (a) the six new
+# Round-12 rotation (policy above, executed): (a) the seven new
 # round-12 keys at the head so they earn driver evidence immediately;
 # (b) the 31-key r7-vintage tail (oldest evidence on the tree —
 # log_search onward, deferred from the round-11 rotation); (c) the r8
 # cohort (CORRECTNESS_r08 order) fills the remaining window slots —
-# html_extract_text through ann_lsh_bucketed make the 50 with six new
-# keys at the head; the r8 tail (text_lang_id onward) leads round 13.
-# After r12 no key's driver evidence is older than r8.
+# html_extract_text through ann_topk_bruteforce make the 50 with
+# seven new keys at the head; the r8 tail (ann_lsh_bucketed onward)
+# leads round 13. After r12 no key's driver evidence is older than r8.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-12 new keys ---
     "sitemap_parse",
@@ -397,6 +397,7 @@ _WINDOW_PRIORITY: list[str] = [
     "fetch_horizon",
     "sitemap_refresh",
     "cdx_store_prune",
+    "warc_site_export",
     # --- the 31-key r7-vintage tail (deferred from round 11) ---
     "log_search",
     "log_multisearch_or",
@@ -429,9 +430,9 @@ _WINDOW_PRIORITY: list[str] = [
     "text_ngram_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # --- r8 cohort (CORRECTNESS_r08 order; the first 13 fit this
-    # round's 50-key window — ann_lsh_bucketed is the last in — and
-    # the tail from text_lang_id onward leads round 13) ---
+    # --- r8 cohort (CORRECTNESS_r08 order; the first 12 fit this
+    # round's 50-key window — ann_topk_bruteforce is the last in —
+    # and the tail from ann_lsh_bucketed onward leads round 13) ---
     "html_extract_text",
     "html_extract_links",
     "html_extract_metadata",
@@ -444,8 +445,8 @@ _WINDOW_PRIORITY: list[str] = [
     "bpe_apply_bytes",
     "dedup_embedding",
     "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
     # --- r8 tail (leads the round-13 window) ---
+    "ann_lsh_bucketed",
     "text_lang_id",
     "text_quality",
     "text_token_count",

@@ -2750,6 +2750,62 @@ ORDER BY urlkey, ts14, url
 """
 
 
+def q_warc_site_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITE-level export out of the archive (sources/warc.py
+    warc_fetch_prefix): the validator crawl store (multi-site 200
+    captures + .idx sidecars) indexes into a LOCATED range-layout CDX
+    (write_cdx(layout='range', locate=True) — the search axis, the
+    storage axis, AND the global key order in one artifact), and a
+    site3 SURT-prefix probe streams back that site's full records —
+    located lines stay a DataFrame end to end (no |site|-sized driver
+    collect, unlike warc_fetch's |probes|-bounded point path), routed
+    by the _RANGES manifest to only the covering shards, byte-read by
+    the shared ranged-member loop. Oracle pins
+    uri/type/record-id/byte-length/md5 per exported page straight
+    from documents."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        parse_warc_idx,
+        read_warc,
+        warc_fetch_prefix,
+        write_cdx,
+    )
+
+    store = _validator_store(spark, sf_dir)
+    glob = os.path.join(store, "*.warc.gz")
+    located = read_warc(spark, glob).join(
+        parse_warc_idx(spark, glob), ["file", "rec_pos"]
+    )
+    cdx = _tmp("cdx_site_export", sf_dir)
+    shutil.rmtree(cdx, ignore_errors=True)
+    write_cdx(
+        located, cdx, n_shards=N_WARC_SHARDS, layout="range",
+        locate=True,
+    )
+    rows = warc_fetch_prefix(spark, cdx, _CDX_RANGE_PROBE_PREFIX)
+    return rows.select(
+        "target_uri",
+        "warc_type",
+        "record_id",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("target_uri")
+
+
+def _warc_site_export_oracle() -> str:
+    return """
+SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/d/' || CAST(doc_id AS VARCHAR) || '.html'
+         AS target_uri,
+       'response' AS warc_type,
+       '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+WHERE doc_id % 7 = 3
+ORDER BY target_uri
+"""
+
+
 SINK_QUERIES = {
     "boom_write": q_boom_write,
     "write_jsonl_shards": q_write_jsonl_shards,
@@ -2787,6 +2843,7 @@ SINK_QUERIES = {
     "fetch_horizon": q_fetch_horizon,
     "sitemap_refresh": q_sitemap_refresh,
     "cdx_store_prune": q_cdx_store_prune,
+    "warc_site_export": q_warc_site_export,
 }
 
 SINK_ORACLES = {
@@ -2820,6 +2877,7 @@ SINK_ORACLES = {
     "fetch_horizon": _fetch_horizon_oracle(),
     "sitemap_refresh": _sitemap_refresh_oracle(),
     "cdx_store_prune": _cdx_store_prune_oracle(),
+    "warc_site_export": _warc_site_export_oracle(),
     "boom_write": SQL_BOOM_WRITE,
     "write_jsonl_shards": SQL_WRITE_JSONL_SHARDS,
     "read_jsonl": SQL_READ_JSONL,

@@ -1844,6 +1844,69 @@ def warc_fetch(
     return edf.mapInPandas(_read_member_rows, WARC_SCHEMA)
 
 
+def warc_fetch_prefix(
+    spark: SparkSession,
+    cdx_store: str,
+    prefix: str,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+) -> DataFrame:
+    """SITE-level export — "give me this site's bytes out of the
+    archive": a SURT-prefix (optionally × time-interval) probe over a
+    LOCATED range-layout CDX store
+    (``write_cdx(layout='range', locate=True)``) resolves to byte
+    locations, and the matched gzip members stream out through the
+    shared :func:`_read_member_rows` ranged-read loop. Returns full
+    record rows (:func:`read_warc` schema).
+
+    Unlike :func:`warc_fetch` (point lookups — the location list is
+    |probes|-bounded and collects), the site case can match MILLIONS
+    of captures, so nothing touches the driver: the located index
+    lines stay a DataFrame, de-duplicate distributively on their
+    (file, rec_pos, offset, length) identity, cluster by file
+    (repartition on ``file`` + sort by offset inside each partition —
+    one file handle, forward seeks), and feed mapInPandas. A store
+    written without ``locate=True`` raises loudly via the same
+    negative/null-location guard — here as a filter-then-assert
+    inside the scan (an aggregate pre-check would cost a second
+    pass), surfacing on the first offending line.
+
+    100 TB shape: index read = only the prefix's covering shards
+    (driver metadata routing); data read = exactly the site's member
+    bytes; ONE exchange on (file, rec_pos, offset, length) for the
+    dedup + file clustering. Scales with the SITE, not the archive."""
+    from pyspark.sql import functions as F
+
+    lines = cdx_range_scan(
+        spark, cdx_store, prefix, ts_from=ts_from, ts_to=ts_to,
+        located=True,
+    )
+    entries = (
+        lines.select(
+            F.col("filename").alias("file"),
+            F.coalesce(F.col("rec_pos"), F.lit(0)).alias("rec_pos"),
+            F.col("offset"),
+            F.col("length"),
+        )
+        .withColumn(
+            "offset",
+            F.when(
+                F.col("offset").isNull() | (F.col("offset") < 0)
+                | F.col("length").isNull() | (F.col("length") < 0),
+                F.raise_error(F.lit(
+                    "warc_fetch_prefix: matched CDX lines carry no"
+                    " byte locations — was the store written with"
+                    " write_cdx(locate=True)?"
+                )).cast("bigint"),
+            ).otherwise(F.col("offset")),
+        )
+        .dropDuplicates(["file", "rec_pos", "offset", "length"])
+        .repartition("file")
+        .sortWithinPartitions("file", "offset")
+    )
+    return entries.mapInPandas(_read_member_rows, WARC_SCHEMA)
+
+
 def read_cdx_ranges(store_dir: str) -> list[tuple[int, str, str]]:
     """The range-layout boundary manifest as (shard, lo_key, hi_key)
     triples — |shards|-sized driver-side metadata (the same class of
@@ -1896,6 +1959,7 @@ def cdx_range_scan(
     prefix: str,
     ts_from: str | None = None,
     ts_to: str | None = None,
+    located: bool = False,
 ) -> DataFrame:
     """Prefix/domain query over a range-layout :func:`write_cdx`
     store — the REAL CDX serving pattern (pywb, Common Crawl's
@@ -1948,10 +2012,12 @@ def cdx_range_scan(
         if _os.path.isdir(_local_path(d))
     ]
     if not dirs:
-        return spark.createDataFrame([], CDX_LINE_SCHEMA)
-    out = _parse_cdx_lines(spark.read.text(dirs)).filter(
-        F.col("urlkey").startswith(prefix)
-    )
+        return spark.createDataFrame(
+            [], CDX_LINE_SCHEMA_LOCATED if located else CDX_LINE_SCHEMA
+        )
+    out = _parse_cdx_lines(
+        spark.read.text(dirs), located=located
+    ).filter(F.col("urlkey").startswith(prefix))
     if ts_from is not None:
         out = out.filter(F.col("ts14") >= str(ts_from))
     if ts_to is not None:

@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "fetch_horizon",
     "sitemap_refresh",
     "cdx_store_prune",
+    "warc_site_export",
 ]
 
 #: Full-payload sidecar at the repo root: the driver keeps only a

@@ -758,6 +758,61 @@ def test_cdx_tsrange_sidecar_and_multi_scan(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
 
 
+def test_warc_fetch_prefix_site_export(spark, tmp_path):
+    """Located range store end-to-end: a prefix probe streams back
+    exactly that site's records (bytes intact), distributively; a
+    non-located store raises on the first location-less line; the
+    time-interval axis composes."""
+    import pytest as _pytest
+
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        parse_warc_idx,
+        read_warc,
+        warc_fetch_prefix,
+        write_cdx,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (i, f"<p>body {i}</p>",
+             f"https://host{i % 3}.test/p{i}.html",
+             f"2026-05-{i % 2 + 1:02d}T00:00:00Z")
+            for i in range(12)
+        ],
+        "doc_id long, html string, target_uri string, warc_date string",
+    )
+    store = str(tmp_path / "warc")
+    write_warc(pages, store, n_shards=2).collect()
+    glob = store + "/*.warc.gz"
+    located = read_warc(spark, glob).join(
+        parse_warc_idx(spark, glob), ["file", "rec_pos"]
+    )
+    cdx = str(tmp_path / "cdx")
+    write_cdx(located, cdx, n_shards=2, layout="range", locate=True)
+    got = warc_fetch_prefix(spark, cdx, "test,host1)").collect()
+    assert sorted(r.target_uri for r in got) == sorted(
+        f"https://host{i % 3}.test/p{i}.html"
+        for i in range(12) if i % 3 == 1
+    )
+    assert all(
+        bytes(r.payload) == f"<p>body {int(r.target_uri.split('p')[-1].split('.')[0])}</p>".encode()
+        for r in got
+    )
+    # temporal compose: only the day-1 captures of the site
+    got1 = warc_fetch_prefix(
+        spark, cdx, "test,host1)", ts_from="20260501",
+        ts_to="20260501",
+    ).collect()
+    assert {r.warc_date[:10] for r in got1} == {"2026-05-01"}
+    assert len(got1) < len(got)
+    # a NON-located range store raises loudly
+    cdx2 = str(tmp_path / "cdx_plain")
+    write_cdx(located, cdx2, n_shards=2, layout="range")
+    with _pytest.raises(Exception, match="no byte locations"):
+        warc_fetch_prefix(spark, cdx2, "test,host1)").collect()
+
+
 # ----------------------------------------------------- horizon / sitemap fuse
 
 
