@@ -1070,17 +1070,9 @@ def frontier_urls(
     incremental-frontier mode (which cannot aggregate the same way):
     (doc_id, url, canonical_url) per resolvable anchor. Pure per-row
     column algebra — runs identically on a batch or streaming
-    relation. Absolutization policy: see :func:`crawl_frontier`."""
-    href = F.col(href_col)
-    base_head = F.lower(
-        F.regexp_extract(F.col(base_col), r"^(https?://[^/?#]+)", 1)
-    )
-    absolute = (
-        F.when(href.rlike("^https?://"), href)
-        .when(href.startswith("//"), F.lit(None))
-        .when(href.startswith("/"), F.concat(base_head, href))
-        .otherwise(F.lit(None))
-    )
+    relation. Absolutization policy: :func:`_absolutize_href`, the
+    one copy shared with :func:`resolve_redirects`."""
+    absolute = _absolutize_href(F.col(href_col), F.col(base_col))
     return (
         links.select(F.col("doc_id"), absolute.alias("url"))
         .filter(F.col("url").isNotNull())
@@ -2192,16 +2184,18 @@ def _absolutize_href(href: Column, base_url: Column) -> Column:
     the ONE absolutization policy shared by the frontier
     (:func:`frontier_urls`) and the redirect resolver: absolute
     ``http(s)://`` values pass through; site-relative (leading ``/``
-    but not ``//``) join the base's scheme+host; everything else
-    (protocol-relative, path-relative, mailto/javascript) is null —
-    precision over recall, same reasoning as :func:`crawl_frontier`."""
-    origin = F.regexp_extract(base_url, r"^(https?://[^/?#]+)", 1)
+    but not ``//``) join the base's LOWERCASED scheme+host (the host
+    is case-insensitive and the frontier keys on the lowercase
+    spelling); everything else (protocol-relative, path-relative,
+    mailto/javascript) is null — precision over recall, same
+    reasoning as :func:`crawl_frontier`."""
+    origin = F.lower(
+        F.regexp_extract(base_url, r"^(https?://[^/?#]+)", 1)
+    )
     return (
         F.when(href.rlike("^https?://"), href)
-        .when(
-            href.startswith("/") & ~href.startswith("//"),
-            F.concat(origin, href),
-        )
+        .when(href.startswith("//"), F.lit(None).cast("string"))
+        .when(href.startswith("/"), F.concat(origin, href))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -2317,8 +2311,8 @@ e AS (
                     THEN location
                   WHEN starts_with(location, '/')
                        AND NOT starts_with(location, '//')
-                    THEN regexp_extract(url, '^(https?://[^/?#]+)', 1)
-                         || location
+                    THEN lower(regexp_extract(url,
+                           '^(https?://[^/?#]+)', 1)) || location
                   END) AS dst
   FROM caps
   WHERE http_status >= 300 AND http_status < 400
@@ -2328,8 +2322,8 @@ e AS (
                     THEN location
                   WHEN starts_with(location, '/')
                        AND NOT starts_with(location, '//')
-                    THEN regexp_extract(url, '^(https?://[^/?#]+)', 1)
-                         || location
+                    THEN lower(regexp_extract(url,
+                           '^(https?://[^/?#]+)', 1)) || location
                   END) IS NOT NULL
 ),
 walk AS (

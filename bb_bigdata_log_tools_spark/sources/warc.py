@@ -366,6 +366,25 @@ def _decode_content_encoding(body: bytes, encoding: str) -> bytes | None:
     return None
 
 
+def _split_http_head(block: bytes):
+    """(status, header_lines, body) from an HTTP response message, or
+    None when the block isn't one — the ONE copy of the message-head
+    scaffold (CRLF-CRLF split, ``HTTP/`` prefix check, status-line
+    parse) shared by :func:`parse_http_response` and
+    :func:`parse_http_header_fields`, so a grammar fix (e.g.
+    tolerating LF-only separators some day) reaches both readers."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return None
+    head = block[:sep].split(CRLF)
+    parts = head[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None
+    return status, head[1:], block[sep + 4 :]
+
+
 def parse_http_response(block: bytes):
     """(status int, content_type str, body bytes) from an HTTP
     response message, or (0, '', block) if it isn't one (the
@@ -377,17 +396,12 @@ def parse_http_response(block: bytes):
     here (chunked first, then content encoding — RFC order), each
     falling back to the raw bytes on malformation or past the
     HTTP_BODY_DECODE_CAP bomb cap."""
-    sep = block.find(CRLF + CRLF)
-    if sep < 0 or not block.startswith(b"HTTP/"):
+    split = _split_http_head(block)
+    if split is None:
         return 0, "", block
-    head = block[:sep].split(CRLF)
-    parts = head[0].split(None, 2)
-    try:
-        status = int(parts[1])
-    except (IndexError, ValueError):
-        return 0, "", block
+    status, head_lines, body = split
     ctype, t_enc, c_enc = "", "", ""
-    for ln in head[1:]:
+    for ln in head_lines:
         name, s, value = ln.partition(b":")
         if not s:
             continue
@@ -398,7 +412,6 @@ def parse_http_response(block: bytes):
             t_enc = value.strip().decode("ascii", "replace").lower()
         elif key == b"content-encoding":
             c_enc = value.strip().decode("ascii", "replace").lower()
-    body = block[sep + 4 :]
     if "chunked" in t_enc:
         decoded = _dechunk(body)
         if decoded is not None:
@@ -425,18 +438,14 @@ def parse_http_header_fields(block: bytes):
     fallback as :func:`parse_http_response` ((0, '', '', '') when the
     block isn't an HTTP message); first occurrence of each header
     wins; the body is never touched (no de-chunk/inflate — this is
-    the cheap header-only scan)."""
-    sep = block.find(CRLF + CRLF)
-    if sep < 0 or not block.startswith(b"HTTP/"):
+    the cheap header-only scan). The message-head scaffold is the
+    shared :func:`_split_http_head` — one grammar copy."""
+    split = _split_http_head(block)
+    if split is None:
         return 0, "", "", ""
-    head = block[:sep].split(CRLF)
-    parts = head[0].split(None, 2)
-    try:
-        status = int(parts[1])
-    except (IndexError, ValueError):
-        return 0, "", "", ""
+    status, head_lines, _body = split
     loc, etag, lastmod = "", "", ""
-    for ln in head[1:]:
+    for ln in head_lines:
         name, s, value = ln.partition(b":")
         if not s:
             continue
@@ -1240,11 +1249,22 @@ def write_warc_http(
 
     def rec(key, body, uri, date, meta_s):
         status_line, _, hdr_lines = meta_s.partition("\n")
-        extra = tuple(
-            tuple(p.strip() for p in ln.split(":", 1))
-            for ln in hdr_lines.split("\n")
-            if ":" in ln
-        )
+        extra = []
+        for ln in hdr_lines.split("\n"):
+            if not ln:
+                continue
+            if ":" not in ln:
+                # loud, like the null-key guard: a silently dropped
+                # header line means the written archive diverges from
+                # the input relation (a valueless header or a value
+                # with an embedded newline both land here)
+                raise ValueError(
+                    f"write_warc_http: malformed header line {ln!r}"
+                    " (expected 'Name: value'; values must not embed"
+                    " newlines)"
+                )
+            name, value = ln.split(":", 1)
+            extra.append((name.strip(), value.strip()))
         return build_warc_record(
             "response", f"<urn:doc:{key}>", uri, date,
             build_http_response(
@@ -1483,10 +1503,14 @@ def write_cdx(
         return 0
     # one verification pass computes the return count AND the store's
     # written ts14 range (the _TSRANGE sidecar cdx_multi_scan prunes
-    # whole stores by) — no extra scan over the emitted text
-    ts = F.substring_index(
-        F.substring_index("value", " ", 2), " ", -1
-    )
+    # whole stores by) — no extra scan over the emitted text. The
+    # token is extracted with the READER'S exact 14-digit grammar
+    # (_parse_cdx_lines): a line whose date doesn't reduce to 14
+    # digits parses as ts14 = '' there, and '' participating in the
+    # min keeps such a store unprunable on ts_to (a ''-ts14 line
+    # passes any ts_to filter) while the max over parsed values keeps
+    # ts_from pruning exact ('' never passes a ts_from filter).
+    ts = F.regexp_extract("value", r"^\S+ (\d{14}) ", 1)
     stats = (
         spark.read.text(_os.path.join(out_dir, "shard=*"))
         .agg(
@@ -1554,9 +1578,9 @@ def _write_cdx_range_lines(
             .cast("int")
             .alias("shard"),
             F.substring_index("value", " ", 1).alias("k"),
-            F.substring_index(
-                F.substring_index("value", " ", 2), " ", -1
-            ).alias("t"),
+            # the reader's exact ts14 grammar — see the hash-layout
+            # tail for why '' must participate in the min
+            F.regexp_extract("value", r"^\S+ (\d{14}) ", 1).alias("t"),
         )
         .groupBy("shard")
         .agg(

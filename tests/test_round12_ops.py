@@ -535,6 +535,83 @@ def test_timeline_refresh_cte_factoring():
     assert _refresh_sql_ctes(c, "2026-01-01") in comp
 
 
+def test_resolve_redirects_mixed_case_origin_matches_frontier(spark):
+    """Review pin: a site-relative Location against a mixed-case
+    capture URL absolutizes to the LOWERCASED origin — the same
+    spelling frontier_urls produces, so resolved targets join the
+    frontier relation."""
+    from bb_bigdata_log_tools_spark.operators.curation import (
+        frontier_urls,
+        resolve_redirects,
+        resolve_redirects_sql,
+    )
+
+    rows = [("https://Example.ORG/a", 301, "/b")]
+    got = resolve_redirects(_caps(spark, rows)).collect()
+    assert got[0].final_url == "https://example.org/b"
+    # frontier absolutizes the identical href to the identical URL
+    links = spark.createDataFrame(
+        [(1, "https://Example.ORG/a", "/b")],
+        "doc_id long, base_url string, href string",
+    )
+    assert frontier_urls(links).collect()[0].url == "https://example.org/b"
+    # and the SQL twin agrees
+    sql = resolve_redirects_sql(
+        "SELECT 'https://Example.ORG/a' AS url, 301 AS http_status,"
+        " '/b' AS location"
+    )
+    assert duckdb.connect().execute(sql).fetchall()[0][1] == (
+        "https://example.org/b")
+
+
+def test_tsrange_uses_reader_ts14_grammar(spark, tmp_path):
+    """Review pin: a store whose dates don't reduce to 14 digits
+    records '' in its _TSRANGE min (the reader parses those lines as
+    ts14 = ''), so a ts_to-only multi-scan NEVER prunes it — the two
+    readers cannot silently disagree."""
+    from bb_bigdata_log_tools_spark.sources.warc import (
+        cdx_multi_scan,
+        cdx_range_scan,
+        read_cdx_tsrange,
+        write_cdx,
+    )
+
+    recs = spark.createDataFrame(
+        [(
+            "https://h.test/p0",
+            "2026-05-01T00:00:00.123Z",  # 17 digits: unparseable ts14
+            "text/html", 200, bytearray(b"b"),
+        )],
+        "target_uri string, warc_date string, http_content_type string,"
+        " http_status int, payload binary",
+    )
+    store = str(tmp_path / "s")
+    write_cdx(recs, store, n_shards=2, layout="range")
+    assert read_cdx_tsrange(store)[0] == ""  # min is the '' sentinel
+    probe = dict(prefix="", ts_to="2020")
+    direct = cdx_range_scan(spark, store, **probe).collect()
+    multi = cdx_multi_scan(spark, [store], **probe).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, multi))
+    assert len(direct) == 1  # '' ts14 passes any ts_to filter
+
+
+def test_write_warc_http_malformed_header_raises(spark, tmp_path):
+    """Review pin: a header line without 'Name: value' shape fails
+    the write loudly instead of silently dropping."""
+    import pytest as _pytest
+
+    from bb_bigdata_log_tools_spark.sources.warc import write_warc_http
+
+    df = spark.createDataFrame(
+        [(1, "x", "https://a.com/p", "2026-01-01T00:00:00Z", 200,
+          "X-Robots-Tag")],
+        "doc_id long, html string, target_uri string, warc_date string,"
+        " http_status int, http_headers string",
+    )
+    with _pytest.raises(Exception, match="malformed header line"):
+        write_warc_http(df, str(tmp_path / "s"), n_shards=1).collect()
+
+
 # --------------------------------------------------------------- properties
 
 
