@@ -225,6 +225,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.6,
     salts: int = 8,
     shingles: DataFrame | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Minhash-LSH near-dup: banded buckets → candidate pairs → exact
     Jaccard verification ≥ τ.
@@ -249,15 +250,63 @@ def dedup_minhash_lsh(
     bounds the straggler task ``salts``-fold on pathological ones.
     ``salts=1`` recovers the unsalted plan.
     """
-    # The shingle-hash relation feeds both the signature path and the
-    # verification join. It is recomputed per branch (a scan + map-side
-    # work): at 100 TB recompute is the right default — caching a
-    # corpus-sized relation in executor memory is not — and within one
-    # session repeated ad-hoc calls would otherwise accumulate
-    # never-released cache blocks. ``shingles`` overrides for callers
-    # that materialized it anyway (recall eval).
+    # ONE exchange computes, per doc, the banded signature AND the
+    # shingle-hash set (plus its size): the r12 optimization round
+    # replaced the original 4-branch plan — which re-evaluated the
+    # (doc_id, h) shingle pipeline once for the signature aggregation,
+    # once per verification side and once for the set sizes, and
+    # shuffled the corpus-sized shingle relation on three different
+    # keys — with a single groupBy(doc_id) whose output is
+    # localCheckpointed and re-read by every branch. At 100 TB the
+    # checkpoint holds the same bytes those extra shuffles would have
+    # written to the same local disks, while the corpus is scanned and
+    # shingled ONCE instead of four times; the verification join then
+    # ships shingle sets only to CANDIDATE pairs (the LSH-bounded
+    # slice), never the whole relation (guide §2.3/§2.4). Jaccard is
+    # |array_intersect| over the per-doc sets — identical to the old
+    # hash-equality join count (shingle hashes are distinct per doc).
     sh = shingles if shingles is not None else doc_shingle_hashes(documents, n)
-    bands_df = minhash_bands_from_hashes(sh, num_perm, bands)
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
+    sig_aggs = [
+        F.min(
+            F.pmod(
+                F.lit(a) * F.pmod(F.col("h"), F.lit(MERSENNE_31)) + F.lit(b),
+                F.lit(MERSENNE_31),
+            )
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(permutation_params(num_perm, 2024))
+    ]
+    docrel = (
+        sh.groupBy("doc_id")
+        .agg(*sig_aggs, F.collect_set("h").alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .localCheckpoint()
+    )
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for bidx in range(bands):
+        piece = F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{bidx * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band_idx"), F.md5(piece).alias("band_sig")
+            )
+        )
+    bands_df = docrel.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
     a = bands_df.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts))).alias("a")
     b = bands_df.withColumn(
         "salt", F.explode(
@@ -275,30 +324,30 @@ def dedup_minhash_lsh(
         .select(F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x = sh.alias("x")
-    y = sh.alias("y")
-    common = (
-        candidates.join(x, F.col("doc_id1") == F.col("x.doc_id"))
-        .join(y, (F.col("doc_id2") == F.col("y.doc_id")) & (F.col("x.h") == F.col("y.h")))
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("common"))
+    pa = docrel.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("hs").alias("h1"),
+        F.col("sz").alias("sz1"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("doc_id1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id2") == F.col("sb.doc_id"))
+    pb = docrel.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("hs").alias("h2"),
+        F.col("sz").alias("sz2"),
+    )
+    common = F.size(F.array_intersect(F.col("h1"), F.col("h2")))
+    out = (
+        candidates.join(pa, "doc_id1")
+        .join(pb, "doc_id2")
         .select(
             "doc_id1",
             "doc_id2",
             F.round(
-                F.col("common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("common")), 4
+                common / (F.col("sz1") + F.col("sz2") - common), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .transform(lambda d: small_sort(d, "doc_id1", "doc_id2"))
     )
+    return small_sort(out, "doc_id1", "doc_id2") if sort else out
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
@@ -493,6 +542,7 @@ def hamming_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
+    sort: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id) connected components over a near-dup pair
     graph — the step that turns pairwise duplicates into "keep one per
@@ -536,10 +586,15 @@ def connected_components(
             .groupBy("doc_id1")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the pre-round label rides along as old_label so convergence
+        # is a filter+count over this round's checkpoint — the r12
+        # optimization round removed the extra join-on-node job the
+        # old per-round `changed` computation paid (guide §2.4)
         propagated = labels.join(
             nbr_min, labels.node == nbr_min.doc_id1, "left"
         ).select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -556,16 +611,14 @@ def connected_components(
             .select(
                 F.col("l1.node").alias("node"),
                 F.col("l2.label").alias("label"),
+                F.col("l1.old_label").alias("old_label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if changed != 0:
@@ -573,9 +626,12 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — raise max_iter"
         )
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).transform(lambda d: small_sort(d, "doc_id"))
+    )
+    # sort=False output is a projection over the loop's checkpoint —
+    # already materialized, safe for consumers to reference repeatedly
+    return small_sort(out, "doc_id") if sort else out
 
 
 def dedup_cluster(
@@ -584,15 +640,21 @@ def dedup_cluster(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-dup clusters: minhash-LSH pairs → connected components.
 
     Output (doc_id, cluster_id) for every document that participates in
     at least one near-dup pair; cluster_id is the smallest doc_id in the
     component (the canonical keeper).
+
+    The pair feed skips its presentation sort (components re-checkpoint
+    the edge list anyway — sorting into one partition first was a
+    wasted job + a parallelism funnel; r12 optimization round).
     """
     return connected_components(
-        dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+        dedup_minhash_lsh(documents, n, num_perm, bands, threshold, sort=False),
+        sort=sort,
     )
 
 
@@ -620,7 +682,7 @@ def dedup_keep_best(
     """
     from bb_bigdata_log_tools_spark.operators.textqc import text_quality
 
-    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold, sort=False)
     # sort=False: the default small_sort would localCheckpoint + count
     # + globally sort the CORPUS-sized quality relation, and the join
     # below reshuffles it anyway (the dedup_resolve discipline)
@@ -630,8 +692,14 @@ def dedup_keep_best(
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
-    ranked = clusters.join(quality, "doc_id").withColumn(
-        "rn", F.row_number().over(w)
+    # checkpointed: `ranked` feeds BOTH the keeper pick and the drop
+    # list below — without it the corpus-sized quality scan + window
+    # would re-evaluate once per branch (r12 optimization round); the
+    # relation is |near-dup participants| rows, tiny next to the corpus
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint()
     )
     kept = ranked.filter(F.col("rn") == 1).select(
         "cluster_id",
@@ -934,7 +1002,7 @@ def minhash_recall_eval(
         documents, n, threshold, max_df, shingles=sh
     ).select("doc_id1", "doc_id2", F.lit(1).alias("in_truth"))
     approx = dedup_minhash_lsh(
-        documents, n, num_perm, bands, threshold, shingles=sh
+        documents, n, num_perm, bands, threshold, shingles=sh, sort=False
     ).select("doc_id1", "doc_id2", F.lit(1).alias("in_approx"))
     return (
         truth.join(approx, ["doc_id1", "doc_id2"], "full_outer")
@@ -1008,7 +1076,7 @@ def cluster_size_stats(
     relation, which is bounded by the number of near-dup PARTICIPANTS,
     not the corpus.
     """
-    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold, sort=False)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1045,7 +1113,12 @@ def dedup_pagerank(
     expressible as unrolled SQL; ranks round to 6 dp so cross-engine
     float-sum ordering cannot flip the output.
     """
-    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    # checkpoint BEFORE the symmetrizing union: both union branches
+    # reference `pairs`, and an unmaterialized feed would re-run the
+    # whole LSH plan once per branch (r12 optimization round)
+    pairs = dedup_minhash_lsh(
+        documents, n, num_perm, bands, threshold, sort=False
+    ).localCheckpoint()
     edges = (
         pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
         .unionAll(
@@ -1209,7 +1282,7 @@ def dedup_graph_triangles(
     near-dup graphs whose dense parts are exactly the families the
     report exists to find.
     """
-    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold, sort=False)
     edges = pairs.select(
         F.least("doc_id1", "doc_id2").alias("u"),
         F.greatest("doc_id1", "doc_id2").alias("v"),
@@ -1272,7 +1345,7 @@ def contrastive_pairs(
     yields the offsets — rank = offset + local rank reproduces the
     single-window ordering bit-for-bit.
     """
-    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold)
+    pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold, sort=False)
     rank_h = md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string")))
     ids = documents.select("doc_id", rank_h.alias("rh"))
     n_docs = ids.count()
@@ -1478,7 +1551,7 @@ def dedup_resolve(
         "doc_id",
         F.min("doc_id").over(exact_w).alias("exact_keeper"),
     )
-    clusters = dedup_cluster(documents, n, num_perm, bands, threshold)
+    clusters = dedup_cluster(documents, n, num_perm, bands, threshold, sort=False)
     out = (
         exact.join(clusters, "doc_id", "left")
         .select(

@@ -132,7 +132,7 @@ def main() -> None:
                 print(
                     f"  job {j['jobId']:>4} {dur:7.2f}s "
                     f"tasks={j['numCompletedTasks']:>5} "
-                    f"{(j.get('description') or j['name'])[:100]}"
+                    f"{j['name'][:80]}"
                 )
     spark.stop()
 
