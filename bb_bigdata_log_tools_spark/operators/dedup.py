@@ -144,6 +144,41 @@ def dedup_ngram_jaccard(
     return jaccard_pairs(sh, threshold, max_df)
 
 
+def _sig_agg_exprs(num_perm: int, seed: int) -> list[Column]:
+    """The ``num_perm`` min-hash aggregates, each parsed JVM-side from
+    ONE SQL string: the chained-Column formulation cost ~0.7 s of py4j
+    round trips per call (~9 gateway hops x num_perm — r12 profiling),
+    pure driver latency repeated by every key in the LSH family. The
+    parsed expression tree (integer literals, pmod arithmetic, min) is
+    identical, so signatures are bit-for-bit unchanged."""
+    return [
+        F.expr(
+            f"min(pmod({a} * pmod(h, {MERSENNE_31}) + {b}, {MERSENNE_31}))"
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(permutation_params(num_perm, seed))
+    ]
+
+
+def _band_struct_exprs(num_perm: int, bands: int) -> list[Column]:
+    """band structs as single-parse SQL strings (same py4j rationale as
+    :func:`_sig_agg_exprs`); band_sig is md5 of the comma-joined band
+    slice, reproducible in any SQL engine."""
+    rows_per_band = num_perm // bands
+    out = []
+    for bidx in range(bands):
+        piece = ", ".join(
+            f"cast(m{bidx * rows_per_band + r} as string)"
+            for r in range(rows_per_band)
+        )
+        out.append(
+            F.expr(
+                f"struct({bidx} as band_idx, "
+                f"md5(concat_ws(',', {piece})) as band_sig)"
+            )
+        )
+    return out
+
+
 def minhash_signature_relational(
     sh: DataFrame, num_perm: int = 64, seed: int = 2024
 ) -> DataFrame:
@@ -156,13 +191,7 @@ def minhash_signature_relational(
     runs inside whole-stage codegen with map-side partial aggregation —
     ~10× faster and the shape that scales.
     """
-    aggs = [
-        F.min(
-            F.pmod(F.lit(a) * F.pmod(F.col("h"), F.lit(MERSENNE_31)) + F.lit(b), F.lit(MERSENNE_31))
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(permutation_params(num_perm, seed))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_sig_agg_exprs(num_perm, seed))
 
 
 def minhash_bands(
@@ -194,20 +223,8 @@ def minhash_bands_from_hashes(
         raise ValueError(
             f"bands ({bands}) must divide num_perm ({num_perm})"
         )
-    rows_per_band = num_perm // bands
     sig = minhash_signature_relational(sh, num_perm)
-    band_cols = []
-    for bidx in range(bands):
-        piece = F.concat_ws(
-            ",",
-            *[
-                F.col(f"m{bidx * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        band_cols.append(
-            F.struct(F.lit(bidx).alias("band_idx"), F.md5(piece).alias("band_sig"))
-        )
+    band_cols = _band_struct_exprs(num_perm, bands)
     return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select(
@@ -270,36 +287,13 @@ def dedup_minhash_lsh(
         raise ValueError(
             f"bands ({bands}) must divide num_perm ({num_perm})"
         )
-    sig_aggs = [
-        F.min(
-            F.pmod(
-                F.lit(a) * F.pmod(F.col("h"), F.lit(MERSENNE_31)) + F.lit(b),
-                F.lit(MERSENNE_31),
-            )
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(permutation_params(num_perm, 2024))
-    ]
     docrel = (
         sh.groupBy("doc_id")
-        .agg(*sig_aggs, F.collect_set("h").alias("hs"))
+        .agg(*_sig_agg_exprs(num_perm, 2024), F.collect_set("h").alias("hs"))
         .withColumn("sz", F.size("hs"))
         .localCheckpoint()
     )
-    rows_per_band = num_perm // bands
-    band_cols = []
-    for bidx in range(bands):
-        piece = F.concat_ws(
-            ",",
-            *[
-                F.col(f"m{bidx * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band_idx"), F.md5(piece).alias("band_sig")
-            )
-        )
+    band_cols = _band_struct_exprs(num_perm, bands)
     bands_df = docrel.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select(
@@ -368,22 +362,26 @@ def simhash64(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("doc_id", md5_long(F.col("tok")).alias("h"), "tf")
     )
+    # single-parse SQL strings: the chained-Column form built ~120
+    # expression chains (~800 py4j gateway hops, ~0.7 s of pure driver
+    # latency per call — r12 profiling); the parsed trees (shiftright/
+    # bitwise-and aggregates, left-assoc long sum) are identical, so
+    # simhash values are bit-for-bit unchanged.
     bit_sums = tf.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-                ).otherwise(-F.col("tf"))
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1 "
+                f"then tf else -tf end)"
             ).alias(f"s{i}")
             for i in range(60)
         ]
     )
-    hash_expr = None
-    for i in range(60):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    hash_expr = F.expr(
+        " + ".join(
+            f"(case when s{i} > 0 then {1 << i}L else 0L end)"
+            for i in range(60)
         )
-        hash_expr = term if hash_expr is None else hash_expr + term
+    )
     return bit_sums.select("doc_id", hash_expr.alias("simhash"))
 
 

@@ -61,24 +61,25 @@ def widen(df: DataFrame, dim: int, keep: list[str]) -> DataFrame:
     ~10× on the quadratic pair stage. The left-assoc sum below matches
     the sequential order of a SQL ``list_dot_product``.
     """
-    cols = [F.col(c) for c in keep] + [
-        F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)
-    ]
-    out = df.select(*cols)
-    norm = None
-    for i in range(dim):
-        term = F.col(f"e{i}") * F.col(f"e{i}")
-        norm = term if norm is None else norm + term
-    return out.withColumn("norm", F.sqrt(norm))
+    # selectExpr/F.expr: the whole widened projection parses JVM-side
+    # from strings instead of ~6 py4j gateway hops per dimension — at
+    # dim=64 the chained-Column form cost ~0.3-0.5 s of pure driver
+    # latency per call site (r12 profiling); the parsed trees
+    # (GetArrayItem, cast, left-assoc Add of Multiply) are identical,
+    # so values are bit-for-bit unchanged.
+    out = df.selectExpr(
+        *keep, *[f"cast(embedding[{i}] as double) as e{i}" for i in range(dim)]
+    )
+    norm = " + ".join(f"e{i} * e{i}" for i in range(dim))
+    return out.withColumn("norm", F.expr(f"sqrt({norm})"))
 
 
 def wide_dot(prefix_a: str, prefix_b: str, dim: int) -> Column:
-    """Left-assoc Σ a.eᵢ·b.eᵢ over widened columns (codegen-friendly)."""
-    acc = None
-    for i in range(dim):
-        term = F.col(f"{prefix_a}.e{i}") * F.col(f"{prefix_b}.e{i}")
-        acc = term if acc is None else acc + term
-    return acc
+    """Left-assoc Σ a.eᵢ·b.eᵢ over widened columns (codegen-friendly;
+    single-parse SQL string — see :func:`widen` for the py4j rationale)."""
+    return F.expr(
+        " + ".join(f"{prefix_a}.e{i} * {prefix_b}.e{i}" for i in range(dim))
+    )
 
 
 def prep_embeddings(df: DataFrame, dim: int, keep: list[str]) -> DataFrame:
@@ -230,31 +231,35 @@ def ann_lsh_buckets(
         # arithmetic order: 0.0 + x0·s0 + x1·s1 + ..., and ±1·x is
         # exact, so bucket ids are bit-identical to the SQL oracle's
         # list_dot_product).
+        # single-parse SQL strings (see :func:`widen`): the chained
+        # Column form here cost n_planes x dim x ~3 py4j hops (~1.5 s
+        # at 8x64) of pure driver latency per call. ``0.0D + e0 - e1
+        # ...`` parses to the same left-assoc Add/Subtract chain the
+        # loop built (IEEE: x + (-y) == x - y), so bucket ids are
+        # bit-identical.
         keep = ["vec_id"] if keep_prep else ["vec_id", "label", "embedding"]
-        wide = embeddings.select(
+        wide = embeddings.selectExpr(
             *keep,
-            *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(dim)],
+            *[f"cast(embedding[{i}] as double) as e{i}" for i in range(dim)],
         )
-        bucket = F.lit(0).cast("long")
+        plane_terms = []
         for j in range(n_planes):
-            proj = F.lit(0.0)
-            for i in range(dim):
-                sign_pos = params[j * dim + i][0] % 2 == 1
-                proj = proj + (F.col(f"e{i}") if sign_pos else -F.col(f"e{i}"))
-            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
-                "long"
+            proj = "0.0D" + "".join(
+                (" + " if params[j * dim + i][0] % 2 == 1 else " - ") + f"e{i}"
+                for i in range(dim)
             )
+            plane_terms.append(
+                f"cast(case when ({proj}) > 0 then {1 << j} else 0 end as bigint)"
+            )
+        bucket = F.expr("cast(0 as bigint) + " + " + ".join(plane_terms))
         if not keep_prep:
             return wide.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-        norm = None
-        for i in range(dim):
-            term = F.col(f"e{i}") * F.col(f"e{i}")
-            norm = term if norm is None else norm + term
+        norm = " + ".join(f"e{i} * e{i}" for i in range(dim))
         return wide.select(
             "vec_id",
             bucket.alias("bucket"),
             *[f"e{i}" for i in range(dim)],
-            F.sqrt(norm).alias("norm"),
+            F.expr(f"sqrt({norm})").alias("norm"),
         )
     # High-dim path: per-plane ±1 sign vectors as FLAT array literals
     # (depth O(1), no scalar chains) folded with zip_with+aggregate.
