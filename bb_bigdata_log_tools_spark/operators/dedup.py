@@ -777,18 +777,32 @@ def source_similarity(
         documents.select("source", F.explode(grams).alias("g"))
         .select("source", F.md5("g").alias("gh"))
         .distinct()
+        # one evaluation of the corpus explode+distinct: lazily this
+        # relation fed THREE consumers (sizes + both self-join sides),
+        # re-running the corpus scan/explode/shuffle each time
+        .localCheckpoint()
     )
     sizes = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    # inverted index instead of a self-join: per-gram sorted source
+    # list → ordered pair expansion. Equivalent to the old
+    # (a.gh = b.gh AND a.source < b.source) join because sg is unique
+    # on (source, gh) — each gram contributes exactly one row per
+    # source pair — and ONE exchange on gh replaces the join's two
+    # side shuffles of the same relation. Per-gram fan-out stays
+    # bounded by C(|sources|, 2).
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> transform("
+        "slice(ss, i + 2, size(ss)), "
+        "y -> named_struct('source_a', x, 'source_b', y))))"
+    )
     inter = (
-        sg.alias("a")
-        .join(
-            sg.alias("b"),
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
+        sg.groupBy("gh")
+        .agg(F.sort_array(F.collect_list("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count("*").alias("n_common"))
     )
@@ -1221,20 +1235,28 @@ def dedup_substring(
         .select("h")
     )
     kept = grams.join(hot, "h", "left_anti")
-    a = kept.alias("a")
-    b = kept.alias("b")
-    # no distinct: (doc_id1, doc_id2, p1, diag) fixes (a.pos, b.pos),
-    # and `kept` is unique on (doc_id, pos), so join output rows are
-    # already unique — a dedup here would only add a corpus-scale
-    # shuffle.
-    hits = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_id1"),
-        F.col("b.doc_id").alias("doc_id2"),
-        F.col("a.pos").alias("p1"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    # inverted index instead of a self-join: per-gram-hash sorted
+    # (doc_id, pos) list → ordered pair expansion. Equivalent to the
+    # old (a.h = b.h AND a.doc_id < b.doc_id) join because `kept` is
+    # unique on (doc_id, pos) — each co-occurrence contributes exactly
+    # one (pair, p1, diag) row — and ONE exchange on h replaces the
+    # join's two side shuffles of the corpus-scale positions relation.
+    # collect_list buffers are bounded: hot grams (df > max_df) are
+    # dropped BEFORE the group, so a list holds ≤ max_df entries. No
+    # distinct afterwards for the same reason as before: rows are
+    # unique by construction.
+    pair_expr = F.expr(
+        "flatten(transform(ms, (x, i) -> transform("
+        "filter(slice(ms, i + 2, size(ms)), y -> y.doc_id != x.doc_id), "
+        "y -> named_struct('doc_id1', x.doc_id, 'doc_id2', y.doc_id, "
+        "'p1', x.pos, 'diag', x.pos - y.pos))))"
+    )
+    hits = (
+        kept.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id1", "p.doc_id2", "p.p1", "p.diag")
     )
     w = Window.partitionBy("doc_id1", "doc_id2", "diag").orderBy("p1")
     runs = (
@@ -1447,11 +1469,14 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
         lambda w: F.array_min(F.slice(F.col("grams"), w, window)),
     )
+    # no trailing .distinct(): array_distinct already dedups within the
+    # doc and doc_id differs across docs, so (doc_id, fp) rows are
+    # unique by construction — the old distinct was a full extra
+    # corpus exchange for a no-op
     return (
         documents.filter(F.length(c) >= k + window - 1)
         .select("doc_id", grams.alias("grams"))
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
-        .distinct()
     )
 
 
@@ -1472,7 +1497,10 @@ def dedup_winnowing(
 
     Output: (doc_id1, doc_id2, n_shared, containment).
     """
-    fps = winnowing_fingerprints(documents, k, window)
+    # one evaluation of the fingerprint subtree: lazily it fed FOUR
+    # consumers (hot, sizes, both self-join sides), re-running the
+    # per-char k-gram hashing each time
+    fps = winnowing_fingerprints(documents, k, window).localCheckpoint()
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1480,18 +1508,33 @@ def dedup_winnowing(
         .select("fp")
     )
     kept = fps.join(hot, "fp", "left_anti")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = kept.alias("a")
-    b = kept.alias("b")
+    # inverted index instead of a self-join: per-fingerprint sorted doc
+    # list → ordered pair expansion. Equivalent to the old
+    # (a.fp = b.fp AND a.doc_id < b.doc_id) join because kept is unique
+    # on (doc_id, fp); ONE exchange on fp replaces the join's two side
+    # shuffles, and the fan-out per fingerprint stays bounded by
+    # C(max_df, 2) (hot fingerprints are dropped before the group).
+    grouped = (
+        kept.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .localCheckpoint()  # feeds both sizes and the pair expansion
+    )
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> transform("
+        "slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('doc_id1', x, 'doc_id2', y))))"
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        grouped.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
+            F.col("p.doc_id1").alias("doc_id1"),
+            F.col("p.doc_id2").alias("doc_id2"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -662,8 +662,11 @@ NGRAM_SRC = 3
 def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_bigdata_log_tools_spark.operators import dedup
 
+    # ensure_parallelism: the small parquet scans as ONE partition and
+    # serialized the whole explode+hash pass on a single core (r12
+    # profile: two 2.6 s single-task jobs)
     return dedup.source_similarity(
-        table(spark, sf_dir, "documents"), NGRAM_SRC
+        ensure_parallelism(table(spark, sf_dir, "documents")), NGRAM_SRC
     )
 
 

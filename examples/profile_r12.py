@@ -26,8 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rest(app_url: str, path: str):
-    with urllib.request.urlopen(app_url + path, timeout=10) as r:
-        return json.loads(r.read())
+    """Best-effort UI poll: a busy driver can starve the UI thread past
+    the timeout — degrade to an empty job list, never crash the run."""
+    try:
+        with urllib.request.urlopen(app_url + path, timeout=30) as r:
+            return json.loads(r.read())
+    except Exception as exc:  # noqa: BLE001
+        print(f"  (ui poll failed: {exc})")
+        return []
 
 
 def main() -> None:
