@@ -380,6 +380,7 @@ def read_boom(
     start_ms: int | None = None,
     end_ms: int | None = None,
     skip_corrupt: bool = False,
+    recursive: bool = False,
 ) -> DataFrame:
     """Distributed .bm read: binaryFile source → per-file Arrow-batched
     decode in executors → canonical log schema.
@@ -447,12 +448,18 @@ def read_boom(
                     rows = list(flatten_log_blocks(read_container(data)))
                 yield pd.DataFrame(rows, columns=cols)
 
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bm")
-        .load(path)
-        .select("content")
-    )
+    # recursive=True reads a whole tree from ONE root path: a glob that
+    # expands to many leaf dirs (an hourly tree is thousands) pushes
+    # Spark's InMemoryFileIndex over
+    # spark.sql.sources.parallelPartitionDiscovery.threshold and the
+    # listing itself becomes a cluster job with one task per leaf dir
+    # (r12 profile: a 720-task, multi-second "load" job to list 1251
+    # tiny files); a single recursive root is listed driver-side in
+    # milliseconds. Same file set either way (pathGlobFilter applies).
+    reader = spark.read.format("binaryFile").option("pathGlobFilter", "*.bm")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    binary = reader.load(path).select("content")
     return binary.mapInPandas(decode, schema=LOG_SCHEMA)
 
 
@@ -766,8 +773,18 @@ def write_boom_tree(
         _os.replace(tmp, path)
         return pd.DataFrame({"n": [len(lines)]})
 
-    counts = with_dh.groupBy("date", "hour").applyInPandas(
-        write_group, schema=count_schema
+    # explicit repartition on the group key: hour groups are tiny, and
+    # under AQE partition coalescing the groupBy exchange collapsed to
+    # a couple of partitions (r12 profile: 1251 hourly files written
+    # serially from 3 tasks). A user-specified partition count is not
+    # coalesced, and defaultParallelism scales with the cluster rather
+    # than pinning a local constant. The groupBy reuses the exchange
+    # (same keys), so this adds no extra shuffle.
+    par = logs.sparkSession.sparkContext.defaultParallelism
+    counts = (
+        with_dh.repartition(par, "date", "hour")
+        .groupBy("date", "hour")
+        .applyInPandas(write_group, schema=count_schema)
     )
     return sum(r["n"] for r in counts.collect())
 
