@@ -1874,8 +1874,17 @@ def fetch_timeline(
     ages = robots_staleness(robots, now, ttl_s, sort=False).select(
         "host", "robots_stale"
     )
-    s = sched.join(ages, "host", "left").withColumn(
-        "stale", F.coalesce(F.col("robots_stale"), F.lit(True))
+    # one evaluation of the schedule: `s` feeds BOTH the URL timeline
+    # and the injected-robots aggregate, and lazily that re-ran
+    # frontier_schedule's whole plan (gate join + wave window) twice.
+    # The checkpoint holds the operator's own output-sized relation
+    # (|frontier| narrow rows), nothing larger.
+    s = (
+        sched.join(ages, "host", "left")
+        .withColumn(
+            "stale", F.coalesce(F.col("robots_stale"), F.lit(True))
+        )
+        .localCheckpoint()
     )
     urls = s.select(
         "url",

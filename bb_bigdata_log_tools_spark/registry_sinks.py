@@ -622,7 +622,13 @@ def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _warc_store(spark, sf_dir)
     recs = read_warc(spark, os.path.join(store, "*.warc.gz"))
-    pages = _warc_response_pages(recs)
+    # decode the gzip store ONCE: the page relation feeds the alias
+    # branch AND (through the union) crawl_curate's extraction, and
+    # lazily each consumer re-ran the Python gzip+WARC decode of the
+    # whole store. persist_extraction=True is the operator's own
+    # documented seam for exactly this shape ("right when the crawl
+    # READ dominates the regex cost" — a compressed archive read does).
+    pages = ensure_parallelism(_warc_response_pages(recs)).localCheckpoint()
     aliases = pages.filter(
         F.col("doc_id") % _CC_ALIAS_MOD == _CC_ALIAS_REM
     ).select(
@@ -632,12 +638,13 @@ def q_crawl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _CC_BENCH_MOD == 0
     ).select("doc_id", "text")
     return crawl_curate(
-        ensure_parallelism(pages.unionByName(aliases)),
+        pages.unionByName(aliases),
         bench,
         decon_n=_CC_DECON_N,
         min_kept_chars=_CC_MIN_KEPT,
         val_frac=_CC_VAL_CUT / _CC_DENOM,
         test_frac=_CC_TEST_CUT / _CC_DENOM - _CC_VAL_CUT / _CC_DENOM,
+        persist_extraction=True,
     )
 
 
