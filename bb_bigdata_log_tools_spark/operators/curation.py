@@ -2261,8 +2261,19 @@ def resolve_redirects(
         .filter(F.col("dst").isNotNull())
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
+        # evaluated once: the edge relation is referenced by every hop
+        # join plus the semi/anti split — lazily each reference re-ran
+        # the capture scan (for a WARC-header source, a full store
+        # decode). |redirects|-sized, narrow.
+        .localCheckpoint()
     )
-    urls = captures.select(src.alias("url")).distinct()
+    urls = (
+        captures.select(src.alias("url"))
+        .distinct()
+        # ditto: feeds both the direct (anti) and walking (semi)
+        # branches; one distinct-URL row per capture, narrow
+        .localCheckpoint()
+    )
     srcs = edges.select(F.col("src").alias("url"))
     # the direct majority: no outgoing edge, final immediately
     direct = urls.join(srcs, "url", "left_anti").select(
@@ -2442,6 +2453,12 @@ def sitemap_parse(
     base = payloads.select(
         F.col(url_col).alias("sitemap_url"), F.col(xml_col).alias("xml")
     )
+    if int(max_depth) > 0:
+        # the payload relation is re-joined at every recursion depth;
+        # lazily each join re-evaluated the caller's payload pipeline
+        # (for the staged-store shape, a full XML rebuild). One
+        # materialization of the input-sized relation instead.
+        base = base.localCheckpoint()
     level = (
         base.filter(F.col("sitemap_url").isin(list(roots)))
         if roots is not None
@@ -2490,7 +2507,16 @@ def sitemap_parse(
         )
         # no distinct: the anti join is membership-only, and children
         # is already distinct per level — deduping the union would
-        # add one aggregate exchange per depth for nothing
+        # add one aggregate exchange per depth for nothing.
+        # checkpoint per level: each level feeds TWO regex consumers
+        # (entries + children) and the next level's lineage — without
+        # the cut, depth d re-ran every earlier level's big-XML regex
+        # passes (the per-entry extraction is the dominant scan).
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            # recursion exhausted: deeper levels are empty by
+            # construction, so skipping them only removes no-op jobs
+            break
         visited = visited.union(nxt.select("sitemap_url"))
         level = nxt
     out = parts[0]

@@ -349,7 +349,9 @@ def vocab_zipf_fit(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_feature_matrix(documents: DataFrame) -> DataFrame:
+def quality_feature_matrix(
+    documents: DataFrame, sort: bool = True
+) -> DataFrame:
     """The pre-classifier feature assembly: every per-document quality
     signal this engine computes, joined into ONE wide row per doc —
     what a FineWeb/DCLM-style pipeline feeds to its learned quality
@@ -379,12 +381,11 @@ def quality_feature_matrix(documents: DataFrame) -> DataFrame:
     p = unigram_perplexity(documents, sort=False).select(
         "doc_id", F.col("perplexity").alias("unigram_ppl")
     )
-    return (
-        q.join(r, "doc_id")
-        .join(e, "doc_id")
-        .join(p, "doc_id")
-        .transform(lambda d: small_sort(d, "doc_id"))
-    )
+    out = q.join(r, "doc_id").join(e, "doc_id").join(p, "doc_id")
+    # sort=False consumers (the per-source roll-up) keep the matrix a
+    # streaming relation: no single-partition presentation exchange,
+    # and Catalyst prunes the feature columns the consumer drops
+    return small_sort(out, "doc_id") if sort else out
 
 
 def source_quality_report(documents: DataFrame) -> DataFrame:
@@ -397,7 +398,7 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
     100 TB shape: the feature matrix's scan + two doc-keyed aggregates,
     then one thin groupBy over the |sources| domain.
     """
-    qfm = quality_feature_matrix(documents).select(
+    qfm = quality_feature_matrix(documents, sort=False).select(
         "doc_id", "quality_score", "char_entropy", "dup_bigram_ratio",
         "unigram_ppl",
     )
