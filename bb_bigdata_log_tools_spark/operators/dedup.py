@@ -550,7 +550,10 @@ def connected_components(
     Min-label propagation with POINTER JUMPING: every node starts
     labeled with its own id; each round takes the min of its own and
     its neighbors' labels, then short-circuits label ← label(label)
-    (path halving). The jump makes convergence O(log diameter) rounds
+    (path halving). Round 1 is folded into the initialization exchange
+    (the identity-label distinct() and the first groupBy-min are the
+    same shuffle), so graphs whose clusters have small diameter — the
+    near-dup case — pay one confirmation round, not two full ones. The jump makes convergence O(log diameter) rounds
     instead of O(diameter) — a 2^25-hop chain converges within the
     default ``max_iter`` — at the cost of one extra self-join on the
     (small) label relation per round. Each round is joins + an
@@ -571,32 +574,60 @@ def connected_components(
             F.col("doc_id2").alias("doc_id1"), F.col("doc_id1").alias("doc_id2")
         )
     )
+    # Round 1 folded into initialization (r12 optimization round, guide
+    # §2.4): the identity-label init was a distinct() — one exchange
+    # that computed nothing. The SAME exchange as a groupBy-min also
+    # performs round 1's propagation for free: with identity labels,
+    # min over {node} ∪ neighbor-labels is exactly least(node,
+    # min(neighbor)). The pointer jump below matches the loop's, so
+    # `labels` here is bit-identical to the old code's state after its
+    # first loop round — which is the FIXPOINT for the
+    # bounded-diameter clusters near-dup graphs are made of, leaving
+    # the loop a single confirmation round instead of two full ones.
+    # (Round 1 always changes a label when a non-self edge exists, so
+    # skipping its convergence count never misses a fixpoint the
+    # loop's own count would have caught.)
+    prop0 = (
+        bidir.groupBy("doc_id1")
+        .agg(F.min("doc_id2").alias("nbr_label"))
+        .select(
+            F.col("doc_id1").alias("node"),
+            F.least(F.col("doc_id1"), F.col("nbr_label")).alias("label"),
+        )
+    )
     labels = (
-        bidir.select(F.col("doc_id1").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        prop0.alias("l1")
+        .join(prop0.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+        .select(
+            F.col("l1.node").alias("node"), F.col("l2.label").alias("label")
+        )
         .localCheckpoint()
     )
     changed = 1
-    for _ in range(max_iter):
-        nbr_min = (
+    for _ in range(max_iter - 1):
+        # ONE join + ONE aggregation per propagation (r12: the previous
+        # shape paid a second, labels-side join to re-attach own labels
+        # — unioning the self rows into the message relation folds that
+        # join into the same exchange the aggregation already pays;
+        # min over {own} ∪ neighbor-labels is identical algebra). The
+        # self rows also carry old_label so convergence stays a
+        # filter+count over this round's checkpoint.
+        msgs = (
             bidir.join(labels, bidir.doc_id2 == labels.node)
-            .groupBy("doc_id1")
-            .agg(F.min("label").alias("nbr_label"))
+            .select("doc_id1", "label")
+            .withColumn("own", F.lit(None).cast("long"))
+            .unionByName(
+                labels.select(
+                    F.col("node").alias("doc_id1"),
+                    "label",
+                    F.col("label").alias("own"),
+                )
+            )
         )
-        # the pre-round label rides along as old_label so convergence
-        # is a filter+count over this round's checkpoint — the r12
-        # optimization round removed the extra join-on-node job the
-        # old per-round `changed` computation paid (guide §2.4)
-        propagated = labels.join(
-            nbr_min, labels.node == nbr_min.doc_id1, "left"
-        ).select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
+        propagated = msgs.groupBy("doc_id1").agg(
+            F.min("label").alias("label"),
+            F.min("own").alias("old_label"),
+        ).select(F.col("doc_id1").alias("node"), "label", "old_label")
         # pointer jumping: label ← label(label). Every label is a valid
         # node id (labels are mins over node ids), so the inner self-join
         # resolves every row; label(label) ≤ label by monotonicity.
