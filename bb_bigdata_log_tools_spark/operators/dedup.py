@@ -1162,38 +1162,54 @@ def dedup_pagerank(
     pairs = dedup_minhash_lsh(
         documents, n, num_perm, bands, threshold, sort=False
     ).localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("doc_id2").alias("src"), F.col("doc_id1").alias("dst")
-            )
+    # narrow union over the pairs checkpoint — its two consumers below
+    # (join side + degree aggregate) each re-read the checkpoint, which
+    # is cheaper than materializing a second copy of the edge bytes
+    edges = pairs.select(
+        F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_id2").alias("src"), F.col("doc_id1").alias("dst"))
+    )
+    # Static relations leave the loop (r12 optimization round, guide
+    # §2.4): the degree is joined to the edge list ONCE (it never
+    # changes), the symmetric graph makes the per-iteration
+    # nodes-left-join provably total (every node has in-edges, so the
+    # contribution relation's key set IS the node set and the coalesce
+    # never fired), and iteration 1's rank join is folded away (rank0
+    # is the constant 1/n — the same division arrives as a literal).
+    # Per-edge arithmetic is unchanged; only join bookkeeping moved.
+    edgesd = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
         )
+        .select("src", "dst", "deg")
         .localCheckpoint()
     )
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    n_nodes = nodes.count()  # scalar for the teleport term; |participants|
+    n_nodes = edgesd.select("src").distinct().count()
     if n_nodes == 0:
         # Clean corpus: no near-dup pairs → no graph. Return an empty
         # (doc_id, rank) frame instead of dividing by zero below.
-        return nodes.withColumn("rank", F.lit(0.0).cast("double"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.doc_id)
-            .join(deg, "src")
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+        return edgesd.select(F.col("src").alias("doc_id")).withColumn(
+            "rank", F.lit(0.0).cast("double")
         )
+    ranks = None
+    for _ in range(iters):
+        if ranks is None:
+            per_edge = edgesd.select(
+                F.col("dst"), (F.lit(1.0 / n_nodes) / F.col("deg")).alias("c")
+            )
+        else:
+            per_edge = edgesd.join(ranks, edgesd.src == ranks.doc_id).select(
+                F.col("dst"), (F.col("rank") / F.col("deg")).alias("c")
+            )
         ranks = (
-            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            per_edge.groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
             .select(
-                "doc_id",
+                F.col("dst").alias("doc_id"),
                 (
                     F.lit((1.0 - damping) / n_nodes)
-                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    + damping * F.col("in_sum")
                 ).alias("rank"),
             )
             .localCheckpoint()

@@ -504,16 +504,7 @@ def bpe_train(
     (step, left, right, merged, pair_freq).
     """
     merge_rows, _ = _bpe_vocab_merges(documents, n_merges, text_col)
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.select(
-        "step",
-        "left",
-        "right",
-        F.concat(F.col("left"), F.col("right")).alias("merged"),
-        "pair_freq",
-    ).orderBy("step")
+    return _merges_df(documents.sparkSession, merge_rows)
 
 
 def _bpe_vocab_merges(
@@ -549,14 +540,35 @@ def _bpe_vocab_merges(
     return _bpe_merge_loop(cur, n_merges)
 
 
+def _merges_df(spark, merge_rows: list) -> DataFrame:
+    """(step, left, right, merged, pair_freq) DataFrame from the
+    driver-side merge list both trainers collect — values identical to
+    the old per-step 1-row union chain, in one createDataFrame."""
+    return spark.createDataFrame(
+        [(s, lt, rt, lt + rt, fq) for s, lt, rt, fq in merge_rows],
+        "step int, left string, right string, merged string, pair_freq long",
+    ).orderBy("step")
+
+
 def _bpe_merge_loop(cur: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
     """The tokenizer-agnostic BPE merge iteration over a wrapped-token
     (w, freq, toks) vocab relation — shared by the char-level
     (:func:`bpe_train`, ``</w>``-marked) and byte-level
     (:func:`bpe_train_bytes`, hex-pair) front ends. Semantics and
-    tie-breaks exactly as documented on :func:`bpe_train`."""
+    tie-breaks exactly as documented on :func:`bpe_train`.
+
+    Returns ([(step, left, right, pair_freq), ...], final vocab). The
+    per-step argmax is ONE row pulled to the driver (the same 1-row
+    scalar class as the existing broadcast-crossJoin scalars), so each
+    step is a single TakeOrdered job and the merge applies as a literal
+    ``replace`` — the r12 optimization round removed the per-step
+    best-checkpoint + isEmpty + broadcast-crossJoin + vocab-checkpoint
+    choreography (4-5 jobs/step → 1; guide §1.2/§2.4). The vocab
+    relation stays a narrow replace chain over its initial checkpoint,
+    re-materialized every 8 merges only to bound expression depth for
+    large ``n_merges``."""
     sep = "\x01"  # pair-key separator: never occurs in corpus tokens
-    merge_rows = []
+    merge_rows: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim(F.col("toks")), "  ")
         # a FULLY-MERGED word (single token, e.g. "a</w>" after the
@@ -588,23 +600,22 @@ def _bpe_merge_loop(cur: DataFrame, n_merges: int) -> tuple[list, DataFrame]:
                 F.split_part(F.col("p"), F.lit(sep), F.lit(2)).alias("right"),
                 "pair_freq",
             )
-            .localCheckpoint()
+            .first()
         )
-        if best.isEmpty():
+        if best is None:
             break
-        merge_rows.append(best.select(F.lit(step).alias("step"), "*"))
-        pattern = F.concat(
-            F.lit(" "), F.col("left"), F.lit("  "), F.col("right"), F.lit(" ")
+        left, right, pair_freq = best["left"], best["right"], best["pair_freq"]
+        merge_rows.append((step, left, right, pair_freq))
+        cur = cur.withColumn(
+            "toks",
+            F.replace(
+                F.col("toks"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ),
         )
-        replacement = F.concat(
-            F.lit(" "), F.col("left"), F.col("right"), F.lit(" ")
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .withColumn("toks", F.replace(F.col("toks"), pattern, replacement))
-            .select("w", "freq", "toks")
-            .localCheckpoint()
-        )
+        if step % 8 == 0:
+            cur = cur.localCheckpoint()
     return merge_rows, cur
 
 
@@ -718,23 +729,7 @@ def bpe_train_bytes(
     merge_rows, _ = _bpe_merge_loop(
         _bpe_bytes_vocab(documents, text_col), n_merges
     )
-    if not merge_rows:
-        spark = documents.sparkSession
-        return spark.createDataFrame(
-            [],
-            "step int, left string, right string, merged string,"
-            " pair_freq long",
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.select(
-        "step",
-        "left",
-        "right",
-        F.concat(F.col("left"), F.col("right")).alias("merged"),
-        "pair_freq",
-    ).orderBy("step")
+    return _merges_df(documents.sparkSession, merge_rows)
 
 
 def bpe_apply_bytes(
