@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 from bb_bigdata_log_tools_spark.sources import avro_generic as ag
 
 FIXTURE_SCHEMA = json.dumps(
@@ -82,7 +83,7 @@ def _project(df: DataFrame) -> DataFrame:
         "note",
         F.size("tags").alias("n_tags"),
         F.array_join("tags", ",").alias("tags_csv"),
-    ).orderBy("id")
+    ).transform(lambda d: small_sort(d, "id"))
 
 
 def q_avro_generic_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +115,7 @@ def q_avro_block_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _fixture_dir()
     return (
         ag.avro_block_scan(spark, root, glob="[ab].avro")
-        .orderBy("file", "block_idx")
+        .transform(lambda d: small_sort(d, "file", "block_idx"))
     )
 
 

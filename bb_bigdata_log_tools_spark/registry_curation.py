@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators import curation, similarity
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
 
 #: DuckDB rendering of functions.hashing.md5_long
@@ -37,7 +38,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "lang", SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
         )
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        .transform(lambda d: small_sort(d, "doc_id"))
     )
 
 
@@ -67,7 +68,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         curation.dedup_incremental(batch, seen)
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        .transform(lambda d: small_sort(d, "doc_id"))
     )
 
 
@@ -121,7 +122,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pii_phone",
         "pii_total",
         F.md5("text_scrubbed").alias("scrub_md5"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: small_sort(d, "doc_id"))
 
 
 _EMAIL = curation.PII_PATTERNS["email"]
@@ -226,7 +227,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_chars_q", "n_tokens_q", "mean_token_len",
             "unique_ratio", "fail_reason", "keep",
         )
-        .orderBy("doc_id")
+        .transform(lambda d: small_sort(d, "doc_id"))
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 from bb_bigdata_log_tools_spark.registry_datasetops import _MD5_BUCKET
 from bb_bigdata_log_tools_spark.session import ensure_parallelism, table
 from bb_bigdata_log_tools_spark.sources.boom import read_boom, write_boom_tree
@@ -75,7 +76,7 @@ def q_boom_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_boom(spark, os.path.join(root, "dc1", "svc", "apache"), recursive=True)
         .select("ts", "message", "event_id")
-        .orderBy("ts", "message", "event_id")
+        .transform(lambda d: small_sort(d, "ts", "message", "event_id"))
     )
 
 
@@ -117,7 +118,7 @@ def q_write_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_pos",
         "doc_id",
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
-    ).orderBy("shard", "shard_pos")
+    ).transform(lambda d: small_sort(d, "shard", "shard_pos"))
 
 
 SQL_WRITE_JSONL_SHARDS = f"""
@@ -293,7 +294,7 @@ def q_read_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = read_webdataset(spark, os.path.join(store, "*.tar"))
     return m.select(
         "sample_key", "ext", "n_bytes", F.md5("payload").alias("payload_md5")
-    ).orderBy("sample_key", "ext")
+    ).transform(lambda d: small_sort(d, "sample_key", "ext"))
 
 
 SQL_READ_WEBDATASET = f"""
@@ -327,7 +328,7 @@ def q_samples_from_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_key",
         F.array_join("exts", ",").alias("exts_csv"),
         "total_bytes",
-    ).orderBy("sample_key")
+    ).transform(lambda d: small_sort(d, "sample_key"))
 
 
 SQL_SAMPLES_FROM_MEMBERS = f"""
@@ -523,7 +524,7 @@ def q_read_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_content_type",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _read_warc_oracle() -> str:
@@ -744,7 +745,7 @@ def q_read_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_content_type",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,7 +995,7 @@ def q_write_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _write_wet_oracle() -> str:
@@ -1183,7 +1184,7 @@ def q_write_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _write_wat_oracle() -> str:
@@ -1298,17 +1299,30 @@ def q_decode_payload_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # materialize the synthesized store ONCE — the documented seam on
+    # decode_payload_text_full for expensive upstreams: its union
+    # branches each re-evaluate their input, and the trailing range
+    # sort's sampler added a third pass, so the Python encode
+    # mapInPandas ran 3x per query (r12 optimization round). The
+    # checkpoint holds exactly the payload bytes a real store would
+    # hold on disk; small_sort replaces the sampling orderBy (same
+    # total order, one pass).
+    from bb_bigdata_log_tools_spark.operators.util import small_sort
+
     raw = docs.mapInPandas(
         enc, "doc_id long, payload binary, http_content_type string"
-    )
+    ).localCheckpoint()
     out = decode_payload_text_full(raw)
-    return out.select(
+    return small_sort(
+        out.select(
+            "doc_id",
+            "charset",
+            "jvm_decoded",
+            "charset_supported",
+            F.md5(F.encode("html", "UTF-8")).alias("text_md5"),
+        ),
         "doc_id",
-        "charset",
-        "jvm_decoded",
-        "charset_supported",
-        F.md5(F.encode("html", "UTF-8")).alias("text_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 def _decode_payload_text_oracle() -> str:
@@ -1391,7 +1405,7 @@ def q_write_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_digest",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _write_warc_revisit_oracle() -> str:
@@ -1454,7 +1468,7 @@ def q_write_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(v, r'"mime":"([^"]*)"', 1).alias("mime"),
         F.regexp_extract(v, r'"status":(\d+)', 1).cast("int").alias("status"),
         F.regexp_extract(v, r'"digest":"([^"]+)"', 1).alias("digest"),
-    ).orderBy("urlkey", "url")
+    ).transform(lambda d: small_sort(d, "urlkey", "url"))
 
 
 def _write_cdx_oracle() -> str:
@@ -1856,7 +1870,7 @@ def q_cdx_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _cdx_range_store(spark, sf_dir)
     return cdx_range_scan(
         spark, store, _CDX_RANGE_PROBE_PREFIX
-    ).orderBy("urlkey", "url")
+    ).transform(lambda d: small_sort(d, "urlkey", "url"))
 
 
 def _cdx_range_scan_oracle() -> str:
@@ -1920,7 +1934,7 @@ def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         n_shards=N_WARC_SHARDS,
     )
-    return cdx_range_scan(spark, out, "").orderBy("urlkey", "url")
+    return small_sort(cdx_range_scan(spark, out, ""), "urlkey", "url")
 
 
 def _cdx_merge_oracle() -> str:
@@ -2006,7 +2020,7 @@ def q_warc_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _warc_fetch_oracle() -> str:
@@ -2112,7 +2126,7 @@ def q_cdx_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_range_scan(
         spark, out, _CDX_RANGE_PROBE_PREFIX,
         ts_from=_CDX_TS_FROM, ts_to=_CDX_TS_TO,
-    ).orderBy("urlkey", "ts14", "url")
+    ).transform(lambda d: small_sort(d, "urlkey", "ts14", "url"))
 
 
 def _cdx_temporal_oracle() -> str:
@@ -2733,7 +2747,7 @@ def q_cdx_store_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_multi_scan(
         spark, stores, _CDX_RANGE_PROBE_PREFIX,
         ts_from=_CDX_STORE_TS_FROM, ts_to=_CDX_STORE_TS_TO,
-    ).orderBy("urlkey", "ts14", "url")
+    ).transform(lambda d: small_sort(d, "urlkey", "ts14", "url"))
 
 
 def _cdx_store_prune_oracle() -> str:
@@ -2797,7 +2811,7 @@ def q_warc_site_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id",
         "n_bytes",
         F.md5("payload").alias("payload_md5"),
-    ).orderBy("target_uri")
+    ).transform(lambda d: small_sort(d, "target_uri"))
 
 
 def _warc_site_export_oracle() -> str:
