@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators import analytics, datasetops, similarity
+from bb_bigdata_log_tools_spark.operators.util import small_sort
 from bb_bigdata_log_tools_spark.operators.curation import (
     URL_DOMAIN_PATTERN,
     URL_PATTERN,
@@ -78,7 +79,7 @@ def q_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         datasetops.filter_blocklist(docs, BLOCKLIST, text_col="text2")
         .select("doc_id", "source", "n_urls")
-        .orderBy("doc_id")
+        .transform(lambda d: small_sort(d, "doc_id"))
     )
 
 
