@@ -1398,25 +1398,32 @@ def robots_filter(
     ).when(
         F.col("pattern").isNull(), F.col("path").startswith(F.col("rule"))
     ).otherwise(F.expr("path rlike pattern"))
-    wr = Window.partitionBy("url").orderBy(
-        F.desc("m"), F.desc("rule_len"), F.desc("ia"), F.desc("rule")
-    )
+    # Decision = max(struct(m, rule_len, ia, rule)) per URL — the same
+    # winner the previous row_number window picked (its orderBy was
+    # desc on exactly these four columns, and struct comparison is
+    # field-by-field), but as a groupBy it gets MAP-SIDE PARTIAL
+    # aggregation: the per-URL rule fan-out collapses before the
+    # exchange instead of shuffling every candidate row into a
+    # per-URL sort (guide §2.3 "aggregate before you shuffle"). Null
+    # fields (the left join's no-rules row) only occur in 1-row groups
+    # — a host either has rules or it has none — so null ordering
+    # cannot differ from the window's NULLS LAST desc.
     best = (
         j.select(
             "url",
             "host",
-            "rule",
-            "rule_len",
             matched.cast("int").alias("m"),
+            "rule_len",
             F.coalesce(F.col("is_allow").cast("int"), F.lit(0)).alias("ia"),
+            "rule",
         )
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        .groupBy("url", "host")
+        .agg(F.max(F.struct("m", "rule_len", "ia", "rule")).alias("b"))
         .select(
             "url",
             "host",
-            ((F.col("m") == 0) | (F.col("ia") == 1)).alias("allowed"),
-            F.when(F.col("m") == 1, F.col("rule"))
+            ((F.col("b.m") == 0) | (F.col("b.ia") == 1)).alias("allowed"),
+            F.when(F.col("b.m") == 1, F.col("b.rule"))
             .otherwise(F.lit(""))
             .alias("matched_rule"),
         )
@@ -2248,30 +2255,40 @@ def resolve_redirects(
     depends on data. The path array is bounded by ``max_hops`` + 1
     entries."""
     src = F.col(url_col)
+    # ONE evaluation of the capture source: `edges` and `urls` both
+    # derive from it, and with two independent checkpoints (the r12
+    # shape) a WARC-header source paid the full store decode TWICE —
+    # once per checkpoint job (r13: one decode, plan-audited via job
+    # counts). The checkpointed relation is thin ((url, status,
+    # location) — header-sized strings), the same materialization
+    # class as the `urls` relation it feeds.
+    caps = captures.select(
+        src.alias("url"), F.col(status_col), F.col(location_col)
+    ).localCheckpoint()
+    cap_url = F.col("url")
     edges = (
-        captures.filter(
+        caps.filter(
             (F.col(status_col) >= 300)
             & (F.col(status_col) < 400)
             & (F.coalesce(F.col(location_col), F.lit("")) != "")
         )
         .select(
-            src.alias("src"),
-            _absolutize_href(F.col(location_col), src).alias("dst"),
+            cap_url.alias("src"),
+            _absolutize_href(F.col(location_col), cap_url).alias("dst"),
         )
         .filter(F.col("dst").isNotNull())
         .groupBy("src")
         .agg(F.min("dst").alias("dst"))
         # evaluated once: the edge relation is referenced by every hop
-        # join plus the semi/anti split — lazily each reference re-ran
-        # the capture scan (for a WARC-header source, a full store
-        # decode). |redirects|-sized, narrow.
+        # join plus the semi/anti split. |redirects|-sized, narrow.
         .localCheckpoint()
     )
     urls = (
-        captures.select(src.alias("url"))
+        caps.select("url")
         .distinct()
-        # ditto: feeds both the direct (anti) and walking (semi)
-        # branches; one distinct-URL row per capture, narrow
+        # feeds both the direct (anti) and walking (semi) branches:
+        # checkpointed so the distinct's exchange runs once, not per
+        # branch; one distinct-URL row per capture, narrow
         .localCheckpoint()
     )
     srcs = edges.select(F.col("src").alias("url"))

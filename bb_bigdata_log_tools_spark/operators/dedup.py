@@ -615,7 +615,12 @@ def connected_components(
         msgs = (
             bidir.join(labels, bidir.doc_id2 == labels.node)
             .select("doc_id1", "label")
-            .withColumn("own", F.lit(None).cast("long"))
+            # null literal typed from the label column, not a hardcoded
+            # long: string-keyed pair frames must not depend on union
+            # type coercion
+            .withColumn(
+                "own", F.lit(None).cast(labels.schema["label"].dataType)
+            )
             .unionByName(
                 labels.select(
                     F.col("node").alias("doc_id1"),
@@ -650,6 +655,12 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed != 0 and max_iter <= 1:
+        # max_iter=1 runs zero confirmation rounds after the folded
+        # round-1 init; an edge-free graph is trivially converged
+        # (labels empty), so don't demand a confirmation round for it.
+        if labels.isEmpty():
+            changed = 0
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -1213,6 +1224,15 @@ def dedup_pagerank(
                 ).alias("rank"),
             )
             .localCheckpoint()
+        )
+    if ranks is None:
+        # iters=0: uniform initial ranks (the pre-fold behavior; the
+        # fold starts from the 1/n literal, so the relation was never
+        # materialized)
+        ranks = (
+            edgesd.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("rank", F.lit(1.0 / n_nodes))
         )
     return (
         ranks.select("doc_id", F.round("rank", 6).alias("rank"))

@@ -512,7 +512,8 @@ def _bpe_vocab_merges(
 ) -> tuple[list, DataFrame]:
     """Shared BPE core: build the wrapped-token (word, freq, toks)
     vocab relation, run ``n_merges`` merge iterations on it, and return
-    (per-step 1-row merge DataFrames, final merged vocab). Used by
+    (driver-side (step, left, right, pair_freq) tuples, final merged
+    vocab). Used by
     :func:`bpe_train` (wants the merge list) and :func:`bpe_apply`
     (wants the tokenized vocab). Stops early if the corpus EXHAUSTS
     (every word fully merged → no pairs left): the merge list ends and

@@ -54,6 +54,41 @@ def _tmp(name: str, sf_dir: str) -> str:
     return tmp_store_path(name, sf_dir)
 
 
+def _stage_once(out: str, version_src: tuple, build) -> str:
+    """Marker + content-version staging (the ``_warc_store``
+    discipline, shared): ``build()`` writes the store at ``out`` only
+    when the ``_STAGED`` marker is missing or its version differs.
+
+    The version is the md5 of the SOURCE CODE of every callable in
+    ``version_src`` (plus the str() of non-callables), so editing any
+    builder/writer recipe re-stages automatically — the staleness
+    hazard the per-call rebuilds guarded against, without paying the
+    full distributed store write on every query invocation. These are
+    query INPUTS (fixture stores derived deterministically from the
+    sf_dir tables), never query results.
+    """
+    import hashlib
+    import inspect
+
+    blob = "\n".join(
+        inspect.getsource(v) if callable(v) else str(v)
+        for v in version_src
+    )
+    version = hashlib.md5(blob.encode()).hexdigest()
+    marker = os.path.join(out, "_STAGED")
+    staged = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged = f.read().strip()
+    if staged != version:
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        build()
+        with open(marker, "w") as f:
+            f.write(version)
+    return out
+
+
 # --------------------------------------------------------------------------
 # boom_write: events → hourly .bm tree → boom read (§2 row 12)
 # --------------------------------------------------------------------------
@@ -1307,8 +1342,6 @@ def q_decode_payload_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint holds exactly the payload bytes a real store would
     # hold on disk; small_sort replaces the sampling orderBy (same
     # total order, one pass).
-    from bb_bigdata_log_tools_spark.operators.util import small_sort
-
     raw = docs.mapInPandas(
         enc, "doc_id long, payload binary, http_content_type string"
     ).localCheckpoint()
@@ -2287,8 +2320,10 @@ def _redirect_store(spark: SparkSession, sf_dir: str) -> str:
     at ``/old/<id>.html`` with a SITE-RELATIVE Location, and
     ``doc_id % 8 == 5`` (a subset of the former — the chain) adds a
     302 at ``/oldest/<id>.html`` with an ABSOLUTE Location — both
-    absolutization forms exercised. Rebuilt per call (the cdx_temporal
-    discipline: no marker, no staleness hazard)."""
+    absolutization forms exercised. Staged once per sf_dir
+    (_stage_once: the marker version hashes this builder's and the
+    writer's source, so a recipe edit re-stages — no staleness
+    hazard, no per-call distributed store write)."""
     from bb_bigdata_log_tools_spark.sources.warc import write_warc_http
 
     docs = ensure_parallelism(table(spark, sf_dir, "documents"))
@@ -2333,15 +2368,20 @@ def _redirect_store(spark: SparkSession, sf_dir: str) -> str:
         ).alias("http_headers"),
     )
     out = _tmp("warc_redirects", sf_dir)
-    shutil.rmtree(out, ignore_errors=True)
-    write_warc_http(
-        ok.unionByName(moved).unionByName(chained),
+    return _stage_once(
         out,
-        n_shards=N_WARC_SHARDS,
-        id_col="rec_id",
-        body_col="body",
-    ).collect()
-    return out
+        (
+            _redirect_store, write_warc_http, _WARC_DATE,
+            N_WARC_SHARDS, _WARC_LAYOUT_TAG,
+        ),
+        lambda: write_warc_http(
+            ok.unionByName(moved).unionByName(chained),
+            out,
+            n_shards=N_WARC_SHARDS,
+            id_col="rec_id",
+            body_col="body",
+        ).collect(),
+    )
 
 
 def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2457,7 +2497,8 @@ def _validator_store(spark: SparkSession, sf_dir: str) -> str:
     """Stage the validator WARC store: 200 captures whose response
     headers carry ETag (doc_id %% 3 == 0) and/or Last-Modified
     (doc_id %% 2 == 0) — the cache-validator axis fetch_conditional
-    surfaces. Rebuilt per call (cdx_temporal discipline)."""
+    surfaces. Staged once per sf_dir (_stage_once source-version
+    discipline — see _redirect_store)."""
     from bb_bigdata_log_tools_spark.sources.warc import write_warc_http
 
     docs = ensure_parallelism(table(spark, sf_dir, "documents"))
@@ -2497,11 +2538,16 @@ def _validator_store(spark: SparkSession, sf_dir: str) -> str:
         F.concat_ws("\n", etag_line, lm_line).alias("http_headers"),
     )
     out = _tmp("warc_validators", sf_dir)
-    shutil.rmtree(out, ignore_errors=True)
-    write_warc_http(
-        pages, out, n_shards=N_WARC_SHARDS, body_col="body"
-    ).collect()
-    return out
+    return _stage_once(
+        out,
+        (
+            _validator_store, write_warc_http, _WARC_DATE,
+            N_WARC_SHARDS, _WARC_LAYOUT_TAG,
+        ),
+        lambda: write_warc_http(
+            pages, out, n_shards=N_WARC_SHARDS, body_col="body"
+        ).collect(),
+    )
 
 
 def q_fetch_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2728,22 +2774,40 @@ def q_cdx_store_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("capture_date"),
     )
     base = _tmp("cdx_batches", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
     lo, hi = _CDX_BATCH_SPLITS
-    stores = []
-    for name, cond in (
+    parts = (
         ("a", F.col("capture_date") < lo),
         ("b", (F.col("capture_date") >= lo) & (F.col("capture_date") < hi)),
         ("c", F.col("capture_date") >= hi),
-    ):
-        out = os.path.join(base, name)
-        write_cdx(
-            recs.filter(cond).drop("capture_date"),
-            out,
-            n_shards=N_WARC_SHARDS,
-            layout="range",
-        )
-        stores.append(out)
+    )
+
+    def _build() -> None:
+        for name, cond in parts:
+            write_cdx(
+                recs.filter(cond).drop("capture_date"),
+                os.path.join(base, name),
+                n_shards=N_WARC_SHARDS,
+                layout="range",
+            )
+
+    # staged once per sf_dir (the _stage_once source-version
+    # discipline): the three per-batch range stores are fixture
+    # INPUTS — the declared result is the pruned multi-scan below
+    _stage_once(
+        base,
+        (
+            q_cdx_store_prune,
+            write_cdx,
+            _capture_history_spark,
+            _CDX_BATCH_SPLITS,
+            N_WARC_SHARDS,
+            # urlkey spelling is embedded in the staged lines — a SURT
+            # edit must re-stage (the _cdx_version discipline)
+            _cdx_version("r13-batches"),
+        ),
+        _build,
+    )
+    stores = [os.path.join(base, name) for name, _ in parts]
     return cdx_multi_scan(
         spark, stores, _CDX_RANGE_PROBE_PREFIX,
         ts_from=_CDX_STORE_TS_FROM, ts_to=_CDX_STORE_TS_TO,
@@ -2799,10 +2863,26 @@ def q_warc_site_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc_idx(spark, glob), ["file", "rec_pos"]
     )
     cdx = _tmp("cdx_site_export", sf_dir)
-    shutil.rmtree(cdx, ignore_errors=True)
-    write_cdx(
-        located, cdx, n_shards=N_WARC_SHARDS, layout="range",
-        locate=True,
+    # staged once per sf_dir; the version hashes _validator_store's
+    # source too, so a validator-store recipe change re-stages this
+    # downstream located index as well (_stage_once discipline)
+    _stage_once(
+        cdx,
+        (
+            q_warc_site_export,
+            write_cdx,
+            _validator_store,
+            read_warc,
+            parse_warc_idx,
+            N_WARC_SHARDS,
+            # located lines embed urlkeys AND byte offsets into the
+            # validator store's layout — fold in both version axes
+            _cdx_version("r13-site-export", _WARC_LAYOUT_TAG),
+        ),
+        lambda: write_cdx(
+            located, cdx, n_shards=N_WARC_SHARDS, layout="range",
+            locate=True,
+        ),
     )
     rows = warc_fetch_prefix(spark, cdx, _CDX_RANGE_PROBE_PREFIX)
     return rows.select(

@@ -87,14 +87,35 @@ def _drain_to_memory(sdf: DataFrame, name: str, mode: str) -> DataFrame:
             active.stop()
     if spark.catalog.tableExists(name):
         spark.catalog.dropTempView(name)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-partition count = the session's core count, pinned for the
+    # duration of the drain (guide §2.2: fewer, larger partitions; the
+    # value is derived from the cluster, never a constant). Streaming
+    # state ops take their partition count from spark.sql.shuffle.
+    # partitions at query start; a caller-provided default session
+    # leaves it at 200, and EVERY micro-batch then pays 200 state-store
+    # commits + (for applyInPandasWithState) 200 Python worker group
+    # invocations — pure fixed overhead at any scale, since stateful
+    # keys hash-spread over however many partitions exist. Partition
+    # count does not change what any query computes (state partitioning
+    # is internal hash routing); sessions that already derive shuffle
+    # partitions from the core count (session.get_spark) see no change.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return spark.table(name)
 
 

@@ -90,6 +90,40 @@ def test_connected_components_raises_on_non_convergence(spark):
         dedup.connected_components(pairs, max_iter=1)
 
 
+def test_connected_components_empty_pairs_max_iter_1(spark):
+    """An edge-free pair set is trivially converged — max_iter=1 must
+    return empty labels, not raise (the folded round-1 init runs zero
+    confirmation rounds; r13 regression guard)."""
+    pairs = spark.createDataFrame([], "doc_id1 long, doc_id2 long")
+    assert dedup.connected_components(pairs, max_iter=1).count() == 0
+
+
+def test_connected_components_string_keys(spark):
+    """String doc ids must propagate without relying on union type
+    coercion (the fused self-row marker derives its null type from the
+    label column; r13 regression guard)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "doc_id1 string, doc_id2 string"
+    )
+    labels = dedup.connected_components(pairs, max_iter=10).collect()
+    assert {r["doc_id"] for r in labels} == {"a", "b", "c"}
+    assert {r["cluster_id"] for r in labels} == {"a"}
+
+
+def test_dedup_pagerank_zero_iters_uniform(spark):
+    """iters=0 returns the uniform 1/n initial ranks (the pre-r12
+    behavior), not a crash."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here entirely unrelated")],
+        "doc_id long, text string",
+    )
+    rows = dedup.dedup_pagerank(docs, iters=0).collect()
+    assert rows, "participants expected"
+    assert len({r["rank"] for r in rows}) == 1
+
+
 def test_jaccard_max_df_drops_boilerplate(spark):
     """Docs sharing only a boilerplate phrase pair up without the cap
     and stop pairing once the cap drops the hot shingles."""
