@@ -784,6 +784,17 @@ def _bmp_parse_pixels(payload: bytes):
         if bpp != (8 if compression == 1 else 4) or top_down or palette is None:
             return None
         rle4 = compression == 2
+        # RLE amplification guard — the MAX_DECODE_PIXELS class, for
+        # TIME: a run pair sets at most 255 pixels per 2 bytes and real
+        # encoders spend ≥2 bytes per line even on blank rows, so a
+        # claimed raster beyond ~1000× the available RLE bytes is a
+        # corrupt over-claim (fuzz-found: a 576-byte stream claiming a
+        # 18×2.6M raster stayed under the pixel cap yet cost ~12 s to
+        # materialize and ~33 s through the dhash). Reject before
+        # allocating the raster.
+        rle_bytes = max(0, len(payload) - data_off)
+        if width * h > 1000 * rle_bytes:
+            return None
         idx = [[0] * width for _ in range(h)]  # bottom-up index raster
         x = y = 0
         i = data_off

@@ -1077,7 +1077,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTRASTIVE_PAIRS = f"""
 WITH {SQL_MINHASH_PAIRS_CTES},
 nd AS (SELECT count(*) AS n FROM documents),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT doc_id,
          row_number() OVER (ORDER BY {_NEG_MD5}, doc_id) AS rk
   FROM documents

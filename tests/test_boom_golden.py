@@ -439,20 +439,18 @@ def test_cli_logcat_skip_corrupt_flag(tmp_path):
     for k in range(6):
         bad[pos + k] ^= 0xFF
     p.write_bytes(bytes(bad))
+    from test_cli_streaming_misc import run_tools_batch
+
     args = [
-        sys.executable,
-        os.path.join(repo, "bb_bigdata_log_tools_spark/cli.py"),
         "logcat", "-dc=99", "-svc=svc", "-comp=comp",
         "-start=Jan 5, 2024 09:00", "-end=Jan 5, 2024 11:00",
         f"-root={root}",
     ]
-    env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
-    strict = subprocess.run(args, capture_output=True, text=True,
-                            timeout=300, env=env)
-    assert strict.returncode != 0  # loud failure by default
-    salvage = subprocess.run(args + ["--skipCorrupt"], capture_output=True,
-                             text=True, timeout=300, env=env)
-    assert salvage.returncode == 0, salvage.stderr[-1500:]
-    out = [ln for ln in salvage.stdout.splitlines() if ln.strip()]
+    # one subprocess, both legs (strict then salvage) — JVM startup
+    # was most of the two per-leg subprocesses' wall time
+    strict, salvage = run_tools_batch([args, args + ["--skipCorrupt"]])
+    assert strict["code"] != 0  # loud failure by default
+    assert salvage["code"] == 0, salvage["err"][-1500:]
+    out = [ln for ln in salvage["out"].splitlines() if ln.strip()]
     assert len(out) == 12
     assert not any(" s2 " in ln for ln in out)

@@ -49,6 +49,56 @@ def run_tool(tool: str, *args: str) -> str:
     return res.stdout
 
 
+#: In-subprocess driver for run_tools_batch: every invocation still
+#: goes end-to-end through cli.main's arg parsing + tool dispatch,
+#: with PER-INVOCATION stdout/stderr captured (the CLI's markers and
+#: usage output are Python-side sys.stderr writes, so redirect_stderr
+#: sees them).
+_BATCH_DRIVER = """\
+import io, json, sys
+from contextlib import redirect_stderr, redirect_stdout
+from bb_bigdata_log_tools_spark.cli import main
+
+results = []
+for args in json.loads(sys.stdin.read()):
+    so, se = io.StringIO(), io.StringIO()
+    code = 0
+    try:
+        with redirect_stdout(so), redirect_stderr(se):
+            sys.argv = ["cli.py"] + args
+            main()
+    except SystemExit as exc:
+        code = exc.code if isinstance(exc.code, int) else 1
+    except BaseException as exc:  # a failing tool exits the process non-zero
+        code = 1
+        se.write(f"{type(exc).__name__}: {exc}")
+    results.append({"out": so.getvalue(), "err": se.getvalue(), "code": code})
+print(json.dumps(results))
+"""
+
+
+def run_tools_batch(invocations: list[list[str]]) -> list[dict]:
+    """Run several CLI invocations in ONE subprocess (one JVM/session
+    via getOrCreate). JVM + session startup was >80% of each CLI
+    test's wall time (~20 s per invocation, ×11 invocations); one
+    canonical test (test_cli_logcat_matches_reference_golden) keeps
+    the true process-per-invocation entry path, the variants ride
+    this batch."""
+    import json as _json
+
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "-c", _BATCH_DRIVER],
+        input=_json.dumps([list(a) for a in invocations]),
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert res.returncode == 0, (res.stderr[-2000:], res.stdout[-500:])
+    return _json.loads(res.stdout.strip().splitlines()[-1])
+
+
 BASE_ARGS = [
     "-dc=99",
     "-svc=logsearch-testservice",
@@ -58,30 +108,83 @@ BASE_ARGS = [
 ]
 
 
+@pytest.fixture(scope="module")
+def cli_batch(service_root, tmp_path_factory):
+    """All golden-variant CLI invocations, one subprocess, keyed dict
+    of {out, err, code} per invocation."""
+    out_dir = str(tmp_path_factory.mktemp("cli_out") / "results")
+    inv = {
+        "local_sort": ["logcat", *BASE_ARGS, f"-root={service_root}", "--l"],
+        "remote_sort": ["logcat", *BASE_ARGS, f"-root={service_root}", "--r"],
+        "search_ci": [
+            "logsearch", "-string=ЧЕЛовЕК", "--i", *BASE_ARGS,
+            f"-root={service_root}",
+        ],
+        "out_dir": [
+            "logcat", *BASE_ARGS, f"-root={service_root}",
+            f"--out={out_dir}", "--dateFormat=RFC3164",
+        ],
+        "raw_sep": [
+            "logcat", *BASE_ARGS, f"-root={service_root}", "--raw",
+            "--fieldSeparator=|",
+        ],
+        "silent": ["logcat", *BASE_ARGS, f"-root={service_root}", "--silent"],
+        "ms_or": [
+            "logmultisearch",
+            f"-strings={REF}/logmultisearch-strings-OR.txt",
+            *BASE_ARGS, f"-root={service_root}",
+        ],
+        "ms_or_i": [
+            "logmultisearch", "--i",
+            f"-strings={REF}/logmultisearch-strings-OR.txt",
+            *BASE_ARGS, f"-root={service_root}",
+        ],
+        "ms_and": [
+            "logmultisearch", "--a",
+            f"-strings={REF}/logmultisearch-strings-AND.txt",
+            *BASE_ARGS, f"-root={service_root}",
+        ],
+        "ms_and_i": [
+            "logmultisearch", "--a", "--i",
+            f"-strings={REF}/logmultisearch-strings-AND.txt",
+            *BASE_ARGS, f"-root={service_root}",
+        ],
+    }
+    keys = list(inv)
+    results = run_tools_batch([inv[k] for k in keys])
+    out = {k: r for k, r in zip(keys, results)}
+    out["_out_dir"] = out_dir
+    return out
+
+
 def test_cli_logcat_matches_reference_golden(service_root):
     out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}")
     assert out.splitlines() == golden("logcat-reference.txt")
 
 
-def test_cli_logcat_golden_forced_local_sort(service_root):
+def test_cli_logcat_golden_forced_local_sort(cli_batch):
     """--l (LogTools' client-local sort path) must produce the exact
     same total order as the default auto pick."""
-    out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}", "--l")
-    assert out.splitlines() == golden("logcat-reference.txt")
+    assert cli_batch["local_sort"]["code"] == 0
+    assert (
+        cli_batch["local_sort"]["out"].splitlines()
+        == golden("logcat-reference.txt")
+    )
 
 
-def test_cli_logcat_golden_forced_remote_sort(service_root):
+def test_cli_logcat_golden_forced_remote_sort(cli_batch):
     """--r (the distributed range-sort path) must also match — same
     answer either way, LogTools picks only for speed."""
-    out = run_tool("logcat", *BASE_ARGS, f"-root={service_root}", "--r")
-    assert out.splitlines() == golden("logcat-reference.txt")
-
-
-def test_cli_logsearch_case_insensitive(service_root):
-    out = run_tool(
-        "logsearch", "-string=ЧЕЛовЕК", "--i", *BASE_ARGS, f"-root={service_root}"
+    assert cli_batch["remote_sort"]["code"] == 0
+    assert (
+        cli_batch["remote_sort"]["out"].splitlines()
+        == golden("logcat-reference.txt")
     )
-    lines = out.splitlines()
+
+
+def test_cli_logsearch_case_insensitive(cli_batch):
+    assert cli_batch["search_ci"]["code"] == 0
+    lines = cli_batch["search_ci"]["out"].splitlines()
     assert len(lines) == 2 and all("человек" in line.lower() for line in lines)
 
 
@@ -346,33 +449,28 @@ def test_stream_sessionize(spark, tmp_path):
     assert (8, 1) in rows
 
 
-def test_cli_out_dir_and_dateformat(service_root, tmp_path):
+def test_cli_out_dir_and_dateformat(cli_batch):
     """--out writes results to a file instead of stdout; --dateFormat
     switches the line timestamp rendering (RFC3164 zero-padded day)."""
-    out_dir = str(tmp_path / "results")
-    stdout = run_tool(
-        "logcat", *BASE_ARGS, f"-root={service_root}", f"--out={out_dir}",
-        "--dateFormat=RFC3164",
-    )
-    assert stdout.strip() == ""  # data went to the file
+    assert cli_batch["out_dir"]["code"] == 0
+    assert cli_batch["out_dir"]["out"].strip() == ""  # data went to the file
     import glob as _glob
 
     lines = []
-    for part in sorted(_glob.glob(os.path.join(out_dir, "part-*"))):
+    for part in sorted(
+        _glob.glob(os.path.join(cli_batch["_out_dir"], "part-*"))
+    ):
         with open(part, encoding="utf-8") as f:
             lines.extend(line.rstrip("\n") for line in f)
     assert len(lines) == len(golden("logcat-reference.txt"))
     assert lines[0].startswith("Feb 28 10:00:01 ")
 
 
-def test_cli_raw_field_separator(service_root):
+def test_cli_raw_field_separator(cli_batch):
     """--raw emits the reference's intermediate separator-joined fields;
     --fieldSeparator overrides the default U+001F."""
-    stdout = run_tool(
-        "logcat", *BASE_ARGS, f"-root={service_root}", "--raw",
-        "--fieldSeparator=|",
-    )
-    lines = [line for line in stdout.splitlines() if line]
+    assert cli_batch["raw_sep"]["code"] == 0
+    lines = [line for line in cli_batch["raw_sep"]["out"].splitlines() if line]
     assert len(lines) == len(golden("logcat-reference.txt"))
     first = sorted(lines)[0].split("|")
     assert len(first) == 6
@@ -380,16 +478,12 @@ def test_cli_raw_field_separator(service_root):
     int(first[4])  # block_no
 
 
-def test_cli_silent_suppresses_markers(service_root):
-    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bb_bigdata_log_tools_spark/cli.py"),
-         "logcat", *BASE_ARGS, f"-root={service_root}", "--silent"],
-        capture_output=True, text=True, timeout=300, env=env,
+def test_cli_silent_suppresses_markers(cli_batch):
+    assert cli_batch["silent"]["code"] == 0
+    assert "DATA MARKER" not in cli_batch["silent"]["err"]
+    assert len(cli_batch["silent"]["out"].splitlines()) == len(
+        golden("logcat-reference.txt")
     )
-    assert res.returncode == 0
-    assert "DATA MARKER" not in res.stderr
-    assert len(res.stdout.splitlines()) == len(golden("logcat-reference.txt"))
 
 
 def test_write_boom_tree_roundtrip_via_cli(spark, tmp_path):
@@ -419,33 +513,13 @@ def test_write_boom_tree_roundtrip_via_cli(spark, tmp_path):
     assert got == expect
 
 
-def test_cli_logmultisearch_with_reference_files(service_root):
+def test_cli_logmultisearch_with_reference_files(cli_batch):
     """logmultisearch end-to-end with the reference's own strings files
     (OR and AND + --i), matching the golden concatenation."""
-    out = run_tool(
-        "logmultisearch",
-        f"-strings={REF}/logmultisearch-strings-OR.txt",
-        *BASE_ARGS,
-        f"-root={service_root}",
-    )
-    out += run_tool(
-        "logmultisearch", "--i",
-        f"-strings={REF}/logmultisearch-strings-OR.txt",
-        *BASE_ARGS,
-        f"-root={service_root}",
-    )
-    out += run_tool(
-        "logmultisearch", "--a",
-        f"-strings={REF}/logmultisearch-strings-AND.txt",
-        *BASE_ARGS,
-        f"-root={service_root}",
-    )
-    out += run_tool(
-        "logmultisearch", "--a", "--i",
-        f"-strings={REF}/logmultisearch-strings-AND.txt",
-        *BASE_ARGS,
-        f"-root={service_root}",
-    )
+    out = ""
+    for k in ("ms_or", "ms_or_i", "ms_and", "ms_and_i"):
+        assert cli_batch[k]["code"] == 0
+        out += cli_batch[k]["out"]
     assert out.splitlines() == golden("logmultisearch-reference.txt")
 
 
