@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.operators.util import small_sort
@@ -636,6 +636,11 @@ def connected_components(
         # pointer jumping: label ← label(label). Every label is a valid
         # node id (labels are mins over node ids), so the inner self-join
         # resolves every row; label(label) ≤ label by monotonicity.
+        # The convergence count rides the checkpoint job itself
+        # (Observation metrics fire on the eager checkpoint's action) —
+        # the previous separate filter+count paid one extra job + driver
+        # gap per round (r13 optimization round).
+        obs = Observation()
         new_labels = (
             propagated.alias("l1")
             .join(
@@ -647,11 +652,15 @@ def connected_components(
                 F.col("l2.label").alias("label"),
                 F.col("l1.old_label").alias("old_label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("chg"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(
-            F.col("label") != F.col("old_label")
-        ).count()
+        changed = int(obs.get["chg"] or 0)
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
@@ -1370,10 +1379,15 @@ def dedup_graph_triangles(
     report exists to find.
     """
     pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold, sort=False)
+    # n_edges is observed during the checkpoint job (no separate count
+    # job — r13 optimization round)
+    eobs = Observation()
     edges = pairs.select(
         F.least("doc_id1", "doc_id2").alias("u"),
         F.greatest("doc_id1", "doc_id2").alias("v"),
-    ).distinct().localCheckpoint()
+    ).distinct().observe(
+        eobs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     # symmetrize for wedge counting: a wedge is an UNDIRECTED
     # center-with-two-neighbors triple (n1 < n2); each triangle
     # contributes 3 wedges (one per center) and every one of them
@@ -1387,14 +1401,28 @@ def dedup_graph_triangles(
         b,
         (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
     ).select(F.col("a.v").alias("w1"), F.col("b.v").alias("w2"))
+    # ONE pass over the wedge join: the previous shape counted wedges
+    # and closed wedges with two separate actions, re-evaluating the
+    # (expensive) wedge self-join for each. A LEFT join against the
+    # (distinct, hence unique-keyed) edge list marks closure without
+    # duplicating rows, so both counts come from a single aggregate —
+    # one job, one wedge-join evaluation (r13 optimization round).
     e2 = edges.alias("e2")
-    closed = wedges.join(
-        e2,
-        (F.col("w1") == F.col("e2.u")) & (F.col("w2") == F.col("e2.v")),
+    stats = (
+        wedges.join(
+            e2,
+            (F.col("w1") == F.col("e2.u")) & (F.col("w2") == F.col("e2.v")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count(F.col("e2.u")).alias("n_closed"),
+        )
+        .first()
     )
-    n_edges = edges.count()
-    n_wedges = wedges.count()
-    n_closed = closed.count()
+    n_edges = int(eobs.get["n"])
+    n_wedges = stats["n_wedges"]
+    n_closed = stats["n_closed"]
     n_tri = n_closed // 3
     coeff = round(n_closed / n_wedges, 4) if n_wedges else 0.0
     spark = documents.sparkSession
@@ -1434,8 +1462,18 @@ def contrastive_pairs(
     """
     pairs = dedup_minhash_lsh(documents, n, num_perm, bands, threshold, sort=False)
     rank_h = md5_long(F.concat(F.lit("neg:"), F.col("doc_id").cast("string")))
-    ids = documents.select("doc_id", rank_h.alias("rh"))
-    n_docs = ids.count()
+    # Checkpoint the thin (doc_id, rh) relation and observe its row
+    # count during that job: the previous separate count() paid a full
+    # corpus scan for one scalar, then the ranking below re-scanned —
+    # now the corpus is scanned once and both consumers (count + rank)
+    # read the 16-byte/row checkpoint (r13 optimization round).
+    iobs = Observation()
+    ids = (
+        documents.select("doc_id", rank_h.alias("rh"))
+        .observe(iobs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_docs = int(iobs.get["n"])
     # top 6 of the 60 hash bits → 64 buckets whose boundaries respect
     # the (rh, doc_id) global order; md5-collision ties share a bucket
     bkt = F.shiftright(F.col("rh"), 60 - 6)

@@ -44,6 +44,24 @@ def test_small_sort_spills_to_range_sort(spark):
     assert [r["k"] for r in small.collect()] == list(range(1000))
 
 
+def test_small_sort_counts_rows_during_checkpoint_job(spark):
+    """The spill guard's row count is observed DURING the checkpoint
+    job (Observation metrics fire on the eager checkpoint action) —
+    small_sort must run exactly ONE job, not checkpoint + count."""
+    sc = spark.sparkContext
+    df = spark.range(1000).select(
+        F.pmod(F.col("id") * 7919, F.lit(1000)).alias("k")
+    ).localCheckpoint()  # isolate parent compute from the probe
+    sc.setJobGroup("ss_probe", "small_sort job count")
+    try:
+        out = small_sort(df, "k")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ss_probe")
+    assert len(jobs) == 1, f"expected 1 job (checkpoint only), got {jobs}"
+    assert [r["k"] for r in out.collect()] == list(range(1000))
+
+
 def test_simhash_chunking_derived_from_k(spark):
     docs = spark.createDataFrame(
         [(i, f"tok{i} " * 3 + "shared words here and there plus filler") for i in range(24)],
