@@ -17,7 +17,7 @@ sample is reproducible across engines, retries, and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from bb_bigdata_log_tools_spark.functions.hashing import md5_long
@@ -2529,8 +2529,12 @@ def sitemap_parse(
         # (entries + children) and the next level's lineage — without
         # the cut, depth d re-ran every earlier level's big-XML regex
         # passes (the per-entry extraction is the dominant scan).
-        nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
+        # The emptiness probe rides the checkpoint job (Observation
+        # fires on the eager checkpoint action) instead of a separate
+        # isEmpty job per depth (r13 optimization round).
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        if int(obs.get["n"]) == 0:
             # recursion exhausted: deeper levels are empty by
             # construction, so skipping them only removes no-op jobs
             break

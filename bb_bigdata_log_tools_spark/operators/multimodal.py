@@ -1135,6 +1135,15 @@ def png_parse_pixels(payload: bytes) -> tuple[int, int, list] | None:
         # per scanline across all Adam7 passes) — a zlib bomb stops at
         # the cap instead of materializing gigabytes
         max_raw = h * (w * channels * 2 + 2) + 15 * (w * channels * 2 + 2)
+        # decompression-amplification guard (the BMP RLE guard's
+        # sibling, r13): deflate's hard ceiling is ~1032:1, so a header
+        # whose justified raster exceeds 4096x the available compressed
+        # bytes cannot be a well-formed PNG — reject before paying a
+        # multi-second pure-Python unfilter+pixel build justified by a
+        # few crafted header bytes. MAX_DECODE_PIXELS bounds MEMORY;
+        # this bounds TIME proportional to the actual input size.
+        if max_raw > 4096 * len(idat):
+            return None
         raw = zlib.decompressobj().decompress(bytes(idat), max_raw)
     except zlib.error:
         return None

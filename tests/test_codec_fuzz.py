@@ -196,6 +196,32 @@ def test_dimension_bombs_rejected_fast():
     assert time.time() - t0 < 2.0  # rejection is header-time, not alloc-time
 
 
+def test_png_inflate_amplification_rejected_fast():
+    """A tiny IDAT whose header justifies a raster thousands of times
+    larger must return None fast, BEFORE the inflate + pure-Python
+    unfilter/pixel build — the time-amplification guard (the BMP RLE
+    guard's sibling): MAX_DECODE_PIXELS bounds memory, not the
+    multi-second scanline walk a crafted sub-cap header can demand.
+    deflate's ceiling is ~1032:1, so >4096x is never a real PNG."""
+    import struct
+    import time
+
+    from bb_bigdata_log_tools_spark.operators.multimodal import _png_chunk
+
+    # 5000x5000 grayscale (25M px — UNDER MAX_DECODE_PIXELS) with a
+    # 100-byte IDAT: justified raster ≈ 50 MB >> 4096 * 100 bytes.
+    ihdr = struct.pack(">IIBBBBB", 5000, 5000, 8, 0, 0, 0, 0)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00" * 100)
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert png_parse_pixels(p) is None
+    assert time.time() - t0 < 1.0
+
+
 def test_boom_salvage_and_strict_fuzz_never_raises_or_hangs():
     """The salvage reader exists FOR corrupt input: mutants must never
     raise and must terminate (fuzz-found: negative varint lengths let
