@@ -37,4 +37,8 @@ def small_sort(df, *cols, spill_rows: int = SMALL_SORT_SPILL_ROWS):
     out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
     if obs.get["n"] > spill_rows:
         return out.orderBy(*cols)
+    # repartition(1), not coalesce(1): measured head-to-head (r13) the
+    # narrow coalesce was NET NEUTRAL — it drops the tiny shuffle and
+    # one AQE stage but serializes the checkpoint-block reads into the
+    # single sort task, losing the map side's parallel block reads.
     return out.repartition(1).sortWithinPartitions(*cols)
